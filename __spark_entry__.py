@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline smoke on sf0.001.
+``queries()``   — one entry per implemented operator (SURVEY.md §2 + the
+                  LLM-data-pipeline extensions), each (spark, sf_dir) -> DataFrame.
+``oracle_sql()``— DuckDB-runnable ANSI-SQL twin per query (tables
+                  region/nation/customer/supplier/part/orders/lineitem/
+                  events/documents/embeddings are pre-registered views).
 """
 
 from __future__ import annotations
@@ -13,26 +14,69 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from airflow_iceberg_pipeline_stock_tracker_spark.operators.cumulate import (
+    cumulate,
+    cumulate_oracle_sql,
+)
+from airflow_iceberg_pipeline_stock_tracker_spark.operators.dq import (
+    dq_checks,
+    dq_checks_oracle_sql,
+)
+from airflow_iceberg_pipeline_stock_tracker_spark.sources.prices import (
+    DEFAULT_DS,
+    PRICES_ORACLE_SQL,
+    STANDIN_TICKERS,
+    prices_standin,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: prices stand-in -> 7-day rolling cumulate on sf0.001."""
+    prices = prices_standin(spark, "/root/testdata/sf0.001")
+    return cumulate(prices)
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+def _q_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return prices_standin(spark, sf_dir)
+
+
+def _q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dq_checks(prices_standin(spark, sf_dir), DEFAULT_DS, STANDIN_TICKERS)
+
+
+def _q_cumulate_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cumulate(prices_standin(spark, sf_dir))
+
+
+def _q_cumulate_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cumulate(prices_standin(spark, sf_dir), ds=DEFAULT_DS)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {
+        "prices_standin": _q_prices,
+        "dq_checks": _q_dq_checks,
+        "cumulate_rolling": _q_cumulate_rolling,
+        "cumulate_day": _q_cumulate_day,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    prices_cte = f"WITH prices AS ({PRICES_ORACLE_SQL})"
+    return {
+        "prices_standin": PRICES_ORACLE_SQL,
+        "dq_checks": prices_cte
+        + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(
+            "WITH agg AS", ", agg AS", 1
+        ),
+        "cumulate_rolling": prices_cte
+        + cumulate_oracle_sql().replace("WITH windowed AS", ", windowed AS", 1),
+        "cumulate_day": prices_cte
+        + cumulate_oracle_sql(DEFAULT_DS).replace("WITH windowed AS", ", windowed AS", 1),
+    }

@@ -1,0 +1,140 @@
+"""Local replica of the driver's oracle-differential gate.
+
+Runs every `queries()` entry in `__spark_entry__.py` on Spark and its
+`oracle_sql()` twin on DuckDB over the same parquet tables, then compares
+row count + column names + an order-insensitive canonical value hash.
+Use while iterating so CORRECTNESS_r{N}.json holds no surprises.
+
+Usage:  python tools/selfcheck.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import decimal
+import hashlib
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # absorb cross-engine last-ulp noise in aggregated doubles
+        return f"{v:.9g}"
+    if isinstance(v, decimal.Decimal):
+        return f"{float(v):.9g}"
+    if isinstance(v, (dt.datetime,)):
+        return v.isoformat(sep=" ", timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
+
+
+def frame_digest(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(canon(r[i]) for i in order) for r in rows)
+    h = hashlib.md5()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from airflow_iceberg_pipeline_stock_tracker_spark.session import get_spark
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in queries.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = fn(spark, sf_dir)
+        s_cols = sdf.columns
+        s_rows = [tuple(r) for r in sdf.collect()]
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"{name:32s} rows={len(s_rows):7d}  (no oracle — rows-only) "
+                  f"[{spark_s:.1f}s]")
+            if len(s_rows) == 0:
+                failures.append((name, "0 rows (rows-only check)"))
+            continue
+        t0 = time.time()
+        rel = con.sql(oracles[name])
+        d_cols = rel.columns
+        d_rows = rel.fetchall()
+        duck_s = time.time() - t0
+        problems = []
+        if len(s_rows) != len(d_rows):
+            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+        if sorted(s_cols) != sorted(d_cols):
+            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+        else:
+            hs, hd = frame_digest(s_cols, s_rows), frame_digest(d_cols, d_rows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                # show first differing canonical line for debugging
+                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+                ls = sorted("|".join(canon(r[i]) for i in order_s) for r in s_rows)
+                ld = sorted("|".join(canon(r[i]) for i in order_d) for r in d_rows)
+                for a, b in zip(ls, ld):
+                    if a != b:
+                        problems.append(f"  spark: {a[:220]}")
+                        problems.append(f"  duck : {b[:220]}")
+                        break
+        status = "OK " if not problems else "FAIL"
+        print(f"{name:32s} rows={len(s_rows):7d}  {status} "
+              f"[spark {spark_s:.1f}s, duck {duck_s:.1f}s]")
+        for p in problems:
+            print(f"    {p}")
+        if problems:
+            failures.append((name, problems[0]))
+
+    print()
+    if failures:
+        print(f"FAILURES ({len(failures)}):")
+        for name, p in failures:
+            print(f"  {name}: {p}")
+        return 1
+    print("all queries match the oracle")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
