@@ -22,6 +22,9 @@ from airflow_iceberg_pipeline_stock_tracker_spark.operators.dq import (
     dq_checks,
     dq_checks_oracle_sql,
 )
+from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
+    RELATIONAL_QUERIES,
+)
 from airflow_iceberg_pipeline_stock_tracker_spark.sources.prices import (
     DEFAULT_DS,
     PRICES_ORACLE_SQL,
@@ -59,17 +62,21 @@ def _q_cumulate_day(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
-    return {
+    out: dict[str, QueryFn] = {
         "prices_standin": _q_prices,
         "dq_checks": _q_dq_checks,
         "cumulate_rolling": _q_cumulate_rolling,
         "cumulate_day": _q_cumulate_day,
     }
+    for name, (fn, _sql) in RELATIONAL_QUERIES.items():
+        out[name] = fn
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     prices_cte = f"WITH prices AS ({PRICES_ORACLE_SQL})"
-    return {
+    out = {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items()}
+    out.update({
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(
@@ -79,4 +86,5 @@ def oracle_sql() -> dict[str, str]:
         + cumulate_oracle_sql().replace("WITH windowed AS", ", windowed AS", 1),
         "cumulate_day": prices_cte
         + cumulate_oracle_sql(DEFAULT_DS).replace("WITH windowed AS", ", windowed AS", 1),
-    }
+    })
+    return out

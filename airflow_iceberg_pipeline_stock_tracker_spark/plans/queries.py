@@ -1,0 +1,378 @@
+"""Relational query library over the driver's TPC-H-ish tables.
+
+The reference itself never joins (SURVEY §2.5 — UNION ALL is its only
+multi-input operator), but a complete analytics engine must: the driver's
+correctness harness runs on TPC-H-style tables and every north-star
+extension (dedup joins, similarity search) is join-shaped. Each entry here
+is a (Spark builder, DuckDB oracle SQL) pair, registered in
+``RELATIONAL_QUERIES`` and surfaced through ``__spark_entry__``.
+
+Plan-shape notes (verified via .explain("formatted")):
+  * dimension tables (region/nation/supplier/part at these cardinalities)
+    are broadcast — no shuffle on the big side for those joins;
+  * all money aggregates use exact integer cents (functions/money.py), so
+    partial aggregation and AQE cannot perturb results;
+  * every top-k is fully tie-broken, making results deterministic across
+    engines and partitionings.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, dollars
+from ..sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (scan + filter + groupBy, 8 aggregates)
+# ---------------------------------------------------------------------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate").cast("date") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            dollars(F.sum(cents("l_extendedprice"))).alias("sum_base_price"),
+            dollars(F.sum(cents(disc_price))).alias("sum_disc_price"),
+            dollars(F.sum(cents(charge))).alias("sum_charge"),
+            (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(cents("l_extendedprice")) / F.count(F.lit(1)) / 100.0).alias(
+                "avg_price"
+            ),
+            (F.sum(cents("l_discount", 10000)) / F.count(F.lit(1)) / 10000.0).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+           AS sum_disc_price,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT))
+           / 100.0 AS sum_charge,
+       SUM(l_quantity) / COUNT(*) AS avg_qty,
+       SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / COUNT(*) / 100.0 AS avg_price,
+       SUM(CAST(ROUND(l_discount * 10000) AS BIGINT)) / COUNT(*) / 10000.0 AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q3-style shipping priority (3-way join + group + fully-tie-broken top-k)
+# ---------------------------------------------------------------------------
+
+def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate").cast("date") < F.lit("1998-03-15").cast("date")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15").cast("date")
+    )
+    revenue_cents = F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("o_orderdate"))
+        .agg(dollars(revenue_cents).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-03-15'
+  AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5-style local-supplier revenue (5-way join, broadcast dims)
+# ---------------------------------------------------------------------------
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1998-01-01").cast("date"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue_cents = F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        # local supplier: the lineitem's supplier sits in the customer's nation
+        .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+              & (cust.c_nationkey == supp.s_nationkey))
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(dollars(revenue_cents).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+           AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (ranking window)
+# ---------------------------------------------------------------------------
+
+def topk_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.col("p_partkey")
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("p_brand", "rank", "p_partkey", "p_name", "p_retailprice")
+    )
+
+
+TOPK_SQL = """
+SELECT p_brand, rank, p_partkey, p_name, p_retailprice
+FROM (
+  SELECT p_brand, p_partkey, p_name, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part
+)
+WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Semi / anti join (EXISTS / NOT EXISTS)
+# ---------------------------------------------------------------------------
+
+def customer_order_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    active = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+    inactive = cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    per_nation = (
+        active.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("active_customers"))
+        .join(
+            inactive.groupBy("c_nationkey").agg(
+                F.count(F.lit(1)).alias("inactive_customers")
+            ),
+            "c_nationkey",
+            "full_outer",
+        )
+    )
+    return (
+        per_nation.join(F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.coalesce("active_customers", F.lit(0)).alias("active_customers"),
+            F.coalesce("inactive_customers", F.lit(0)).alias("inactive_customers"),
+        )
+        .orderBy("n_name")
+    )
+
+
+ACTIVITY_SQL = """
+WITH active AS (
+  SELECT c_nationkey, COUNT(*) AS active_customers
+  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey
+), inactive AS (
+  SELECT c_nationkey, COUNT(*) AS inactive_customers
+  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  GROUP BY c_nationkey
+)
+SELECT n_name,
+       COALESCE(active_customers, 0) AS active_customers,
+       COALESCE(inactive_customers, 0) AS inactive_customers
+FROM active FULL OUTER JOIN inactive USING (c_nationkey)
+JOIN nation ON c_nationkey = n_nationkey
+ORDER BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Event-time tumbling window (batch form; streaming twin in streaming/)
+# ---------------------------------------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dollars(F.sum(cents("value"))).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (lag + gap flag + running sum — the batch sessionizer)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_S = 1800
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    new_session = F.when(
+        ts_s - F.lag(ts_s).over(w) > SESSION_GAP_S, F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            dollars(F.sum(cents("value"))).alias("session_value"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# Grouped distinct counts + CASE bucketing over orders
+# ---------------------------------------------------------------------------
+
+def order_priority_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "small")
+        .when(F.col("o_totalprice") < 200000, "medium")
+        .otherwise("large")
+    )
+    return (
+        orders.groupBy("o_orderpriority", bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dollars(F.sum(cents("o_totalprice"))).alias("total_price"),
+        )
+        .orderBy("o_orderpriority", "price_bucket")
+    )
+
+
+ORDER_PRIORITY_SQL = """
+SELECT o_orderpriority,
+       CASE WHEN o_totalprice < 50000 THEN 'small'
+            WHEN o_totalprice < 200000 THEN 'medium'
+            ELSE 'large' END AS price_bucket,
+       COUNT(*) AS n_orders,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+GROUP BY 1, 2
+ORDER BY o_orderpriority, price_bucket
+"""
+
+
+RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
+    "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "q3_top_orders": (q3_top_orders, Q3_SQL),
+    "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "topk_parts_per_brand": (topk_parts_per_brand, TOPK_SQL),
+    "customer_order_activity": (customer_order_activity, ACTIVITY_SQL),
+    "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
+    "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "order_priority_stats": (order_priority_stats, ORDER_PRIORITY_SQL),
+}
