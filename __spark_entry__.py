@@ -22,6 +22,9 @@ from airflow_iceberg_pipeline_stock_tracker_spark.operators.dq import (
     dq_checks,
     dq_checks_oracle_sql,
 )
+from airflow_iceberg_pipeline_stock_tracker_spark.plans.llm_queries import (
+    LLM_QUERIES,
+)
 from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
     RELATIONAL_QUERIES,
 )
@@ -70,12 +73,17 @@ def queries() -> dict[str, QueryFn]:
     }
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in LLM_QUERIES.items():
+        out[name] = fn
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     prices_cte = f"WITH prices AS ({PRICES_ORACLE_SQL})"
     out = {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items()}
+    out.update(
+        {name: sql for name, (_fn, sql) in LLM_QUERIES.items() if sql is not None}
+    )
     out.update({
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte

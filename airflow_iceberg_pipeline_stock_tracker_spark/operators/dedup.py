@@ -1,0 +1,363 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five variants, each a pure DataFrame -> DataFrame function over a
+documents-shaped input (doc_id bigint, text string):
+
+  exact_dedup          hash-groupBy on md5(text): keep min doc_id
+  minhash_lsh_pairs    word-3-gram shingles -> 16 portable minhashes ->
+                       4x4 LSH bands -> band-bucket self-join -> pairs
+  simhash_pairs        32-bit simhash over tokens; banded candidate join
+                       (pigeonhole: hamming<=3 => one of 4 byte-chunks
+                       equal), then exact hamming filter
+  ngram_jaccard_pairs  exact Jaccard over distinct word-3-gram sets via
+                       inverted-index co-occurrence join (no O(n^2))
+  embedding_near_dup   cosine >= tau pairs over an embedding column (see
+                       similarity.py for the shared dot-product core)
+
+Scale design (100 TB):
+  * every variant is join/agg-shaped — no driver-side loops, no UDFs;
+    all hashing is md5/arith inside whole-stage codegen;
+  * LSH banding turns O(n^2) candidate generation into a groupBy on
+    band keys; hot buckets (boilerplate shingles) are bounded by
+    `max_bucket` before the pairwise expansion — the standard guard
+    against quadratic blowup inside a single bucket;
+  * the simhash band join is lossless for the chosen radius (pigeonhole
+    over 4 chunks with hamming<=3), so the scale path returns EXACTLY
+    the brute-force result set — which is what the DuckDB oracle
+    computes and the driver hash-verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    hash32,
+    hash32_sql,
+    minhash_expr,
+    minhash_sql,
+    tokens,
+    word_ngrams,
+    word_ngrams_sql,
+)
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """One surviving doc_id per distinct text (min doc_id wins)."""
+    return (
+        docs.select(F.col("doc_id"), F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+ORDER BY keep_doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# shared shingle -> hash relation
+# ---------------------------------------------------------------------------
+
+def _shingle_hashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, h): distinct 32-bit hashes of word 3-gram shingles."""
+    return (
+        docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+        .select("doc_id", F.explode(word_ngrams("toks")).alias("g"))
+        .select("doc_id", hash32(F.col("g")).alias("h"))
+        .distinct()
+    )
+
+
+_TOKS_SQL = "string_split_regex(trim(text), '\\s+')"
+_NGRAMS_SQL = word_ngrams_sql(_TOKS_SQL)
+
+_SHINGLES_SQL = f"""
+  SELECT doc_id, {hash32_sql('g')} AS h
+  FROM (
+    SELECT doc_id,
+           unnest({_NGRAMS_SQL}) AS g
+    FROM documents
+  )
+  GROUP BY doc_id, h
+"""
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, m0..m15): 16 portable minhashes per document."""
+    sh = _shingle_hashes(docs)
+    aggs = [minhash_expr(j).alias(f"m{j}") for j in range(MINHASH_K)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = 50) -> DataFrame:
+    """Candidate near-dup pairs agreeing on >= 1 of 4 LSH bands.
+
+    `max_bucket` drops degenerate buckets (e.g. a boilerplate band value
+    shared by thousands of docs) before the quadratic within-bucket
+    expansion — at 100 TB this is the difference between a bounded
+    shuffle and a runaway cross product.
+    """
+    sig = minhash_signatures(docs)
+    band_cols = []
+    for b in range(LSH_BANDS):
+        ms = [f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        band_cols.extend(
+            [F.lit(b), F.concat_ws(",", *[F.col(m).cast("string") for m in ms])]
+        )
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', m{b * LSH_ROWS}, m{b * LSH_ROWS + 1}, "
+        f"m{b * LSH_ROWS + 2}, m{b * LSH_ROWS + 3})"
+        for b in range(LSH_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band, band_key)"
+    )
+    bucket_sizes = bands.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("bucket_n")
+    )
+    bands = bands.join(
+        bucket_sizes.where(F.col("bucket_n") <= max_bucket), ["band", "band_key"]
+    )
+    a, b_ = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sql_core() -> str:
+    mins = ",\n         ".join(
+        f"{minhash_sql(j)} AS m{j}" for j in range(MINHASH_K)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat_ws(',', m{b * LSH_ROWS}, m{b * LSH_ROWS + 1}, "
+        f"m{b * LSH_ROWS + 2}, m{b * LSH_ROWS + 3}) AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles
+  GROUP BY doc_id
+),
+bands AS (
+  {bands}
+),
+sized AS (
+  SELECT band, band_key, COUNT(*) AS bucket_n
+  FROM bands GROUP BY band, band_key
+),
+kept AS (
+  SELECT b.* FROM bands b JOIN sized s USING (band, band_key)
+  WHERE s.bucket_n <= {{max_bucket}}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM kept a JOIN kept b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+MINHASH_LSH_SQL = _minhash_sql_core().replace("{max_bucket}", "50")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_RADIUS = 3
+SIMHASH_CHUNKS = 4  # pigeonhole: radius 3 < 4 chunks => >=1 chunk equal
+
+
+def simhash_values(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit simhash over whitespace tokens with
+    term frequency weights."""
+    tf = (
+        docs.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select("doc_id", "cnt", hash32(F.col("t")).alias("h"))
+    )
+    bit_sums = [
+        F.sum(
+            F.col("cnt")
+            * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    sim: Column = F.lit(0).cast("long")
+    for i in range(SIMHASH_BITS):
+        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= 3.
+
+    Scale path: band the 32-bit value into 4 byte chunks and self-join on
+    (chunk_idx, chunk_value) — lossless for radius 3 — then apply the
+    exact hamming filter. Result set is identical to brute force, which
+    is exactly what the oracle computes.
+    """
+    sh = simhash_values(docs)
+    chunk_rows = ", ".join(
+        f"{c}, CAST(shiftright(simhash, {c * 8}) & 255 AS BIGINT)"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    chunks = sh.selectExpr(
+        "doc_id",
+        "simhash",
+        f"stack({SIMHASH_CHUNKS}, {chunk_rows}) AS (chunk, chunk_val)",
+    )
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= SIMHASH_RADIUS)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_sql_core() -> str:
+    bit_sums = ",\n         ".join(
+        f"SUM(cnt * (((h >> {i}) & 1) * 2 - 1)) AS s{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN s{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+), hashed AS (
+  SELECT doc_id, cnt, {hash32_sql('t')} AS h FROM tf
+), sums AS (
+  SELECT doc_id,
+         {bit_sums}
+  FROM hashed GROUP BY doc_id
+), sh AS (
+  SELECT doc_id, ({sim}) AS simhash FROM sums
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
+ORDER BY doc_a, doc_b
+"""
+
+
+SIMHASH_SQL = _simhash_sql_core()
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact Jaccard >= threshold over distinct word-3-gram sets.
+
+    Inverted-index formulation: pairs co-occur only through shared grams,
+    so the join is |postings| x per-gram fanout, not O(n^2). Jaccard uses
+    integer set sizes only — exact in both engines.
+    """
+    sh = _shingle_hashes(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM shingles a JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+       inter / (sa.set_size + sb.set_size - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter / (sa.set_size + sb.set_size - inter) >= 0.5
+ORDER BY doc_a, doc_b
+"""

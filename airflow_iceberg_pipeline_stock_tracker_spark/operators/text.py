@@ -1,0 +1,234 @@
+"""Text analysis operators for training-data pipelines.
+
+All built from JVM-side `pyspark.sql.functions` (no Python UDFs in the
+hot path) with DuckDB oracle twins:
+
+  language_id     stopword-ratio heuristic over a small per-language
+                  lexicon; argmax with deterministic tie-break
+  quality_score   length / punctuation / stopword / token-shape ratios
+                  combined into a [0,1] score
+  token_stats     whitespace tokens + BPE-ish regex token count
+  fingerprints    md5 of normalized text + min-shingle-hash (winnowing
+                  flavor) content fingerprint
+
+Ratios divide exact integer counts, so results are bit-identical across
+engines. At 100 TB each of these is a single narrow projection — no
+shuffle at all until a downstream groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.texthash import char_shingles, hash32, hash32_sql, tokens
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "for"],
+    "es": ["el", "la", "de", "en", "los", "que", "es", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "pour"],
+    "de": ["der", "die", "das", "und", "in", "ist", "für", "mit"],
+}
+LANGS = list(STOPWORDS)  # deterministic priority order for ties
+
+# BPE-ish pre-tokenization: letter runs, digit runs, single other symbols
+TOKEN_REGEX = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _stop_hits(lang: str, toks: Column) -> Column:
+    arr = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang_pred, best_ratio): stopword-ratio argmax.
+
+    Join-shaped plan: explode tokens, broadcast-join the (lang, word)
+    lexicon, count hits per (doc, lang), pivot to one row per doc. The
+    aggregation is an optimizer barrier, so the ratio/argmax expressions
+    stay tiny — an earlier pure-expression formulation re-inlined the
+    tokenizer into every ratio reference and codegen took minutes.
+    """
+    spark = docs.sparkSession
+    lexicon = spark.createDataFrame(
+        [(lang, w) for lang, words in STOPWORDS.items() for w in words],
+        ["lang", "t"],
+    )
+    toks = tokens(F.lower(F.col("text")))
+    base = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_toks", F.greatest(F.size("toks"), F.lit(1))
+    )
+    hits = (
+        base.select("doc_id", F.explode("toks").alias("t"))
+        .join(F.broadcast(lexicon), "t")
+        .groupBy("doc_id")
+        .pivot("lang", LANGS)
+        .count()
+    )
+    df = base.join(hits, "doc_id", "left")
+    for lang in LANGS:
+        df = df.withColumn(
+            f"r_{lang}", F.coalesce(F.col(lang), F.lit(0)) / F.col("n_toks")
+        )
+    best = F.greatest(*[F.col(f"r_{lang}") for lang in LANGS])
+    df = df.withColumn("best", best)
+    pred: Column = F.lit("unknown")
+    # reverse order so earlier languages win ties (first match overwrites)
+    for lang in reversed(LANGS):
+        pred = F.when(
+            (F.col("best") > 0) & (F.col(f"r_{lang}") == F.col("best")), F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        "doc_id", pred.alias("lang_pred"), F.col("best").alias("best_ratio")
+    ).orderBy("doc_id")
+
+
+def _language_id_sql() -> str:
+    ratio_cols = []
+    for lang in LANGS:
+        arr = "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+        ratio_cols.append(
+            f"len(list_filter(toks, t -> list_contains({arr}, t)))"
+            f" / greatest(len(toks), 1) AS r_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"r_{lang}" for lang in LANGS) + ")"
+    pred = "'unknown'"
+    for lang in reversed(LANGS):
+        pred = f"CASE WHEN best > 0 AND r_{lang} = best THEN '{lang}' ELSE {pred} END"
+    return f"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), ratios AS (
+  SELECT doc_id, {', '.join(ratio_cols)} FROM toked
+), besties AS (
+  SELECT doc_id, {best} AS best, * EXCLUDE (doc_id) FROM ratios
+)
+SELECT doc_id, {pred} AS lang_pred, best AS best_ratio
+FROM besties ORDER BY doc_id
+"""
+
+
+LANGUAGE_ID_SQL = _language_id_sql()
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_token_len,
+    quality): cheap quality heuristics + combined [0,1] score."""
+    lower = F.lower(F.col("text"))
+    toks = tokens(lower)
+    en_hits = _stop_hits("en", toks)
+    n_chars = F.length("text")
+    n_tokens = F.size(toks)
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^A-Za-z0-9\s]", ""))
+    out = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_punct / F.greatest(n_chars, F.lit(1))).alias("punct_ratio"),
+        (en_hits / F.greatest(n_tokens, F.lit(1))).alias("stop_ratio"),
+        (
+            (n_chars - (n_tokens - 1)) / F.greatest(n_tokens, F.lit(1))
+        ).alias("mean_token_len"),
+    )
+    length_ok = (F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 100000)
+    word_shape_ok = (F.col("mean_token_len") >= 2) & (F.col("mean_token_len") <= 12)
+    quality = (
+        F.when(length_ok, 0.4).otherwise(0.0)
+        + F.when(F.col("punct_ratio") <= 0.2, 0.2).otherwise(0.0)
+        + F.when(word_shape_ok, 0.2).otherwise(0.0)
+        + F.when(F.col("stop_ratio") >= 0.05, 0.2).otherwise(0.0)
+    )
+    return out.withColumn("quality", quality).orderBy("doc_id")
+
+
+def _quality_sql() -> str:
+    en = "[" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(string_split_regex(trim(lower(text)), '\\s+')) AS n_tokens,
+         (length(text) - length(regexp_replace(text, '[^A-Za-z0-9\\s]', '', 'g')))
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         t -> list_contains({en}, t)))
+           / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+           AS stop_ratio,
+         (length(text) - (len(string_split_regex(trim(lower(text)), '\\s+')) - 1))
+           / greatest(len(string_split_regex(trim(lower(text)), '\\s+')), 1)
+           AS mean_token_len
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_token_len,
+       (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END
+        + CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 0.2 ELSE 0.0 END
+        + CASE WHEN stop_ratio >= 0.05 THEN 0.2 ELSE 0.0 END) AS quality
+FROM base ORDER BY doc_id
+"""
+
+
+QUALITY_SQL = _quality_sql()
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, ws_tokens, bpe_ish_tokens, chars_per_bpe_token)."""
+    ws = F.size(tokens(F.col("text")))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+    return docs.select(
+        "doc_id",
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_ish_tokens"),
+        (F.length("text") / F.greatest(bpe, F.lit(1))).alias("chars_per_bpe_token"),
+    ).orderBy("doc_id")
+
+
+TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+       len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS bpe_ish_tokens,
+       length(text) / greatest(len(regexp_extract_all(text, '{TOKEN_REGEX}')), 1)
+         AS chars_per_bpe_token
+FROM documents ORDER BY doc_id
+"""
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, content_md5, min_shingle_hash): exact + fuzzy fingerprints.
+
+    content_md5 over whitespace-normalized lowercase text; the min of
+    9-char shingle hashes is a 1-permutation minhash (winnowing flavor)
+    that survives small edits.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    df = docs.select("doc_id", norm.alias("norm_text"))
+    return (
+        df.select(
+            "doc_id",
+            F.md5("norm_text").alias("content_md5"),
+            F.explode(char_shingles("norm_text", 9)).alias("sh"),
+        )
+        .groupBy("doc_id", "content_md5")
+        .agg(F.min(hash32(F.col("sh"))).alias("min_shingle_hash"))
+        .orderBy("doc_id")
+    )
+
+
+FINGERPRINTS_SQL = f"""
+WITH normed AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm_text
+  FROM documents
+), shingled AS (
+  SELECT doc_id, md5(norm_text) AS content_md5,
+         unnest(CASE WHEN length(norm_text) <= 9 THEN [norm_text]
+                ELSE [substr(norm_text, i, 9)
+                      for i in range(1, length(norm_text) - 7)] END) AS sh
+  FROM normed
+)
+SELECT doc_id, content_md5, MIN({hash32_sql('sh')}) AS min_shingle_hash
+FROM shingled
+GROUP BY doc_id, content_md5
+ORDER BY doc_id
+"""

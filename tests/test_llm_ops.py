@@ -1,0 +1,156 @@
+"""LLM-data-pipeline operators: dedup quality, ANN recall, text analysis,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_iceberg_pipeline_stock_tracker_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+def test_exact_dedup_idempotent_and_total(spark, docs):
+    out = dedup.exact_dedup(docs).collect()
+    assert sum(r.n_copies for r in out) == docs.count()
+    assert len({r.text_hash for r in out}) == len(out)
+
+
+def test_exact_dedup_catches_planted_dup(spark, docs):
+    planted = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    out = dedup.exact_dedup(docs.unionByName(planted)).collect()
+    dup_groups = [r for r in out if r.n_copies > 1]
+    assert any(r.n_copies == 2 for r in dup_groups)
+
+
+def test_minhash_lsh_finds_near_duplicate(spark, docs):
+    # plant a near-dup: copy a doc, perturb one token
+    base = docs.orderBy("doc_id").limit(1).collect()[0]
+    perturbed = base.text.replace(base.text.split()[0], "zzz", 1)
+    extra = spark.createDataFrame(
+        [(1_000_000, perturbed)], ["doc_id", "text"]
+    )
+    all_docs = docs.select("doc_id", "text").unionByName(extra)
+    pairs = dedup.minhash_lsh_pairs(all_docs).collect()
+    assert (base.doc_id, 1_000_000) in {(r.doc_a, r.doc_b) for r in pairs}
+
+
+def test_minhash_agrees_with_exact_jaccard(spark, docs):
+    """LSH candidates should contain every high-jaccard pair (recall) and
+    mostly high-jaccard pairs (precision at the 4x4 banding threshold)."""
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs).collect()}
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert exact <= lsh or not exact  # full recall at j>=0.8
+    if lsh:
+        loose = {
+            (r.doc_a, r.doc_b)
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.2).collect()
+        }
+        assert len(lsh & loose) / len(lsh) >= 0.5  # banding precision
+
+
+def test_simhash_banding_is_lossless(spark, docs):
+    """The banded candidate join must return exactly the brute-force set
+    (pigeonhole guarantees recall at radius 3)."""
+    sh = dedup.simhash_values(docs)
+    a = sh.selectExpr("doc_id AS doc_a", "simhash AS h_a")
+    b = sh.selectExpr("doc_id AS doc_b", "simhash AS h_b")
+    brute = (
+        a.crossJoin(b)
+        .where("doc_a < doc_b AND bit_count(h_a ^ h_b) <= 3")
+        .select("doc_a", "doc_b")
+        .collect()
+    )
+    banded = dedup.simhash_pairs(docs).select("doc_a", "doc_b").collect()
+    assert {tuple(r) for r in brute} == {tuple(r) for r in banded}
+
+
+def test_rp_lsh_retrieves_planted_near_dup(spark, sf_dir):
+    """A true near-duplicate (tiny perturbation of a stored vector) must
+    land in the same LSH bucket and be retrieved as the top neighbor —
+    the property that matters for near-dup retrieval at 0.95+ cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id = 42").collect()[0]
+    perturbed = [float(x) + 0.001 for x in base.embedding]
+    extra = spark.createDataFrame(
+        [(1_000_000, perturbed, 99)], ["vec_id", "embedding", "label"]
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    union = emb.unionByName(extra)
+    approx = similarity.rp_lsh_topk_df(union, n_queries=100, k=5).collect()
+    mine = [r for r in approx if r.query_id == 42]
+    assert mine and mine[0].neighbor_id == 1_000_000
+    assert mine[0].cosine > 0.999
+    assert all(1 <= r.rank <= 5 for r in approx)
+
+
+def test_cosine_topk_selfconsistency(spark, sf_dir):
+    out = similarity.cosine_topk(spark, sf_dir, n_queries=5, k=3).collect()
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
+def test_language_id_output_shape(spark, docs):
+    out = text.language_id(docs).collect()
+    assert len(out) == docs.count()
+    assert {r.lang_pred for r in out} <= {"en", "es", "fr", "de", "unknown"}
+
+
+def test_quality_score_bounds(spark, docs):
+    out = text.quality_score(docs).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in out)
+    assert all(r.punct_ratio >= 0 for r in out)
+
+
+def test_token_stats_positive(spark, docs):
+    out = text.token_stats(docs).collect()
+    assert all(r.bpe_ish_tokens >= r.ws_tokens for r in out)
+
+
+def test_fingerprint_survives_whitespace_noise(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick   brown fox\tjumps over the lazy dog again and again"
+    sdf = _spark_docs(spark, [(1, a), (2, b)])
+    out = {r.doc_id: r for r in text.fingerprints(sdf).collect()}
+    assert out[1].content_md5 == out[2].content_md5
+    assert out[1].min_shingle_hash == out[2].min_shingle_hash
+
+
+def _spark_docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_multimodal_decode_requires_decoder(spark, docs):
+    media = multimodal.docs_as_media(docs.limit(5))
+    with pytest.raises(Exception, match="no image codecs"):
+        multimodal.decode_image_features(media).collect()
+
+
+def test_multimodal_fake_decode_plumbing(spark, docs):
+    media = multimodal.docs_as_media(docs.limit(20))
+    out = multimodal.decode_image_features(media, fake_decoder=True).collect()
+    assert len(out) == 20
+    for r in out:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+        assert r.byte_len > 0 and len(r.payload_md5) == 32
