@@ -77,10 +77,20 @@ ORDER BY keep_doc_id
 # ---------------------------------------------------------------------------
 
 def _shingle_hashes(docs: DataFrame) -> DataFrame:
-    """(doc_id, h): distinct 32-bit hashes of word 3-gram shingles."""
+    """(doc_id, h): distinct 32-bit hashes of word 3-gram shingles.
+
+    The gram arrays are materialized and hash-repartitioned BEFORE the
+    explode: a documents table that arrives as one file (or a few hot
+    files) would otherwise run the whole explode+hash pipeline in a
+    single task, and the exchange also stops Catalyst re-inlining the
+    tokenizer into every downstream expression.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
     return (
         docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
-        .select("doc_id", F.explode(word_ngrams("toks")).alias("g"))
+        .select("doc_id", word_ngrams("toks").alias("grams"))
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", F.explode("grams").alias("g"))
         .select("doc_id", hash32(F.col("g")).alias("h"))
         .distinct()
     )
@@ -207,8 +217,11 @@ SIMHASH_CHUNKS = 4  # pigeonhole: radius 3 < 4 chunks => >=1 chunk equal
 def simhash_values(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash): 32-bit simhash over whitespace tokens with
     term frequency weights."""
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
     tf = (
-        docs.select(F.col("doc_id"), F.explode(tokens(F.col("text"))).alias("t"))
+        docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+        .repartition(parallelism, "doc_id")
+        .select("doc_id", F.explode("toks").alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("doc_id", "cnt", hash32(F.col("t")).alias("h"))

@@ -55,8 +55,11 @@ def language_id(docs: DataFrame) -> DataFrame:
         ["lang", "t"],
     )
     toks = tokens(F.lower(F.col("text")))
-    base = docs.select("doc_id", toks.alias("toks")).withColumn(
-        "n_toks", F.greatest(F.size("toks"), F.lit(1))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .repartition(parallelism, "doc_id")
+        .withColumn("n_toks", F.greatest(F.size("toks"), F.lit(1)))
     )
     hits = (
         base.select("doc_id", F.explode("toks").alias("t"))
@@ -202,7 +205,14 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     that survives small edits.
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    df = docs.select("doc_id", norm.alias("norm_text"))
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # materialize norm_text through an exchange before exploding: without
+    # the barrier Catalyst inlines the regexp+md5 into the post-explode
+    # aggregate key and recomputes them once per shingle (~120x per doc),
+    # all inside whatever single task a one-file input produces
+    df = docs.select("doc_id", norm.alias("norm_text")).repartition(
+        parallelism, "doc_id"
+    )
     return (
         df.select(
             "doc_id",
