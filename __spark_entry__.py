@@ -64,12 +64,27 @@ def _q_cumulate_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cumulate(prices_standin(spark, sf_dir), ds=DEFAULT_DS)
 
 
+def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full daily pipeline (ingest->DQ->promote->cumulate), 3-day backfill.
+
+    Managed-table side effects land in a dedicated database; the result
+    is the cumulative table (timestamps dropped: rows-only check).
+    """
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline
+
+    db = "entry_pipeline"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    pipeline.backfill(spark, "2024-01-01", "2024-01-03", db=db)
+    return spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}").drop("updated_at")
+
+
 def queries() -> dict[str, QueryFn]:
     out: dict[str, QueryFn] = {
         "prices_standin": _q_prices,
         "dq_checks": _q_dq_checks,
         "cumulate_rolling": _q_cumulate_rolling,
         "cumulate_day": _q_cumulate_day,
+        "pipeline_daily_run": _q_pipeline_daily_run,
     }
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         out[name] = fn

@@ -1,0 +1,251 @@
+"""End-to-end daily pipeline driver — the reference DAG, re-expressed.
+
+Reference task chain (``/root/reference/dags/dag.py:444-452``; trace in
+SURVEY §3.4)::
+
+  create_schema ─► {staging, prod, cumulative DDL} ─► load_to_staging
+    ─► run_dq_check ─► clear ─► promote ─► {drop_staging,
+    clear_cumulative ─► cumulate}
+
+Spark-native re-expression:
+  * No Airflow / no remote warehouse: one driver function per task, one
+    ``run_for_date(spark, ds)`` chaining them, and an ordered
+    ``backfill`` loop replacing ``depends_on_past=True`` +
+    ``max_active_runs=1`` (dag.py:54,289,364,383).
+  * The reference's DELETE-then-INSERT idempotency pair (dag.py:294+308,
+    369+385) is fused into ONE atomic partition-scoped write:
+    ``INSERT OVERWRITE`` under dynamic partition-overwrite mode touches
+    only the ds partition. Same semantics, one commit instead of two,
+    no window where the partition is empty.
+  * Ingestion is one batched append (sources/stock_api.py), not a
+    row-at-a-time INSERT per API object (dag.py:88-107 anti-pattern).
+  * DQ checks print PASS/FAIL and do NOT gate promotion by default,
+    matching dag.py:31-34,279; ``strict_dq=True`` opts into raising.
+
+Table format: Iceberg DDL when the runtime jar is present
+(session.ICEBERG_AVAILABLE), else parquet-backed managed tables — both
+``PARTITIONED BY (date)`` so every read/write prunes to one partition.
+
+Scale: per-day work is O(|tickers|) rows ingested and an O(|tickers| x 7)
+window (cumulate reads only the pruned 7-day slice of prod). History size
+never enters any stage — at 100 TB of accumulated prod partitions a daily
+run still touches 8 date partitions.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.cumulate import cumulate
+from .operators.dq import dq_checks
+from .schemas import (
+    CUMULATIVE_SCHEMA,
+    DEC_AVG_VOL,
+    DEC_VOLATILITY,
+    REFERENCE_TICKERS,
+    STOCK_PRICE_SCHEMA,
+)
+from .sources.stock_api import BarClient, DeterministicBarClient, bars_to_df, fetch_bars
+
+DEFAULT_DB = "jakebuto"  # the reference's schema/namespace (dag.py:14,119)
+PROD_TABLE = "daily_stock_prices"
+CUMULATIVE_TABLE = "daily_stock_prices_cumulative"
+
+
+def _ddl_cols(schema) -> str:
+    return ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in schema.fields)
+
+
+def _fmt(spark: SparkSession) -> str:
+    from . import session
+
+    return "iceberg" if session.ICEBERG_AVAILABLE else "parquet"
+
+
+def _insert(df: DataFrame, name: str, overwrite: bool) -> None:
+    """Positional ``insertInto`` with columns aligned to the target table.
+
+    Partitioned tables store partition columns LAST in their logical
+    schema; writing by name-order would silently misalign, so reorder
+    explicitly. With ``partitionOverwriteMode=dynamic`` (session.py) an
+    overwrite touches only the partitions present in ``df`` — the
+    reference's DELETE+INSERT pair as one atomic commit.
+    """
+    target_cols = df.sparkSession.table(name).columns
+    df.select(*target_cols).write.mode("overwrite" if overwrite else "append").insertInto(
+        name, overwrite=overwrite
+    )
+
+
+def create_schema(spark: SparkSession, db: str = DEFAULT_DB) -> None:
+    """S3 (dag.py:115-122): CREATE SCHEMA IF NOT EXISTS."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+
+def create_prod_table(spark: SparkSession, db: str = DEFAULT_DB) -> None:
+    """S4 (dag.py:126-151): 10-col fact table, identity-partitioned on date.
+
+    Partition-on-date is the load-bearing physical choice: every
+    pipeline read/write below is scoped to one date, so scans prune to
+    one partition no matter how much history accumulates.
+    """
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {db}.{PROD_TABLE} "
+        f"({_ddl_cols(STOCK_PRICE_SCHEMA)}) USING {_fmt(spark)} "
+        f"PARTITIONED BY (date)"
+    )
+
+
+def create_cumulative_table(spark: SparkSession, db: str = DEFAULT_DB) -> None:
+    """S6 (dag.py:332-358): rolling-arrays table, partitioned on date."""
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {db}.{CUMULATIVE_TABLE} "
+        f"({_ddl_cols(CUMULATIVE_SCHEMA)}) USING {_fmt(spark)} "
+        f"PARTITIONED BY (date)"
+    )
+
+
+def staging_table_name(ds: str, db: str = DEFAULT_DB) -> str:
+    """Per-run staging name ``..._stg_{ds_nodash}`` (dag.py:63)."""
+    return f"{db}.daily_stock_prices_stg_{ds.replace('-', '')}"
+
+
+def create_staging_table(spark: SparkSession, ds: str, db: str = DEFAULT_DB) -> str:
+    """S5 (dag.py:154-179): CREATE OR REPLACE, same cols, unpartitioned.
+
+    Atomic REPLACE TABLE needs a v2 catalog (Iceberg); the parquet
+    fallback emulates it with DROP + CREATE.
+    """
+    name = staging_table_name(ds, db)
+    fmt = _fmt(spark)
+    ddl = f"TABLE {name} ({_ddl_cols(STOCK_PRICE_SCHEMA)}) USING {fmt}"
+    if fmt == "iceberg":
+        spark.sql(f"CREATE OR REPLACE {ddl}")
+    else:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql(f"CREATE {ddl}")
+    return name
+
+
+def load_to_staging(
+    spark: SparkSession,
+    ds: str,
+    client: BarClient | None = None,
+    tickers: list[str] | None = None,
+    db: str = DEFAULT_DB,
+) -> str:
+    """S1+S7 (dag.py:68-112): fetch bars, ONE batched append to staging."""
+    bars = fetch_bars(client or DeterministicBarClient(), ds, tickers)
+    df = bars_to_df(spark, bars)
+    name = staging_table_name(ds, db)
+    _insert(df, name, overwrite=False)
+    return name
+
+
+def run_dq_check(
+    spark: SparkSession,
+    ds: str,
+    tickers: list[str] | None = None,
+    db: str = DEFAULT_DB,
+    strict: bool = False,
+) -> DataFrame:
+    """§2.10: six checks over staging; print rows like the reference does
+    (dag.py:31-34 fetch=True), gate only when strict."""
+    stg = spark.table(staging_table_name(ds, db))
+    checks = dq_checks(stg, ds, tickers or REFERENCE_TICKERS, strict=strict)
+    for row in checks.collect():
+        print(tuple(row))
+    return checks
+
+
+def promote(spark: SparkSession, ds: str, db: str = DEFAULT_DB) -> None:
+    """S8+S10 fused (dag.py:294 DELETE + 308 INSERT..SELECT): one atomic
+    partition-scoped overwrite of prod from staging."""
+    stg = spark.table(staging_table_name(ds, db)).where(
+        F.col("date") == F.lit(ds).cast("date")
+    )
+    _insert(stg, f"{db}.{PROD_TABLE}", overwrite=True)
+
+
+def drop_staging(spark: SparkSession, ds: str, db: str = DEFAULT_DB) -> None:
+    """S11 (dag.py:318-329)."""
+    spark.sql(f"DROP TABLE IF EXISTS {staging_table_name(ds, db)}")
+
+
+def cumulate_day(spark: SparkSession, ds: str, db: str = DEFAULT_DB) -> None:
+    """S9 fused with its clear (dag.py:369 DELETE + 385-437 INSERT..CTE).
+
+    Reads the pruned (ds-7, ds] slice of prod, computes the rolling
+    window (operators/cumulate.py), casts to the reference's DECIMAL
+    output types (dag.py:342-348), and atomically overwrites the ds
+    partition of the cumulative table.
+    """
+    prod = spark.table(f"{db}.{PROD_TABLE}")
+    out = cumulate(prod, ds=ds)
+    dec = out.select(
+        "ticker",
+        "date",
+        "last_7_days_open",
+        "last_7_days_high",
+        "last_7_days_low",
+        "last_7_days_close",
+        "last_7_days_volume",
+        F.col("avg_7_day_volume").cast(DEC_AVG_VOL).alias("avg_7_day_volume"),
+        F.col("volatility_7_day").cast(DEC_VOLATILITY).alias("volatility_7_day"),
+        F.current_timestamp().alias("updated_at"),
+    )
+    _insert(dec, f"{db}.{CUMULATIVE_TABLE}", overwrite=True)
+
+
+def run_for_date(
+    spark: SparkSession,
+    ds: str,
+    client: BarClient | None = None,
+    tickers: list[str] | None = None,
+    db: str = DEFAULT_DB,
+    strict_dq: bool = False,
+) -> DataFrame:
+    """One daily run, tasks in the reference's order (dag.py:444-452).
+
+    Returns the DQ-checks DataFrame (the reference's only observable
+    output besides the tables themselves). Re-running the same ds is
+    idempotent: both sinks are partition-overwrites.
+    """
+    create_schema(spark, db)
+    create_staging_table(spark, ds, db)
+    create_prod_table(spark, db)
+    create_cumulative_table(spark, db)
+    load_to_staging(spark, ds, client, tickers, db)
+    checks = run_dq_check(spark, ds, tickers, db, strict=strict_dq)
+    promote(spark, ds, db)
+    drop_staging(spark, ds, db)
+    cumulate_day(spark, ds, db)
+    return checks
+
+
+def backfill(
+    spark: SparkSession,
+    start_ds: str,
+    end_ds: str,
+    client: BarClient | None = None,
+    tickers: list[str] | None = None,
+    db: str = DEFAULT_DB,
+) -> list[str]:
+    """Ordered multi-date loop — ``depends_on_past`` + ``max_active_runs=1``
+    as a plain sequential iteration (dag.py:54,289; README.md:133).
+
+    Day D's cumulate reads days (D-7, D] from prod, so dates MUST be
+    processed ascending; this loop is the whole of that contract.
+    """
+    start, end = dt.date.fromisoformat(start_ds), dt.date.fromisoformat(end_ds)
+    done: list[str] = []
+    day = start
+    while day <= end:
+        ds = day.isoformat()
+        run_for_date(spark, ds, client, tickers, db)
+        done.append(ds)
+        day += dt.timedelta(days=1)
+    return done

@@ -1,0 +1,88 @@
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_iceberg_pipeline_stock_tracker_spark import pipeline
+from airflow_iceberg_pipeline_stock_tracker_spark.sources.stock_api import (
+    DeterministicBarClient,
+)
+
+DB = "pipetest"
+
+
+@pytest.fixture()
+def db(spark):
+    spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+    yield DB
+    spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{DB.lower()}.db", ignore_errors=True)
+
+
+def test_run_for_date_end_to_end(spark, db):
+    checks = pipeline.run_for_date(spark, "2024-01-02", db=db)
+    rows = {r.check_name: r.status for r in checks.collect()}
+    assert len(rows) == 6
+    assert all(s == "PASS" for s in rows.values())
+
+    prod = spark.table(f"{db}.{pipeline.PROD_TABLE}")
+    assert prod.count() == 5  # one row per reference ticker
+    cum = spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}")
+    day = cum.where(F.col("date") == "2024-01-02").collect()
+    assert len(day) == 5
+    # first day in history: frame is 1 row, stddev NULL -> COALESCE 0
+    for r in day:
+        assert len(r.last_7_days_close) == 1
+        assert float(r.volatility_7_day) == 0.0
+    # staging dropped after promotion
+    assert not spark.catalog.tableExists(pipeline.staging_table_name("2024-01-02", db))
+
+
+def test_rerun_same_ds_is_idempotent(spark, db):
+    pipeline.run_for_date(spark, "2024-01-02", db=db)
+    first = spark.table(f"{db}.{pipeline.PROD_TABLE}").drop(
+        "insertion_timestamp"
+    ).collect()
+    pipeline.run_for_date(spark, "2024-01-02", db=db)
+    second = spark.table(f"{db}.{pipeline.PROD_TABLE}").drop(
+        "insertion_timestamp"
+    ).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_backfill_accumulates_rolling_frames(spark, db):
+    days = pipeline.backfill(spark, "2024-01-01", "2024-01-03", db=db)
+    assert days == ["2024-01-01", "2024-01-02", "2024-01-03"]
+    cum = spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}")
+    sizes = {
+        r.date.isoformat(): r.n
+        for r in cum.groupBy("date")
+        .agg(F.max(F.size("last_7_days_close")).alias("n"))
+        .collect()
+    }
+    # frame grows one row per processed day (shrunk-frame semantics)
+    assert sizes == {"2024-01-01": 1, "2024-01-02": 2, "2024-01-03": 3}
+    # day-3 volatility over >1 row is positive
+    d3 = cum.where(F.col("date") == "2024-01-03").collect()
+    assert all(float(r.volatility_7_day) > 0 for r in d3)
+
+
+def test_failing_ticker_swallowed_and_dq_fails_softly(spark, db):
+    client = DeterministicBarClient(fail_tickers=frozenset({"AAPL"}))
+    checks = pipeline.run_for_date(spark, "2024-03-05", client=client, db=db)
+    by_name = {r.check_name: r for r in checks.collect()}
+    missing = by_name["Missing stocks check"]
+    assert missing.status == "FAIL" and missing.actual_count == 4
+    # non-strict: promotion still happened (reference prints, never gates)
+    assert spark.table(f"{db}.{pipeline.PROD_TABLE}").count() == 4
+
+
+def test_strict_dq_raises(spark, db):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dq import DQCheckError
+
+    client = DeterministicBarClient(fail_tickers=frozenset({"META"}))
+    with pytest.raises(DQCheckError):
+        pipeline.run_for_date(spark, "2024-03-06", client=client, db=db, strict_dq=True)
