@@ -28,6 +28,9 @@ from airflow_iceberg_pipeline_stock_tracker_spark.plans.llm_queries import (
 from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
     RELATIONAL_QUERIES,
 )
+from airflow_iceberg_pipeline_stock_tracker_spark.plans.streaming_queries import (
+    STREAMING_QUERIES,
+)
 from airflow_iceberg_pipeline_stock_tracker_spark.sources.prices import (
     DEFAULT_DS,
     PRICES_ORACLE_SQL,
@@ -90,6 +93,8 @@ def queries() -> dict[str, QueryFn]:
         out[name] = fn
     for name, (fn, _sql) in LLM_QUERIES.items():
         out[name] = fn
+    for name, (fn, _sql) in STREAMING_QUERIES.items():
+        out[name] = fn
     return out
 
 
@@ -98,6 +103,9 @@ def oracle_sql() -> dict[str, str]:
     out = {name: sql for name, (_fn, sql) in RELATIONAL_QUERIES.items()}
     out.update(
         {name: sql for name, (_fn, sql) in LLM_QUERIES.items() if sql is not None}
+    )
+    out.update(
+        {name: sql for name, (_fn, sql) in STREAMING_QUERIES.items() if sql is not None}
     )
     out.update({
         "prices_standin": PRICES_ORACLE_SQL,

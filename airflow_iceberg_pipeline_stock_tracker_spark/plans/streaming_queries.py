@@ -1,0 +1,117 @@
+"""Driver-visible streaming queries (batch-parity mode).
+
+Each entry materializes the relevant source slice to a scratch dir,
+drives the streaming operator with Trigger.AvailableNow into a memory
+sink, and returns the sink as a DataFrame — so the driver's
+oracle-differential gate checks the STREAMING code path against plain
+ANSI SQL. AvailableNow makes streaming results equal batch results
+(single drain, no splits), which is exactly the parity contract these
+operators promise (SURVEY §2.7 / §7.2 M6).
+
+Floats discipline: the stateful rolling entry exposes only exact columns
+(counts + close arrays); stddev/avg stay in the operator but out of the
+oracle surface (cross-engine accumulation-order noise — see
+.claude/skills/verify gotchas).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.prices import PRICES_ORACLE_SQL
+from ..sources.tables import load_table
+from ..streaming import stateful, windows
+
+
+def _drain(stream_df: DataFrame, mode: str = "complete") -> DataFrame:
+    name = "q_" + uuid.uuid4().hex[:12]
+    windows.run_to_memory(stream_df, name, mode=mode)
+    return stream_df.sparkSession.table(name)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="graft_events_")
+    ev.write.mode("overwrite").parquet(path)
+    return spark.readStream.schema(ev.schema).parquet(path)
+
+
+def streaming_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(windows.hourly_tumbling(_events_stream(spark, sf_dir)))
+
+
+STREAMING_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS INT) AS n_users,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(windows.sessionize(_events_stream(spark, sf_dir)))
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS session_value
+FROM numbered
+GROUP BY user_id, session_seq
+"""
+
+
+def streaming_rolling_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """prices stand-in -> file stream -> applyInPandasWithState rolling.
+
+    Exact output surface only: per-(ticker, date) frame length and the
+    close-price array in frame order.
+    """
+    from ..sources.prices import prices_standin
+
+    bars = prices_standin(spark, sf_dir).select(
+        "ticker", "date", F.col("close").cast("double"), "volume"
+    )
+    path = tempfile.mkdtemp(prefix="graft_bars_")
+    bars.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(bars.schema).parquet(path)
+    out = _drain(stateful.rolling_stats_stream(stream), mode="append")
+    return out.select("ticker", "date", "n_days", "last_7_days_close")
+
+
+STREAMING_ROLLING_SQL = f"""
+WITH prices AS ({PRICES_ORACLE_SQL})
+SELECT ticker, date,
+       CAST(COUNT(*) OVER w AS INT) AS n_days,
+       list(close) OVER w AS last_7_days_close
+FROM prices
+WINDOW w AS (PARTITION BY ticker ORDER BY date
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+STREAMING_QUERIES: dict[str, tuple] = {
+    "streaming_hourly_tumbling": (streaming_hourly_tumbling, STREAMING_HOURLY_SQL),
+    "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
+    "streaming_rolling_stateful": (streaming_rolling_stateful, STREAMING_ROLLING_SQL),
+}

@@ -1,0 +1,170 @@
+from __future__ import annotations
+
+import datetime as dt
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_iceberg_pipeline_stock_tracker_spark import pipeline
+from airflow_iceberg_pipeline_stock_tracker_spark.sources.stock_api import (
+    DeterministicBarClient,
+    bars_to_df,
+    fetch_bars,
+)
+from airflow_iceberg_pipeline_stock_tracker_spark.streaming import (
+    micro_batch,
+    stateful,
+    windows,
+)
+
+DB = "streamtest"
+
+
+@pytest.fixture()
+def events(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture()
+def events_stream(spark, events, tmp_path):
+    # land micro-precision events in a fresh dir the file source can read
+    path = str(tmp_path / "events_in")
+    events.write.parquet(path)
+    return spark.readStream.schema(events.schema).parquet(path)
+
+
+def _collected(spark, name):
+    return spark.table(name)
+
+
+def test_hourly_tumbling_matches_batch(spark, events, events_stream):
+    windows.run_to_memory(windows.hourly_tumbling(events_stream), "hourly_s")
+    got = _collected(spark, "hourly_s")
+
+    expected = (
+        events.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+                "total_value"
+            ),
+        )
+    )
+    assert got.count() == expected.count()
+    diff = got.exceptAll(expected)
+    assert diff.count() == 0
+
+
+def test_sliding_windows_cover_each_event_four_times(spark, events, events_stream):
+    windows.run_to_memory(
+        windows.sliding_value(events_stream, "1 hour", "15 minutes"), "sliding_s"
+    )
+    got = _collected(spark, "sliding_s")
+    # every event lands in exactly window/slide = 4 windows
+    n_events = events.count()
+    assert got.agg(F.sum("n_events")).first()[0] == 4 * n_events
+
+
+def test_session_window_matches_batch_sessionize(spark, events, events_stream):
+    windows.run_to_memory(windows.sessionize(events_stream), "sessions_s")
+    got = _collected(spark, "sessions_s")
+
+    # batch twin: the lag-gap formulation from plans/queries.py, inline on
+    # the same frame
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    new_session = F.when(ts_s - F.lag(ts_s).over(w) > 1800, F.lit(1)).otherwise(
+        F.lit(0)
+    )
+    sessions = events.withColumn(
+        "session_seq", F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    expected = sessions.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias(
+            "session_value"
+        ),
+    ).select("user_id", "session_start", "session_end", "n_events", "session_value")
+
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+
+
+@pytest.fixture()
+def stream_db(spark):
+    spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+    yield DB
+    spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{DB.lower()}.db", ignore_errors=True)
+
+
+def test_micro_batch_pipeline_matches_batch_backfill(spark, tmp_path, stream_db):
+    days = ["2024-02-01", "2024-02-02", "2024-02-03"]
+    bars_dir, ckpt = str(tmp_path / "bars"), str(tmp_path / "ckpt")
+    client = DeterministicBarClient()
+    for ds in days:
+        bars_to_df(spark, fetch_bars(client, ds)).write.mode("append").parquet(bars_dir)
+
+    micro_batch.run_pipeline_stream(spark, bars_dir, ckpt, db=stream_db)
+
+    cum = spark.table(f"{stream_db}.{pipeline.CUMULATIVE_TABLE}")
+    sizes = {
+        r.date.isoformat(): r.n
+        for r in cum.groupBy("date")
+        .agg(F.max(F.size("last_7_days_close")).alias("n"))
+        .collect()
+    }
+    assert sizes == {"2024-02-01": 1, "2024-02-02": 2, "2024-02-03": 3}
+    # dq log has 6 checks per day
+    dq = spark.table(f"{stream_db}.{micro_batch.DQ_TABLE}")
+    assert dq.count() == 18
+    assert dq.where("status != 'PASS'").count() == 0
+    # restart with same checkpoint: no new files -> no duplicate work
+    micro_batch.run_pipeline_stream(spark, bars_dir, ckpt, db=stream_db)
+    assert spark.table(f"{stream_db}.{micro_batch.DQ_TABLE}").count() == 18
+
+
+def test_stateful_rolling_stream(spark, tmp_path):
+    days = [dt.date(2024, 3, d) for d in range(1, 11)]  # 10 days > window
+    rows = [
+        ("AAPL", d, 100.0 + i, 1000 + i) for i, d in enumerate(days)
+    ] + [("MSFT", d, 200.0 + 2 * i, 500) for i, d in enumerate(days)]
+    src = str(tmp_path / "bars_state")
+    schema = "ticker string, date date, close double, volume long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stateful.rolling_stats_stream(stream)
+        .writeStream.format("memory")
+        .queryName("rolling_s")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("rolling_s")
+    assert got.count() == 20
+    aapl = {r.date.day: r for r in got.where("ticker = 'AAPL'").collect()}
+    assert aapl[1].n_days == 1 and aapl[1].volatility_7_day == 0.0
+    assert aapl[10].n_days == 7
+    # window holds days 4..10 -> closes 103..109, mean volume 1003..1009
+    assert aapl[10].last_7_days_close == [103.0 + i for i in range(7)]
+    assert abs(aapl[10].avg_7_day_volume - 1006.0) < 1e-9
+    # constant-volume MSFT: stddev of arithmetic close sequence is exact
+    msft = {r.date.day: r for r in got.where("ticker = 'MSFT'").collect()}
+    assert msft[10].avg_7_day_volume == 500.0
