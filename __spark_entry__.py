@@ -73,10 +73,17 @@ def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     Managed-table side effects land in a dedicated database; the result
     is the cumulative table (timestamps dropped: rows-only check).
     """
+    import shutil
+
     from airflow_iceberg_pipeline_stock_tracker_spark import pipeline
 
     db = "entry_pipeline"
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    # a killed prior run can leave the warehouse dir without catalog
+    # entries (the in-memory catalog dies with its session); CREATE TABLE
+    # refuses to reuse the location, so clear it explicitly
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
     pipeline.backfill(spark, "2024-01-01", "2024-01-03", db=db)
     return spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}").drop("updated_at")
 

@@ -54,8 +54,11 @@ def hash32_sql(expr: str) -> str:
 
 
 def minhash_expr(j: int, hash_col: str = "h") -> Column:
+    """The j-th permuted hash value (NOT aggregated: callers project
+    these as columns and aggregate `min` separately — complex
+    expressions inside aggregates break whole-stage codegen)."""
     a, b = MINHASH_PERMS[j]
-    return F.min((F.lit(a) * F.col(hash_col) + F.lit(b)) % F.lit(MINHASH_P))
+    return (F.lit(a) * F.col(hash_col) + F.lit(b)) % F.lit(MINHASH_P)
 
 
 def minhash_sql(j: int, hash_expr: str = "h") -> str:

@@ -41,7 +41,6 @@ from ..functions.texthash import (
     minhash_expr,
     minhash_sql,
     tokens,
-    word_ngrams,
     word_ngrams_sql,
 )
 
@@ -86,11 +85,24 @@ def _shingle_hashes(docs: DataFrame) -> DataFrame:
     tokenizer into every downstream expression.
     """
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    # explode an INDEX sequence and build each gram post-explode with
+    # scalar slice/concat_ws: higher-order transform() lambdas are
+    # evaluated interpreted (outside whole-stage codegen), so
+    # materializing the gram array before exploding it ran ~10x slower.
+    # slice() clamps at the array end, so a <3-token document yields
+    # exactly one gram of all its tokens — same edge rule as
+    # word_ngrams()/the SQL twin.
     return (
         docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
-        .select("doc_id", word_ngrams("toks").alias("grams"))
         .repartition(parallelism, "doc_id")
-        .select("doc_id", F.explode("grams").alias("g"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+            ).alias("i"),
+        )
+        .select("doc_id", F.concat_ws(" ", F.slice("toks", F.col("i"), 3)).alias("g"))
         .select("doc_id", hash32(F.col("g")).alias("h"))
         .distinct()
     )
@@ -115,10 +127,23 @@ _SHINGLES_SQL = f"""
 # ---------------------------------------------------------------------------
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, m0..m15): 16 portable minhashes per document."""
+    """(doc_id, m0..m15): 16 portable minhashes per document.
+
+    The permuted values are projected as plain columns BEFORE the
+    aggregate and the mins are then trivial `min(p_j)`. Putting the
+    16 `min((a*h+b) % p)` expressions inside the aggregate itself blows
+    the generated aggregate method past the JIT/codegen size limit and
+    the whole fused stage drops to interpreted execution — measured 23x
+    slower at sf0.1 (158s -> 7s for the downstream bucket count).
+    """
     sh = _shingle_hashes(docs)
-    aggs = [minhash_expr(j).alias(f"m{j}") for j in range(MINHASH_K)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    proj = sh.select(
+        "doc_id",
+        *[minhash_expr(j).alias(f"p{j}") for j in range(MINHASH_K)],
+    )
+    return proj.groupBy("doc_id").agg(
+        *[F.min(f"p{j}").alias(f"m{j}") for j in range(MINHASH_K)]
+    )
 
 
 def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = 50) -> DataFrame:
@@ -129,13 +154,9 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = 50) -> DataFrame:
     expansion — at 100 TB this is the difference between a bounded
     shuffle and a runaway cross product.
     """
+    from pyspark.sql import Window
+
     sig = minhash_signatures(docs)
-    band_cols = []
-    for b in range(LSH_BANDS):
-        ms = [f"m{b * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        band_cols.extend(
-            [F.lit(b), F.concat_ws(",", *[F.col(m).cast("string") for m in ms])]
-        )
     stack_args = ", ".join(
         f"{b}, concat_ws(',', m{b * LSH_ROWS}, m{b * LSH_ROWS + 1}, "
         f"m{b * LSH_ROWS + 2}, m{b * LSH_ROWS + 3})"
@@ -144,13 +165,20 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = 50) -> DataFrame:
     bands = sig.selectExpr(
         "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band, band_key)"
     )
-    bucket_sizes = bands.groupBy("band", "band_key").agg(
-        F.count(F.lit(1)).alias("bucket_n")
+    # bucket size via a window over the band key: one shuffle shared with
+    # the self-join's build side, instead of a separate groupBy + join
+    # that would re-run the whole signature pipeline
+    w = Window.partitionBy("band", "band_key")
+    kept = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+        # both self-join sides read this; without persist each side
+        # recomputes scan -> shingle -> signature from scratch
+        .persist()
     )
-    bands = bands.join(
-        bucket_sizes.where(F.col("bucket_n") <= max_bucket), ["band", "band_key"]
-    )
-    a, b_ = bands.alias("a"), bands.alias("b")
+    kept.count()  # eager: the self-join must read the cache, not the plan
+    a, b_ = kept.alias("a"), kept.alias("b")
     return (
         a.join(
             b_,
@@ -226,14 +254,22 @@ def simhash_values(docs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select("doc_id", "cnt", hash32(F.col("t")).alias("h"))
     )
-    bit_sums = [
-        F.sum(
-            F.col("cnt")
-            * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
-        ).alias(f"s{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    sums = tf.groupBy("doc_id").agg(*bit_sums)
+    # project per-bit signed contributions as plain columns, then sum —
+    # 32 shift/mask expressions inside the aggregate itself would break
+    # whole-stage codegen (same pathology as minhash_signatures)
+    contrib = tf.select(
+        "doc_id",
+        *[
+            (
+                F.col("cnt")
+                * (F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+            ).alias(f"c{i}")
+            for i in range(SIMHASH_BITS)
+        ],
+    )
+    sums = contrib.groupBy("doc_id").agg(
+        *[F.sum(f"c{i}").alias(f"s{i}") for i in range(SIMHASH_BITS)]
+    )
     sim: Column = F.lit(0).cast("long")
     for i in range(SIMHASH_BITS):
         sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
@@ -257,7 +293,8 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
         "doc_id",
         "simhash",
         f"stack({SIMHASH_CHUNKS}, {chunk_rows}) AS (chunk, chunk_val)",
-    )
+    ).persist()  # both self-join sides read this
+    chunks.count()  # eager materialize (see minhash_lsh_pairs)
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(
@@ -324,11 +361,18 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     so the join is |postings| x per-gram fanout, not O(n^2). Jaccard uses
     integer set sizes only — exact in both engines.
     """
-    sh = _shingle_hashes(docs)
+    sh = _shingle_hashes(docs).persist()  # read 3x: sizes + both join sides
+    # eager materialize: without this the broadcast/build future re-runs
+    # the whole shingle plan instead of reading the cache (measured as a
+    # 600+ CPU-second straggler stage at sf0.1)
+    sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(
+        # shuffle_hash: the postings relation is too big to broadcast-build
+        # on one thread, and partition-wise hash join scales with cores
+        a.hint("shuffle_hash")
+        .join(
             b,
             (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
         )

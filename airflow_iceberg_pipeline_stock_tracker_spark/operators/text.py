@@ -206,10 +206,11 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     """
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    # materialize norm_text through an exchange before exploding: without
-    # the barrier Catalyst inlines the regexp+md5 into the post-explode
-    # aggregate key and recomputes them once per shingle (~120x per doc),
-    # all inside whatever single task a one-file input produces
+    # repartition spreads a single-file input across all cores; the rest
+    # is a pure projection — min over the shingle-hash array happens
+    # per-row via array_min(transform(...)), so there is NO explode and
+    # NO shuffle (an explode+groupBy formulation shuffles ~|text| rows
+    # per doc just to take a min)
     df = docs.select("doc_id", norm.alias("norm_text")).repartition(
         parallelism, "doc_id"
     )
@@ -217,10 +218,10 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         df.select(
             "doc_id",
             F.md5("norm_text").alias("content_md5"),
-            F.explode(char_shingles("norm_text", 9)).alias("sh"),
+            F.array_min(
+                F.transform(char_shingles("norm_text", 9), lambda s: hash32(s))
+            ).alias("min_shingle_hash"),
         )
-        .groupBy("doc_id", "content_md5")
-        .agg(F.min(hash32(F.col("sh"))).alias("min_shingle_hash"))
         .orderBy("doc_id")
     )
 

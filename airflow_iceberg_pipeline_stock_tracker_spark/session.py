@@ -68,7 +68,13 @@ def get_spark(
         # idempotent partition-scoped rewrites (reference's delete-then-insert,
         # dag.py:294+308) become one atomic INSERT OVERWRITE per partition:
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 12g, NOT bigger: local-mode driver+executor share one heap, and
+        # an oversized heap (48g) let G1 grow regions until evacuation
+        # pauses hit 60-90s, randomly adding minutes to whichever query
+        # ran when the collector finally moved — measured 4x total bench
+        # slowdown. All sf0.1 state (few-MB caches/broadcasts) fits in
+        # 12g with only ~30ms young GCs.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
