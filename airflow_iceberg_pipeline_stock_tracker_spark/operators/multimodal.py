@@ -121,6 +121,83 @@ def decode_image_features(media: DataFrame, fake_decoder: bool = False) -> DataF
     return media.mapInPandas(batches, schema=FEATURES_SCHEMA)
 
 
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+    ]
+)
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, fake_decoder: bool = False
+) -> DataFrame:
+    """Arrow-batched resize: decode payload -> scale -> re-encode.
+
+    Stubbed like decode_image_features: the fake path emits a
+    deterministic payload (md5 of original + target dims) so the batch
+    plumbing, schema, and partition behavior run for real; a production
+    build swaps the lambda body for PIL `Image.resize`.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not fake_decoder:
+                raise NotImplementedError(
+                    "no image codecs in this environment — pass "
+                    "fake_decoder=True or plug a real resizer here"
+                )
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload": payloads.map(
+                        lambda b: hashlib.md5(
+                            bytes(b) + f"|{width}x{height}".encode()
+                        ).digest()
+                        if b is not None
+                        else None
+                    ),
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return media.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10) -> DataFrame:
+    """Frame sampling for video payloads — JVM-side row expansion.
+
+    Emits one row per sampled frame index (0, every_n, 2*every_n, ...)
+    up to meta.n_frames; the per-frame payload extraction would be the
+    pandas-UDF decode step downstream (decode_image_features on the
+    sampled rows). Expansion via explode(sequence(...)) keeps the frame
+    fan-out inside the JVM — no Python in this hot path at all.
+    """
+    n = F.coalesce(F.col("meta.n_frames"), F.lit(0))
+    return (
+        media.where(F.col("kind") == "video")
+        .select(
+            "media_id",
+            "payload",
+            F.explode(
+                F.when(
+                    n > 0,
+                    F.sequence(
+                        F.lit(0), n - 1, F.lit(every_n)
+                    ),
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("frame_idx"),
+        )
+        .orderBy("media_id", "frame_idx")
+    )
+
+
 def media_byte_stats(docs: DataFrame) -> DataFrame:
     """JVM-only byte statistics over the fabricated payloads — the
     SQL-expressible slice of the multimodal path (oracle-checked)."""

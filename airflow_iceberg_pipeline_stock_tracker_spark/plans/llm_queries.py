@@ -34,6 +34,54 @@ def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.docs_as_media(docs)
+    return multimodal.resize_images(media, 64, 64, fake_decoder=True).orderBy(
+        "media_id"
+    )
+
+
+# the fake resizer's output payload is md5(payload || "|64x64"), which SQL
+# can reproduce — so even this pandas-UDF path gets a value-level oracle
+MEDIA_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       unhex(md5(text || '|64x64')) AS payload,
+       64 AS width,
+       64 AS height
+FROM documents ORDER BY media_id
+"""
+
+
+def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            (F.octet_length(F.encode("text", "utf-8")) % 50).alias("n_frames"),
+        ).alias("meta"),
+    )
+    return multimodal.sample_frames(media, every_n=10).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx")
+    )
+
+
+MEDIA_FRAMES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(unnest(range(0, octet_length(encode(text)) % 50, 10)) AS INT) AS frame_idx
+FROM documents
+ORDER BY media_id, frame_idx
+"""
+
+
 LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (_docs(dedup.exact_dedup), dedup.EXACT_DEDUP_SQL),
     "dedup_minhash_lsh": (_docs(dedup.minhash_lsh_pairs), dedup.MINHASH_LSH_SQL),
@@ -58,4 +106,6 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # Arrow-batched decode plumbing — not SQL-expressible (rows-only check)
     "multimodal_decode_features": (_media_features, None),
+    "multimodal_resize": (_media_resize, MEDIA_RESIZE_SQL),
+    "multimodal_frame_sample": (_media_frames, MEDIA_FRAMES_SQL),
 }

@@ -154,3 +154,26 @@ def test_multimodal_fake_decode_plumbing(spark, docs):
         assert len(r.features) == multimodal.FEATURE_DIM
         assert all(0.0 <= f <= 1.0 for f in r.features)
         assert r.byte_len > 0 and len(r.payload_md5) == 32
+
+
+def test_multimodal_resize_stub(spark, docs):
+    media = multimodal.docs_as_media(docs.limit(10))
+    out = multimodal.resize_images(media, 64, 64, fake_decoder=True).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r.width, r.height) == (64, 64)
+        assert len(r.payload) == 16  # md5 digest stand-in
+
+
+def test_multimodal_frame_sampling(spark):
+    from pyspark.sql import functions as F, types as T
+
+    rows = [(1, "video", None, (None, None, None, 25)),
+            (2, "video", None, (None, None, None, 0)),
+            (3, "image", None, (None, None, None, 99))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = [(r.media_id, r.frame_idx)
+           for r in multimodal.sample_frames(media, every_n=10).collect()]
+    # 25 frames sampled every 10 -> 0,10,20; zero frames -> nothing;
+    # non-video rows excluded entirely
+    assert got == [(1, 0), (1, 10), (1, 20)]
