@@ -55,6 +55,34 @@ GROUP BY 1, 2
 """
 
 
+def streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _drain(
+        windows.sliding_value(_events_stream(spark, sf_dir), "1 hour", "15 minutes")
+    )
+
+
+# DuckDB twin: each event belongs to window/slide = 4 overlapping windows
+# whose starts step back 15 min from its truncated quarter-hour.
+STREAMING_SLIDING_SQL = """
+WITH exploded AS (
+  SELECT event_type, value,
+         unnest(generate_series(
+           date_trunc('hour', ts) + INTERVAL (15 * (CAST(extract(minute FROM ts) AS INT) // 15)) MINUTE
+             - INTERVAL 45 MINUTE,
+           date_trunc('hour', ts) + INTERVAL (15 * (CAST(extract(minute FROM ts) AS INT) // 15)) MINUTE,
+           INTERVAL 15 MINUTE)) AS w_start
+  FROM events
+)
+SELECT strftime(w_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(w_start + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM exploded
+GROUP BY w_start, event_type
+"""
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(windows.sessionize(_events_stream(spark, sf_dir)))
 
@@ -112,6 +140,7 @@ WINDOW w AS (PARTITION BY ticker ORDER BY date
 
 STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_hourly_tumbling": (streaming_hourly_tumbling, STREAMING_HOURLY_SQL),
+    "streaming_sliding_value": (streaming_sliding, STREAMING_SLIDING_SQL),
     "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
     "streaming_rolling_stateful": (streaming_rolling_stateful, STREAMING_ROLLING_SQL),
 }

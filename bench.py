@@ -32,10 +32,17 @@ HEADLINE = [
     "order_priority_stats",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_ngram_jaccard",
+    "embedding_near_dup",
     "similarity_cosine_topk",
+    "similarity_rp_lsh_topk",
+    "text_language_id",
+    "text_token_stats",
     "text_quality_score",
     "text_fingerprints",
+    "multimodal_byte_stats",
+    "multimodal_frame_sample",
 ]
 
 
