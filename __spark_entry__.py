@@ -16,7 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from airflow_iceberg_pipeline_stock_tracker_spark.operators.cumulate import (
     cumulate,
-    cumulate_oracle_sql,
+    cumulate_flat,
+    cumulate_flat_oracle_sql,
 )
 from airflow_iceberg_pipeline_stock_tracker_spark.operators.dq import (
     dq_checks,
@@ -60,20 +61,28 @@ def _q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cumulate_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cumulate(prices_standin(spark, sf_dir))
+    # flat surface: array cells as (idx, value) scalars so the driver's
+    # pandas canonicalizer can sort/hash them (arrays are unhashable)
+    return cumulate_flat(prices_standin(spark, sf_dir))
 
 
 def _q_cumulate_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cumulate(prices_standin(spark, sf_dir), ds=DEFAULT_DS)
+    return cumulate_flat(prices_standin(spark, sf_dir), ds=DEFAULT_DS)
 
 
 def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full daily pipeline (ingest->DQ->promote->cumulate), 3-day backfill.
 
     Managed-table side effects land in a dedicated database; the result
-    is the cumulative table (timestamps dropped: rows-only check).
+    is the cumulative table with its rolling arrays exploded to (idx,
+    value) scalars — the driver canonicalizer can't hash array cells —
+    and timestamps dropped (rows-only check: the ingested bars come from
+    the deterministic offline client, not from the driver's tables, so
+    no SQL oracle can reproduce them).
     """
     import shutil
+
+    from pyspark.sql import functions as F
 
     from airflow_iceberg_pipeline_stock_tracker_spark import pipeline
 
@@ -85,7 +94,35 @@ def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
     pipeline.backfill(spark, "2024-01-01", "2024-01-03", db=db)
-    return spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}").drop("updated_at")
+    cum = spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}").drop("updated_at")
+    z = F.arrays_zip(
+        "last_7_days_open",
+        "last_7_days_high",
+        "last_7_days_low",
+        "last_7_days_close",
+        "last_7_days_volume",
+    )
+    return (
+        cum.select(
+            "ticker",
+            "date",
+            "avg_7_day_volume",
+            "volatility_7_day",
+            F.posexplode(z).alias("i", "z"),
+        )
+        .select(
+            "ticker",
+            "date",
+            (F.col("i") + 1).alias("idx"),
+            F.col("z.last_7_days_open").alias("open_i"),
+            F.col("z.last_7_days_high").alias("high_i"),
+            F.col("z.last_7_days_low").alias("low_i"),
+            F.col("z.last_7_days_close").alias("close_i"),
+            F.col("z.last_7_days_volume").alias("volume_i"),
+            "avg_7_day_volume",
+            "volatility_7_day",
+        )
+    )
 
 
 def queries() -> dict[str, QueryFn]:
@@ -121,8 +158,10 @@ def oracle_sql() -> dict[str, str]:
             "WITH agg AS", ", agg AS", 1
         ),
         "cumulate_rolling": prices_cte
-        + cumulate_oracle_sql().replace("WITH windowed AS", ", windowed AS", 1),
+        + cumulate_flat_oracle_sql().replace("WITH windowed AS", ", windowed AS", 1),
         "cumulate_day": prices_cte
-        + cumulate_oracle_sql(DEFAULT_DS).replace("WITH windowed AS", ", windowed AS", 1),
+        + cumulate_flat_oracle_sql(DEFAULT_DS).replace(
+            "WITH windowed AS", ", windowed AS", 1
+        ),
     })
     return out

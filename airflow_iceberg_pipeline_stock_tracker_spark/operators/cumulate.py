@@ -74,6 +74,48 @@ def cumulate(prices: DataFrame, ds: str | None = None) -> DataFrame:
     return out
 
 
+def cumulate_flat(prices: DataFrame, ds: str | None = None) -> DataFrame:
+    """`cumulate` with arrays exploded to one row per frame position.
+
+    The rolling arrays are the flagship output, but array cells cannot be
+    canonicalized by the driver's pandas-based differential gate (it
+    sorts/hashes scalar cells). This surface keeps EVERY array value and
+    its frame position as plain scalars: (ticker, date, idx, open_i,
+    high_i, low_i, close_i, volume_i, avg_7_day_volume,
+    volatility_7_day), idx 1-based in frame (date-ascending) order — so
+    array content AND element order are both hash-checked.
+    """
+    out = cumulate(prices, ds=ds)
+    z = F.arrays_zip(
+        "last_7_days_open",
+        "last_7_days_high",
+        "last_7_days_low",
+        "last_7_days_close",
+        "last_7_days_volume",
+    )
+    return (
+        out.select(
+            "ticker",
+            "date",
+            "avg_7_day_volume",
+            "volatility_7_day",
+            F.posexplode(z).alias("i", "z"),
+        )
+        .select(
+            "ticker",
+            "date",
+            (F.col("i") + 1).alias("idx"),
+            F.col("z.last_7_days_open").alias("open_i"),
+            F.col("z.last_7_days_high").alias("high_i"),
+            F.col("z.last_7_days_low").alias("low_i"),
+            F.col("z.last_7_days_close").alias("close_i"),
+            F.col("z.last_7_days_volume").alias("volume_i"),
+            "avg_7_day_volume",
+            "volatility_7_day",
+        )
+    )
+
+
 def cumulate_oracle_sql(ds: str | None = None) -> str:
     """DuckDB twin over a `prices` relation (ticker/date/OHLCV columns)."""
     src = "prices"
@@ -97,4 +139,39 @@ WITH windowed AS (
                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT * FROM windowed {post}
+"""
+
+
+def cumulate_flat_oracle_sql(ds: str | None = None) -> str:
+    """DuckDB twin of `cumulate_flat` — equal-length unnests zip in
+    lockstep, so idx and the five array columns stay frame-aligned."""
+    src = "prices"
+    if ds is not None:
+        src = f"""(SELECT * FROM prices
+                   WHERE date >= DATE '{ds}' - INTERVAL 7 DAY
+                     AND date <= DATE '{ds}')"""
+    post = f"WHERE date = DATE '{ds}'" if ds is not None else ""
+    return f"""
+WITH windowed AS (
+  SELECT ticker, date,
+         list(open)  OVER w AS last_7_days_open,
+         list(high)  OVER w AS last_7_days_high,
+         list(low)   OVER w AS last_7_days_low,
+         list(close) OVER w AS last_7_days_close,
+         list(volume) OVER w AS last_7_days_volume,
+         ROUND(AVG(volume) OVER w, 2) AS avg_7_day_volume,
+         ROUND(COALESCE(STDDEV_SAMP(close) OVER w, 0), 4) AS volatility_7_day
+  FROM {src}
+  WINDOW w AS (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, date,
+       CAST(unnest(range(1, len(last_7_days_open) + 1)) AS INT) AS idx,
+       unnest(last_7_days_open)   AS open_i,
+       unnest(last_7_days_high)   AS high_i,
+       unnest(last_7_days_low)    AS low_i,
+       unnest(last_7_days_close)  AS close_i,
+       unnest(last_7_days_volume) AS volume_i,
+       avg_7_day_volume, volatility_7_day
+FROM windowed {post}
 """

@@ -27,19 +27,70 @@ def _docs(fn: Callable[[DataFrame], DataFrame]) -> QueryFn:
 
 
 def _media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode, feature array exploded to f0..f7 scalars.
+
+    The scalar surface makes the pandas-UDF path fully oracle-checkable:
+    the fake decoder's features are md5-byte/255.0, which SQL reproduces
+    exactly (same integer byte, same division — bit-identical doubles).
+    """
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.docs_as_media(docs)
-    return multimodal.decode_image_features(media, fake_decoder=True).orderBy(
-        "media_id"
+    feats = multimodal.decode_image_features(media, fake_decoder=True)
+    return feats.select(
+        "media_id",
+        "kind",
+        "byte_len",
+        "payload_md5",
+        *[
+            F.element_at("features", i + 1).alias(f"f{i}")
+            for i in range(multimodal.FEATURE_DIM)
+        ],
+    ).orderBy("media_id")
+
+
+def _hex_byte_sql(hexcol: str, i: int) -> str:
+    """DuckDB: i-th byte of a lowercase hex string as an integer."""
+    hi = f"(strpos('0123456789abcdef', substr({hexcol}, {2 * i + 1}, 1)) - 1)"
+    lo = f"(strpos('0123456789abcdef', substr({hexcol}, {2 * i + 2}, 1)) - 1)"
+    return f"({hi} * 16 + {lo})"
+
+
+MEDIA_FEATURES_SQL = """
+WITH hashed AS (
+  SELECT doc_id AS media_id,
+         'image' AS kind,
+         octet_length(encode(text)) AS byte_len,
+         md5(text) AS payload_md5
+  FROM documents
+)
+SELECT media_id, kind, byte_len, payload_md5,
+       {feats}
+FROM hashed ORDER BY media_id
+""".format(
+    feats=",\n       ".join(
+        f"{_hex_byte_sql('payload_md5', i)} / 255.0 AS f{i}" for i in range(8)
     )
+)
 
 
 def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     docs = load_table(spark, sf_dir, "documents")
     media = multimodal.docs_as_media(docs)
-    return multimodal.resize_images(media, 64, 64, fake_decoder=True).orderBy(
-        "media_id"
-    )
+    resized = multimodal.resize_images(media, 64, 64, fake_decoder=True)
+    # binary cells are unhashable for the driver canonicalizer: render the
+    # payload as lowercase hex (Spark hex() is uppercase; DuckDB md5()
+    # already returns lowercase hex)
+    return resized.select(
+        "media_id",
+        "kind",
+        F.lower(F.hex("payload")).alias("payload_hex"),
+        "width",
+        "height",
+    ).orderBy("media_id")
 
 
 # the fake resizer's output payload is md5(payload || "|64x64"), which SQL
@@ -47,7 +98,7 @@ def _media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 MEDIA_RESIZE_SQL = """
 SELECT doc_id AS media_id,
        'image' AS kind,
-       unhex(md5(text || '|64x64')) AS payload,
+       md5(text || '|64x64') AS payload_hex,
        64 AS width,
        64 AS height
 FROM documents ORDER BY media_id
@@ -104,8 +155,9 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(multimodal.media_byte_stats),
         multimodal.MEDIA_BYTE_STATS_SQL,
     ),
-    # Arrow-batched decode plumbing — not SQL-expressible (rows-only check)
-    "multimodal_decode_features": (_media_features, None),
+    # Arrow-batched decode plumbing; the fake decoder is md5-derived, so
+    # even this pandas-UDF path gets a full value-level oracle
+    "multimodal_decode_features": (_media_features, MEDIA_FEATURES_SQL),
     "multimodal_resize": (_media_resize, MEDIA_RESIZE_SQL),
     "multimodal_frame_sample": (_media_frames, MEDIA_FRAMES_SQL),
 }

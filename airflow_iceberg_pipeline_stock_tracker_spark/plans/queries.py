@@ -285,11 +285,21 @@ SESSION_GAP_S = 1800
 
 
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions via lag + running sum.
+
+    Gaps are compared in MICROSECONDS (`unix_micros`): casting ts to long
+    truncates sub-second precision, so a true gap of 1800.4s would read
+    as exactly 1800 and wrongly merge sessions. Boundary semantics match
+    `session_window` (streaming/windows.py, pinned by
+    tests/test_streaming.py::test_session_gap_boundary_exactly_1800s):
+    touching windows coalesce, so an event arriving at EXACTLY gap after
+    its predecessor stays in the SAME session — only gap > 1800s splits.
+    """
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = F.col("ts").cast("long")
+    ts_us = F.unix_micros("ts")
     new_session = F.when(
-        ts_s - F.lag(ts_s).over(w) > SESSION_GAP_S, F.lit(1)
+        ts_us - F.lag(ts_us).over(w) > SESSION_GAP_S * 1_000_000, F.lit(1)
     ).otherwise(F.lit(0))
     sessions = ev.withColumn(
         "session_seq",
@@ -310,7 +320,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 SESSIONIZE_SQL = f"""
 WITH flagged AS (
   SELECT user_id, event_id, ts, value,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > {SESSION_GAP_S}
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_S}::BIGINT * 1000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -90,7 +90,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 STREAMING_SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, ts, value,
-         CASE WHEN epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -113,7 +113,9 @@ def streaming_rolling_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """prices stand-in -> file stream -> applyInPandasWithState rolling.
 
     Exact output surface only: per-(ticker, date) frame length and the
-    close-price array in frame order.
+    close-price frame exploded to (idx, close_i) scalars — array cells
+    are unhashable for the driver's pandas canonicalizer, and the
+    explode preserves both content and frame order for the hash check.
     """
     from ..sources.prices import prices_standin
 
@@ -124,17 +126,30 @@ def streaming_rolling_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     bars.write.mode("overwrite").parquet(path)
     stream = spark.readStream.schema(bars.schema).parquet(path)
     out = _drain(stateful.rolling_stats_stream(stream), mode="append")
-    return out.select("ticker", "date", "n_days", "last_7_days_close")
+    return out.select(
+        "ticker",
+        "date",
+        "n_days",
+        F.posexplode("last_7_days_close").alias("i", "close_i"),
+    ).select(
+        "ticker", "date", "n_days", (F.col("i") + 1).alias("idx"), "close_i"
+    )
 
 
 STREAMING_ROLLING_SQL = f"""
-WITH prices AS ({PRICES_ORACLE_SQL})
-SELECT ticker, date,
-       CAST(COUNT(*) OVER w AS INT) AS n_days,
-       list(close) OVER w AS last_7_days_close
-FROM prices
-WINDOW w AS (PARTITION BY ticker ORDER BY date
-             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+WITH prices AS ({PRICES_ORACLE_SQL}),
+windowed AS (
+  SELECT ticker, date,
+         CAST(COUNT(*) OVER w AS INT) AS n_days,
+         list(close) OVER w AS last_7_days_close
+  FROM prices
+  WINDOW w AS (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, date, n_days,
+       CAST(unnest(range(1, len(last_7_days_close) + 1)) AS INT) AS idx,
+       unnest(last_7_days_close) AS close_i
+FROM windowed
 """
 
 

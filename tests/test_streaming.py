@@ -79,14 +79,15 @@ def test_session_window_matches_batch_sessionize(spark, events, events_stream):
     got = _collected(spark, "sessions_s")
 
     # batch twin: the lag-gap formulation from plans/queries.py, inline on
-    # the same frame
+    # the same frame — microsecond-exact gaps; only gap > 1800s starts a
+    # new session (session_window coalesces touching windows)
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = F.col("ts").cast("long")
-    new_session = F.when(ts_s - F.lag(ts_s).over(w) > 1800, F.lit(1)).otherwise(
-        F.lit(0)
-    )
+    ts_us = F.unix_micros("ts")
+    new_session = F.when(
+        ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
     sessions = events.withColumn(
         "session_seq", F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0))
     )
@@ -101,6 +102,64 @@ def test_session_window_matches_batch_sessionize(spark, events, events_stream):
 
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
+
+
+def test_session_gap_boundary_exactly_1800s(spark, tmp_path):
+    """An EXACT 1800s gap stays in the same session; +1us splits.
+
+    Pins the boundary contract (empirically session_window coalesces
+    touching windows, i.e. only gap > 1800s splits) across the batch
+    lag-gap formulation and streaming session_window — both must agree.
+    """
+    base = dt.datetime(2024, 3, 1, 9, 0, 0, 500000)
+    rows = [
+        # user 1: gaps of exactly 1800s -> ONE session (touch coalesces)
+        (1, 1, base, "c", 1.0),
+        (1, 2, base + dt.timedelta(seconds=1800), "c", 1.0),
+        (1, 3, base + dt.timedelta(seconds=3600), "c", 1.0),
+        # user 2: gap of 1800s - 1us -> 1 session
+        (2, 4, base, "c", 1.0),
+        (2, 5, base + dt.timedelta(seconds=1800, microseconds=-1), "c", 1.0),
+        # user 3: gap of 1800s + 1us -> 2 sessions
+        (3, 6, base, "c", 1.0),
+        (3, 7, base + dt.timedelta(seconds=1800, microseconds=1), "c", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id bigint, event_id bigint, ts timestamp, event_type string, value double"
+    )
+
+    # batch formulation (same expression as plans/queries.events_sessionize)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    new_session = F.when(
+        ts_us - F.lag(ts_us).over(w) > 1800 * 1_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
+    batch = (
+        ev.withColumn(
+            "seq", F.sum(new_session).over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+        .groupBy("user_id", "seq")
+        .count()
+    )
+    batch_sessions = {
+        r["user_id"]: r["n"]
+        for r in batch.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert batch_sessions == {1: 1, 2: 1, 3: 2}
+
+    # streaming session_window on the same rows must agree
+    path = str(tmp_path / "boundary_events")
+    ev.write.parquet(path)
+    stream = spark.readStream.schema(ev.schema).parquet(path)
+    windows.run_to_memory(windows.sessionize(stream), "sessions_boundary")
+    got = spark.table("sessions_boundary")
+    stream_sessions = {
+        r["user_id"]: r["n"]
+        for r in got.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert stream_sessions == batch_sessions
 
 
 @pytest.fixture()
