@@ -39,6 +39,12 @@ from ..sources.tables import load_table
 EMBED_DIM = 64
 N_PLANES = 8
 
+# banded RP-LSH for the all-pairs near-dup path: match-any-of-8-bands,
+# 8 sign bits per band (64 planes total; band b uses planes b*8..b*8+7,
+# so band 0 is exactly rp_lsh_topk's bucket)
+NEARDUP_BANDS = 8
+NEARDUP_ROWS = 8
+
 
 def _plane_sign(p: int, d: int) -> int:
     """Deterministic ±1 from md5 — same constants in Spark and SQL."""
@@ -47,7 +53,8 @@ def _plane_sign(p: int, d: int) -> int:
 
 
 PLANES: list[list[int]] = [
-    [_plane_sign(p, d) for d in range(EMBED_DIM)] for p in range(N_PLANES)
+    [_plane_sign(p, d) for d in range(EMBED_DIM)]
+    for p in range(NEARDUP_BANDS * NEARDUP_ROWS)
 ]
 
 
@@ -213,16 +220,75 @@ ORDER BY query_id, rank
 """
 
 
-def embedding_near_dup_pairs(
+def _banded_keys(emb: DataFrame) -> DataFrame:
+    """embedding frame -> (vec_id, band, band_key) rows, ids only.
+
+    The 64 sign projections per vector run as ONE numpy matmul inside an
+    Arrow-batched mapInPandas — at any scale this is the vectorized hot
+    path; expressing 64x64 signed sums as Catalyst expressions was
+    measured pathological (a ~4k-node Column tree costs ~16s of py4j
+    build plus ~14s of optimize/codegen PER ACTION, vs milliseconds of
+    actual work). Only (vec_id, band, band_key) leaves this stage: the
+    8-way band explosion must not amplify the embedding payload through
+    the candidate shuffle — vectors are joined back by id exactly once,
+    after candidate pairs are deduplicated.
+
+    Cross-engine note: the oracle derives band keys from DuckDB
+    list_dot_product (a left-to-right fold); numpy's dgemm accumulates
+    pairwise. The two differ by ~1e-13 relative, so a sign (hence a
+    candidate set) difference needs |projection| < 1e-13 — vanishingly
+    rare, and it only perturbs RECALL of an explicitly approximate
+    operator, never precision.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = [list(p) for p in PLANES]  # plain lists: picklable, no pyspark dep
+    n_bands, n_rows = NEARDUP_BANDS, NEARDUP_ROWS
+
+    def batches(it):
+        mat = np.array(planes, dtype=np.float64)  # (bands*rows) x dim
+        for pdf in it:
+            if not len(pdf):
+                continue
+            e = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            bits = (e @ mat.T > 0).astype(np.int64)  # n x (bands*rows)
+            keys = np.zeros((len(pdf), n_bands), dtype=np.int64)
+            for b in range(n_bands):
+                for r in range(n_rows):
+                    keys[:, b] |= bits[:, b * n_rows + r] << r
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_bands),
+                    "band": np.tile(np.arange(n_bands, dtype=np.int32), len(pdf)),
+                    "band_key": keys.reshape(-1),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        batches, schema="vec_id bigint, band int, band_key long"
+    )
+
+
+def _band_key_sql(band: int) -> str:
+    parts = []
+    for r in range(NEARDUP_ROWS):
+        arr = "[" + ",".join(f"{s}.0" for s in PLANES[band * NEARDUP_ROWS + r]) + "]"
+        parts.append(
+            f"CASE WHEN list_dot_product(embedding::DOUBLE[], {arr}::DOUBLE[]) > 0 "
+            f"THEN {1 << r} ELSE 0 END"
+        )
+    return " + ".join(parts)
+
+
+def embedding_near_dup_pairs_exact(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (embedding-space near-dups).
+    """Brute-force all-pairs cosine >= threshold — the O(n^2) baseline.
 
-    The synthetic embeddings are near-orthogonal (max pairwise cosine
-    ~0.51), so the default threshold is 0.4 to exercise non-empty
-    output; production near-dup uses 0.9+. Brute force at test scale;
-    at 100 TB the same query runs after an LSH bucket equality predicate
-    (see rp_lsh_topk) to avoid the cross product.
+    Kept as the recall oracle for the banded-LSH path (pytest compares
+    them); NOT registered as a driver query — at 100 TB an all-pairs
+    cross join is a runaway plan.
     """
     emb = with_norm(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(
@@ -248,17 +314,106 @@ def embedding_near_dup_pairs(
     )
 
 
-EMBEDDING_NEAR_DUP_SQL = """
+def embedding_near_dup_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Near-dup pairs (cosine >= threshold) behind a banded RP-LSH prefilter.
+
+    Candidates must agree on ALL 8 sign bits of at least one of 8 LSH
+    bands (64 deterministic hyperplanes), which prunes the candidate set
+    ~N^2/256 per band instead of the all-pairs cross product — the same
+    bounded-bucket discipline as minhash_lsh_pairs. The exact cosine
+    threshold then runs only on survivors, so every emitted pair is a
+    TRUE near-dup; the approximation is recall only.
+
+    Recall is the standard banded trade-off: per-pair band hit
+    probability is (1 - theta/pi)^8, any-of-8-bands. At a production
+    near-dup threshold (cosine 0.9+) that is ~93%; at this fixture's
+    deliberately low 0.4 threshold (the synthetic embeddings are
+    near-orthogonal, max pairwise cosine ~0.51) it keeps roughly a
+    quarter of the exact pairs — pytest pins the LSH result to be a
+    subset of `embedding_near_dup_pairs_exact`. More bands buy recall
+    linearly in cost. The DuckDB oracle applies the identical band
+    predicate, so the driver hash-checks this path exactly.
+    """
+    return embedding_near_dup_pairs_df(
+        load_table(spark, sf_dir, "embeddings"), threshold
+    )
+
+
+def embedding_near_dup_pairs_df(
+    emb_raw: DataFrame, threshold: float = 0.4
+) -> DataFrame:
+    # id-only band relation; both self-join sides read it, so persist and
+    # materialize (released once the pairs are checkpointed below)
+    keyed = _banded_keys(emb_raw).persist()
+    keyed.count()  # eager: the self-join must read the cache, not the plan
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()  # a pair may collide in several bands — dedup BEFORE scoring
+    )
+    # join the embeddings back by id (once per side, after dedup) and score
+    # with the exact left-to-right fold — bit-identical to the oracle's
+    # list_dot_product. At dimension-table sizes these resolve to broadcast
+    # joins; at scale they are plain shuffle-hash joins on vec_id.
+    emb = with_norm(emb_raw)
+    ea = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(_as_double(F.col("emb_a")), _as_double(F.col("emb_b"))) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    pairs = (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+    # materialize the (small, filtered) pairs, then release the band cache —
+    # long-lived sessions would otherwise accumulate keyed relations
+    pairs = pairs.localCheckpoint(eager=True)
+    keyed.unpersist()
+    return pairs.orderBy("vec_a", "vec_b")
+
+
+def embedding_near_dup_sql() -> str:
+    bands = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, norm, {b} AS band, "
+        f"({_band_key_sql(b)}) AS band_key FROM normed"
+        for b in range(NEARDUP_BANDS)
+    )
+    return f"""
 WITH normed AS (
   SELECT vec_id, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+), keyed AS (
+  {bands}
 )
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
        list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
          / (a.norm * b.norm) AS cosine
-FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+FROM keyed a JOIN keyed b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
 WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
         / (a.norm * b.norm) >= 0.4
 ORDER BY vec_a, vec_b
 """
+
+
+EMBEDDING_NEAR_DUP_SQL = embedding_near_dup_sql()

@@ -98,6 +98,43 @@ def test_rp_lsh_retrieves_planted_near_dup(spark, sf_dir):
     assert all(1 <= r.rank <= 5 for r in approx)
 
 
+def test_near_dup_lsh_is_subset_of_exact_with_recall(spark, sf_dir):
+    """The banded-LSH near-dup path returns a non-empty SUBSET of the
+    brute-force pairs (precision 1 by construction; recall is the banded
+    trade-off), and every survivor clears the threshold."""
+    exact = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup_pairs_exact(
+            spark, sf_dir, threshold=0.4
+        ).collect()
+    }
+    lsh_rows = similarity.embedding_near_dup_pairs(
+        spark, sf_dir, threshold=0.4
+    ).collect()
+    lsh = {(r.vec_a, r.vec_b) for r in lsh_rows}
+    assert lsh  # non-empty even on near-orthogonal fixtures
+    assert lsh <= exact
+    assert all(r.cosine >= 0.4 for r in lsh_rows)
+
+
+def test_near_dup_lsh_finds_planted_duplicate(spark, sf_dir):
+    """A true near-duplicate (cosine ~1) must survive the band prefilter:
+    at production thresholds banding is ~93% recall per pair, and for a
+    0.001-perturbed copy every sign projection almost surely agrees."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id = 7").collect()[0]
+    perturbed = [float(x) + 0.001 for x in base.embedding]
+    extra = spark.createDataFrame(
+        [(1_000_000, perturbed, 99)], ["vec_id", "embedding", "label"]
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    pairs = similarity.embedding_near_dup_pairs_df(
+        emb.unionByName(extra), threshold=0.99
+    ).collect()
+    assert (7, 1_000_000) in {(r.vec_a, r.vec_b) for r in pairs}
+
+
 def test_cosine_topk_selfconsistency(spark, sf_dir):
     out = similarity.cosine_topk(spark, sf_dir, n_queries=5, k=3).collect()
     by_q: dict[int, list] = {}
