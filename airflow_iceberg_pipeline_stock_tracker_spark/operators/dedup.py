@@ -179,7 +179,7 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = 50) -> DataFrame:
     )
     kept.count()  # eager: the self-join must read the cache, not the plan
     a, b_ = kept.alias("a"), kept.alias("b")
-    return (
+    pairs = (
         a.join(
             b_,
             (F.col("a.band") == F.col("b.band"))
@@ -190,8 +190,12 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = 50) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+    # materialize the (small) pair set, then release the band cache so
+    # long-lived sessions don't accumulate persisted intermediates
+    pairs = pairs.localCheckpoint(eager=True)
+    kept.unpersist()
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 def _minhash_sql_core() -> str:
@@ -296,7 +300,7 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
     ).persist()  # both self-join sides read this
     chunks.count()  # eager materialize (see minhash_lsh_pairs)
     a, b = chunks.alias("a"), chunks.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
@@ -310,8 +314,10 @@ def simhash_pairs(docs: DataFrame) -> DataFrame:
         )
         .where(F.col("hamming") <= SIMHASH_RADIUS)
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
+    pairs = pairs.localCheckpoint(eager=True)  # then release the chunk cache
+    chunks.unpersist()
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 def _simhash_sql_core() -> str:
@@ -354,20 +360,42 @@ SIMHASH_SQL = _simhash_sql_core()
 # exact n-gram Jaccard via inverted index
 # ---------------------------------------------------------------------------
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exact Jaccard >= threshold over distinct word-3-gram sets.
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, max_df: int = 100
+) -> DataFrame:
+    """Jaccard >= threshold over distinct word-3-gram sets.
 
     Inverted-index formulation: pairs co-occur only through shared grams,
     so the join is |postings| x per-gram fanout, not O(n^2). Jaccard uses
     integer set sizes only — exact in both engines.
+
+    `max_df` drops grams whose posting list exceeds the cap BEFORE the
+    self-join (same bounded-bucket discipline as minhash_lsh_pairs): one
+    boilerplate sentence shared by k documents would otherwise expand to
+    ~k^2/2 candidate rows — a runaway cross product at scale. Set sizes
+    keep counting ALL grams, so capped grams can only LOWER a pair's
+    computed intersection: every emitted pair's jaccard is a lower bound
+    of the true value (precision 1 vs the threshold; pairs whose overlap
+    hides in ultra-common grams may be missed — the documented recall
+    trade-off). The default keeps sf0.1 fixture results identical
+    (max observed DF there is 25).
     """
+    from pyspark.sql import Window
+
     sh = _shingle_hashes(docs).persist()  # read 3x: sizes + both join sides
     # eager materialize: without this the broadcast/build future re-runs
     # the whole shingle plan instead of reading the cache (measured as a
     # 600+ CPU-second straggler stage at sf0.1)
     sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # posting-length guard via a window over the gram hash: one shuffle
+    # shared with the self-join build, mirroring minhash's bucket_n
+    kept = (
+        sh.withColumn("posting_n", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("posting_n") <= max_df)
+        .drop("posting_n")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
     inter = (
         # shuffle_hash: the postings relation is too big to broadcast-build
         # on one thread, and partition-wise hash join scales with cores
@@ -387,7 +415,7 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     sb = sizes.select(
         F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
     )
-    return (
+    pairs = (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -396,8 +424,10 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
         )
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
+    pairs = pairs.localCheckpoint(eager=True)  # then release the shingle cache
+    sh.unpersist()
+    return pairs.orderBy("doc_a", "doc_b")
 
 
 NGRAM_JACCARD_SQL = f"""
@@ -405,9 +435,15 @@ WITH shingles AS ({_SHINGLES_SQL}),
 sizes AS (
   SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
 ),
+kept AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS posting_n
+    FROM shingles
+  ) WHERE posting_n <= 100
+),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shingles a JOIN shingles b ON a.h = b.h AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,

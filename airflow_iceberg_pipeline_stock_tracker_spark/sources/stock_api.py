@@ -83,6 +83,70 @@ class DeterministicBarClient:
         )
 
 
+class PolygonBarClient:
+    """HTTP client for the Polygon.io daily-aggregates REST API.
+
+    Completes S1 (reference: ``RESTClient(api_key).list_aggs(ticker, 1,
+    "day", ds, ds, limit=5)``, dag.py:72-87) with a real transport:
+    ``GET /v2/aggs/ticker/{ticker}/range/1/day/{ds}/{ds}`` with the
+    api key from ``POLYGON_API_KEY`` (or the constructor). The response's
+    ``results`` objects map o/h/l/c/v/vw/t/n onto :class:`Bar` — the same
+    field mapping the reference does (dag.py:95-102).
+
+    The transport is injectable (``http_get(url) -> str``) so unit tests
+    run fully offline against canned JSON; the default uses stdlib
+    urllib (no third-party HTTP dependency). Per-ticker error isolation
+    lives in :func:`fetch_bars`, not here — any transport/HTTP/parse
+    error propagates and is swallowed by the caller's per-ticker loop,
+    matching the reference's try/except contract.
+    """
+
+    BASE_URL = "https://api.polygon.io"
+
+    def __init__(
+        self,
+        api_key: str | None = None,
+        http_get=None,
+        timeout: float = 10.0,
+    ):
+        import os
+
+        self.api_key = api_key if api_key is not None else os.environ.get(
+            "POLYGON_API_KEY", ""
+        )
+        self._http_get = http_get or self._urllib_get
+        self.timeout = timeout
+
+    def _urllib_get(self, url: str) -> str:
+        import urllib.request
+
+        with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+            return resp.read().decode("utf-8")
+
+    def list_aggs(self, ticker: str, ds: str, limit: int = 5) -> Iterable[Bar]:
+        import json
+
+        url = (
+            f"{self.BASE_URL}/v2/aggs/ticker/{ticker}/range/1/day/{ds}/{ds}"
+            f"?adjusted=true&sort=asc&limit={limit}&apiKey={self.api_key}"
+        )
+        payload = json.loads(self._http_get(url))
+        day = dt.date.fromisoformat(ds)
+        for agg in payload.get("results") or []:
+            yield Bar(
+                ticker=ticker,
+                date=day,
+                open=float(agg["o"]),
+                high=float(agg["h"]),
+                low=float(agg["l"]),
+                close=float(agg["c"]),
+                volume=float(agg["v"]),
+                vwap=float(agg.get("vw", agg["c"])),
+                timestamp=int(agg["t"]),
+                transactions=int(agg.get("n", 0)),
+            )
+
+
 def fetch_bars(
     client: BarClient, ds: str, tickers: list[str] | None = None
 ) -> list[Bar]:

@@ -43,6 +43,13 @@ HEADLINE = [
     "text_fingerprints",
     "multimodal_byte_stats",
     "multimodal_frame_sample",
+    "multimodal_decode_features",
+    "multimodal_resize",
+    "cumulate_day",
+    "pipeline_daily_run",
+    "streaming_hourly_tumbling",
+    "streaming_sessionize",
+    "streaming_rolling_stateful",
 ]
 
 

@@ -62,6 +62,32 @@ def test_minhash_agrees_with_exact_jaccard(spark, docs):
         assert len(lsh & loose) / len(lsh) >= 0.5  # banding precision
 
 
+def test_ngram_jaccard_df_cap_drops_boilerplate_grams(spark, docs):
+    """Grams above the document-frequency cap must not generate candidate
+    pairs: two docs overlapping ONLY through a boilerplate sentence
+    shared by many documents fall out when the cap bites, and intersection
+    counts are conservative (never above the uncapped truth)."""
+    boiler = "terms of service apply to all users of this product"
+    rows = [(10_000 + i, f"{boiler} unique{i} filler{i} token{i}") for i in range(20)]
+    extra = spark.createDataFrame(rows, ["doc_id", "text"])
+    # uncapped: the 20 boilerplate docs pair up through the shared grams
+    uncapped = dedup.ngram_jaccard_pairs(extra, threshold=0.5, max_df=1000).collect()
+    assert len(uncapped) > 0
+    # cap below 20: the boilerplate postings are dropped, no pairs remain
+    capped = dedup.ngram_jaccard_pairs(extra, threshold=0.5, max_df=10).collect()
+    assert capped == []
+    # default cap leaves the real fixture results untouched (max DF ~25)
+    default = {
+        (r.doc_a, r.doc_b, r.inter)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    unbounded = {
+        (r.doc_a, r.doc_b, r.inter)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_df=10**9).collect()
+    }
+    assert default == unbounded
+
+
 def test_simhash_banding_is_lossless(spark, docs):
     """The banded candidate join must return exactly the brute-force set
     (pigeonhole guarantees recall at radius 3)."""
