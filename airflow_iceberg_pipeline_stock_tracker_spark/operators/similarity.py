@@ -281,6 +281,131 @@ def _band_key_sql(band: int) -> str:
     return " + ".join(parts)
 
 
+IVF_K = 16  # centroids (cells)
+IVF_NPROBE = 4  # cells searched per query
+
+
+def ivf_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    n_queries: int = 10,
+    k: int = 5,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize vectors to
+    their nearest centroid cell, search only the query's IVF_NPROBE
+    nearest cells.
+
+    Deterministic seed centroids (the first IVF_K stored vectors, ties
+    broken by centroid id) stand in for a trained k-means codebook so
+    the DuckDB oracle reproduces the exact cell structure and the driver
+    hash-checks the whole path; production would train centroids and
+    broadcast them identically. Complements rp_lsh_topk: IVF prunes by
+    data-adaptive Voronoi cells (recall degrades gracefully with nprobe),
+    LSH by data-oblivious hyperplanes.
+
+    Scale shape: the centroid table broadcasts (K entries); assignment
+    is an embarrassingly-parallel scan (K dot products per vector, no
+    shuffle); the only shuffles are the cell-equality candidate join and
+    the tiny per-query top-k — the same bounded-bucket discipline as the
+    LSH paths.
+    """
+    return ivf_topk_df(load_table(spark, sf_dir, "embeddings"), n_queries, k)
+
+
+def ivf_topk_df(emb_raw: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    emb = with_norm(emb_raw)
+    cents = emb.where(F.col("vec_id") < IVF_K).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cent_cos = _dot(_as_double(F.col("embedding")), _as_double(F.col("c_emb"))) / (
+        F.col("norm") * F.col("c_norm")
+    )
+    ranked_cells = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("cent_cos", cent_cos)
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cent_cos"), F.col("cid")
+                )
+            ),
+        )
+    )
+    assign = ranked_cells.where(F.col("cell_rank") == 1).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb2"),
+        F.col("norm").alias("c_norm2"),
+        F.col("cid").alias("cell"),
+    )
+    probes = (
+        ranked_cells.where(
+            (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= IVF_NPROBE)
+        )
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+            F.col("norm").alias("q_norm"),
+            F.col("cid").alias("cell"),
+        )
+    )
+    cos = _dot(_as_double(F.col("q_emb")), _as_double(F.col("c_emb2"))) / (
+        F.col("q_norm") * F.col("c_norm2")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        probes.join(assign, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+IVF_TOPK_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+), cents AS (
+  SELECT vec_id AS cid, embedding AS c_emb, norm AS c_norm
+  FROM normed WHERE vec_id < {IVF_K}
+), ranked_cells AS (
+  SELECT n.vec_id, n.embedding, n.norm, c.cid,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.vec_id
+           ORDER BY list_dot_product(n.embedding::DOUBLE[], c.c_emb::DOUBLE[])
+                      / (n.norm * c.c_norm) DESC, c.cid
+         ) AS cell_rank
+  FROM normed n CROSS JOIN cents c
+), assign AS (
+  SELECT vec_id AS neighbor_id, embedding AS c_emb2, norm AS c_norm2,
+         cid AS cell
+  FROM ranked_cells WHERE cell_rank = 1
+), probes AS (
+  SELECT vec_id AS query_id, embedding AS q_emb, norm AS q_norm, cid AS cell
+  FROM ranked_cells WHERE vec_id < 10 AND cell_rank <= {IVF_NPROBE}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         list_dot_product(p.q_emb::DOUBLE[], a.c_emb2::DOUBLE[])
+           / (p.q_norm * a.c_norm2) AS cosine
+  FROM probes p JOIN assign a USING (cell)
+  WHERE p.query_id != a.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def embedding_near_dup_pairs_exact(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:

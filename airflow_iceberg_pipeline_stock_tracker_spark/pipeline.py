@@ -95,7 +95,8 @@ def create_prod_table(spark: SparkSession, db: str = DEFAULT_DB) -> None:
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {db}.{PROD_TABLE} "
         f"({_ddl_cols(STOCK_PRICE_SCHEMA)}) USING {_fmt(spark)} "
-        f"PARTITIONED BY (date)"
+        f"PARTITIONED BY (date) "
+        f"COMMENT 'Production table for MAANG stock prices'"
     )
 
 
@@ -104,7 +105,8 @@ def create_cumulative_table(spark: SparkSession, db: str = DEFAULT_DB) -> None:
     spark.sql(
         f"CREATE TABLE IF NOT EXISTS {db}.{CUMULATIVE_TABLE} "
         f"({_ddl_cols(CUMULATIVE_SCHEMA)}) USING {_fmt(spark)} "
-        f"PARTITIONED BY (date)"
+        f"PARTITIONED BY (date) "
+        f"COMMENT '7-day rolling window metrics for MAANG stocks'"
     )
 
 
@@ -121,7 +123,10 @@ def create_staging_table(spark: SparkSession, ds: str, db: str = DEFAULT_DB) -> 
     """
     name = staging_table_name(ds, db)
     fmt = _fmt(spark)
-    ddl = f"TABLE {name} ({_ddl_cols(STOCK_PRICE_SCHEMA)}) USING {fmt}"
+    ddl = (
+        f"TABLE {name} ({_ddl_cols(STOCK_PRICE_SCHEMA)}) USING {fmt} "
+        f"COMMENT 'Staging table for {ds} - will be dropped after load'"
+    )
     if fmt == "iceberg":
         spark.sql(f"CREATE OR REPLACE {ddl}")
     else:
@@ -198,6 +203,23 @@ def cumulate_day(spark: SparkSession, ds: str, db: str = DEFAULT_DB) -> None:
         F.current_timestamp().alias("updated_at"),
     )
     _insert(dec, f"{db}.{CUMULATIVE_TABLE}", overwrite=True)
+
+
+def evolve_add_columns(
+    spark: SparkSession, table: str, col_ddl: str, db: str = DEFAULT_DB
+) -> None:
+    """Schema evolution: add nullable columns to an existing table.
+
+    The reference README claims Iceberg schema evolution; the identical
+    ``ALTER TABLE .. ADD COLUMNS`` DDL works on BOTH formats here —
+    Iceberg evolves metadata transactionally, and Spark's parquet
+    managed tables merge the catalog schema over old files (rows written
+    before the change read the new columns as NULL). Only additive,
+    nullable evolution is offered: renames/drops on raw parquet would
+    corrupt positional readers, so the fallback deliberately does not
+    expose them.
+    """
+    spark.sql(f"ALTER TABLE {db}.{table} ADD COLUMNS ({col_ddl})")
 
 
 def run_for_date(

@@ -147,6 +147,7 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "similarity_cosine_topk": (similarity.cosine_topk, similarity.COSINE_TOPK_SQL),
     "similarity_rp_lsh_topk": (similarity.rp_lsh_topk, similarity.rp_lsh_topk_sql()),
+    "similarity_ivf_topk": (similarity.ivf_topk, similarity.IVF_TOPK_SQL),
     "text_language_id": (_docs(text.language_id), text.LANGUAGE_ID_SQL),
     "text_quality_score": (_docs(text.quality_score), text.QUALITY_SQL),
     "text_token_stats": (_docs(text.token_stats), text.TOKEN_STATS_SQL),

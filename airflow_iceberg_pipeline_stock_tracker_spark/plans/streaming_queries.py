@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..sources.prices import PRICES_ORACLE_SQL
 from ..sources.tables import load_table
+from ..streaming import dedup as sdedup
 from ..streaming import stateful, windows
 
 
@@ -153,9 +154,61 @@ FROM windowed
 """
 
 
+def streaming_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events delivered TWICE (at-least-once replay) -> deduped stream.
+
+    The scratch dir holds two copies of the events table; the
+    watermarked dropDuplicatesWithinWatermark must collapse them back to
+    exactly the original rows. Timestamps surface as exact microsecond
+    longs to keep the oracle comparison rendering-free.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    path = tempfile.mkdtemp(prefix="graft_events_dup_")
+    ev.write.mode("overwrite").parquet(path + "/copy1")
+    ev.write.mode("overwrite").parquet(path + "/copy2")
+    stream = spark.readStream.schema(ev.schema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(path)
+    deduped = sdedup.dedup_events(stream)
+    out = _drain(deduped, mode="append")
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        "value",
+    )
+
+
+STREAMING_EVENT_DEDUP_SQL = """
+SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us, value
+FROM events
+"""
+
+
+def streaming_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents stream -> incremental exact-dedup aggregate (complete)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = tempfile.mkdtemp(prefix="graft_docs_")
+    docs.write.mode("overwrite").parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    return _drain(sdedup.exact_dedup_stream(stream))
+
+
+STREAMING_EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*) AS n_copies
+FROM documents
+GROUP BY 1
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_hourly_tumbling": (streaming_hourly_tumbling, STREAMING_HOURLY_SQL),
     "streaming_sliding_value": (streaming_sliding, STREAMING_SLIDING_SQL),
     "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
     "streaming_rolling_stateful": (streaming_rolling_stateful, STREAMING_ROLLING_SQL),
+    "streaming_event_dedup": (streaming_event_dedup, STREAMING_EVENT_DEDUP_SQL),
+    "streaming_exact_dedup": (streaming_exact_dedup, STREAMING_EXACT_DEDUP_SQL),
 }

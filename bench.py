@@ -50,6 +50,9 @@ HEADLINE = [
     "streaming_hourly_tumbling",
     "streaming_sessionize",
     "streaming_rolling_stateful",
+    "streaming_event_dedup",
+    "streaming_exact_dedup",
+    "similarity_ivf_topk",
 ]
 
 

