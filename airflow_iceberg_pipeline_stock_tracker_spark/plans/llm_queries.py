@@ -141,6 +141,15 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(dedup.ngram_jaccard_pairs),
         dedup.NGRAM_JACCARD_SQL,
     ),
+    # transitive closure of the simhash pair set -> actionable dedup
+    "dedup_components": (
+        _docs(lambda d: dedup.dup_components(dedup.simhash_pairs(d))),
+        dedup.DEDUP_COMPONENTS_SQL,
+    ),
+    "dedup_keep_list": (
+        _docs(lambda d: dedup.near_dup_keep_list(d, dedup.simhash_pairs(d))),
+        dedup.DEDUP_KEEP_LIST_SQL,
+    ),
     "embedding_near_dup": (
         similarity.embedding_near_dup_pairs,
         similarity.EMBEDDING_NEAR_DUP_SQL,

@@ -53,6 +53,8 @@ HEADLINE = [
     "streaming_event_dedup",
     "streaming_exact_dedup",
     "similarity_ivf_topk",
+    "dedup_components",
+    "dedup_keep_list",
 ]
 
 

@@ -62,6 +62,24 @@ def test_minhash_agrees_with_exact_jaccard(spark, docs):
         assert len(lsh & loose) / len(lsh) >= 0.5  # banding precision
 
 
+def test_dup_components_transitive_closure(spark):
+    """A~B, B~C collapse into one cluster labeled min(doc_id); disjoint
+    pairs stay separate; keep-list keeps exactly one doc per cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9), (3, 5)], ["doc_a", "doc_b"]
+    )
+    comp = {r.doc_id: r.cluster_id for r in dedup.dup_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 5, 7, 9, 11]], ["doc_id", "text"]
+    )
+    keep = dedup.near_dup_keep_list(docs, pairs).collect()
+    kept = {r.doc_id for r in keep if r.keep == 1}
+    assert kept == {1, 7, 11}  # one per cluster + the singleton
+    assert {r.doc_id for r in keep} == {1, 2, 3, 5, 7, 9, 11}  # total
+
+
 def test_ngram_jaccard_df_cap_drops_boilerplate_grams(spark, docs):
     """Grams above the document-frequency cap must not generate candidate
     pairs: two docs overlapping ONLY through a boilerplate sentence
