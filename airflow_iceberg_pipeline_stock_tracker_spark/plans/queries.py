@@ -376,6 +376,52 @@ ORDER BY o_orderpriority, price_bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# Skew-safe per-type totals (salted two-phase agg + two-phase distinct)
+# ---------------------------------------------------------------------------
+
+def events_type_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event_type totals computed skew-safely.
+
+    event_type is the textbook hot key (a handful of values over the
+    whole table); the sums run through a salted (key, hash(event_id)%32)
+    phase so no reducer owns a whole type, and the user count is a
+    two-phase distinct. Results are exact — integer cents for money,
+    decomposable counts — so the plain GROUP BY oracle hash-matches.
+    """
+    from ..functions.skew import salted_sum_count, two_phase_distinct_count
+
+    ev = load_table(spark, sf_dir, "events")
+    totals = salted_sum_count(
+        ev,
+        key="event_type",
+        sum_cols={"value_cents": cents("value")},
+        high_card_col="event_id",
+    )
+    users = two_phase_distinct_count(ev, "event_type", "user_id", out="n_users")
+    return (
+        totals.join(users, "event_type")
+        .select(
+            "event_type",
+            F.col("n_rows").alias("n_events"),
+            "n_users",
+            dollars(F.col("value_cents")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_TYPE_TOTALS_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -384,5 +430,6 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "customer_order_activity": (customer_order_activity, ACTIVITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "events_type_totals_salted": (events_type_totals_salted, EVENTS_TYPE_TOTALS_SQL),
     "order_priority_stats": (order_priority_stats, ORDER_PRIORITY_SQL),
 }

@@ -55,6 +55,7 @@ HEADLINE = [
     "similarity_ivf_topk",
     "dedup_components",
     "dedup_keep_list",
+    "events_type_totals_salted",
 ]
 
 

@@ -1,0 +1,60 @@
+"""Physical-plan regression tests.
+
+Correctness is the oracle's job; these pin the PLAN SHAPE that makes the
+queries viable at 100 TB — filter pushdown reaching the parquet scan,
+dimension joins broadcasting instead of shuffling the fact side, rank
+pushdown for top-k windows. A refactor that silently turns a broadcast
+join into a cross product or strips a pushed filter still passes value
+checks at test scale; these fail it.
+"""
+
+from __future__ import annotations
+
+from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
+    RELATIONAL_QUERIES,
+)
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    fn = RELATIONAL_QUERIES[name][0]
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # the shipdate predicate must reach the parquet reader, not sit in a
+    # post-scan Filter over all rows
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+
+
+def test_q5_dimension_joins_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q5_nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 3  # supp/nation/region at least
+    assert "CartesianProduct" not in plan
+    # the orders date range prunes at the scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_topk_rank_pushdown(spark, sf_dir):
+    # row_number + rank<=3 must become a WindowGroupLimit (partial top-k
+    # before the shuffle), not a full sort of every partition's rows
+    plan = _plan(spark, sf_dir, "topk_parts_per_brand")
+    assert plan.count("WindowGroupLimit") >= 1
+
+
+def test_salted_agg_shuffles_on_salted_key_first(spark, sf_dir):
+    """The hot-key aggregate's FIRST shuffle must be keyed on
+    (event_type, salt), not event_type alone — that's the whole point of
+    the salting — and the user count's first shuffle on
+    (event_type, user_id)."""
+    plan = _plan(spark, sf_dir, "events_type_totals_salted")
+    assert "hashpartitioning(event_type" in plan
+    # salt appears as a grouping expression alongside the key
+    assert ", _groupingexpression" in plan or ", salt" in plan
+    assert ", user_id" in plan
+
+
+def test_no_cartesian_products_anywhere(spark, sf_dir):
+    for name in RELATIONAL_QUERIES:
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
