@@ -470,10 +470,13 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             .groupBy("src")
             .agg(F.min("cluster_id").alias("nbr_min"))
         )
+        # carry the previous label so convergence detection needs no
+        # extra join — one materializing action per round
         relaxed = labels.join(
             neighbor_min, labels.doc_id == neighbor_min.src, "left"
         ).select(
             "doc_id",
+            F.col("cluster_id").alias("prev"),
             F.least(
                 F.col("cluster_id"), F.coalesce("nbr_min", F.col("cluster_id"))
             ).alias("cluster_id"),
@@ -490,20 +493,18 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
                 .join(parents, F.col("x.cluster_id") == F.col("p_id"), "left")
                 .select(
                     "doc_id",
+                    "prev",
                     F.least(
                         F.col("x.cluster_id"),
                         F.coalesce("p_cluster", F.col("x.cluster_id")),
                     ).alias("cluster_id"),
                 )
             )
-        new_labels = relaxed.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels = new_labels
+        # lazy checkpoint: the changed-count below is the materializing
+        # action, and the next round's labels read the same checkpoint
+        staged = relaxed.localCheckpoint(eager=False)
+        changed = staged.where(F.col("cluster_id") != F.col("prev")).count()
+        labels = staged.select("doc_id", "cluster_id")
         if changed == 0:
             break
     return labels.orderBy("doc_id")

@@ -204,6 +204,68 @@ GROUP BY 1
 """
 
 
+def pipeline_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the SAME 3-day backfill via the batch driver and via the
+    foreachBatch streaming pipeline, then diff the two cumulative tables.
+
+    The oracle pins the invariant (zero rows unique to either side, 15
+    cumulative rows = 3 days x 5 tickers): the streaming re-expression
+    of the reference DAG must be indistinguishable from the batch one.
+    This is the exactly-once + ascending-date contract surfaced as a
+    hash-checked driver row rather than only a pytest.
+    """
+    import shutil
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.stock_api import (
+        DeterministicBarClient,
+        bars_to_df,
+        fetch_bars,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import micro_batch
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03"]
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    dbs = {"batch": "parity_batch", "stream": "parity_stream"}
+    for db in dbs.values():
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+        shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
+
+    pipeline.backfill(spark, days[0], days[-1], db=dbs["batch"])
+
+    scratch = tempfile.mkdtemp(prefix="graft_parity_")
+    client = DeterministicBarClient()
+    for ds in days:
+        bars_to_df(spark, fetch_bars(client, ds)).write.mode("append").parquet(
+            scratch + "/bars"
+        )
+    micro_batch.run_pipeline_stream(
+        spark, scratch + "/bars", scratch + "/ckpt", db=dbs["stream"]
+    )
+
+    cum = {
+        side: spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}").drop("updated_at")
+        for side, db in dbs.items()
+    }
+    return spark.createDataFrame(
+        [
+            (
+                cum["batch"].exceptAll(cum["stream"]).count(),
+                cum["stream"].exceptAll(cum["batch"]).count(),
+                cum["batch"].count(),
+            )
+        ],
+        "n_only_batch bigint, n_only_stream bigint, n_rows bigint",
+    )
+
+
+PIPELINE_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_only_batch,
+       CAST(0 AS BIGINT) AS n_only_stream,
+       CAST(15 AS BIGINT) AS n_rows
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_hourly_tumbling": (streaming_hourly_tumbling, STREAMING_HOURLY_SQL),
     "streaming_sliding_value": (streaming_sliding, STREAMING_SLIDING_SQL),
@@ -211,4 +273,5 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_rolling_stateful": (streaming_rolling_stateful, STREAMING_ROLLING_SQL),
     "streaming_event_dedup": (streaming_event_dedup, STREAMING_EVENT_DEDUP_SQL),
     "streaming_exact_dedup": (streaming_exact_dedup, STREAMING_EXACT_DEDUP_SQL),
+    "pipeline_micro_batch_parity": (pipeline_micro_batch_parity, PIPELINE_PARITY_SQL),
 }
