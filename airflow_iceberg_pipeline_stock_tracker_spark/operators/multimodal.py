@@ -221,3 +221,45 @@ SELECT doc_id AS media_id,
        480 AS height
 FROM documents ORDER BY media_id
 """
+
+
+def chunk_audio(media: DataFrame, window_ms: int = 250) -> DataFrame:
+    """Fixed-window chunk index for audio payloads — JVM-side expansion.
+
+    Treats the payload as 16-bit mono PCM at meta.sample_rate and emits
+    one row per window_ms chunk: (media_id, chunk_idx, start_sample,
+    n_samples). Like sample_frames, the fan-out is explode(sequence(..))
+    — pure integer arithmetic inside codegen, no Python; the per-chunk
+    decode/embed step would be the downstream mapInPandas. The final
+    partial window is kept (short n_samples), matching how streaming ASR
+    front-ends frame audio.
+    """
+    sr = F.coalesce(F.col("meta.sample_rate"), F.lit(0))
+    n_samples = (F.octet_length("payload") / 2).cast("long")
+    spc = (sr.cast("long") * window_ms / 1000).cast("long")  # samples/chunk
+    n_chunks = F.when(
+        (spc > 0) & (n_samples > 0), F.ceil(n_samples / spc)
+    ).otherwise(F.lit(0))
+    return (
+        media.where(F.col("kind") == "audio")
+        .select(
+            "media_id",
+            n_samples.alias("total_samples"),
+            spc.alias("spc"),
+            F.explode(
+                F.when(
+                    n_chunks > 0, F.sequence(F.lit(0), (n_chunks - 1).cast("int"))
+                ).otherwise(F.array().cast("array<int>"))
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "media_id",
+            "chunk_idx",
+            (F.col("chunk_idx") * F.col("spc")).alias("start_sample"),
+            F.least(
+                F.col("spc"),
+                F.col("total_samples") - F.col("chunk_idx") * F.col("spc"),
+            ).cast("int").alias("n_samples"),
+        )
+        .orderBy("media_id", "chunk_idx")
+    )

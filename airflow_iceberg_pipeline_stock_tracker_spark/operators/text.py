@@ -243,3 +243,63 @@ FROM shingled
 GROUP BY doc_id, content_md5
 ORDER BY doc_id
 """
+
+
+def pack_shards(docs: DataFrame, capacity: int = 2048) -> DataFrame:
+    """(doc_id, source, n_tokens, shard_id, shard_offset): deterministic
+    contiguous packing of documents into fixed-token training shards.
+
+    The training-data step after filtering/dedup: assign each document a
+    shard and an offset so writers can emit fixed-capacity token
+    sequences. Packing is per `source` corpus in doc_id order — a running
+    exclusive token sum turns into shard = cum DIV capacity and offset =
+    cum MOD capacity, all exact integer arithmetic. A document straddling
+    a capacity boundary belongs to the shard where it STARTS (writers
+    split or pad at the boundary; assignment stays deterministic).
+
+    Scale shape: one window per source partition — the shuffle is the
+    hash exchange on source that any per-corpus ordering needs; no
+    global sort, no driver loop. Skewed corpora can sub-partition the
+    group key (salt DIV'd into the shard id) without changing semantics.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0))
+    toks = docs.select("doc_id", "source", n_tokens.alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.withColumn(
+            "cum_excl", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.expr(f"CAST(cum_excl DIV {capacity} AS INT)").alias("shard_id"),
+            F.expr(f"CAST(cum_excl % {capacity} AS INT)").alias("shard_offset"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+PACK_SHARDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT *,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+  FROM toks
+)
+SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(cum_excl // 2048 AS INT) AS shard_id,
+       CAST(cum_excl % 2048 AS INT) AS shard_offset
+FROM cum ORDER BY doc_id
+"""

@@ -125,6 +125,46 @@ def _media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_audio_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("audio").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    return multimodal.chunk_audio(media, window_ms=5)
+
+
+# 16 kHz, 5 ms window -> 80 samples/chunk; payload = utf-8 bytes as
+# fake PCM, n_samples = floor(bytes/2)
+MEDIA_AUDIO_SQL = """
+WITH base AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) // 2 AS total_samples
+  FROM documents
+)
+SELECT media_id,
+       CAST(unnest(range(0, CAST(ceil(total_samples / 80.0) AS BIGINT))) AS INT)
+         AS chunk_idx,
+       unnest(range(0, CAST(ceil(total_samples / 80.0) AS BIGINT))) * 80
+         AS start_sample,
+       CAST(least(80,
+         total_samples - unnest(range(0, CAST(ceil(total_samples / 80.0) AS BIGINT))) * 80
+       ) AS INT) AS n_samples
+FROM base
+WHERE total_samples > 0
+ORDER BY media_id, chunk_idx
+"""
+
+
 MEDIA_FRAMES_SQL = """
 SELECT doc_id AS media_id,
        CAST(unnest(range(0, octet_length(encode(text)) % 50, 10)) AS INT) AS frame_idx
@@ -161,6 +201,7 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality_score": (_docs(text.quality_score), text.QUALITY_SQL),
     "text_token_stats": (_docs(text.token_stats), text.TOKEN_STATS_SQL),
     "text_fingerprints": (_docs(text.fingerprints), text.FINGERPRINTS_SQL),
+    "text_pack_shards": (_docs(text.pack_shards), text.PACK_SHARDS_SQL),
     "multimodal_byte_stats": (
         _docs(multimodal.media_byte_stats),
         multimodal.MEDIA_BYTE_STATS_SQL,
@@ -170,4 +211,5 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_decode_features": (_media_features, MEDIA_FEATURES_SQL),
     "multimodal_resize": (_media_resize, MEDIA_RESIZE_SQL),
     "multimodal_frame_sample": (_media_frames, MEDIA_FRAMES_SQL),
+    "multimodal_audio_chunks": (_media_audio_chunks, MEDIA_AUDIO_SQL),
 }

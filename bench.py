@@ -56,6 +56,8 @@ HEADLINE = [
     "dedup_components",
     "dedup_keep_list",
     "events_type_totals_salted",
+    "text_pack_shards",
+    "multimodal_audio_chunks",
 ]
 
 

@@ -213,6 +213,58 @@ def test_cosine_topk_selfconsistency(spark, sf_dir):
         assert all(r.neighbor_id != q for r in rows)
 
 
+def test_pack_shards_invariants(spark, docs):
+    """Every doc gets exactly one (shard, offset); offsets stay inside
+    capacity; the assignment equals a sequential greedy fill recomputed
+    in plain Python for one source."""
+    cap = 512
+    out = text.pack_shards(docs, capacity=cap).collect()
+    assert len(out) == docs.count()
+    assert all(0 <= r.shard_offset < cap for r in out)
+    by_source: dict[str, list] = {}
+    for r in out:
+        by_source.setdefault(r.source, []).append(r)
+    src, rows = next(iter(by_source.items()))
+    rows.sort(key=lambda r: r.doc_id)
+    cum = 0
+    for r in rows:
+        assert (r.shard_id, r.shard_offset) == (cum // cap, cum % cap)
+        cum += r.n_tokens
+
+
+def test_chunk_audio_covers_payload_exactly(spark):
+    """Chunks tile the sample range: contiguous starts, full windows
+    except a short tail, and the sample counts sum to the total."""
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [(1, b"\x00" * 1000), (2, b"\x00" * 160), (3, b"")],
+        ["media_id", "payload"],
+    ).select(
+        "media_id",
+        F.lit("audio").alias("kind"),
+        "payload",
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+    # 16 kHz, 10 ms -> 160 samples per chunk
+    out = multimodal.chunk_audio(media, window_ms=10).collect()
+    by_media: dict[int, list] = {}
+    for r in out:
+        by_media.setdefault(r.media_id, []).append(r)
+    assert 3 not in by_media  # empty payload -> no chunks
+    m1 = sorted(by_media[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in m1] == [0, 1, 2, 3]  # 500 samples / 160
+    assert [r.n_samples for r in m1] == [160, 160, 160, 20]
+    assert all(r.start_sample == i * 160 for i, r in enumerate(m1))
+    (m2,) = by_media[2]
+    assert (m2.chunk_idx, m2.n_samples) == (0, 80)
+
+
 def test_language_id_output_shape(spark, docs):
     out = text.language_id(docs).collect()
     assert len(out) == docs.count()
