@@ -82,9 +82,10 @@ def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import shutil
 
-    from pyspark.sql import functions as F
-
     from airflow_iceberg_pipeline_stock_tracker_spark import pipeline
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.cumulate import (
+        explode_rolling,
+    )
 
     db = "entry_pipeline"
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
@@ -95,34 +96,7 @@ def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
     pipeline.backfill(spark, "2024-01-01", "2024-01-03", db=db)
     cum = spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}").drop("updated_at")
-    z = F.arrays_zip(
-        "last_7_days_open",
-        "last_7_days_high",
-        "last_7_days_low",
-        "last_7_days_close",
-        "last_7_days_volume",
-    )
-    return (
-        cum.select(
-            "ticker",
-            "date",
-            "avg_7_day_volume",
-            "volatility_7_day",
-            F.posexplode(z).alias("i", "z"),
-        )
-        .select(
-            "ticker",
-            "date",
-            (F.col("i") + 1).alias("idx"),
-            F.col("z.last_7_days_open").alias("open_i"),
-            F.col("z.last_7_days_high").alias("high_i"),
-            F.col("z.last_7_days_low").alias("low_i"),
-            F.col("z.last_7_days_close").alias("close_i"),
-            F.col("z.last_7_days_volume").alias("volume_i"),
-            "avg_7_day_volume",
-            "volatility_7_day",
-        )
-    )
+    return explode_rolling(cum)
 
 
 def queries() -> dict[str, QueryFn]:

@@ -58,9 +58,14 @@ def salted_sum_count(
 def two_phase_distinct_count(
     df: DataFrame, key: str, distinct_col: str, out: str = "n_distinct"
 ) -> DataFrame:
-    """Exact COUNT(DISTINCT distinct_col) per key, skew-balanced."""
+    """Exact COUNT(DISTINCT distinct_col) per key, skew-balanced.
+
+    NULLs in `distinct_col` are excluded, matching SQL COUNT(DISTINCT x)
+    (a key whose rows are all NULL yields 0, not 1).
+    """
     return (
         df.select(key, distinct_col)
+        .where(F.col(distinct_col).isNotNull())
         .distinct()
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias(out))

@@ -85,7 +85,17 @@ def cumulate_flat(prices: DataFrame, ds: str | None = None) -> DataFrame:
     volatility_7_day), idx 1-based in frame (date-ascending) order — so
     array content AND element order are both hash-checked.
     """
-    out = cumulate(prices, ds=ds)
+    return explode_rolling(cumulate(prices, ds=ds))
+
+
+def explode_rolling(df: DataFrame) -> DataFrame:
+    """Explode the five `last_7_days_*` arrays to (idx, value) scalars.
+
+    Works on any frame carrying (ticker, date, last_7_days_{open,high,
+    low,close,volume}, avg_7_day_volume, volatility_7_day) — both the
+    `cumulate` output and the persisted cumulative table share this
+    shape, so the driver-facing flat surfaces share this one explode.
+    """
     z = F.arrays_zip(
         "last_7_days_open",
         "last_7_days_high",
@@ -94,7 +104,7 @@ def cumulate_flat(prices: DataFrame, ds: str | None = None) -> DataFrame:
         "last_7_days_volume",
     )
     return (
-        out.select(
+        df.select(
             "ticker",
             "date",
             "avg_7_day_volume",

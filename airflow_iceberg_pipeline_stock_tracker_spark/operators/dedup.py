@@ -536,10 +536,11 @@ def near_dup_keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 # Spark side uses min-label propagation which computes the same fixpoint
 def _components_sql(edges_cte: str) -> str:
     return f"""
+pairs AS ({edges_cte}),
 edges AS (
-  SELECT doc_a AS src, doc_b AS dst FROM ({edges_cte})
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
   UNION
-  SELECT doc_b AS src, doc_a AS dst FROM ({edges_cte})
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
 ),
 reach AS (
   SELECT src, dst FROM edges

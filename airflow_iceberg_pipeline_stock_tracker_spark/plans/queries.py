@@ -399,12 +399,19 @@ def events_type_totals_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         high_card_col="event_id",
     )
     users = two_phase_distinct_count(ev, "event_type", "user_id", out="n_users")
+    # null-safe left join: GROUP BY keeps a NULL event_type group, and a
+    # group whose user_ids are all NULL has no row in `users` (its
+    # COUNT(DISTINCT) is 0) — an inner equi-join would drop both.
     return (
-        totals.join(users, "event_type")
+        totals.join(
+            users.withColumnRenamed("event_type", "u_event_type"),
+            totals["event_type"].eqNullSafe(F.col("u_event_type")),
+            "left",
+        )
         .select(
             "event_type",
             F.col("n_rows").alias("n_events"),
-            "n_users",
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
             dollars(F.col("value_cents")).alias("total_value"),
         )
         .orderBy("event_type")
