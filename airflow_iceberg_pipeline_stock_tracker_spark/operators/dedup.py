@@ -451,19 +451,32 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     localCheckpoint cutting the lineage so the loop does not stack
     plans. At extreme scale swap for large-star/small-star (same
     primitives, same O(log n) bound, better skew behavior).
+
+    The loop's partitioning is sized to the DUP GRAPH, not the corpus:
+    near-dup edges are orders of magnitude fewer than documents, and
+    running a handful of tiny iterations at corpus-wide parallelism is
+    pure scheduler overhead (measured 2x the loop cost at sf0.1). The
+    pair set is checkpointed, counted, and the loop runs at
+    ~2M edges/partition.
     """
+    pairs = pairs.localCheckpoint(eager=True)
+    n_parts = 1 + pairs.count() // 2_000_000
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .distinct()
+        .repartition(n_parts)
         .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
+        .repartition(n_parts)
         .localCheckpoint(eager=True)
     )
+    pairs.unpersist()  # edges/labels are materialized; free the pair blocks
+    prev_ck = labels
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
@@ -504,9 +517,12 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         # action, and the next round's labels read the same checkpoint
         staged = relaxed.localCheckpoint(eager=False)
         changed = staged.where(F.col("cluster_id") != F.col("prev")).count()
+        prev_ck.unpersist()  # superseded round's blocks (staged is live now)
+        prev_ck = staged
         labels = staged.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    edges.unpersist()
     return labels.orderBy("doc_id")
 
 

@@ -58,3 +58,38 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     for name in RELATIONAL_QUERIES:
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_salted_agg_null_keys_and_null_users(spark, tmp_path):
+    """NULL semantics must match the GROUP BY oracle: a NULL event_type
+    is a real group (GROUP BY keeps it; a plain equi-join between the
+    two aggregate branches would drop it), and COUNT(DISTINCT user_id)
+    ignores NULLs (a group whose user_ids are all NULL counts 0)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
+        events_type_totals_salted,
+    )
+
+    rows = [
+        (1, 10, "click", 1.0),
+        (2, None, "click", 2.0),
+        (3, 10, "click", 1.5),
+        (4, None, "view", 3.0),   # all-NULL users -> n_users = 0
+        (5, None, "view", 1.0),
+        (6, 20, None, 2.5),       # NULL event_type group
+        (7, None, None, 0.5),
+    ]
+    df = spark.createDataFrame(
+        [(i, 1_700_000_000_000_000_000 + i, u, t, v, "{}") for i, u, t, v in rows],
+        "event_id long, ts long, user_id long, event_type string, value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r.event_type: (r.n_events, r.n_users, r.total_value)
+        for r in events_type_totals_salted(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "click": (3, 1, 4.5),
+        "view": (2, 0, 4.0),
+        None: (2, 1, 3.0),
+    }
