@@ -1,0 +1,343 @@
+"""Corpus-curation operators: the steps between raw documents and
+training shards that the dedup/quality operators feed.
+
+  contamination        word-3-gram overlap between the training split and
+                       a benchmark (eval) set — the decontamination check
+                       every LLM data pipeline runs before training
+  stratified_sample    deterministic per-language hash sampling (md5
+                       buckets, no rand(): retries and both engines agree)
+  leakage_safe_split   train/val/test assignment hashed on the NEAR-DUP
+                       CLUSTER id, so near-duplicates co-travel and never
+                       straddle the train/eval boundary
+  pii_scrub            email/phone/IPv4 redaction with per-kind counts
+
+Scale design (100 TB):
+  * contamination is inverted-index shaped like ngram_jaccard_pairs —
+    candidates come only from shared grams, with the same max-DF posting
+    cap guarding against boilerplate-gram cross products;
+  * sampling and scrubbing are pure projections/filters — no shuffle,
+    fully pushed into the scan stage;
+  * the split builds on dup_components (O(log d) distributed rounds) and
+    then is again a pure projection.
+
+All hashing is portable md5 (functions/texthash.py) so every operator is
+hash-checked against its DuckDB twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.texthash import hash32, hash32_sql
+from .dedup import _NGRAMS_SQL, _shingle_hashes, dup_components
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+BENCH_MOD = 20  # doc_id % 20 == 0 -> the stand-in benchmark/eval set
+CONTAMINATION_MAX_DF = 100
+
+
+def _shingles_where_sql(pred: str) -> str:
+    """The dedup shingle relation restricted by a doc predicate."""
+    return f"""
+  SELECT doc_id, {hash32_sql('g')} AS h
+  FROM (
+    SELECT doc_id, unnest({_NGRAMS_SQL}) AS g
+    FROM documents WHERE {pred}
+  )
+  GROUP BY doc_id, h
+"""
+
+
+def contamination(
+    docs: DataFrame,
+    bench_mod: int = BENCH_MOD,
+    max_df: int = CONTAMINATION_MAX_DF,
+) -> DataFrame:
+    """(doc_id, n_grams, n_shared_grams, n_bench_docs, contaminated) for
+    every TRAIN document (doc_id % bench_mod != 0) against the benchmark
+    set (doc_id % bench_mod == 0).
+
+    Real pipelines check 8-13-gram overlap against actual eval suites;
+    the fixture benchmark is a deterministic slice of `documents` so the
+    whole computation is oracle-checkable. Inverted-index shaped: train
+    and benchmark shingle relations meet ONLY through shared gram hashes
+    (no doc x doc product), and benchmark postings longer than `max_df`
+    are dropped before the join — the same bounded-posting discipline as
+    ngram_jaccard_pairs, with the same consequence: overlap counts are
+    lower bounds when a gram is ultra-common in the benchmark.
+    """
+    bench_pred = (F.col("doc_id") % bench_mod) == 0
+    tr = _shingle_hashes(docs.where(~bench_pred)).persist()
+    tr.count()  # eager: both the sizes agg and the join read this
+    bn = _shingle_hashes(docs.where(bench_pred)).select(
+        F.col("doc_id").alias("bench_id"), "h"
+    )
+    sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    bn_kept = (
+        bn.withColumn("dfn", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("dfn") <= max_df)
+        .drop("dfn")
+    )
+    hits = (
+        tr.join(bn_kept, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("h").alias("n_shared_grams"),
+            F.countDistinct("bench_id").alias("n_bench_docs"),
+        )
+    )
+    out = (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce("n_shared_grams", F.lit(0)).alias("n_shared_grams"),
+            F.coalesce("n_bench_docs", F.lit(0)).alias("n_bench_docs"),
+            (F.coalesce("n_shared_grams", F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    tr.unpersist()
+    return out
+
+
+CONTAMINATION_SQL = f"""
+WITH train_sh AS ({_shingles_where_sql(f"doc_id % {BENCH_MOD} != 0")}),
+bench_sh AS ({_shingles_where_sql(f"doc_id % {BENCH_MOD} = 0")}),
+bench_kept AS (
+  SELECT h, bench_id FROM (
+    SELECT h, doc_id AS bench_id,
+           COUNT(*) OVER (PARTITION BY h) AS dfn
+    FROM bench_sh
+  ) WHERE dfn <= {CONTAMINATION_MAX_DF}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM train_sh GROUP BY doc_id),
+hits AS (
+  SELECT t.doc_id,
+         COUNT(DISTINCT t.h) AS n_shared_grams,
+         COUNT(DISTINCT b.bench_id) AS n_bench_docs
+  FROM train_sh t JOIN bench_kept b ON t.h = b.h
+  GROUP BY t.doc_id
+)
+SELECT s.doc_id, s.n_grams,
+       COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+       COALESCE(h.n_bench_docs, 0) AS n_bench_docs,
+       CAST(COALESCE(h.n_shared_grams, 0) > 0 AS INT) AS contaminated
+FROM sizes s LEFT JOIN hits h USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES: dict[str, float] = {"en": 0.5, "zh": 0.3, "es": 0.2}
+SAMPLE_DEFAULT_RATE = 0.1
+SAMPLE_SALT = "smpl"
+_SAMPLE_BUCKETS = 10_000
+
+
+def stratified_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    default_rate: float = SAMPLE_DEFAULT_RATE,
+    salt: str = SAMPLE_SALT,
+) -> DataFrame:
+    """Per-language deterministic sample: keep a doc iff its md5 bucket
+    falls below the language's rate threshold.
+
+    rand()-free by construction — the same doc is kept on every run, on
+    every retry, and in both engines, which is what makes downstream
+    experiments reproducible. Pure filter: no shuffle, and the bucket
+    arithmetic stays inside whole-stage codegen. Down-weighting dominant
+    languages (the defaults halve `en`) is the standard corpus-balancing
+    move at 100 TB, where you cannot afford to materialize-then-sample.
+    """
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = (
+        hash32(F.concat(F.lit(salt + ":"), F.col("doc_id").cast("string")))
+        % _SAMPLE_BUCKETS
+    )
+    threshold: Column = F.lit(int(default_rate * _SAMPLE_BUCKETS))
+    for lang, rate in rates.items():
+        threshold = F.when(
+            F.col("lang") == lang, F.lit(int(rate * _SAMPLE_BUCKETS))
+        ).otherwise(threshold)
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            bucket.cast("int").alias("sample_bucket"),
+            threshold.cast("int").alias("bucket_threshold"),
+        )
+        .where(F.col("sample_bucket") < F.col("bucket_threshold"))
+        .orderBy("doc_id")
+    )
+
+
+def _sample_sql() -> str:
+    bucket = hash32_sql(f"('{SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR))")
+    threshold = str(int(SAMPLE_DEFAULT_RATE * _SAMPLE_BUCKETS))
+    for lang, rate in SAMPLE_RATES.items():
+        threshold = (
+            f"CASE WHEN lang = '{lang}' THEN {int(rate * _SAMPLE_BUCKETS)} "
+            f"ELSE {threshold} END"
+        )
+    return f"""
+SELECT doc_id, lang, source, sample_bucket, bucket_threshold
+FROM (
+  SELECT doc_id, lang, source,
+         CAST({bucket} % {_SAMPLE_BUCKETS} AS INT) AS sample_bucket,
+         CAST({threshold} AS INT) AS bucket_threshold
+  FROM documents
+)
+WHERE sample_bucket < bucket_threshold
+ORDER BY doc_id
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe train/val/test split
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "split"
+VAL_PCT = 10
+TEST_PCT = 10
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    val_pct: int = VAL_PCT,
+    test_pct: int = TEST_PCT,
+) -> DataFrame:
+    """(doc_id, cluster_id, split_bucket, split): train/val/test hashed on
+    the near-dup CLUSTER id, not the doc id.
+
+    Hashing doc_id would let two near-duplicate documents land in train
+    and test — silent eval contamination. Components over the near-dup
+    pair graph (dup_components) give every doc a cluster id (singletons
+    are their own cluster); the split bucket is md5(cluster_id), so a
+    whole cluster co-travels. Adding documents later never reshuffles
+    existing assignments (hash, not modulo-of-count).
+    """
+    comp = dup_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    bucket = (
+        hash32(
+            F.concat(F.lit(SPLIT_SALT + ":"), F.col("cluster_id").cast("string"))
+        )
+        % 100
+    )
+    train_hi = 100 - val_pct - test_pct
+    val_hi = 100 - test_pct
+    split = (
+        F.when(F.col("split_bucket") < train_hi, "train")
+        .when(F.col("split_bucket") < val_hi, "val")
+        .otherwise("test")
+    )
+    return (
+        assigned.withColumn("split_bucket", bucket.cast("int"))
+        .withColumn("split", split)
+        .orderBy("doc_id")
+    )
+
+
+def _split_sql(pairs_sql: str) -> str:
+    from .dedup import _components_sql
+
+    bucket = hash32_sql("('" + SPLIT_SALT + ":' || CAST(cluster_id AS VARCHAR))")
+    train_hi = 100 - VAL_PCT - TEST_PCT
+    val_hi = 100 - TEST_PCT
+    return f"""
+WITH RECURSIVE {_components_sql(pairs_sql)},
+assigned AS (
+  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c USING (doc_id)
+)
+SELECT doc_id, cluster_id, split_bucket,
+       CASE WHEN split_bucket < {train_hi} THEN 'train'
+            WHEN split_bucket < {val_hi} THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id,
+             CAST({bucket} % 100 AS INT) AS split_bucket
+      FROM assigned)
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# deliberately conservative patterns that parse identically under Java
+# regex (Spark) and RE2 (DuckDB): no backrefs, no lookaround
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, n_ips, pii_any, scrubbed_md5):
+    redact emails/phones/IPv4s and count each kind.
+
+    Pure projection — regex matching inside codegen, no shuffle. The
+    scrubbed text itself is exposed as an md5 (the driver gate hashes
+    scalar cells, and at 100 TB you'd write the scrubbed column to the
+    output table, not ship it to a driver). Redaction order is fixed
+    (email, phone, IP) in both engines: an IPv4-looking fragment inside
+    an email local part is consumed by the email pass first.
+    """
+    n_emails = F.regexp_count("text", F.lit(EMAIL_RE))
+    n_phones = F.regexp_count("text", F.lit(PHONE_RE))
+    n_ips = F.regexp_count("text", F.lit(IPV4_RE))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return docs.select(
+        "doc_id",
+        n_emails.cast("int").alias("n_emails"),
+        n_phones.cast("int").alias("n_phones"),
+        n_ips.cast("int").alias("n_ips"),
+        ((n_emails + n_phones + n_ips) > 0).cast("int").alias("pii_any"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    ).orderBy("doc_id")
+
+
+PII_SCRUB_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+       CAST(len(regexp_extract_all(text, '{IPV4_RE}')) AS INT) AS n_ips,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}'))
+            + len(regexp_extract_all(text, '{PHONE_RE}'))
+            + len(regexp_extract_all(text, '{IPV4_RE}')) > 0 AS INT) AS pii_any,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+             '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g'),
+             '{IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
+FROM documents ORDER BY doc_id
+"""

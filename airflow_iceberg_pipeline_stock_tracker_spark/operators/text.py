@@ -303,3 +303,56 @@ SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
        CAST(cum_excl % 2048 AS INT) AS shard_offset
 FROM cum ORDER BY doc_id
 """
+
+
+def top_terms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, term, tf, df, rank): top-k characteristic terms per doc.
+
+    TF-IDF-flavored ranking kept fully in integer arithmetic so both
+    engines agree bit-for-bit: rank by term frequency descending, then
+    document frequency ASCENDING (rarer = more characteristic — the idf
+    direction without the float logarithm), then term for determinism.
+
+    Plan shape: one shuffle on (doc_id, term) for tf, one groupBy on term
+    for df (hot terms are just counts — no row blowup), a shuffle join
+    back on term, then a per-doc window. row_number + rank<=k compiles to
+    WindowGroupLimit, so each partition keeps only k rows before the
+    final exchange.
+    """
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        tf.join(df_rel, "term")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "tf", "df", "rank")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TOP_TERMS_SQL = """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+), df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), ranked AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+               ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rank
+  FROM tf JOIN df USING (term)
+)
+SELECT doc_id, term, tf, df, rank FROM ranked
+WHERE rank <= 3
+ORDER BY doc_id, rank
+"""

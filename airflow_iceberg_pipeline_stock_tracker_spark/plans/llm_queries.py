@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import dedup, multimodal, similarity, text
+from ..operators import curation, dedup, multimodal, similarity, text
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -202,6 +202,23 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_token_stats": (_docs(text.token_stats), text.TOKEN_STATS_SQL),
     "text_fingerprints": (_docs(text.fingerprints), text.FINGERPRINTS_SQL),
     "text_pack_shards": (_docs(text.pack_shards), text.PACK_SHARDS_SQL),
+    "text_top_terms": (_docs(text.top_terms), text.TOP_TERMS_SQL),
+    # corpus curation: decontamination, sampling, split, scrubbing
+    "curation_contamination": (
+        _docs(curation.contamination),
+        curation.CONTAMINATION_SQL,
+    ),
+    "curation_stratified_sample": (
+        _docs(curation.stratified_sample),
+        curation.STRATIFIED_SAMPLE_SQL,
+    ),
+    # split over the minhash-LSH near-dup graph (simhash drives keep_list;
+    # using the other miner here exercises components over both)
+    "curation_split": (
+        _docs(lambda d: curation.leakage_safe_split(d, dedup.minhash_lsh_pairs(d))),
+        curation._split_sql(dedup.MINHASH_LSH_SQL),
+    ),
+    "curation_pii_scrub": (_docs(curation.pii_scrub), curation.PII_SCRUB_SQL),
     "multimodal_byte_stats": (
         _docs(multimodal.media_byte_stats),
         multimodal.MEDIA_BYTE_STATS_SQL,

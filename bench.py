@@ -58,6 +58,11 @@ HEADLINE = [
     "events_type_totals_salted",
     "text_pack_shards",
     "multimodal_audio_chunks",
+    "text_top_terms",
+    "curation_contamination",
+    "curation_stratified_sample",
+    "curation_split",
+    "curation_pii_scrub",
 ]
 
 

@@ -1,0 +1,102 @@
+"""Semantics tests for the corpus-curation operators (crafted fixtures;
+the driver's oracle gate covers the full documents table)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from airflow_iceberg_pipeline_stock_tracker_spark.operators import curation, text
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+def test_contamination_detects_shared_grams(spark):
+    # doc 0 (0 % 20 == 0) is the benchmark; doc 1 shares the 3-gram
+    # "alpha beta gamma"; doc 2 is disjoint
+    df = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta", "en", "s"),
+            (1, "alpha beta gamma something else entirely", "en", "s"),
+            (2, "completely different words here now", "en", "s"),
+        ],
+    )
+    got = {r.doc_id: r for r in curation.contamination(df).collect()}
+    assert set(got) == {1, 2}  # train docs only
+    # doc 1: 4 grams, shares exactly "alpha beta gamma" + "beta gamma delta"?
+    # bench grams: "alpha beta gamma", "beta gamma delta" — doc 1 grams:
+    # "alpha beta gamma", "beta gamma something", ... -> 1 shared
+    assert got[1].n_shared_grams == 1
+    assert got[1].n_bench_docs == 1
+    assert got[1].contaminated == 1
+    assert got[2].n_shared_grams == 0
+    assert got[2].contaminated == 0
+
+
+def test_leakage_safe_split_co_travel(spark):
+    docs = _docs(
+        spark,
+        [(i, f"doc number {i}", "en", "s") for i in range(1, 6)],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = curation.leakage_safe_split(docs, pairs).collect()
+    by_id = {r.doc_id: r for r in out}
+    # the chain 1~2~3 is one cluster labeled by its min
+    assert [by_id[i].cluster_id for i in (1, 2, 3)] == [1, 1, 1]
+    # co-travel: identical split for every member of the cluster
+    assert len({by_id[i].split for i in (1, 2, 3)}) == 1
+    # singletons cluster as themselves
+    assert by_id[4].cluster_id == 4 and by_id[5].cluster_id == 5
+    for r in out:
+        assert r.split in ("train", "val", "test")
+
+
+def test_pii_scrub_counts_and_hash(spark):
+    raw = "contact bob@example.com or 415-555-1234 at 10.0.0.1 today"
+    scrubbed = "contact <EMAIL> or <PHONE> at <IP> today"
+    df = _docs(spark, [(1, raw, "en", "s"), (2, "no pii here", "en", "s")])
+    got = {r.doc_id: r for r in curation.pii_scrub(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (1, 1, 1)
+    assert got[1].pii_any == 1
+    assert got[1].scrubbed_md5 == hashlib.md5(scrubbed.encode()).hexdigest()
+    assert got[2].pii_any == 0
+    assert got[2].scrubbed_md5 == hashlib.md5(b"no pii here").hexdigest()
+
+
+def test_stratified_sample_deterministic_and_bounded(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = curation.stratified_sample(docs).collect()
+    b = curation.stratified_sample(docs).collect()
+    assert a == b  # rand()-free: identical on every run
+    for r in a:
+        assert r.sample_bucket < r.bucket_threshold
+    # en is downweighted to 0.5 but dominant; rough rate sanity (binomial
+    # noise at n~200 stays well inside these bounds)
+    n_en = docs.where(F.col("lang") == "en").count()
+    kept_en = sum(1 for r in a if r.lang == "en")
+    assert 0.3 * n_en < kept_en < 0.7 * n_en
+
+
+def test_top_terms_ranking_semantics(spark):
+    # doc 1: "zz" tf=3 dominates; "aa" and "bb" tf=1 — "bb" is rarer
+    # across the corpus (df tiebreak), then term order breaks aa/cc
+    df = _docs(
+        spark,
+        [
+            (1, "zz zz zz aa bb cc", "en", "s"),
+            (2, "aa cc dd", "en", "s"),
+            (3, "aa cc ee", "en", "s"),
+        ],
+    )
+    got = [(r.term, r.tf, r.df) for r in text.top_terms(df).collect() if r.doc_id == 1]
+    # tf desc first -> zz; then df asc among tf=1: bb(df=1) before
+    # aa(df=3)/cc(df=3); aa before cc by term
+    assert got == [("zz", 3, 1), ("bb", 1, 1), ("aa", 1, 3)]
