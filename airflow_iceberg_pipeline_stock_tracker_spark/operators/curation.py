@@ -341,3 +341,101 @@ SELECT doc_id,
              '{IPV4_RE}', '<IP>', 'g')) AS scrubbed_md5
 FROM documents ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation verdict
+# ---------------------------------------------------------------------------
+
+QUALITY_MIN = 0.6
+
+
+def corpus_verdict(docs: DataFrame) -> DataFrame:
+    """(doc_id, q_ok, lang_ok, uniq_ok, clean_ok, is_bench, kept): the
+    full curation decision per document — the query a data engineer runs
+    to build the training corpus.
+
+    kept = quality >= 0.6 AND language identified AND first copy of its
+    exact text AND no benchmark n-gram overlap AND not itself a
+    benchmark doc. Each flag is exposed so the drop reasons are
+    auditable (the standard curation-report shape). Flags are ints, not
+    booleans: cross-engine boolean canonicalization is
+    representation-dependent.
+
+    Composes quality_score, language_id, an exact-dedup window, and
+    contamination — each already scale-shaped; the composition adds two
+    broadcast-size joins per doc row and one md5 window.
+    """
+    from .text import language_id, quality_score
+
+    q = quality_score(docs).select("doc_id", "quality")
+    lang = language_id(docs).select("doc_id", "lang_pred")
+    uniq = docs.select(
+        "doc_id",
+        (
+            F.col("doc_id")
+            == F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+        )
+        .cast("int")
+        .alias("uniq_ok"),
+    )
+    contam = contamination(docs).select("doc_id", "contaminated")
+    is_bench = (F.col("doc_id") % BENCH_MOD) == 0
+    q_ok = F.col("quality") >= QUALITY_MIN
+    lang_ok = F.col("lang_pred") != "unknown"
+    clean_ok = F.coalesce("contaminated", F.lit(0)) == 0
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id")
+        .join(lang, "doc_id")
+        .join(uniq, "doc_id")
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            q_ok.cast("int").alias("q_ok"),
+            lang_ok.cast("int").alias("lang_ok"),
+            "uniq_ok",
+            clean_ok.cast("int").alias("clean_ok"),
+            is_bench.cast("int").alias("is_bench"),
+            (q_ok & lang_ok & (F.col("uniq_ok") == 1) & clean_ok & ~is_bench)
+            .cast("int")
+            .alias("kept"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _corpus_verdict_sql() -> str:
+    from .text import LANGUAGE_ID_SQL, QUALITY_SQL
+
+    return f"""
+WITH q AS (SELECT doc_id, quality FROM ({QUALITY_SQL})),
+lang AS (SELECT doc_id, lang_pred FROM ({LANGUAGE_ID_SQL})),
+uniq AS (
+  SELECT doc_id,
+         CAST(doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT)
+           AS uniq_ok
+  FROM documents
+),
+contam AS (SELECT doc_id, contaminated FROM ({CONTAMINATION_SQL}))
+SELECT d.doc_id,
+       CAST(q.quality >= {QUALITY_MIN} AS INT) AS q_ok,
+       CAST(lang.lang_pred != 'unknown' AS INT) AS lang_ok,
+       uniq.uniq_ok,
+       CAST(COALESCE(contam.contaminated, 0) = 0 AS INT) AS clean_ok,
+       CAST(d.doc_id % {BENCH_MOD} = 0 AS INT) AS is_bench,
+       CAST(q.quality >= {QUALITY_MIN}
+            AND lang.lang_pred != 'unknown'
+            AND uniq.uniq_ok = 1
+            AND COALESCE(contam.contaminated, 0) = 0
+            AND d.doc_id % {BENCH_MOD} != 0 AS INT) AS kept
+FROM documents d
+JOIN q USING (doc_id)
+JOIN lang USING (doc_id)
+JOIN uniq USING (doc_id)
+LEFT JOIN contam USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+CORPUS_VERDICT_SQL = _corpus_verdict_sql()

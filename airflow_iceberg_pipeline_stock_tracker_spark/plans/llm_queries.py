@@ -219,6 +219,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         curation._split_sql(dedup.MINHASH_LSH_SQL),
     ),
     "curation_pii_scrub": (_docs(curation.pii_scrub), curation.PII_SCRUB_SQL),
+    # capstone: the full curation decision (quality x language x exact
+    # dedup x decontamination x benchmark holdout) per document
+    "curation_corpus_verdict": (
+        _docs(curation.corpus_verdict),
+        curation.CORPUS_VERDICT_SQL,
+    ),
     "multimodal_byte_stats": (
         _docs(multimodal.media_byte_stats),
         multimodal.MEDIA_BYTE_STATS_SQL,

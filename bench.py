@@ -63,6 +63,7 @@ HEADLINE = [
     "curation_stratified_sample",
     "curation_split",
     "curation_pii_scrub",
+    "curation_corpus_verdict",
 ]
 
 

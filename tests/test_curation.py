@@ -100,3 +100,17 @@ def test_top_terms_ranking_semantics(spark):
     # tf desc first -> zz; then df asc among tf=1: bb(df=1) before
     # aa(df=3)/cc(df=3); aa before cc by term
     assert got == [("zz", 3, 1), ("bb", 1, 1), ("aa", 1, 3)]
+
+
+def test_corpus_verdict_flag_consistency(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rows = curation.corpus_verdict(docs).collect()
+    assert len(rows) == docs.count()  # a verdict for every document
+    for r in rows:
+        expect = int(
+            r.q_ok and r.lang_ok and r.uniq_ok and r.clean_ok and not r.is_bench
+        )
+        assert r.kept == expect
+        assert r.is_bench == int(r.doc_id % curation.BENCH_MOD == 0)
+    kept = sum(r.kept for r in rows)
+    assert 0 < kept < len(rows)  # both kept and dropped docs exist
