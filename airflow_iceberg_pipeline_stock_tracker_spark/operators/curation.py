@@ -56,6 +56,7 @@ def contamination(
     docs: DataFrame,
     bench_mod: int = BENCH_MOD,
     max_df: int = CONTAMINATION_MAX_DF,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """(doc_id, n_grams, n_shared_grams, n_bench_docs, contaminated) for
     every TRAIN document (doc_id % bench_mod != 0) against the benchmark
@@ -103,6 +104,10 @@ def contamination(
         )
         .orderBy("doc_id")
     )
+    if not checkpoint:
+        # plan-inspection path: leave the logical plan visible (the shingle
+        # cache is then released by the caller's session lifecycle)
+        return out
     out = out.localCheckpoint(eager=True)
     tr.unpersist()
     return out

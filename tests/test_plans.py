@@ -93,3 +93,43 @@ def test_salted_agg_null_keys_and_null_users(spark, tmp_path):
         "view": (2, 0, 4.0),
         None: (2, 1, 3.0),
     }
+
+
+def _llm_plan(spark, sf_dir, name: str) -> str:
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.llm_queries import (
+        LLM_QUERIES,
+    )
+
+    fn = LLM_QUERIES[name][0]
+    return fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+
+
+def test_sample_and_pii_are_pure_projections(spark, sf_dir):
+    """The curation filters/projections must not shuffle: their single
+    Exchange is the range partitioning for the deterministic output sort,
+    not a compute shuffle — the property that makes them free at 100 TB."""
+    for name in ("curation_stratified_sample", "curation_pii_scrub"):
+        plan = _llm_plan(spark, sf_dir, name)
+        assert plan.count("Exchange") == 1, name
+        assert "rangepartitioning" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_top_terms_rank_pushdown(spark, sf_dir):
+    # row_number + rank<=k must keep only k rows per doc before the final
+    # window sort (partial WindowGroupLimit), not sort every term
+    plan = _llm_plan(spark, sf_dir, "text_top_terms")
+    assert plan.count("WindowGroupLimit") >= 1
+
+
+def test_contamination_no_cross_product(spark, sf_dir):
+    # the registered query checkpoints its result (the executed plan is a
+    # scan of the checkpoint); inspect the un-checkpointed plan instead
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import curation
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = curation.contamination(docs, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # the DF-cap window over the benchmark postings is present
+    assert "windowspecdefinition(h#" in plan
