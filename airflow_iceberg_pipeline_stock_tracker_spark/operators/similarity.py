@@ -542,3 +542,187 @@ ORDER BY vec_a, vec_b
 
 
 EMBEDDING_NEAR_DUP_SQL = embedding_near_dup_sql()
+
+
+# ---------------------------------------------------------------------------
+# quantized k-means (exact, oracle-checkable clustering)
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+_QSCALE = 1_000_000
+
+
+def _quantized(emb_raw: DataFrame) -> DataFrame:
+    """(vec_id, q): embedding components as ROUND(x*1e6) bigints.
+
+    Quantization is what makes k-means oracle-checkable: every distance
+    is an exact int64 (64 components, |q|<=1e6 -> sums < 2^48), every
+    centroid update is floor(exact_sum / count) — no float accumulation
+    order anywhere, so Spark and DuckDB converge through IDENTICAL
+    iterates. The ~1e-6 quantization error is far below any meaningful
+    cluster geometry.
+    """
+    return emb_raw.select(
+        "vec_id",
+        F.expr(
+            f"transform(cast(embedding as array<double>), "
+            f"x -> cast(round(x * {_QSCALE}) as bigint))"
+        ).alias("q"),
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def embedding_kmeans(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """(vec_id, cluster): Lloyd's k-means over quantized embeddings.
+
+    Seeds are the first k vectors; each iteration assigns every vector to
+    its nearest centroid (exact integer L2^2, ties to the lower centroid
+    id) and recomputes centroids as the per-component floor-mean. The
+    codebook (k x dim ints) is collected to the driver and re-broadcast
+    each round — the standard train-small/score-big shape: the collect is
+    O(k*dim), never O(rows). Assignment is an embarrassingly-parallel
+    broadcast crossJoin + per-vector top-1; the update is one groupBy per
+    round. A cluster that empties simply drops out (deterministically in
+    both engines).
+
+    The DuckDB twin unrolls the same `iters` rounds as CTEs; because all
+    arithmetic is exact, the driver hash-checks the full iterative
+    algorithm — not just one step.
+    """
+    emb = _quantized(load_table(spark, sf_dir, "embeddings"))
+    emb = emb.persist()
+    centroids = [
+        (int(r["vec_id"]), [int(v) for v in r["q"]])
+        for r in emb.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    ]
+
+    def assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
+        cdf = F.broadcast(
+            spark.createDataFrame(
+                [(cid, c) for cid, c in cents], "cid int, c array<bigint>"
+            )
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        return (
+            emb.crossJoin(cdf)
+            .withColumn("dist", _sq_dist(F.col("q"), F.col("c")))
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") == 1)
+            .select("vec_id", F.col("cid").alias("cluster"), "q")
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        upd = (
+            assigned.select("cluster", F.posexplode("q").alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "cluster",
+                "i",
+                # floor of an EXACT double division (|s| < 2^53): identical
+                # in both engines, unlike engine-specific integer-division
+                # truncation rules for negative sums
+                F.floor(F.col("s").cast("double") / F.col("n"))
+                .cast("bigint")
+                .alias("v"),
+            )
+        )
+        rows = upd.collect()
+        by_cluster: dict[int, dict[int, int]] = {}
+        for r in rows:
+            by_cluster.setdefault(int(r["cluster"]), {})[int(r["i"])] = int(r["v"])
+        centroids = [
+            (cid, [comps[i] for i in range(len(comps))])
+            for cid, comps in sorted(by_cluster.items())
+        ]
+
+    out = assign(centroids).select("vec_id", "cluster").orderBy("vec_id")
+    out = out.localCheckpoint(eager=True)
+    emb.unpersist()
+    return out
+
+
+def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
+    ddot = (
+        "(list_dot_product(q.q::DOUBLE[], c.c::DOUBLE[]))"
+    )
+    # exact integer L2^2 via the dot-product decomposition: all terms are
+    # < 2^53 so the doubles are exact
+    dist = (
+        "(list_dot_product(q.q::DOUBLE[], q.q::DOUBLE[]) "
+        f"- 2 * {ddot} "
+        "+ list_dot_product(c.c::DOUBLE[], c.c::DOUBLE[]))"
+    )
+    ctes = [
+        f"""q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * {_QSCALE}) AS BIGINT)) AS q
+  FROM embeddings
+)""",
+        f"c0 AS (SELECT vec_id AS cid, q AS c FROM q WHERE vec_id < {k})",
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        ctes.append(f"""a{it} AS (
+  SELECT vec_id, cid AS cluster, q FROM (
+    SELECT q.vec_id, c.cid, q.q,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cid) AS rnk
+    FROM q CROSS JOIN {prev} c
+  ) WHERE rnk = 1
+)""")
+        if it < iters:
+            ctes.append(f"""u{it} AS (
+  SELECT cluster, i,
+         CAST(floor(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM a{it}, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY cluster, i
+)""")
+            ctes.append(
+                f"c{it} AS (SELECT cluster AS cid, list(v ORDER BY i) AS c "
+                f"FROM u{it} GROUP BY cluster)"
+            )
+            prev = f"c{it}"
+    # the final assignment runs against the centroids from the LAST update,
+    # mirroring the Spark loop: iters assignment rounds with iters-1 updates
+    # in between, then one more update + assignment? No — the Spark loop does
+    # `iters` (assign, update) rounds then one final assign; mirror exactly:
+    ctes.append(f"""uf AS (
+  SELECT cluster, i,
+         CAST(floor(CAST(SUM(q[i]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM a{iters}, (SELECT unnest(range(1, 65)) AS i)
+  GROUP BY cluster, i
+)""")
+    ctes.append(
+        "cf AS (SELECT cluster AS cid, list(v ORDER BY i) AS c "
+        "FROM uf GROUP BY cluster)"
+    )
+    ctes.append(f"""af AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT q.vec_id, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                              ORDER BY {dist}, c.cid) AS rnk
+    FROM q CROSS JOIN cf c
+  ) WHERE rnk = 1
+)""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\nSELECT vec_id, cluster FROM af ORDER BY vec_id"
+    )
+
+
+EMBEDDING_KMEANS_SQL = _kmeans_sql()

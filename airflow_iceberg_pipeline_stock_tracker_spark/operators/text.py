@@ -356,3 +356,84 @@ SELECT doc_id, term, tf, df, rank FROM ranked
 WHERE rank <= 3
 ORDER BY doc_id, rank
 """
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, total_tokens, min_tokens, p50_tokens, p95_tokens,
+    max_tokens): the per-corpus length report a data engineer reads
+    before setting shard capacity and truncation limits.
+
+    Percentiles are EXACT discrete percentiles computed with integer
+    arithmetic — the value at row ceil(p*n) of the per-source token-count
+    ordering — not percentile_approx: approximate sketches differ across
+    engines and runs, exact integers hash-match the oracle. One window
+    over (source, n_tokens) + one groupBy; both shuffle on source only.
+    """
+    from pyspark.sql import Window
+
+    n_tokens = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    ).cast("long")
+    t = docs.select("source", n_tokens.alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("n_tokens")
+    ranked = t.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+    )
+    # the discrete percentile is the value at row ceil(p*n); both engines
+    # evaluate the same double literal, so the boundary agrees bit-for-bit
+    p50 = ranked.where(F.expr("rn = CAST(ceil(0.5 * n) AS BIGINT)")).select(
+        "source", F.col("n_tokens").alias("p50_tokens")
+    )
+    p95 = ranked.where(F.expr("rn = CAST(ceil(0.95 * n) AS BIGINT)")).select(
+        "source", F.col("n_tokens").alias("p95_tokens")
+    )
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
+    return (
+        agg.join(p50, "source")
+        .join(p95, "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "min_tokens",
+            "p50_tokens",
+            "p95_tokens",
+            "max_tokens",
+        )
+        .orderBy("source")
+    )
+
+
+CORPUS_STATS_SQL = f"""
+WITH t AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS n_tokens
+  FROM documents
+), ranked AS (
+  SELECT source, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM t
+), agg AS (
+  -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT, Spark stays BIGINT
+  SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+  FROM t GROUP BY source
+),
+p50 AS (SELECT source, n_tokens AS p50_tokens FROM ranked
+        WHERE rn = CAST(ceil(0.5 * n) AS BIGINT)),
+p95 AS (SELECT source, n_tokens AS p95_tokens FROM ranked
+        WHERE rn = CAST(ceil(0.95 * n) AS BIGINT))
+SELECT agg.source, n_docs, total_tokens, min_tokens,
+       p50_tokens, p95_tokens, max_tokens
+FROM agg JOIN p50 USING (source) JOIN p95 USING (source)
+ORDER BY agg.source
+"""

@@ -197,12 +197,16 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "similarity_cosine_topk": (similarity.cosine_topk, similarity.COSINE_TOPK_SQL),
     "similarity_rp_lsh_topk": (similarity.rp_lsh_topk, similarity.rp_lsh_topk_sql()),
     "similarity_ivf_topk": (similarity.ivf_topk, similarity.IVF_TOPK_SQL),
+    # iterative Lloyd's k-means, exact via integer quantization — the
+    # whole 3-round algorithm is hash-checked, not just one step
+    "embedding_kmeans": (similarity.embedding_kmeans, similarity.EMBEDDING_KMEANS_SQL),
     "text_language_id": (_docs(text.language_id), text.LANGUAGE_ID_SQL),
     "text_quality_score": (_docs(text.quality_score), text.QUALITY_SQL),
     "text_token_stats": (_docs(text.token_stats), text.TOKEN_STATS_SQL),
     "text_fingerprints": (_docs(text.fingerprints), text.FINGERPRINTS_SQL),
     "text_pack_shards": (_docs(text.pack_shards), text.PACK_SHARDS_SQL),
     "text_top_terms": (_docs(text.top_terms), text.TOP_TERMS_SQL),
+    "text_corpus_stats": (_docs(text.corpus_stats), text.CORPUS_STATS_SQL),
     # corpus curation: decontamination, sampling, split, scrubbing
     "curation_contamination": (
         _docs(curation.contamination),

@@ -64,6 +64,8 @@ HEADLINE = [
     "curation_split",
     "curation_pii_scrub",
     "curation_corpus_verdict",
+    "text_corpus_stats",
+    "embedding_kmeans",
 ]
 
 

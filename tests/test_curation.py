@@ -114,3 +114,15 @@ def test_corpus_verdict_flag_consistency(spark, sf_dir):
         assert r.is_bench == int(r.doc_id % curation.BENCH_MOD == 0)
     kept = sum(r.kept for r in rows)
     assert 0 < kept < len(rows)  # both kept and dropped docs exist
+
+
+def test_corpus_stats_exact_percentiles(spark):
+    # one source, token counts 1..10 -> p50 = value at ceil(5) = 5,
+    # p95 = value at ceil(9.5) = 10
+    rows = [(i, " ".join(["w"] * i), "en", "s") for i in range(1, 11)]
+    df = _docs(spark, rows)
+    r = text.corpus_stats(df).collect()
+    assert len(r) == 1
+    s = r[0]
+    assert (s.n_docs, s.total_tokens, s.min_tokens) == (10, 55, 1)
+    assert (s.p50_tokens, s.p95_tokens, s.max_tokens) == (5, 10, 10)

@@ -332,3 +332,16 @@ def test_multimodal_frame_sampling(spark):
     # 25 frames sampled every 10 -> 0,10,20; zero frames -> nothing;
     # non-video rows excluded entirely
     assert got == [(1, 0), (1, 10), (1, 20)]
+
+
+def test_kmeans_deterministic_and_nearest(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import similarity
+
+    a = similarity.embedding_kmeans(spark, sf_dir).collect()
+    b = similarity.embedding_kmeans(spark, sf_dir).collect()
+    assert a == b  # exact arithmetic: bit-identical every run
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(a) == n_vecs  # every vector assigned exactly once
+    clusters = {r.cluster for r in a}
+    assert len(clusters) <= similarity.KMEANS_K
+    assert len(clusters) > 1  # the data actually partitions
