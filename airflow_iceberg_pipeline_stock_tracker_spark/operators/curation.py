@@ -444,3 +444,121 @@ ORDER BY d.doc_id
 
 
 CORPUS_VERDICT_SQL = _corpus_verdict_sql()
+
+
+# ---------------------------------------------------------------------------
+# repetition detection (Gopher-style quality rule)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_grams, top_gram_count, repetition_ratio, repetitive):
+    how much of a document is its single most repeated word 3-gram.
+
+    The classic generated/boilerplate-text filter (a looping document
+    repeats one phrase over and over). Counts ALL gram occurrences (not
+    the distinct-set relation dedup uses): explode -> count per (doc,
+    gram) -> per-doc max via window. repetition_ratio is one exact-int
+    division; repetitive flags ratio > 0.2 for docs long enough to judge
+    (>= 10 grams). Shuffles on (doc_id, gram) then doc_id — both keyed
+    by doc so there is no hot key at any corpus size.
+    """
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    from ..functions.texthash import tokens
+
+    grams = (
+        docs.select(F.col("doc_id"), tokens(F.col("text")).alias("toks"))
+        .repartition(parallelism, "doc_id")
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - 2, F.lit(1)))
+            ).alias("i"),
+        )
+        .select(
+            "doc_id", F.concat_ws(" ", F.slice("toks", F.col("i"), 3)).alias("g")
+        )
+    )
+    per_gram = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.max("cnt").alias("top_gram_count"),
+    )
+    ratio = F.col("top_gram_count") / F.col("n_grams")
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            "top_gram_count",
+            ratio.alias("repetition_ratio"),
+            ((ratio > 0.2) & (F.col("n_grams") >= 10)).cast("int").alias(
+                "repetitive"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+REPETITION_SQL = f"""
+WITH grams AS (
+  SELECT doc_id, unnest({_NGRAMS_SQL}) AS g
+  FROM documents
+), per_gram AS (
+  SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY doc_id, g
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_grams,
+         MAX(cnt) AS top_gram_count
+  FROM per_gram GROUP BY doc_id
+)
+SELECT doc_id, n_grams, top_gram_count,
+       top_gram_count / n_grams AS repetition_ratio,
+       CAST(top_gram_count / n_grams > 0.2 AND n_grams >= 10 AS INT)
+         AS repetitive
+FROM per_doc ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# inter-source duplication report
+# ---------------------------------------------------------------------------
+
+def source_overlap(docs: DataFrame) -> DataFrame:
+    """(source_a, source_b, n_shared_texts): pairs of corpora sharing
+    identical documents — the report that catches double-counting when
+    the same crawl shows up in two ingested datasets.
+
+    Exact-dup discipline: group texts by md5, keep hashes spanning >1
+    source, expand to source pairs. The expansion is bounded by the
+    DISTINCT source count per hash (<= |sources|, a small constant), so
+    no posting-cap is needed — unlike gram postings, a text hash cannot
+    fan out past the corpus count.
+    """
+    per_src = docs.select(F.md5("text").alias("h"), "source").distinct()
+    a = per_src.alias("a")
+    b = per_src.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+SOURCE_OVERLAP_SQL = """
+WITH per_src AS (
+  SELECT DISTINCT md5(text) AS h, source FROM documents
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       COUNT(*) AS n_shared_texts
+FROM per_src a JOIN per_src b ON a.h = b.h AND a.source < b.source
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""

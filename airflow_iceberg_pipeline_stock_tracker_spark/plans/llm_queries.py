@@ -223,6 +223,11 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         curation._split_sql(dedup.MINHASH_LSH_SQL),
     ),
     "curation_pii_scrub": (_docs(curation.pii_scrub), curation.PII_SCRUB_SQL),
+    "curation_repetition": (_docs(curation.repetition_stats), curation.REPETITION_SQL),
+    "curation_source_overlap": (
+        _docs(curation.source_overlap),
+        curation.SOURCE_OVERLAP_SQL,
+    ),
     # capstone: the full curation decision (quality x language x exact
     # dedup x decontamination x benchmark holdout) per document
     "curation_corpus_verdict": (
