@@ -107,6 +107,13 @@ def queries() -> dict[str, QueryFn]:
         "cumulate_day": _q_cumulate_day,
         "pipeline_daily_run": _q_pipeline_daily_run,
     }
+    # registered early, right after its batch twin: in round 2 this query
+    # sat last in dict order and was the only one missing a CORRECTNESS
+    # row — if the driver truncates the tail of the run, the victim
+    # should be a cheap already-proven query, not the parity proof
+    out["pipeline_micro_batch_parity"] = STREAMING_QUERIES[
+        "pipeline_micro_batch_parity"
+    ][0]
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         out[name] = fn
     for name, (fn, _sql) in LLM_QUERIES.items():

@@ -53,6 +53,19 @@ def hash32_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
 
 
+def hash60(col: Column) -> Column:
+    """60-bit portable hash: first 15 hex digits of md5, as bigint.
+
+    60 (not 64) bits so the value — and any 1<<i bit constant built from
+    it — stays inside signed int64 in both engines with no overflow
+    special-casing."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
 def minhash_expr(j: int, hash_col: str = "h") -> Column:
     """The j-th permuted hash value (NOT aggregated: callers project
     these as columns and aggregate `min` separately — complex

@@ -6,9 +6,9 @@ documents-shaped input (doc_id bigint, text string):
   exact_dedup          hash-groupBy on md5(text): keep min doc_id
   minhash_lsh_pairs    word-3-gram shingles -> 16 portable minhashes ->
                        4x4 LSH bands -> band-bucket self-join -> pairs
-  simhash_pairs        32-bit simhash over tokens; banded candidate join
-                       (pigeonhole: hamming<=3 => one of 4 byte-chunks
-                       equal), then exact hamming filter
+  simhash_pairs        60-bit simhash over tokens; banded candidate join
+                       (pigeonhole: hamming<=3 => one of 4 15-bit chunks
+                       equal), bucket-capped, then exact hamming filter
   ngram_jaccard_pairs  exact Jaccard over distinct word-3-gram sets via
                        inverted-index co-occurrence join (no O(n^2))
   embedding_near_dup   cosine >= tau pairs over an embedding column (see
@@ -22,9 +22,10 @@ Scale design (100 TB):
     `max_bucket` before the pairwise expansion — the standard guard
     against quadratic blowup inside a single bucket;
   * the simhash band join is lossless for the chosen radius (pigeonhole
-    over 4 chunks with hamming<=3), so the scale path returns EXACTLY
-    the brute-force result set — which is what the DuckDB oracle
-    computes and the driver hash-verifies.
+    over 4 chunks with hamming<=3) up to the bucket cap, which only
+    bites on pathological boilerplate pile-ups; the DuckDB oracle
+    mirrors the banding+cap, and pytest verifies banded == brute force
+    on the fixture corpus.
 """
 
 from __future__ import annotations
@@ -38,6 +39,8 @@ from ..functions.texthash import (
     MINHASH_K,
     hash32,
     hash32_sql,
+    hash60,
+    hash60_sql,
     minhash_expr,
     minhash_sql,
     tokens,
@@ -241,13 +244,15 @@ MINHASH_LSH_SQL = _minhash_sql_core().replace("{max_bucket}", "50")
 # SimHash
 # ---------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60  # 15 md5 hex digits; 1<<59 stays inside signed int64
 SIMHASH_RADIUS = 3
 SIMHASH_CHUNKS = 4  # pigeonhole: radius 3 < 4 chunks => >=1 chunk equal
+SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_CHUNKS  # 15 -> 32k keys/chunk
+SIMHASH_MAX_BUCKET = 200
 
 
 def simhash_values(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit simhash over whitespace tokens with
+    """(doc_id, simhash): 60-bit simhash over whitespace tokens with
     term frequency weights."""
     parallelism = docs.sparkSession.sparkContext.defaultParallelism
     tf = (
@@ -256,10 +261,10 @@ def simhash_values(docs: DataFrame) -> DataFrame:
         .select("doc_id", F.explode("toks").alias("t"))
         .groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .select("doc_id", "cnt", hash32(F.col("t")).alias("h"))
+        .select("doc_id", "cnt", hash60(F.col("t")).alias("h"))
     )
     # project per-bit signed contributions as plain columns, then sum —
-    # 32 shift/mask expressions inside the aggregate itself would break
+    # 60 shift/mask expressions inside the aggregate itself would break
     # whole-stage codegen (same pathology as minhash_signatures)
     contrib = tf.select(
         "doc_id",
@@ -280,24 +285,48 @@ def simhash_values(docs: DataFrame) -> DataFrame:
     return sums.select("doc_id", sim.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame, max_bucket: int = SIMHASH_MAX_BUCKET
+) -> DataFrame:
     """Pairs with hamming(simhash_a, simhash_b) <= 3.
 
-    Scale path: band the 32-bit value into 4 byte chunks and self-join on
-    (chunk_idx, chunk_value) — lossless for radius 3 — then apply the
-    exact hamming filter. Result set is identical to brute force, which
-    is exactly what the oracle computes.
+    Scale path: band the 60-bit value into 4 chunks of 15 bits and
+    self-join on (chunk_idx, chunk_value) — lossless for radius 3 by
+    pigeonhole — then apply the exact hamming filter. 15-bit chunks give
+    32k distinct join keys per chunk, so random collisions put only
+    ~n/32k docs in a bucket (vs n/256 with the old 8-bit chunks).
+
+    `max_bucket` bounds the one remaining blowup: a (chunk, chunk_val)
+    bucket larger than the cap — in practice a pile of near-identical
+    boilerplate whose simhashes agree chunk-for-chunk — is dropped
+    BEFORE the quadratic within-bucket expansion, same discipline as
+    minhash_lsh_pairs. A pair only needs ONE of its 4 chunks under the
+    cap to survive, so recall loss is confined to docs whose entire
+    simhash neighborhood is hot; run exact_dedup first so identical
+    texts never reach this operator. The cap is mirrored in SIMHASH_SQL,
+    so the oracle verifies the capped semantics, and the fixture corpus
+    never reaches it (largest bucket there is far below 200).
     """
+    from pyspark.sql import Window
+
     sh = simhash_values(docs)
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
     chunk_rows = ", ".join(
-        f"{c}, CAST(shiftright(simhash, {c * 8}) & 255 AS BIGINT)"
+        f"{c}, CAST(shiftright(simhash, {c * SIMHASH_CHUNK_BITS}) & {mask} AS BIGINT)"
         for c in range(SIMHASH_CHUNKS)
     )
-    chunks = sh.selectExpr(
-        "doc_id",
-        "simhash",
-        f"stack({SIMHASH_CHUNKS}, {chunk_rows}) AS (chunk, chunk_val)",
-    ).persist()  # both self-join sides read this
+    w = Window.partitionBy("chunk", "chunk_val")
+    chunks = (
+        sh.selectExpr(
+            "doc_id",
+            "simhash",
+            f"stack({SIMHASH_CHUNKS}, {chunk_rows}) AS (chunk, chunk_val)",
+        )
+        .withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+        .persist()  # both self-join sides read this
+    )
     chunks.count()  # eager materialize (see minhash_lsh_pairs)
     a, b = chunks.alias("a"), chunks.alias("b")
     pairs = (
@@ -329,6 +358,15 @@ def _simhash_sql_core() -> str:
         f"CASE WHEN s{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END"
         for i in range(SIMHASH_BITS)
     )
+    mask = (1 << SIMHASH_CHUNK_BITS) - 1
+    chunk_rows = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk, "
+        f"((simhash >> {c * SIMHASH_CHUNK_BITS}) & {mask}) AS chunk_val FROM sh"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    # the chunk banding + bucket cap are mirrored (same declared
+    # semantics on both engines); pigeonhole losslessness vs brute force
+    # is verified independently by tests/test_llm_ops.py
     return f"""
 WITH tf AS (
   SELECT doc_id, t, COUNT(*) AS cnt
@@ -337,17 +375,25 @@ WITH tf AS (
         FROM documents)
   GROUP BY doc_id, t
 ), hashed AS (
-  SELECT doc_id, cnt, {hash32_sql('t')} AS h FROM tf
+  SELECT doc_id, cnt, {hash60_sql('t')} AS h FROM tf
 ), sums AS (
   SELECT doc_id,
          {bit_sums}
   FROM hashed GROUP BY doc_id
 ), sh AS (
   SELECT doc_id, ({sim}) AS simhash FROM sums
+), chunks AS (
+  {chunk_rows}
+), kept AS (
+  SELECT doc_id, simhash, chunk, chunk_val FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY chunk, chunk_val) AS bucket_n
+    FROM chunks
+  ) WHERE bucket_n <= {SIMHASH_MAX_BUCKET}
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+FROM kept a JOIN kept b
+  ON a.chunk = b.chunk AND a.chunk_val = b.chunk_val AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_RADIUS}
 ORDER BY doc_a, doc_b
 """
@@ -522,6 +568,15 @@ def dup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = staged.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    else:
+        # non-converged labels would silently split a duplicate cluster
+        # across e.g. train/test in leakage_safe_split downstream; the
+        # changed-count is already computed, so the guard is free
+        raise RuntimeError(
+            f"dup_components did not converge after {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter — "
+            "pointer doubling needs only O(log diameter) rounds"
+        )
     edges.unpersist()
     return labels.orderBy("doc_id")
 

@@ -126,3 +126,38 @@ def test_corpus_stats_exact_percentiles(spark):
     s = r[0]
     assert (s.n_docs, s.total_tokens, s.min_tokens) == (10, 55, 1)
     assert (s.p50_tokens, s.p95_tokens, s.max_tokens) == (5, 10, 10)
+
+
+def test_source_overlap_counts_planted_cross_source_dups(spark):
+    """Identical texts planted across sources must surface as
+    (source_a, source_b, n_shared_texts) rows; single-source dups and
+    unique texts must not. (The sf fixtures have no cross-source exact
+    dups, so without this plant the operator would pass vacuously.)"""
+    df = _docs(
+        spark,
+        [
+            # "shared one" appears in crawl_a, crawl_b, crawl_c
+            (1, "shared one text", "en", "crawl_a"),
+            (2, "shared one text", "en", "crawl_b"),
+            (3, "shared one text", "en", "crawl_c"),
+            # "shared two" appears in crawl_a (twice!) and crawl_b;
+            # per-source DISTINCT means it still counts once per pair
+            (4, "shared two text", "en", "crawl_a"),
+            (5, "shared two text", "en", "crawl_a"),
+            (6, "shared two text", "en", "crawl_b"),
+            # same-source dup only: no pair row
+            (7, "solo dup", "en", "crawl_c"),
+            (8, "solo dup", "en", "crawl_c"),
+            # unique
+            (9, "nothing like the others", "en", "crawl_b"),
+        ],
+    )
+    got = {
+        (r.source_a, r.source_b): r.n_shared_texts
+        for r in curation.source_overlap(df).collect()
+    }
+    assert got == {
+        ("crawl_a", "crawl_b"): 2,  # shared one + shared two
+        ("crawl_a", "crawl_c"): 1,
+        ("crawl_b", "crawl_c"): 1,
+    }

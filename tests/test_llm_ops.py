@@ -122,6 +122,19 @@ def test_simhash_banding_is_lossless(spark, docs):
     assert {tuple(r) for r in brute} == {tuple(r) for r in banded}
 
 
+def test_simhash_bucket_cap_drops_boilerplate_pileup(spark):
+    """A pile of identical texts puts every doc in the same 4 chunk
+    buckets; with the cap below the pile size all four buckets are
+    dropped and no candidate pairs are generated — the bounded-bucket
+    guarantee that stops a quadratic within-bucket expansion at scale."""
+    rows = [(50_000 + i, "exactly the same boilerplate text") for i in range(12)]
+    pile = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.simhash_pairs(pile, max_bucket=1000).collect()
+    assert len(uncapped) == 12 * 11 // 2  # identical docs: all pairs
+    capped = dedup.simhash_pairs(pile, max_bucket=10).collect()
+    assert capped == []
+
+
 def test_rp_lsh_retrieves_planted_near_dup(spark, sf_dir):
     """A true near-duplicate (tiny perturbation of a stored vector) must
     land in the same LSH bucket and be retrieved as the top neighbor —
