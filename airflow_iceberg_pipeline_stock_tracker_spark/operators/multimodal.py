@@ -4,12 +4,15 @@ Design: media travel as opaque `binary` payload columns + a typed
 metadata struct; the expensive decode/feature steps run as Arrow-batched
 `mapInPandas` so bytes never round-trip through Python row-at-a-time.
 
-The container has no image/audio codecs, so the decode step is STUBBED:
-`decode_image_features` raises NotImplementedError unless
-`fake_decoder=True`, in which case a deterministic bytes->features fake
-stands in. Everything around the stub — schema, batch iteration, UDF
-signature, partition behavior — is real and tested; swapping the fake
-for PIL/librosa is a one-function change.
+Codec policy: when Pillow is importable the real decode path is used
+automatically (`decoder="auto"`); `fake_decoder=True` forces the
+deterministic bytes->features fake (what the oracle-checked driver
+queries pin, so their rows never depend on codec availability); with
+neither, the decode step raises NotImplementedError. This container
+ships no PIL/soundfile/librosa, so here the real path is exercised only
+by the skip-if-no-codec pytest; everything around the codec — schema,
+batch iteration, UDF signature, partition behavior — runs for real
+either way.
 
 Scale notes: payloads stay in Arrow record batches end-to-end;
 `mapInPandas` keeps per-batch memory bounded by
@@ -49,6 +52,16 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 8
 
+# module-level so executors (which import this module for the pandas UDF
+# closures) resolve the codec exactly once per worker
+try:
+    from PIL import Image as _PILImage
+
+    HAVE_PIL = True
+except ImportError:
+    _PILImage = None
+    HAVE_PIL = False
+
 FEATURES_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -64,6 +77,30 @@ def _fake_features(payload: bytes) -> list[float]:
     """Deterministic stand-in for a real decoder: 8 doubles from md5."""
     dig = hashlib.md5(payload).digest()
     return [dig[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def _pil_features(payload: bytes) -> list[float]:
+    """Real decode: PIL-open, thumbnail to FEATURE_DIM x FEATURE_DIM
+    grayscale, features = per-row mean intensity in [0, 1]."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("L")
+    img = img.resize((FEATURE_DIM, FEATURE_DIM))
+    px = list(img.getdata())  # row-major, FEATURE_DIM^2 values
+    return [
+        sum(px[r * FEATURE_DIM : (r + 1) * FEATURE_DIM]) / FEATURE_DIM / 255.0
+        for r in range(FEATURE_DIM)
+    ]
+
+
+def _pil_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Real resize: PIL-open -> RGB -> resize -> PNG bytes."""
+    import io
+
+    img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format="PNG")
+    return out.getvalue()
 
 
 def docs_as_media(docs: DataFrame) -> DataFrame:
@@ -85,17 +122,21 @@ def docs_as_media(docs: DataFrame) -> DataFrame:
 def decode_image_features(media: DataFrame, fake_decoder: bool = False) -> DataFrame:
     """Arrow-batched decode/feature-extract over binary payloads.
 
-    With a real codec stack this would PIL-open each payload, resize,
-    and embed; here the fake decoder derives deterministic features so
-    the distributed plumbing is exercised for real.
+    `fake_decoder=True` pins the deterministic md5-derived features (the
+    driver queries use this so their hash rows never depend on codec
+    availability); otherwise the real PIL path is auto-enabled when
+    Pillow is importable, and with no codec the batch raises.
     """
+    featurize = _fake_features if fake_decoder else _pil_features
+    if not fake_decoder and not HAVE_PIL:
+        featurize = None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake_decoder:
+            if featurize is None:
                 raise NotImplementedError(
                     "no image codecs in this environment — pass "
-                    "fake_decoder=True or plug a real decoder here"
+                    "fake_decoder=True or install Pillow"
                 )
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -111,7 +152,7 @@ def decode_image_features(media: DataFrame, fake_decoder: bool = False) -> DataF
                         else None
                     ),
                     "features": payloads.map(
-                        lambda b: _fake_features(bytes(b))
+                        lambda b: featurize(bytes(b))
                         if b is not None
                         else None
                     ),
@@ -137,18 +178,25 @@ def resize_images(
 ) -> DataFrame:
     """Arrow-batched resize: decode payload -> scale -> re-encode.
 
-    Stubbed like decode_image_features: the fake path emits a
-    deterministic payload (md5 of original + target dims) so the batch
-    plumbing, schema, and partition behavior run for real; a production
-    build swaps the lambda body for PIL `Image.resize`.
+    Same codec policy as decode_image_features: fake path emits a
+    deterministic payload (md5 of original + target dims), real path is
+    PIL `Image.resize` -> PNG, auto-enabled when Pillow is importable.
     """
+    if fake_decoder:
+        def transform(b: bytes) -> bytes:
+            return hashlib.md5(b + f"|{width}x{height}".encode()).digest()
+    elif HAVE_PIL:
+        def transform(b: bytes) -> bytes:
+            return _pil_resize(b, width, height)
+    else:
+        transform = None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake_decoder:
+            if transform is None:
                 raise NotImplementedError(
                     "no image codecs in this environment — pass "
-                    "fake_decoder=True or plug a real resizer here"
+                    "fake_decoder=True or install Pillow"
                 )
             payloads = pdf["payload"]
             yield pd.DataFrame(
@@ -156,11 +204,7 @@ def resize_images(
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "payload": payloads.map(
-                        lambda b: hashlib.md5(
-                            bytes(b) + f"|{width}x{height}".encode()
-                        ).digest()
-                        if b is not None
-                        else None
+                        lambda b: transform(bytes(b)) if b is not None else None
                     ),
                     "width": width,
                     "height": height,

@@ -308,10 +308,37 @@ def _spark_docs(spark, rows):
     return spark.createDataFrame(rows, ["doc_id", "text"])
 
 
+@pytest.mark.skipif(
+    multimodal.HAVE_PIL, reason="Pillow present: auto mode decodes for real"
+)
 def test_multimodal_decode_requires_decoder(spark, docs):
     media = multimodal.docs_as_media(docs.limit(5))
     with pytest.raises(Exception, match="no image codecs"):
         multimodal.decode_image_features(media).collect()
+
+
+@pytest.mark.skipif(
+    not multimodal.HAVE_PIL, reason="no Pillow in this environment"
+)
+def test_multimodal_real_codec_roundtrip(spark):
+    """With Pillow present, auto mode must decode real PNGs: features are
+    row-mean intensities (a solid-white image -> all 1.0) and resize
+    re-encodes at the target dimensions."""
+    import io
+
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.new("L", (32, 32), color=255).save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(buf.getvalue()), (32, 32, None, None))],
+        multimodal.MEDIA_SCHEMA,
+    )
+    feats = multimodal.decode_image_features(media).collect()[0]
+    assert all(abs(f - 1.0) < 1e-9 for f in feats.features)
+    resized = multimodal.resize_images(media, 8, 8).collect()[0]
+    out = Image.open(io.BytesIO(bytes(resized.payload)))
+    assert out.size == (8, 8)
 
 
 def test_multimodal_fake_decode_plumbing(spark, docs):
