@@ -69,6 +69,12 @@ HEADLINE = [
 ]
 
 
+# the 47 queries benched in round 2 (BENCH_r02.json), frozen for
+# round-over-round subtotal comparison — append new queries to the END
+# of HEADLINE so this slice keeps naming exactly the r2 set
+R2_COMMON_SET = frozenset(HEADLINE[:47])
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -93,6 +99,12 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparability: BENCH_r02 benched exactly the
+    # 47 queries in HEADLINE at that commit; report their subtotal
+    # separately so later rounds that extend HEADLINE stay comparable
+    common_r2 = round(
+        sum(t for q, t in timings.items() if q in R2_COMMON_SET), 3
+    )
     print(
         json.dumps(
             {
@@ -100,6 +112,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "common_r2_sec": common_r2,
                 "sf": sf,
             }
         )

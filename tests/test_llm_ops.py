@@ -64,12 +64,20 @@ def test_minhash_agrees_with_exact_jaccard(spark, docs):
 
 def test_dup_components_transitive_closure(spark):
     """A~B, B~C collapse into one cluster labeled min(doc_id); disjoint
-    pairs stay separate; keep-list keeps exactly one doc per cluster."""
+    pairs stay separate; keep-list keeps exactly one doc per cluster.
+    Both physical strategies (driver union-find and the distributed
+    label-propagation loop, forced via local_threshold=0) must agree."""
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (7, 9), (3, 5)], ["doc_a", "doc_b"]
     )
+    expect = {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 9: 7}
     comp = {r.doc_id: r.cluster_id for r in dedup.dup_components(pairs).collect()}
-    assert comp == {1: 1, 2: 1, 3: 1, 5: 1, 7: 7, 9: 7}
+    assert comp == expect
+    dist = {
+        r.doc_id: r.cluster_id
+        for r in dedup.dup_components(pairs, local_threshold=0).collect()
+    }
+    assert dist == expect
 
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in [1, 2, 3, 5, 7, 9, 11]], ["doc_id", "text"]
