@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, dollars
+from ..operators.asof import asof_join
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -343,6 +344,67 @@ ORDER BY user_id, session_seq
 
 
 # ---------------------------------------------------------------------------
+# As-of (point-in-time) join — each purchase picks up the latest prior click
+# ---------------------------------------------------------------------------
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: for every purchase event, the most recent
+    click by the same user at-or-before the purchase time.
+
+    Built on ``operators.asof.asof_join`` (union + running
+    last(ignorenulls) carry-forward — ONE shuffle, no range-join
+    explosion; see that module's docstring for the 100 TB analysis).
+    The click side is pre-aggregated to one row per (user_id, ts) so
+    "the most recent click" is well-defined on both engines; money goes
+    through exact integer cents so MAX ties can't produce float noise.
+    Timestamps in the fixture are µs-aligned, so Spark (µs) and DuckDB
+    (ns) compare the same instants.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", cents("value").alias("purchase_cents")
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max(cents("value")).alias("click_cents"))
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", left_time="ts", right_time="click_ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        dollars(F.col("purchase_cents")).alias("purchase_value"),
+        F.date_format("click_ts", "yyyy-MM-dd HH:mm:ss").alias("click_ts"),
+        dollars(F.col("click_cents")).alias("click_value"),
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_SQL = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  SELECT user_id, ts AS click_ts,
+         MAX(CAST(ROUND(value * 100) AS BIGINT)) AS click_cents
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, ts
+)
+SELECT p.event_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       p.purchase_cents / 100.0 AS purchase_value,
+       strftime(c.click_ts, '%Y-%m-%d %H:%M:%S') AS click_ts,
+       c.click_cents / 100.0 AS click_value
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+ORDER BY p.event_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # Grouped distinct counts + CASE bucketing over orders
 # ---------------------------------------------------------------------------
 
@@ -439,6 +501,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "customer_order_activity": (customer_order_activity, ACTIVITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "events_asof_join": (events_asof_join, EVENTS_ASOF_SQL),
     "events_type_totals_salted": (events_type_totals_salted, EVENTS_TYPE_TOTALS_SQL),
     "order_priority_stats": (order_priority_stats, ORDER_PRIORITY_SQL),
 }

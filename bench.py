@@ -66,6 +66,8 @@ HEADLINE = [
     "curation_corpus_verdict",
     "text_corpus_stats",
     "embedding_kmeans",
+    # --- added after round 2 (keep appending; HEADLINE[:47] is the r2 set) ---
+    "events_asof_join",
 ]
 
 
