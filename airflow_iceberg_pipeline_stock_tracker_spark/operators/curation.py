@@ -355,7 +355,7 @@ FROM documents ORDER BY doc_id
 QUALITY_MIN = 0.6
 
 
-def corpus_verdict(docs: DataFrame) -> DataFrame:
+def corpus_verdict(docs: DataFrame, contam: DataFrame | None = None) -> DataFrame:
     """(doc_id, q_ok, lang_ok, uniq_ok, clean_ok, is_bench, kept): the
     full curation decision per document — the query a data engineer runs
     to build the training corpus.
@@ -369,7 +369,9 @@ def corpus_verdict(docs: DataFrame) -> DataFrame:
 
     Composes quality_score, language_id, an exact-dedup window, and
     contamination — each already scale-shaped; the composition adds two
-    broadcast-size joins per doc row and one md5 window.
+    broadcast-size joins per doc row and one md5 window. Pass `contam`
+    to reuse an already-computed contamination(docs) frame instead of
+    re-running the inverted-index join.
     """
     from .text import language_id, quality_score
 
@@ -384,7 +386,9 @@ def corpus_verdict(docs: DataFrame) -> DataFrame:
         .cast("int")
         .alias("uniq_ok"),
     )
-    contam = contamination(docs).select("doc_id", "contaminated")
+    contam = (contam if contam is not None else contamination(docs)).select(
+        "doc_id", "contaminated"
+    )
     is_bench = (F.col("doc_id") % BENCH_MOD) == 0
     q_ok = F.col("quality") >= QUALITY_MIN
     lang_ok = F.col("lang_pred") != "unknown"
