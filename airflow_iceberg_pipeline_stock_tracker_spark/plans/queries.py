@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, dollars
+from ..operators import analytics
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 
@@ -502,6 +503,20 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_SQL),
+    "events_ohlc_bars": (
+        lambda spark, sf: analytics.ohlc_bars(load_table(spark, sf, "events")),
+        analytics.OHLC_BARS_SQL,
+    ),
+    "events_funnel": (
+        lambda spark, sf: analytics.funnel(load_table(spark, sf, "events")),
+        analytics.FUNNEL_SQL,
+    ),
+    "events_retention": (
+        lambda spark, sf: analytics.retention_cohorts(
+            load_table(spark, sf, "events")
+        ),
+        analytics.RETENTION_SQL,
+    ),
     "events_type_totals_salted": (events_type_totals_salted, EVENTS_TYPE_TOTALS_SQL),
     "order_priority_stats": (order_priority_stats, ORDER_PRIORITY_SQL),
 }

@@ -68,6 +68,9 @@ HEADLINE = [
     "embedding_kmeans",
     # --- added after round 2 (keep appending; HEADLINE[:47] is the r2 set) ---
     "events_asof_join",
+    "events_ohlc_bars",
+    "events_funnel",
+    "events_retention",
 ]
 
 
