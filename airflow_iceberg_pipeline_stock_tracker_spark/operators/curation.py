@@ -527,21 +527,28 @@ FROM per_doc ORDER BY doc_id
 # inter-source duplication report
 # ---------------------------------------------------------------------------
 
-def source_overlap(docs: DataFrame) -> DataFrame:
-    """(source_a, source_b, n_shared_texts): pairs of corpora sharing
-    identical documents — the report that catches double-counting when
-    the same crawl shows up in two ingested datasets.
+def source_overlap(docs: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Inter-source duplication report — the query that catches
+    double-counting when the same crawl shows up in two ingested
+    datasets.
 
     Exact-dup discipline: group texts by md5, keep hashes spanning >1
     source, expand to source pairs. The expansion is bounded by the
     DISTINCT source count per hash (<= |sources|, a small constant), so
     no posting-cap is needed — unlike gram postings, a text hash cannot
     fan out past the corpus count.
+
+    Pass a mined near-dup pair set (`pairs`) to additionally count
+    NEAR-duplicate pairs spanning sources — in practice the load-bearing
+    half, since a re-crawl is rarely byte-identical. The pair set is
+    bucket-capped miner OUTPUT (tiny next to the corpus), so both
+    doc_id->source joins broadcast it; the output schema gains
+    `n_near_dup_pairs` and keeps a row when either count is non-zero.
     """
     per_src = docs.select(F.md5("text").alias("h"), "source").distinct()
     a = per_src.alias("a")
     b = per_src.alias("b")
-    return (
+    exact = (
         a.join(
             b,
             (F.col("a.h") == F.col("b.h"))
@@ -552,6 +559,34 @@ def source_overlap(docs: DataFrame) -> DataFrame:
             F.col("b.source").alias("source_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_shared_texts"))
+    )
+    if pairs is None:
+        return exact.orderBy("source_a", "source_b")
+    src = docs.select("doc_id", "source")
+    near = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+            "doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+            "doc_b",
+        )
+        .where(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_near_dup_pairs"))
+    )
+    return (
+        exact.join(near, ["source_a", "source_b"], "full")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce("n_shared_texts", F.lit(0)).alias("n_shared_texts"),
+            F.coalesce("n_near_dup_pairs", F.lit(0)).alias("n_near_dup_pairs"),
+        )
         .orderBy("source_a", "source_b")
     )
 
@@ -564,5 +599,39 @@ SELECT a.source AS source_a, b.source AS source_b,
        COUNT(*) AS n_shared_texts
 FROM per_src a JOIN per_src b ON a.h = b.h AND a.source < b.source
 GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
+def _source_overlap_sql(pairs_sql: str) -> str:
+    """Oracle for the exact+near form: FULL OUTER of the exact-dup pair
+    counts with cross-source counts over the given miner's pair set."""
+    return f"""
+WITH per_src AS (
+  SELECT DISTINCT md5(text) AS h, source FROM documents
+),
+exact_ov AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         COUNT(*) AS n_shared_texts
+  FROM per_src a JOIN per_src b ON a.h = b.h AND a.source < b.source
+  GROUP BY 1, 2
+),
+np AS (SELECT * FROM ({pairs_sql})),
+srcs AS (SELECT doc_id, source FROM documents),
+near_ov AS (
+  SELECT least(sa.source, sb.source) AS source_a,
+         greatest(sa.source, sb.source) AS source_b,
+         COUNT(*) AS n_near_dup_pairs
+  FROM np JOIN srcs sa ON np.doc_a = sa.doc_id
+          JOIN srcs sb ON np.doc_b = sb.doc_id
+  WHERE sa.source != sb.source
+  GROUP BY 1, 2
+)
+SELECT COALESCE(e.source_a, n.source_a) AS source_a,
+       COALESCE(e.source_b, n.source_b) AS source_b,
+       COALESCE(e.n_shared_texts, 0) AS n_shared_texts,
+       COALESCE(n.n_near_dup_pairs, 0) AS n_near_dup_pairs
+FROM exact_ov e FULL OUTER JOIN near_ov n
+  ON e.source_a = n.source_a AND e.source_b = n.source_b
 ORDER BY source_a, source_b
 """

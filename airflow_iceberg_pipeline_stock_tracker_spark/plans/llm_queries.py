@@ -281,9 +281,15 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "curation_pii_scrub": (_docs(curation.pii_scrub), curation.PII_SCRUB_SQL),
     "curation_repetition": (_docs(curation.repetition_stats), curation.REPETITION_SQL),
+    # exact + near-dup (minhash) discipline: the near half is what makes
+    # the row non-vacuous — the sf fixtures plant near-identical docs
+    # across sources but no byte-identical ones
     "curation_source_overlap": (
-        _docs(curation.source_overlap),
-        curation.SOURCE_OVERLAP_SQL,
+        lambda spark, sf: curation.source_overlap(
+            load_table(spark, sf, "documents"),
+            pairs=_mined_pairs("minhash", spark, sf),
+        ),
+        curation._source_overlap_sql(dedup.MINHASH_LSH_SQL),
     ),
     # capstone: the full curation decision (quality x language x exact
     # dedup x decontamination x benchmark holdout) per document

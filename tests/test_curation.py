@@ -161,3 +161,33 @@ def test_source_overlap_counts_planted_cross_source_dups(spark):
         ("crawl_a", "crawl_c"): 1,
         ("crawl_b", "crawl_c"): 1,
     }
+
+
+def test_source_overlap_near_dup_pairs(spark):
+    """With a mined pair set, cross-source near-dup pairs are counted in
+    n_near_dup_pairs; same-source pairs are excluded; (source_a,
+    source_b) ordering is normalized; exact and near rows full-outer
+    merge with zero fills."""
+    df = _docs(
+        spark,
+        [
+            (1, "alpha text", "en", "crawl_a"),
+            (2, "alpha text v2", "en", "crawl_b"),
+            (3, "beta text", "en", "crawl_b"),
+            (4, "beta text v2", "en", "crawl_b"),  # same-source pair
+            (5, "exact twin", "en", "crawl_a"),
+            (6, "exact twin", "en", "crawl_c"),
+        ],
+    )
+    # planted miner output (what simhash/minhash would emit)
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], ["doc_a", "doc_b"]
+    )
+    got = {
+        (r.source_a, r.source_b): (r.n_shared_texts, r.n_near_dup_pairs)
+        for r in curation.source_overlap(df, pairs=pairs).collect()
+    }
+    assert got == {
+        ("crawl_a", "crawl_b"): (0, 1),  # near-only row, zero-filled exact
+        ("crawl_a", "crawl_c"): (1, 0),  # exact-only row, zero-filled near
+    }
