@@ -85,6 +85,69 @@ ORDER BY bar_start, event_type
 """
 
 
+def rollup_bars(bars: DataFrame, bucket: str = "1 day") -> DataFrame:
+    """Roll finer OHLC bars up into coarser ones (hour -> day) — the
+    hypertable/continuous-aggregate pattern: the coarse bar is computed
+    FROM the fine bars, never from raw events.
+
+    Correct because every OHLC component is associative: open/close =
+    first/last over bar_start (fine bars are unique per (bucket, type),
+    so the ordering is total), high/low = max/min, volume/total = sums.
+    At 100 TB this is the difference between scanning a day of raw ticks
+    and scanning 24 pre-aggregated rows per key — the fine-bar table is
+    ~4 orders of magnitude smaller than its source, and the rollup
+    re-runs the identical one-shuffle plan on it.
+
+    Money columns round-trip through exact cents (`cents(dollars(x)) ==
+    x` for 2-decimal values), so composing rollups loses nothing.
+    """
+    ts = F.to_timestamp("bar_start")
+    first_struct = F.min(F.struct(ts.alias("t"), cents("open").alias("v")))
+    last_struct = F.max(F.struct(ts.alias("t"), cents("close").alias("v")))
+    return (
+        bars.groupBy(
+            F.window(ts, bucket).start.alias("bar_start"), "event_type"
+        )
+        .agg(
+            dollars(first_struct.getField("v")).alias("open"),
+            dollars(F.max(cents("high"))).alias("high"),
+            dollars(F.min(cents("low"))).alias("low"),
+            dollars(last_struct.getField("v")).alias("close"),
+            F.sum("volume").alias("volume"),
+            dollars(F.sum(cents("total_value"))).alias("total_value"),
+        )
+        .select(
+            F.date_format("bar_start", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "total_value",
+        )
+        .orderBy("bar_start", "event_type")
+    )
+
+
+# oracle computes the DAILY bars straight from raw events — hash-equality
+# against rollup_bars(ohlc_bars(events)) is a proof that the hour->day
+# composition is exact, not just plausible
+OHLC_DAILY_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS bar_start,
+       event_type,
+       first(CAST(ROUND(value * 100) AS BIGINT) ORDER BY ts, event_id) / 100.0 AS open,
+       MAX(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS high,
+       MIN(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS low,
+       last(CAST(ROUND(value * 100) AS BIGINT) ORDER BY ts, event_id) / 100.0 AS close,
+       COUNT(*) AS volume,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY bar_start, event_type
+"""
+
+
 # funnel stages, in order; a user is at stage k if they completed
 # stages 1..k in timestamp order (each stage strictly after the previous
 # one was first reached)

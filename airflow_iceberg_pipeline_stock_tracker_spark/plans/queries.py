@@ -507,6 +507,15 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
         lambda spark, sf: analytics.ohlc_bars(load_table(spark, sf, "events")),
         analytics.OHLC_BARS_SQL,
     ),
+    # daily bars composed FROM hourly bars (continuous-aggregate rollup);
+    # the oracle computes daily straight from events, so hash equality
+    # proves the composition exact
+    "events_ohlc_daily": (
+        lambda spark, sf: analytics.rollup_bars(
+            analytics.ohlc_bars(load_table(spark, sf, "events"))
+        ),
+        analytics.OHLC_DAILY_SQL,
+    ),
     "events_funnel": (
         lambda spark, sf: analytics.funnel(load_table(spark, sf, "events")),
         analytics.FUNNEL_SQL,

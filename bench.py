@@ -69,6 +69,7 @@ HEADLINE = [
     # --- added after round 2 (keep appending; HEADLINE[:47] is the r2 set) ---
     "events_asof_join",
     "events_ohlc_bars",
+    "events_ohlc_daily",
     "events_funnel",
     "events_retention",
 ]

@@ -53,6 +53,18 @@ def test_funnel_requires_stage_order(spark):
     assert out[3].signup_ts is None
 
 
+def test_rollup_composition_equals_direct_daily(spark, sf_dir):
+    """rollup_bars(hourly) must equal ohlc_bars(events, '1 day') row for
+    row — the associativity claim behind the continuous-aggregate
+    pattern, checked on the real fixture."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = analytics.ohlc_bars(ev, "1 day").collect()
+    composed = analytics.rollup_bars(analytics.ohlc_bars(ev, "1 hour")).collect()
+    assert [tuple(r) for r in direct] == [tuple(r) for r in composed]
+
+
 def test_retention_offsets(spark):
     # user 1 first seen day 0, active again day 15 (week offset 2);
     # user 2 joins day 7 (cohort week 1), never returns
