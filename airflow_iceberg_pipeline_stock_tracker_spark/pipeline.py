@@ -74,10 +74,29 @@ def _insert(df: DataFrame, name: str, overwrite: bool) -> None:
     overwrite touches only the partitions present in ``df`` — the
     reference's DELETE+INSERT pair as one atomic commit.
     """
-    target_cols = df.sparkSession.table(name).columns
-    df.select(*target_cols).write.mode("overwrite" if overwrite else "append").insertInto(
-        name, overwrite=overwrite
-    )
+    spark = df.sparkSession
+    target_cols = spark.table(name).columns
+    # The overwrite path is only partition-scoped under dynamic
+    # partition-overwrite mode. session.get_spark sets it globally, but
+    # the pipeline must be correct under ANY caller's session (the
+    # external correctness driver supplies its own): under the default
+    # "static" mode an INSERT OVERWRITE would truncate the whole table.
+    # Save/set/restore around the write, same pattern as streaming's
+    # _drain uses for shuffle.partitions.
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, None)
+    if overwrite:
+        spark.conf.set(conf_key, "dynamic")
+    try:
+        df.select(*target_cols).write.mode(
+            "overwrite" if overwrite else "append"
+        ).insertInto(name, overwrite=overwrite)
+    finally:
+        if overwrite:
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
 
 
 def create_schema(spark: SparkSession, db: str = DEFAULT_DB) -> None:

@@ -291,22 +291,39 @@ def pipeline_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         side: spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}").drop("updated_at")
         for side, db in dbs.items()
     }
+    only = {
+        "batch": cum["batch"].exceptAll(cum["stream"]),
+        "stream": cum["stream"].exceptAll(cum["batch"]),
+    }
+
+    # Self-diagnosing: on divergence, name the (ticker, date) keys unique
+    # to each side so a red driver row localizes itself instead of just
+    # reporting a hash mismatch. Empty string on parity (the oracle row).
+    def _keys(df: DataFrame) -> str:
+        rows = df.select("ticker", "date").distinct().limit(20).collect()
+        return ",".join(sorted(f"{r['ticker']}|{r['date']}" for r in rows))
+
     return spark.createDataFrame(
         [
             (
-                cum["batch"].exceptAll(cum["stream"]).count(),
-                cum["stream"].exceptAll(cum["batch"]).count(),
+                only["batch"].count(),
+                only["stream"].count(),
                 cum["batch"].count(),
+                _keys(only["batch"]),
+                _keys(only["stream"]),
             )
         ],
-        "n_only_batch bigint, n_only_stream bigint, n_rows bigint",
+        "n_only_batch bigint, n_only_stream bigint, n_rows bigint, "
+        "keys_only_batch string, keys_only_stream string",
     )
 
 
 PIPELINE_PARITY_SQL = """
 SELECT CAST(0 AS BIGINT) AS n_only_batch,
        CAST(0 AS BIGINT) AS n_only_stream,
-       CAST(15 AS BIGINT) AS n_rows
+       CAST(15 AS BIGINT) AS n_rows,
+       '' AS keys_only_batch,
+       '' AS keys_only_stream
 """
 
 

@@ -21,13 +21,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _read(spark, sf_dir, name)
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long (runtime-settable legacy conf)
-        # and floor to microsecond precision. The session is pinned to UTC
-        # so the rendered wall-clock matches the tz-naive source exactly.
-        # integer `div`, not `/`: long->double would lose precision above
-        # 2^53 (epoch-nanos is ~1.7e18)
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        # The ts column's physical type has drifted across testdata
+        # generations: TIMESTAMP(NANOS) (surfaced as bigint under the
+        # nanosAsLong legacy conf) vs plain timestamp[us]. Branch on what
+        # the scan actually produced instead of assuming either one.
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":
+            # integer `div`, not `/`: long->double would lose precision
+            # above 2^53 (epoch-nanos is ~1.7e18)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        else:
+            # timestamp[us] arrives as TIMESTAMP_NTZ; the session is pinned
+            # to UTC, so casting to TIMESTAMP preserves the wall-clock and
+            # keeps downstream window/watermark code on one type.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -85,6 +85,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
+    # Fail fast on silent testdata regeneration (the r3 round-killer):
+    # pyarrow footer check only, names the drifted column on failure.
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.schema_probe import (
+        check_sf_dir,
+    )
+
+    check_sf_dir(sf_dir)
+
     from airflow_iceberg_pipeline_stock_tracker_spark.session import get_spark
     import __spark_entry__ as entrymod
 

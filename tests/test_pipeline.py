@@ -110,3 +110,57 @@ def test_schema_evolution_add_column(spark, db):
     evolved = spark.table(prod).where("date = DATE '2024-01-03'").collect()
     assert len(evolved) == 5
     assert all(r.source_feed == "polygon" for r in evolved)
+
+
+def test_insert_overwrite_partition_scoped_without_session_conf(spark, db):
+    """The external correctness driver supplies its own session WITHOUT
+    partitionOverwriteMode=dynamic (Spark's default is static). Under
+    static mode, an INSERT OVERWRITE would truncate the WHOLE table —
+    the r3 pipeline_micro_batch_parity HASHFAIL. pipeline._insert must
+    save/set/restore the conf itself so a re-run of one day never
+    deletes other days' partitions, under any caller's session."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        pipeline.backfill(spark, "2024-01-01", "2024-01-02", db=db)
+        prod = spark.table(f"{db}.{pipeline.PROD_TABLE}")
+        assert prod.count() == 10
+        # idempotent re-run of day 1 only; day 2 must survive
+        pipeline.run_for_date(spark, "2024-01-01", db=db)
+        dates = {r.date.isoformat() for r in prod.select("date").distinct().collect()}
+        assert dates == {"2024-01-01", "2024-01-02"}
+        assert prod.count() == 10
+        # conf restored to what the caller had
+        assert spark.conf.get(key) == "static"
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
+def test_micro_batch_parity_twice_same_session(spark, sf_dir):
+    """The r3 driver sweep ran parity inside a long-lived session with
+    driver-owned confs; run it twice in ONE session, with the conf the
+    driver effectively has (static overwrite mode), and require the
+    oracle row both times."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.streaming_queries import (
+        pipeline_micro_batch_parity,
+    )
+
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "static")
+    try:
+        for _ in range(2):
+            row = pipeline_micro_batch_parity(spark, sf_dir).collect()[0]
+            assert (row.n_only_batch, row.n_only_stream, row.n_rows) == (0, 0, 15), (
+                row.keys_only_batch,
+                row.keys_only_stream,
+            )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
