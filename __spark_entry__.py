@@ -135,6 +135,7 @@ SWEEP_ORDER = [
     "streaming_rolling_stateful",
     "streaming_event_dedup",
     "streaming_exact_dedup",
+    "events_micro_batch_parity",
     # relational / TPC-H-ish
     "q1_pricing_summary",
     "q3_top_orders",
@@ -181,7 +182,7 @@ SWEEP_ORDER = [
     "multimodal_audio_chunks",
     # ---- 50-row budget boundary (everything below is registered and
     # ---- oracle-paired but not driver-checked; see block comment) ----
-    "events_ohlc_bars",
+    "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",
     "curation_corpus_verdict",

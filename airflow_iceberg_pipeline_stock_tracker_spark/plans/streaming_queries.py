@@ -327,6 +327,55 @@ SELECT CAST(0 AS BIGINT) AS n_only_batch,
 """
 
 
+def events_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch/stream parity on the EVENTS domain: the same operator code
+    (windows.hourly_tumbling) applied to the batch events table and
+    drained from the file-source stream must produce identical rows.
+
+    Together with pipeline_micro_batch_parity this proves the parity
+    contract on both domains the engine serves: the stock pipeline
+    (foreachBatch into managed tables) and events analytics (watermarked
+    windowed aggregation into a sink). The oracle pins zero divergence
+    and derives the expected group count from the events table itself,
+    so it holds at every scale factor.
+    """
+    batch = windows.hourly_tumbling(load_table(spark, sf_dir, "events"))
+    stream = _drain(windows.hourly_tumbling(_events_stream(spark, sf_dir)))
+    only = {
+        "batch": batch.exceptAll(stream),
+        "stream": stream.exceptAll(batch),
+    }
+
+    def _keys(df: DataFrame) -> str:
+        rows = df.select("hour", "event_type").distinct().limit(20).collect()
+        return ",".join(sorted(f"{r['hour']}|{r['event_type']}" for r in rows))
+
+    return spark.createDataFrame(
+        [
+            (
+                only["batch"].count(),
+                only["stream"].count(),
+                batch.count(),
+                _keys(only["batch"]),
+                _keys(only["stream"]),
+            )
+        ],
+        "n_only_batch bigint, n_only_stream bigint, n_rows bigint, "
+        "keys_only_batch string, keys_only_stream string",
+    )
+
+
+EVENTS_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_only_batch,
+       CAST(0 AS BIGINT) AS n_only_stream,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT date_trunc('hour', ts), event_type FROM events
+       )) AS n_rows,
+       '' AS keys_only_batch,
+       '' AS keys_only_stream
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_hourly_tumbling": (streaming_hourly_tumbling, STREAMING_HOURLY_SQL),
     "streaming_sliding_value": (streaming_sliding, STREAMING_SLIDING_SQL),
@@ -335,4 +384,5 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_event_dedup": (streaming_event_dedup, STREAMING_EVENT_DEDUP_SQL),
     "streaming_exact_dedup": (streaming_exact_dedup, STREAMING_EXACT_DEDUP_SQL),
     "pipeline_micro_batch_parity": (pipeline_micro_batch_parity, PIPELINE_PARITY_SQL),
+    "events_micro_batch_parity": (events_micro_batch_parity, EVENTS_PARITY_SQL),
 }

@@ -92,6 +92,17 @@ def get_spark(
                 "spark.sql.catalog.local.warehouse",
                 warehouse_dir or "spark-warehouse/iceberg",
             )
+            # Wrap the session catalog too, so the pipeline's unqualified
+            # `CREATE TABLE db.t ... USING iceberg` DDL (pipeline._fmt)
+            # resolves to Iceberg tables without renaming every db —
+            # a bare side catalog alone would leave the reference's
+            # actual table format (dag.py:145) unreachable from the
+            # pipeline's own statements.
+            .config(
+                "spark.sql.catalog.spark_catalog",
+                "org.apache.iceberg.spark.SparkSessionCatalog",
+            )
+            .config("spark.sql.catalog.spark_catalog.type", "hadoop")
         )
 
     for k, v in (extra_conf or {}).items():
