@@ -189,6 +189,10 @@ SWEEP_ORDER = [
     "multimodal_decode_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    # round-4 additions: selfcheck- and pytest-verified; promote into the
+    # first 50 next time a checked row becomes redundant
+    "events_range_join",
+    "events_sketch_accuracy",
 ]
 
 

@@ -1,0 +1,81 @@
+"""Sketch aggregates with verified error bounds.
+
+At 100 TB, exact COUNT(DISTINCT) and exact percentiles are shuffle-heavy
+(distinct forces a full re-shuffle of every key; exact percentile
+materializes sorted runs), while HyperLogLog and quantile sketches are
+single-pass, map-side-combinable, O(1)-state aggregates — the only
+viable shape for interactive cardinality/quantile work at that scale.
+The reference never aggregates beyond COUNT(*) (dags/dag.py:202-277);
+this adds the sketch tier a real analytics user needs.
+
+Oracle design: cross-engine sketches can never hash-match (different
+algorithms, seeds, merge orders), so the CONTRACT is the surfaced
+result: each sketch value is compared in-plan against its exact twin
+and emitted as a within-bound boolean, alongside the exact integer
+aggregates. The DuckDB oracle computes the exact columns and pins the
+booleans TRUE — so a driver hash-match proves both the exact math and
+that every sketch landed inside its advertised error bound on this
+data. No float crosses the engine boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["sketch_accuracy"]
+
+# advertised bounds, deliberately looser than the configured sketch
+# parameters (rsd=0.01, accuracy=10000) so the check verifies the
+# guarantee, not the noise floor
+DISTINCT_REL_ERR = 0.05
+QUANTILE_REL_ERR = 0.05
+
+
+def sketch_accuracy(events: DataFrame) -> DataFrame:
+    """Per event_type: exact counts plus sketch-vs-exact bound checks.
+
+    One aggregation pass computes COUNT(*), exact COUNT(DISTINCT),
+    approx_count_distinct (HLL++), exact percentile, and
+    percentile_approx (a Greenwald-Khanna-style mergeable sketch) —
+    Catalyst plans the distinct via expand, everything else partial —
+    then booleans compare sketch to exact in-plan.
+    """
+    val = F.col("value")
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users_exact"),
+        F.approx_count_distinct("user_id", rsd=0.01).alias("_users_hll"),
+        F.expr("percentile(value, 0.5)").alias("_p50_exact"),
+        F.percentile_approx(val, 0.5, 10000).alias("_p50_sketch"),
+        F.expr("percentile(value, 0.95)").alias("_p95_exact"),
+        F.percentile_approx(val, 0.95, 10000).alias("_p95_sketch"),
+    )
+
+    def _ok(sketch: str, exact: str, rel: float):
+        e = F.col(exact)
+        return F.abs(F.col(sketch) - e) <= F.greatest(
+            F.lit(rel) * F.abs(e), F.lit(1e-9)
+        )
+
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_users_exact",
+        _ok("_users_hll", "n_users_exact", DISTINCT_REL_ERR).alias("distinct_ok"),
+        _ok("_p50_sketch", "_p50_exact", QUANTILE_REL_ERR).alias("p50_ok"),
+        _ok("_p95_sketch", "_p95_exact", QUANTILE_REL_ERR).alias("p95_ok"),
+    ).orderBy("event_type")
+
+
+SKETCH_ACCURACY_SQL = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS distinct_ok,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""

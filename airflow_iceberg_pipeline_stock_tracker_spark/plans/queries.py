@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, dollars
-from ..operators import analytics
+from ..operators import analytics, rangejoin, sketches
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 
@@ -528,4 +528,17 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     ),
     "events_type_totals_salted": (events_type_totals_salted, EVENTS_TYPE_TOTALS_SQL),
     "order_priority_stats": (order_priority_stats, ORDER_PRIORITY_SQL),
+    # binned range join: the non-equi time-window join as a shuffled
+    # equi-join (operators/rangejoin.py); oracle is the naive BETWEEN join
+    "events_range_join": (
+        lambda spark, sf: rangejoin.error_followup_counts(
+            load_table(spark, sf, "events")
+        ),
+        rangejoin.ERROR_FOLLOWUP_SQL,
+    ),
+    # HLL + quantile sketches with their error bounds verified in-plan
+    "events_sketch_accuracy": (
+        lambda spark, sf: sketches.sketch_accuracy(load_table(spark, sf, "events")),
+        sketches.SKETCH_ACCURACY_SQL,
+    ),
 }

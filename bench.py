@@ -76,6 +76,8 @@ HEADLINE = [
     "streaming_sliding_value",
     "pipeline_micro_batch_parity",
     "events_micro_batch_parity",
+    "events_range_join",
+    "events_sketch_accuracy",
 ]
 
 # batch/stream diff-proofs: each runs two full pipelines and diffs them —

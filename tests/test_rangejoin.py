@@ -1,0 +1,88 @@
+"""Binned range join + sketch-accuracy operators (round-4 additions)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from airflow_iceberg_pipeline_stock_tracker_spark.operators import rangejoin, sketches
+from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+
+def _naive(probe, intervals, keys):
+    """Reference implementation: plain non-equi join (the plan Spark
+    compiles to a nested-loop — correct, unusable at scale)."""
+    return probe.join(intervals, keys).where(
+        (F.col("ts") > F.col("lo")) & (F.col("ts") <= F.col("hi"))
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_binned_equals_naive(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.select("user_id", "ts", "event_id").limit(500)
+    intervals = (
+        ev.where("event_type = 'error'")
+        .select(
+            "user_id",
+            F.col("ts").alias("lo"),
+            (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+            F.col("event_id").alias("interval_id"),
+        )
+        .limit(100)
+    )
+    got = rangejoin.range_join_binned(probe, intervals, keys=["user_id"])
+    want = _naive(probe, intervals, ["user_id"])
+    assert _rows(got.select("event_id", "interval_id")) == _rows(
+        want.select("event_id", "interval_id")
+    )
+
+
+@pytest.mark.parametrize("bucket_seconds", [60, 600, 3600])
+def test_bucket_width_is_physical_only(spark, bucket_seconds):
+    """Any bucket width returns identical results — bucketing is a
+    physical rewrite, including intervals spanning many buckets and
+    boundary timestamps (lo exclusive, hi inclusive)."""
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    probe = spark.createDataFrame(
+        [(1, base + dt.timedelta(seconds=s), s) for s in (0, 1, 599, 600, 601, 7200)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    intervals = spark.createDataFrame(
+        [(1, base, base + dt.timedelta(seconds=600), 100)],
+        "user_id bigint, lo timestamp, hi timestamp, interval_id bigint",
+    )
+    got = rangejoin.range_join_binned(
+        probe, intervals, keys=["user_id"], bucket_seconds=bucket_seconds
+    )
+    # lo < ts <= hi: keeps 1, 599, 600; drops 0 (== lo), 601, 7200
+    assert sorted(r.event_id for r in got.collect()) == [1, 599, 600]
+
+
+def test_range_join_plan_has_no_nested_loop(spark, sf_dir):
+    """The point of binning: the physical plan must be a shuffled/broadcast
+    HASH or sort-merge equi-join, never BroadcastNestedLoopJoin or
+    CartesianProduct (what a raw BETWEEN join compiles to)."""
+    ev = load_table(spark, sf_dir, "events")
+    plan = (
+        rangejoin.error_followup_counts(ev)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sketch_accuracy_all_bounds_hold(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    rows = sketches.sketch_accuracy(ev).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.distinct_ok and r.p50_ok and r.p95_ok, r
+        assert r.n_events >= r.n_users_exact > 0
