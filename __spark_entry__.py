@@ -193,6 +193,7 @@ SWEEP_ORDER = [
     # first 50 next time a checked row becomes redundant
     "events_range_join",
     "events_sketch_accuracy",
+    "streaming_interval_join",
 ]
 
 

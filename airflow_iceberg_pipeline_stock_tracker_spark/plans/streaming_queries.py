@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from ..sources.prices import PRICES_ORACLE_SQL
 from ..sources.tables import load_table
 from ..streaming import dedup as sdedup
+from ..streaming import joins as sjoins
 from ..streaming import stateful, windows
 
 
@@ -327,6 +328,14 @@ SELECT CAST(0 AS BIGINT) AS n_only_batch,
 """
 
 
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (errors x follow-ups), append mode."""
+    return _drain(
+        sjoins.interval_join_error_followups(_events_stream(spark, sf_dir)),
+        mode="append",
+    )
+
+
 def events_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch/stream parity on the EVENTS domain: the same operator code
     (windows.hourly_tumbling) applied to the batch events table and
@@ -383,6 +392,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_rolling_stateful": (streaming_rolling_stateful, STREAMING_ROLLING_SQL),
     "streaming_event_dedup": (streaming_event_dedup, STREAMING_EVENT_DEDUP_SQL),
     "streaming_exact_dedup": (streaming_exact_dedup, STREAMING_EXACT_DEDUP_SQL),
+    "streaming_interval_join": (streaming_interval_join, sjoins.INTERVAL_JOIN_SQL),
     "pipeline_micro_batch_parity": (pipeline_micro_batch_parity, PIPELINE_PARITY_SQL),
     "events_micro_batch_parity": (events_micro_batch_parity, EVENTS_PARITY_SQL),
 }

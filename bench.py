@@ -78,6 +78,7 @@ HEADLINE = [
     "events_micro_batch_parity",
     "events_range_join",
     "events_sketch_accuracy",
+    "streaming_interval_join",
 ]
 
 # batch/stream diff-proofs: each runs two full pipelines and diffs them —

@@ -86,3 +86,30 @@ def test_sketch_accuracy_all_bounds_hold(spark, sf_dir):
     for r in rows:
         assert r.distinct_ok and r.p50_ok and r.p95_ok, r
         assert r.n_events >= r.n_users_exact > 0
+
+
+def test_streaming_interval_join_matches_batch_range_join(spark, sf_dir):
+    """The stream-stream interval join (watermark-bounded state) must
+    emit exactly the pairs the batch binned range join produces —
+    batch/stream parity for the non-equi join family."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.streaming_queries import (
+        streaming_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    probe = ev.select("user_id", "ts", F.col("event_id").alias("followup_id"))
+    intervals = ev.where("event_type = 'error'").select(
+        "user_id",
+        F.col("ts").alias("lo"),
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("hi"),
+        F.col("event_id").alias("error_id"),
+    )
+    batch_pairs = _rows(
+        rangejoin.range_join_binned(probe, intervals, keys=["user_id"]).select(
+            "error_id", "followup_id"
+        )
+    )
+    stream_pairs = _rows(
+        streaming_interval_join(spark, sf_dir).select("error_id", "followup_id")
+    )
+    assert stream_pairs == batch_pairs
