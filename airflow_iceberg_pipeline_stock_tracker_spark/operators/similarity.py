@@ -602,6 +602,9 @@ def embedding_kmeans(
     arithmetic is exact, the driver hash-checks the full iterative
     algorithm — not just one step.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = _quantized(load_table(spark, sf_dir, "embeddings"))
     emb = emb.persist()
     centroids = [
@@ -609,27 +612,54 @@ def embedding_kmeans(
         for r in emb.where(F.col("vec_id") < k).orderBy("vec_id").collect()
     ]
 
-    def assign(cents: list[tuple[int, list[int]]]) -> DataFrame:
-        cdf = F.broadcast(
-            spark.createDataFrame(
-                [(cid, c) for cid, c in cents], "cid int, c array<bigint>"
-            )
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-        return (
-            emb.crossJoin(cdf)
-            .withColumn("dist", _sq_dist(F.col("q"), F.col("c")))
-            .withColumn("rnk", F.row_number().over(w))
-            .where(F.col("rnk") == 1)
-            .select("vec_id", F.col("cid").alias("cluster"), "q")
-        )
+    # Assignment is wide fixed-size linear algebra — the same situation
+    # as the RP-LSH hyperplanes: one numpy int64 matmul per Arrow batch
+    # beats both the interpreted zip_with/aggregate lambda tree and the
+    # n*k crossJoin it rode on. All arithmetic stays EXACT int64
+    # (|q| <= 1e6, dim 64: dot products < 2^47, partial sums < 2^53),
+    # so the iterates remain bit-identical to the unrolled SQL oracle.
+    # argmin ties break to the FIRST minimum = lowest centroid id
+    # (centroid arrays are kept sorted by cid) — same rule as the oracle.
+    def _np_cents(cents):
+        cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+        cmat = np.array([c for _, c in cents], dtype=np.int64)
+        return cids, cmat, (cmat * cmat).sum(axis=1)
+
+    def _x(pdf: pd.DataFrame) -> np.ndarray:
+        return np.array(pdf["q"].tolist(), dtype=np.int64)
+
+    def _nearest(x, cmat, cnorm) -> np.ndarray:
+        # argmin_c |x-c|^2 = argmin_c (|c|^2 - 2 x.c); |x|^2 is constant
+        return (cnorm[None, :] - 2 * (x @ cmat.T)).argmin(axis=1)
 
     for _ in range(iters):
-        assigned = assign(centroids)
+        cids, cmat, cnorm = _np_cents(centroids)
+
+        # fused assign + per-batch partial centroid sums: ONE narrow pass
+        # over the cached vectors per round; the only shuffle is the tiny
+        # (k x dim)-keyed partial-sum combine
+        def partials(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = _x(pdf)
+                idx = _nearest(x, cmat, cnorm)
+                for j in np.unique(idx):
+                    sel = x[idx == j]
+                    s = sel.sum(axis=0)
+                    yield pd.DataFrame(
+                        {
+                            "cluster": int(cids[j]),
+                            "i": np.arange(len(s), dtype=np.int64),
+                            "s": s,
+                            "n": int(sel.shape[0]),
+                        }
+                    )
+
         upd = (
-            assigned.select("cluster", F.posexplode("q").alias("i", "v"))
+            emb.mapInPandas(partials, "cluster int, i bigint, s bigint, n bigint")
             .groupBy("cluster", "i")
-            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .select(
                 "cluster",
                 "i",
@@ -650,8 +680,22 @@ def embedding_kmeans(
             for cid, comps in sorted(by_cluster.items())
         ]
 
-    out = assign(centroids).select("vec_id", "cluster").orderBy("vec_id")
-    out = out.localCheckpoint(eager=True)
+    cids, cmat, cnorm = _np_cents(centroids)
+
+    def assign_final(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            idx = _nearest(_x(pdf), cmat, cnorm)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "cluster": cids[idx].astype("int32")}
+            )
+
+    out = (
+        emb.mapInPandas(assign_final, "vec_id bigint, cluster int")
+        .orderBy("vec_id")
+        .localCheckpoint(eager=True)
+    )
     emb.unpersist()
     return out
 
