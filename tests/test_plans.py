@@ -60,6 +60,37 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
 
 
+# Queries whose plans legitimately contain BroadcastNestedLoopJoin: the
+# nested loop's build side is a BROADCAST small relation by construction
+# (top-k probe sets, k-centroid codebooks), so the "loop" is k comparisons
+# per row — the distributed-scan side streams once. Anything NOT listed
+# here that grows a nested-loop join is a scale regression.
+_BROADCAST_NLJ_ALLOWED = frozenset(
+    {
+        "similarity_cosine_topk",  # broadcast query set (exact baseline)
+        "similarity_ivf_topk",  # broadcast centroids + nprobe cells
+    }
+)
+
+
+def test_llm_query_plans_have_no_unbounded_joins(spark, sf_dir):
+    """Sweep EVERY registered LLM query: no CartesianProduct ever, and
+    BroadcastNestedLoopJoin only where a broadcast-small build side makes
+    it O(n*k) by design (allowlisted above)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.llm_queries import (
+        LLM_QUERIES,
+        clear_result_caches,
+    )
+
+    clear_result_caches()
+    for name, (fn, _sql) in LLM_QUERIES.items():
+        plan = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        if name not in _BROADCAST_NLJ_ALLOWED:
+            assert "BroadcastNestedLoopJoin" not in plan, name
+    clear_result_caches()
+
+
 def test_salted_agg_null_keys_and_null_users(spark, tmp_path):
     """NULL semantics must match the GROUP BY oracle: a NULL event_type
     is a real group (GROUP BY keeps it; a plain equi-join between the
