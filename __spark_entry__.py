@@ -194,6 +194,8 @@ SWEEP_ORDER = [
     "events_range_join",
     "events_sketch_accuracy",
     "streaming_interval_join",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
 ]
 
 

@@ -168,6 +168,87 @@ ORDER BY revenue DESC, n_name
 
 
 # ---------------------------------------------------------------------------
+# Q6-style forecast revenue (pure scan-filter-agg: the pushdown showcase)
+# ---------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar revenue-change aggregate over a narrow predicate band.
+
+    The whole query is one scan: every predicate pushes to the parquet
+    reader, only 4 columns are decoded, the aggregate is partial +
+    final with a single 1-row exchange. At 100 TB this reads only the
+    row groups whose min/max stats intersect the bands.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dollars(
+                F.sum(cents(F.col("l_extendedprice") * F.col("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q6_SQL = """
+SELECT SUM(CAST(ROUND(l_extendedprice * l_discount * 100) AS BIGINT)) / 100.0
+           AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem
+WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14-style promo revenue share (conditional aggregate over a fact-dim join)
+# ---------------------------------------------------------------------------
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share per month: conditional sum over a broadcast
+    part join, exact integer cents for both numerator and denominator
+    (the ratio stays driver-side-free and hash-stable because both
+    columns are surfaced, not divided into an order-dependent float).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format(F.col("l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            dollars(F.sum(promo)).alias("promo_revenue"),
+            dollars(F.sum(rev)).alias("total_revenue"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+Q14_SQL = """
+SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+       SUM(CASE WHEN p_type LIKE 'PROMO%'
+                THEN CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                ELSE 0 END) / 100.0 AS promo_revenue,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) / 100.0
+           AS total_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
 # Top-k per group (ranking window)
 # ---------------------------------------------------------------------------
 
@@ -498,6 +579,8 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
     "q5_nation_revenue": (q5_nation_revenue, Q5_SQL),
+    "q6_forecast_revenue": (q6_forecast_revenue, Q6_SQL),
+    "q14_promo_revenue": (q14_promo_revenue, Q14_SQL),
     "topk_parts_per_brand": (topk_parts_per_brand, TOPK_SQL),
     "customer_order_activity": (customer_order_activity, ACTIVITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),

@@ -79,6 +79,8 @@ HEADLINE = [
     "events_range_join",
     "events_sketch_accuracy",
     "streaming_interval_join",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
 ]
 
 # batch/stream diff-proofs: each runs two full pipelines and diffs them —

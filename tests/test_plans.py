@@ -27,6 +27,21 @@ def test_q1_filter_pushed_to_scan(spark, sf_dir):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
 
 
+def test_q6_all_predicates_pushed_and_pruned(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    assert "PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount)" in plan
+    # 4-column projection must reach the reader
+    assert (
+        "ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+        "l_discount:double,l_shipdate:timestamp" in plan
+    )
+
+
+def test_q14_part_join_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q14_promo_revenue")
+    assert "BroadcastHashJoin" in plan
+
+
 def test_q5_dimension_joins_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q5_nation_revenue")
     assert plan.count("BroadcastHashJoin") >= 3  # supp/nation/region at least
