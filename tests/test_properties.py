@@ -1,0 +1,97 @@
+"""Property-based tests (hypothesis) for the custom join operators.
+
+The example-based tests pin known edge cases; these throw randomized
+small worlds at the operators and check them against brute-force
+reference implementations — the class of bug they catch (boundary
+conditions under adversarial timestamp collisions, key skew, empty
+sides) is exactly what fixed fixtures miss.
+
+Small deterministic profiles (max 40 rows, no deadline) because each
+case pays Spark job overhead; the value is in the search space, not the
+row count.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from airflow_iceberg_pipeline_stock_tracker_spark.operators import rangejoin
+from airflow_iceberg_pipeline_stock_tracker_spark.operators.asof import asof_join
+
+_BASE = dt.datetime(2024, 1, 1)
+
+_prop_settings = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+# (user_id, seconds-offset) event rows; tight offset range forces
+# boundary collisions (ts == lo, ts == hi, duplicate timestamps)
+_events = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 120)),
+    min_size=0,
+    max_size=40,
+)
+
+
+def _ts(sec: int) -> dt.datetime:
+    return _BASE + dt.timedelta(seconds=sec)
+
+
+@given(probe=_events, ivals=_events)
+@_prop_settings
+def test_range_join_matches_bruteforce(spark, probe, ivals):
+    width = 30
+    probe_df = spark.createDataFrame(
+        [(u, _ts(s), i) for i, (u, s) in enumerate(probe)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    ival_df = spark.createDataFrame(
+        [(u, _ts(s), _ts(s + width), 1000 + i) for i, (u, s) in enumerate(ivals)],
+        "user_id bigint, lo timestamp, hi timestamp, interval_id bigint",
+    )
+    got = sorted(
+        (r.event_id, r.interval_id)
+        for r in rangejoin.range_join_binned(
+            probe_df, ival_df, keys=["user_id"], bucket_seconds=17
+        ).collect()
+    )
+    want = sorted(
+        (pi, 1000 + ii)
+        for pi, (pu, ps) in enumerate(probe)
+        for ii, (iu, isec) in enumerate(ivals)
+        if pu == iu and isec < ps <= isec + width
+    )
+    assert got == want
+
+
+@given(left=_events, right=_events)
+@_prop_settings
+def test_asof_join_matches_bruteforce(spark, left, right):
+    """For every left row: the joined quote is the one with the LATEST
+    right_time <= left time for that key (ties on time allowed — the
+    operator may pick any of the tied payloads, so compare times)."""
+    left_df = spark.createDataFrame(
+        [(u, _ts(s), i) for i, (u, s) in enumerate(left)],
+        "user_id bigint, ts timestamp, event_id bigint",
+    )
+    right_df = spark.createDataFrame(
+        [(u, _ts(s), float(i)) for i, (u, s) in enumerate(right)],
+        "user_id bigint, quote_ts timestamp, quote double",
+    )
+    got = {
+        r.event_id: r.quote_ts
+        for r in asof_join(
+            left_df, right_df, on="user_id", left_time="ts", right_time="quote_ts"
+        ).collect()
+    }
+    for i, (u, s) in enumerate(left):
+        candidates = [rs for (ru, rs) in right if ru == u and rs <= s]
+        want = _ts(max(candidates)) if candidates else None
+        assert got[i] == want, (i, u, s)
+    assert len(got) == len(left)  # every left row survives (left-join flavor)
