@@ -194,6 +194,7 @@ SWEEP_ORDER = [
     "events_range_join",
     "events_sketch_accuracy",
     "streaming_interval_join",
+    "streaming_chained_hourly",
     "q6_forecast_revenue",
     "q14_promo_revenue",
 ]

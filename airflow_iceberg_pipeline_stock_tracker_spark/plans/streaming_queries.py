@@ -330,8 +330,21 @@ SELECT CAST(0 AS BIGINT) AS n_only_batch,
 
 def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream interval join (errors x follow-ups), append mode."""
-    return _drain(
+    drained = _drain(
         sjoins.interval_join_error_followups(_events_stream(spark, sf_dir)),
+        mode="append",
+    )
+    # render the event-time column for the canonicalizer (oracle emits
+    # the same microsecond string via strftime)
+    return drained.withColumn(
+        "err_ts", F.date_format("err_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+
+
+def streaming_chained_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chained stateful: interval join -> windowed agg in ONE query."""
+    return _drain(
+        sjoins.error_followup_hourly(_events_stream(spark, sf_dir)),
         mode="append",
     )
 
@@ -393,6 +406,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_event_dedup": (streaming_event_dedup, STREAMING_EVENT_DEDUP_SQL),
     "streaming_exact_dedup": (streaming_exact_dedup, STREAMING_EXACT_DEDUP_SQL),
     "streaming_interval_join": (streaming_interval_join, sjoins.INTERVAL_JOIN_SQL),
+    "streaming_chained_hourly": (streaming_chained_hourly, sjoins.CHAINED_HOURLY_SQL),
     "pipeline_micro_batch_parity": (pipeline_micro_batch_parity, PIPELINE_PARITY_SQL),
     "events_micro_batch_parity": (events_micro_batch_parity, EVENTS_PARITY_SQL),
 }

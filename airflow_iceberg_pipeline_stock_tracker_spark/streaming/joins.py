@@ -70,7 +70,48 @@ def interval_join_error_followups(
             "error_id",
             "user_id",
             "followup_id",
+            # err_ts retained (still watermarked) so a downstream windowed
+            # aggregation can chain onto the join — see error_followup_hourly
+            "err_ts",
             (F.round(F.col("value") * 100)).cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+def error_followup_hourly(
+    events: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """CHAINED stateful operators: stream-stream interval join feeding a
+    windowed aggregation, both in one continuous append-mode query —
+    hourly (pair count, exact-cents value) of error follow-ups.
+
+    Emission semantics (pinned empirically, see tests):
+      * with multiple watermarked inputs the global watermark is the MIN
+        across them — here max(err_ts) - delay, since errors are a
+        subset of events — floored to MILLISECONDS;
+      * the join DELAYS its output watermark by the join condition's
+        event-time range (the 10-minute interval): a joined row's
+        err_ts can be up to 10 minutes older than the follow-up that
+        completed it, so downstream state can only finalize up to
+        wm_in - 10min;
+      * the downstream window then emits only when
+        `window.end < wm_in - 10min` STRICTLY.
+    The batch oracle applies the identical cut, so the drained result
+    is exactly reproducible in SQL.
+    """
+    pairs = interval_join_error_followups(events, window_minutes, watermark)
+    return (
+        pairs.groupBy(F.window("err_ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("value_cents").alias("followup_cents"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "n_pairs",
+            "followup_cents",
         )
     )
 
@@ -80,6 +121,7 @@ INTERVAL_JOIN_SQL = """
 SELECT e.event_id AS error_id,
        e.user_id,
        f.event_id AS followup_id,
+       strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
        CAST(ROUND(f.value * 100) AS BIGINT) AS value_cents
 FROM events e
 JOIN events f
@@ -87,4 +129,32 @@ JOIN events f
  AND f.ts > e.ts
  AND f.ts <= e.ts + INTERVAL 10 MINUTE
 WHERE e.event_type = 'error'
+"""
+
+
+# chained-stateful oracle: cut = min input watermark (max error ts,
+# floored to Spark's millisecond watermark granularity, minus the 1h
+# delay) further delayed by the join's 10-minute event-time range;
+# emission strictly below it — every term pinned by tests and mirrored
+# here exactly
+CHAINED_HOURLY_SQL = """
+WITH pairs AS (
+  SELECT date_trunc('hour', e.ts) AS ws,
+         CAST(ROUND(f.value * 100) AS BIGINT) AS c
+  FROM events e
+  JOIN events f
+    ON f.user_id = e.user_id
+   AND f.ts > e.ts
+   AND f.ts <= e.ts + INTERVAL 10 MINUTE
+  WHERE e.event_type = 'error'
+)
+SELECT strftime(ws, '%Y-%m-%d %H:00:00') AS hour,
+       COUNT(*) AS n_pairs,
+       SUM(c) AS followup_cents
+FROM pairs
+WHERE ws + INTERVAL 1 HOUR
+      < (SELECT date_trunc('milliseconds', max(ts))
+                - INTERVAL 1 HOUR - INTERVAL 10 MINUTE
+         FROM events WHERE event_type = 'error')
+GROUP BY ws
 """

@@ -113,3 +113,62 @@ def test_streaming_interval_join_matches_batch_range_join(spark, sf_dir):
         streaming_interval_join(spark, sf_dir).select("error_id", "followup_id")
     )
     assert stream_pairs == batch_pairs
+
+
+def test_chained_stateful_emission_semantics(spark):
+    """Pin the two facts the chained-hourly oracle depends on:
+    (1) the global watermark is the MIN across watermarked inputs
+    (here max error ts - delay), and (2) an append-mode window emits
+    only when window.end < watermark STRICTLY — a window whose end
+    equals the watermark stays in state."""
+    import datetime as dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.streaming_queries import (
+        _drain,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import joins as sj
+
+    base = dt.datetime(2024, 1, 1)
+
+    def drained(rows):
+        ev = spark.createDataFrame(
+            rows,
+            "event_id bigint, user_id bigint, ts timestamp, "
+            "event_type string, value double, props string",
+        )
+        import tempfile
+
+        path = tempfile.mkdtemp(prefix="chainsem_")
+        ev.write.mode("overwrite").parquet(path)
+        stream = spark.readStream.schema(ev.schema).parquet(path)
+        return _drain(sj.error_followup_hourly(stream), mode="append").collect()
+
+    pair = [
+        (1, 1, base + dt.timedelta(minutes=10), "error", 1.0, ""),
+        (2, 1, base + dt.timedelta(minutes=15), "click", 2.0, ""),
+    ]
+    # pair window is [00:00, 01:00). Downstream finalization threshold =
+    # floor_ms(max err_ts) - 1h delay - 10min join event-time range.
+    # At exactly 02:10:00 the threshold EQUALS the window end -> strict
+    # comparison holds it back; 1ms past emits; 1us does not (Spark
+    # floors event-time watermarks to milliseconds).
+    at_boundary = base + dt.timedelta(hours=2, minutes=10)
+    assert drained(pair + [(3, 2, at_boundary, "error", 3.0, "")]) == []
+    assert (
+        drained(pair + [(3, 2, at_boundary + dt.timedelta(microseconds=1),
+                         "error", 3.0, "")])
+        == []
+    )
+    out = drained(
+        pair + [(3, 2, at_boundary + dt.timedelta(milliseconds=1), "error", 3.0, "")]
+    )
+    assert [(r.hour, r.n_pairs, r.followup_cents) for r in out] == [
+        ("2024-01-01 00:00:00", 1, 200)
+    ]
+    # a later CLICK alone must NOT advance the governing watermark (min
+    # across inputs; errors' max still at the boundary) => still nothing
+    assert (
+        drained(pair + [(3, 2, at_boundary, "error", 3.0, ""),
+                        (4, 2, base + dt.timedelta(hours=9), "click", 4.0, "")])
+        == []
+    )
