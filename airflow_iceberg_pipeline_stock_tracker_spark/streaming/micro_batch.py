@@ -74,9 +74,20 @@ def process_bars_batch(
         batch.unpersist()
 
 
-def stream_bars(spark: SparkSession, bars_dir: str) -> DataFrame:
-    """Parquet file source of staged bar rows (the stream's landing zone)."""
-    return spark.readStream.schema(STOCK_PRICE_SCHEMA).parquet(bars_dir)
+def stream_bars(
+    spark: SparkSession, bars_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Parquet file source of staged bar rows (the stream's landing zone).
+
+    ``max_files_per_trigger`` bounds micro-batch size — the production
+    backpressure knob: without it a backlog (or the first AvailableNow
+    drain over months of files) lands as ONE giant batch sized by the
+    backlog, not by the cluster.
+    """
+    reader = spark.readStream.schema(STOCK_PRICE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(bars_dir)
 
 
 def run_pipeline_stream(
@@ -86,16 +97,22 @@ def run_pipeline_stream(
     db: str = pipeline.DEFAULT_DB,
     tickers: list[str] | None = None,
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """Start the streaming pipeline; AvailableNow drains-and-stops.
 
     The checkpoint directory carries source offsets across restarts, so
     re-running after a crash reprocesses only unseen files; combined
     with idempotent partition overwrites this is end-to-end
-    exactly-once into the prod/cumulative tables.
+    exactly-once into the prod/cumulative tables. AvailableNow honors
+    ``max_files_per_trigger``, so a bounded backlog drains as a SEQUENCE
+    of micro-batches — each batch's days still processed ascending, and
+    days split across batches still compose because every batch reads
+    the already-promoted history (depends_on_past across batches, not
+    just within one).
     """
     q = (
-        stream_bars(spark, bars_dir)
+        stream_bars(spark, bars_dir, max_files_per_trigger)
         .writeStream.foreachBatch(
             lambda b, i: process_bars_batch(b, i, db=db, tickers=tickers)
         )

@@ -262,3 +262,61 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir, tmp_path):
     expected = dedup.exact_dedup(docs)
     assert got.count() == expected.count()
     assert got.exceptAll(expected.select(*got.columns)).count() == 0
+
+
+def test_micro_batch_multi_batch_drain_and_incremental_restart(
+    spark, tmp_path, stream_db
+):
+    """Exactly-once across BATCH BOUNDARIES and RESTARTS:
+    (1) maxFilesPerTrigger=1 forces each day's file into its own
+    micro-batch — the rolling cumulate must still compose across batches
+    (depends_on_past across batches, not just within one);
+    (2) restarting the stream over the same checkpoint after NEW files
+    arrive processes only the new days and extends the history."""
+    bars_dir, ckpt = str(tmp_path / "bars_mb"), str(tmp_path / "ckpt_mb")
+    client = DeterministicBarClient()
+    days1 = ["2024-02-01", "2024-02-02", "2024-02-03"]
+    for ds in days1:
+        bars_to_df(spark, fetch_bars(client, ds)).coalesce(1).write.mode(
+            "append"
+        ).parquet(bars_dir)
+
+    micro_batch.run_pipeline_stream(
+        spark, bars_dir, ckpt, db=stream_db, max_files_per_trigger=1
+    )
+    cum = spark.table(f"{stream_db}.{pipeline.CUMULATIVE_TABLE}")
+    sizes = {
+        r.date.isoformat(): r.n
+        for r in cum.groupBy("date")
+        .agg(F.max(F.size("last_7_days_close")).alias("n"))
+        .collect()
+    }
+    assert sizes == {"2024-02-01": 1, "2024-02-02": 2, "2024-02-03": 3}
+
+    # two more days land; same checkpoint -> only they are processed
+    for ds in ["2024-02-04", "2024-02-05"]:
+        bars_to_df(spark, fetch_bars(client, ds)).coalesce(1).write.mode(
+            "append"
+        ).parquet(bars_dir)
+    micro_batch.run_pipeline_stream(
+        spark, bars_dir, ckpt, db=stream_db, max_files_per_trigger=1
+    )
+    cum = spark.table(f"{stream_db}.{pipeline.CUMULATIVE_TABLE}")
+    sizes = {
+        r.date.isoformat(): r.n
+        for r in cum.groupBy("date")
+        .agg(F.max(F.size("last_7_days_close")).alias("n"))
+        .collect()
+    }
+    # frames keep growing across the restart: day 4 sees 4 rows of history
+    assert sizes == {
+        "2024-02-01": 1,
+        "2024-02-02": 2,
+        "2024-02-03": 3,
+        "2024-02-04": 4,
+        "2024-02-05": 5,
+    }
+    # exactly-once: prod has one row per (ticker, day), no dupes
+    prod = spark.table(f"{stream_db}.{pipeline.PROD_TABLE}")
+    assert prod.count() == 25
+    assert prod.groupBy("ticker", "date").count().where("count > 1").count() == 0
