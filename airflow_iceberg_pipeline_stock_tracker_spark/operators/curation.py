@@ -57,6 +57,7 @@ def contamination(
     bench_mod: int = BENCH_MOD,
     max_df: int = CONTAMINATION_MAX_DF,
     checkpoint: bool = True,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_grams, n_shared_grams, n_bench_docs, contaminated) for
     every TRAIN document (doc_id % bench_mod != 0) against the benchmark
@@ -72,11 +73,18 @@ def contamination(
     lower bounds when a gram is ultra-common in the benchmark.
     """
     bench_pred = (F.col("doc_id") % bench_mod) == 0
-    tr = _shingle_hashes(docs.where(~bench_pred)).persist()
-    tr.count()  # eager: both the sizes agg and the join read this
-    bn = _shingle_hashes(docs.where(bench_pred)).select(
-        F.col("doc_id").alias("bench_id"), "h"
-    )
+    owns_cache = shingles is None
+    if owns_cache:
+        # shingling is per-doc, so splitting before or after it is
+        # equivalent; when a caller supplies the session's shared full
+        # shingle relation (already materialized) we just filter it
+        tr = _shingle_hashes(docs.where(~bench_pred)).persist()
+        tr.count()  # eager: both the sizes agg and the join read this
+        bn_src = _shingle_hashes(docs.where(bench_pred))
+    else:
+        tr = shingles.where(~bench_pred)
+        bn_src = shingles.where(bench_pred)
+    bn = bn_src.select(F.col("doc_id").alias("bench_id"), "h")
     sizes = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
     bn_kept = (
         bn.withColumn("dfn", F.count(F.lit(1)).over(Window.partitionBy("h")))
@@ -109,7 +117,8 @@ def contamination(
         # cache is then released by the caller's session lifecycle)
         return out
     out = out.localCheckpoint(eager=True)
-    tr.unpersist()
+    if owns_cache:
+        tr.unpersist()
     return out
 
 

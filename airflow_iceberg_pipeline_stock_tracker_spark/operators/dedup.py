@@ -129,7 +129,9 @@ _SHINGLES_SQL = f"""
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, m0..m15): 16 portable minhashes per document.
 
     The permuted values are projected as plain columns BEFORE the
@@ -139,7 +141,7 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     the whole fused stage drops to interpreted execution — measured 23x
     slower at sf0.1 (158s -> 7s for the downstream bucket count).
     """
-    sh = _shingle_hashes(docs)
+    sh = shingles if shingles is not None else _shingle_hashes(docs)
     proj = sh.select(
         "doc_id",
         *[minhash_expr(j).alias(f"p{j}") for j in range(MINHASH_K)],
@@ -149,7 +151,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = 50) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame, max_bucket: int = 50, shingles: DataFrame | None = None
+) -> DataFrame:
     """Candidate near-dup pairs agreeing on >= 1 of 4 LSH bands.
 
     `max_bucket` drops degenerate buckets (e.g. a boilerplate band value
@@ -159,7 +163,7 @@ def minhash_lsh_pairs(docs: DataFrame, max_bucket: int = 50) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    sig = minhash_signatures(docs)
+    sig = minhash_signatures(docs, shingles)
     stack_args = ", ".join(
         f"{b}, concat_ws(',', m{b * LSH_ROWS}, m{b * LSH_ROWS + 1}, "
         f"m{b * LSH_ROWS + 2}, m{b * LSH_ROWS + 3})"
@@ -433,7 +437,10 @@ SIMHASH_SQL = _simhash_sql_core()
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.5, max_df: int = 100
+    docs: DataFrame,
+    threshold: float = 0.5,
+    max_df: int = 100,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Jaccard >= threshold over distinct word-3-gram sets.
 
@@ -454,11 +461,15 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    sh = _shingle_hashes(docs).persist()  # read 3x: sizes + both join sides
-    # eager materialize: without this the broadcast/build future re-runs
-    # the whole shingle plan instead of reading the cache (measured as a
-    # 600+ CPU-second straggler stage at sf0.1)
-    sh.count()
+    owns_cache = shingles is None
+    # read 3x (sizes + both join sides): materialize eagerly — without
+    # this the broadcast/build future re-runs the whole shingle plan
+    # instead of reading the cache (measured as a 600+ CPU-second
+    # straggler stage at sf0.1). A caller-supplied shared relation is
+    # already materialized (plans/llm_queries cache).
+    sh = _shingle_hashes(docs).persist() if owns_cache else shingles
+    if owns_cache:
+        sh.count()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     # posting-length guard via a window over the gram hash: one shuffle
     # shared with the self-join build, mirroring minhash's bucket_n
@@ -498,7 +509,8 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
     )
     pairs = pairs.localCheckpoint(eager=True)  # then release the shingle cache
-    sh.unpersist()
+    if owns_cache:
+        sh.unpersist()
     return pairs.orderBy("doc_a", "doc_b")
 
 

@@ -59,14 +59,32 @@ def _materialize(df: DataFrame) -> DataFrame:
     return df
 
 
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (doc_id, h) word-3-gram shingle relation over the full
+    corpus, memoized per (session, sf_dir): the tokenize+explode+hash
+    scan is the dominant cost of minhash mining, exact n-gram Jaccard,
+    AND benchmark decontamination — a production pipeline materializes
+    it once and fans out, so the engine does too."""
+    key = ("shingles", id(spark), sf_dir)
+    if key not in _PAIR_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        _PAIR_CACHE[key] = _materialize(dedup._shingle_hashes(docs))
+    return _PAIR_CACHE[key]
+
+
 def _mined_pairs(kind: str, spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (kind, id(spark), sf_dir)
     if key not in _PAIR_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        miner = dedup.simhash_pairs if kind == "simhash" else dedup.minhash_lsh_pairs
+        if kind == "simhash":
+            mined = dedup.simhash_pairs(docs)
+        else:
+            mined = dedup.minhash_lsh_pairs(
+                docs, shingles=_shingles(spark, sf_dir)
+            )
         # eager checkpoint: the cache is only a saving if the mined pair
         # set is MATERIALIZED once — a lazy plan would re-mine per consumer
-        _PAIR_CACHE[key] = _materialize(miner(docs))
+        _PAIR_CACHE[key] = _materialize(mined)
     return _PAIR_CACHE[key]
 
 
@@ -78,7 +96,9 @@ def _contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("contamination", id(spark), sf_dir)
     if key not in _PAIR_CACHE:
         docs = load_table(spark, sf_dir, "documents")
-        _PAIR_CACHE[key] = _materialize(curation.contamination(docs))
+        _PAIR_CACHE[key] = _materialize(
+            curation.contamination(docs, shingles=_shingles(spark, sf_dir))
+        )
     return _PAIR_CACHE[key]
 
 
@@ -251,7 +271,10 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         dedup.SIMHASH_SQL,
     ),
     "dedup_ngram_jaccard": (
-        _docs(dedup.ngram_jaccard_pairs),
+        lambda spark, sf: dedup.ngram_jaccard_pairs(
+            load_table(spark, sf, "documents"),
+            shingles=_shingles(spark, sf),
+        ),
         dedup.NGRAM_JACCARD_SQL,
     ),
     # transitive closure of the simhash pair set -> actionable dedup
