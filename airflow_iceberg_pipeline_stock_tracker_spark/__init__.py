@@ -20,3 +20,12 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Convenience surface for a user switching from the reference: one import
+# gives the session factory and the daily-pipeline entry points. Heavier
+# registries (plans.queries / plans.llm_queries / plans.streaming_queries)
+# stay behind explicit imports so `import airflow_iceberg_pipeline_stock_tracker_spark` never builds a plan.
+from .session import get_spark  # noqa: E402
+from .pipeline import backfill, run_for_date  # noqa: E402
+
+__all__ = ["get_spark", "run_for_date", "backfill", "__version__"]
