@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import curation, dedup, multimodal, similarity, text
+from ..operators import curation, dedup, multimodal, pq, similarity, text
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -297,6 +297,8 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "similarity_cosine_topk": (similarity.cosine_topk, similarity.COSINE_TOPK_SQL),
     "similarity_rp_lsh_topk": (similarity.rp_lsh_topk, similarity.rp_lsh_topk_sql()),
     "similarity_ivf_topk": (similarity.ivf_topk, similarity.IVF_TOPK_SQL),
+    # product quantization: 32x memory compression + LUT-add scoring
+    "similarity_pq_topk": (pq.pq_topk, pq.PQ_TOPK_SQL),
     # iterative Lloyd's k-means, exact via integer quantization — the
     # whole 3-round algorithm is hash-checked, not just one step
     "embedding_kmeans": (similarity.embedding_kmeans, similarity.EMBEDDING_KMEANS_SQL),

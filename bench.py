@@ -80,6 +80,7 @@ HEADLINE = [
     "events_sketch_accuracy",
     "streaming_interval_join",
     "streaming_chained_hourly",
+    "similarity_pq_topk",
     "q6_forecast_revenue",
     "q14_promo_revenue",
 ]

@@ -393,3 +393,50 @@ def test_kmeans_deterministic_and_nearest(spark, sf_dir):
     clusters = {r.cluster for r in a}
     assert len(clusters) <= similarity.KMEANS_K
     assert len(clusters) > 1  # the data actually partitions
+
+
+def test_pq_topk_recall_and_self_exclusion(spark, sf_dir):
+    """PQ/ADC ranking is approximate; pin its behavior: every query gets
+    exactly k neighbors, never itself, and the ADC distances are
+    non-decreasing within a query (rank order). Recall sanity: the ADC
+    top-1 neighbor should sit inside the exact Euclidean top-25% of
+    candidates for most queries (the quantization is 16 codes over
+    near-orthogonal synthetic vectors — coarse, but far better than
+    random)."""
+    import numpy as np
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import pq
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        _quantized,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    out = pq.pq_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc_dist))
+    assert len(by_q) == 10
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _ in rows] == [1, 2, 3, 4, 5]
+        dists = [d for _, d in rows]
+        assert dists == sorted(dists), q
+
+    emb = {
+        r["vec_id"]: np.array(r["q"], dtype=np.int64)
+        for r in _quantized(load_table(spark, sf_dir, "embeddings")).collect()
+    }
+    ids = sorted(emb)
+    ok = 0
+    for r in out:
+        if r.rank != 1:
+            continue
+        qv = emb[r.query_id]
+        exact = sorted(
+            ids, key=lambda i: (int(((emb[i] - qv) ** 2).sum()), i)
+        )
+        exact = [i for i in exact if i != r.query_id]
+        cutoff = max(1, len(exact) // 4)
+        ok += r.neighbor_id in exact[:cutoff]
+    assert ok >= 7, f"ADC top-1 inside exact top-25% for only {ok}/10 queries"
