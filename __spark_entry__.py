@@ -164,10 +164,10 @@ SWEEP_ORDER = [
     "similarity_rp_lsh_topk",
     "similarity_ivf_topk",
     "embedding_kmeans",
+    "similarity_pq_topk",
     # text
     "text_language_id",
     "text_quality_score",
-    "text_token_stats",
     "text_fingerprints",
     "text_pack_shards",
     "text_top_terms",
@@ -177,25 +177,28 @@ SWEEP_ORDER = [
     "curation_split",
     "curation_pii_scrub",
     "curation_repetition",
-    # multimodal (the two with real compute; stub-codec variants -> tail)
-    "multimodal_byte_stats",
+    # multimodal (real compute; byte_stats and stub-codec variants -> tail)
     "multimodal_audio_chunks",
+    # novel round-4 operators: a checked row catches regressions the
+    # long-green trivial rows they displaced (byte_stats, token_stats —
+    # both pytest-covered) cannot
+    "events_range_join",
     # ---- 50-row budget boundary (everything below is registered and
     # ---- oracle-paired but not driver-checked; see block comment) ----
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",
     "curation_corpus_verdict",
+    "multimodal_byte_stats",
     "multimodal_decode_features",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "text_token_stats",
     # round-4 additions: selfcheck- and pytest-verified; promote into the
     # first 50 next time a checked row becomes redundant
-    "events_range_join",
     "events_sketch_accuracy",
     "streaming_interval_join",
     "streaming_chained_hourly",
-    "similarity_pq_topk",
     "q6_forecast_revenue",
     "q14_promo_revenue",
 ]
