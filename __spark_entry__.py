@@ -201,6 +201,7 @@ SWEEP_ORDER = [
     "streaming_chained_hourly",
     "q6_forecast_revenue",
     "q14_promo_revenue",
+    "events_ohlc_incremental",
 ]
 
 

@@ -23,6 +23,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.analytics import OHLC_BARS_SQL as _OHLC_BARS_SQL
 from ..sources.prices import PRICES_ORACLE_SQL
 from ..sources.tables import load_table
 from ..streaming import dedup as sdedup
@@ -349,6 +350,31 @@ def streaming_chained_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_ohlc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: fold the events stream into the
+    mergeable OHLC partial-state table micro-batch by micro-batch, then
+    render final bars from STATE ONLY. The oracle recomputes the bars
+    from raw events, so a hash match proves the incremental fold path
+    equals the full recompute."""
+    import shutil
+
+    from ..streaming import continuous_agg
+
+    db = "cagg_query"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    path = _scratch_dir(
+        "events_multi",
+        sf_dir,
+        lambda p: ev.repartition(4).write.mode("overwrite").parquet(p),
+    )
+    ckpt = tempfile.mkdtemp(prefix="graft_cagg_ckpt_")
+    continuous_agg.run_ohlc_stream(spark, path, ckpt, db=db, max_files_per_trigger=1)
+    return continuous_agg.rendered_bars(spark, db)
+
+
 def events_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch/stream parity on the EVENTS domain: the same operator code
     (windows.hourly_tumbling) applied to the batch events table and
@@ -407,6 +433,9 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_exact_dedup": (streaming_exact_dedup, STREAMING_EXACT_DEDUP_SQL),
     "streaming_interval_join": (streaming_interval_join, sjoins.INTERVAL_JOIN_SQL),
     "streaming_chained_hourly": (streaming_chained_hourly, sjoins.CHAINED_HOURLY_SQL),
+    # oracle = the BATCH recompute from raw events: hash equality proves
+    # the incremental state-fold path exact
+    "events_ohlc_incremental": (events_ohlc_incremental, _OHLC_BARS_SQL),
     "pipeline_micro_batch_parity": (pipeline_micro_batch_parity, PIPELINE_PARITY_SQL),
     "events_micro_batch_parity": (events_micro_batch_parity, EVENTS_PARITY_SQL),
 }

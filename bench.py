@@ -83,12 +83,20 @@ HEADLINE = [
     "similarity_pq_topk",
     "q6_forecast_revenue",
     "q14_promo_revenue",
+    "events_ohlc_incremental",
 ]
 
 # batch/stream diff-proofs: each runs two full pipelines and diffs them —
 # a correctness artifact whose cost is dominated by table lifecycle, not
 # a throughput query. Benched once (no steady-state second pass).
-RUN_ONCE = frozenset({"pipeline_micro_batch_parity", "events_micro_batch_parity"})
+RUN_ONCE = frozenset(
+    {
+        "pipeline_micro_batch_parity",
+        "events_micro_batch_parity",
+        # table-lifecycle-dominated drain; one measured pass
+        "events_ohlc_incremental",
+    }
+)
 
 
 # the 47 queries benched in round 2 (BENCH_r02.json), frozen for
