@@ -52,3 +52,23 @@ def test_query_results_identical_across_formats(spark, sf_dir, tmp_path):
     want = agg(ev)
     assert agg(formats.read_jsonl(spark, jp, ev.schema)) == want
     assert agg(formats.read_csv(spark, cp, ev.schema)) == want
+
+
+def test_jsonl_failfast_on_corrupt_record(spark, sf_dir, tmp_path):
+    """Pinned-schema ingestion must fail LOUDLY on a corrupt line, not
+    silently null it out (the PERMISSIVE default) — silent nulls at
+    100 TB are unfindable data loss."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "bad_jsonl")
+    formats.write_jsonl(ev.limit(10), path)
+    part = next(
+        p for p in __import__("os").listdir(path) if p.endswith(".json")
+    )
+    with open(f"{path}/{part}", "a") as f:
+        f.write('{"event_id": "not-a-number", "ts": 12, "user_id": {}}\n')
+    with _pytest.raises((PySparkException, Py4JJavaError)):
+        formats.read_jsonl(spark, path, ev.schema).count()
