@@ -40,9 +40,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = os.path.join(sf_dir, f"{name}.parquet")
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name == "events" and _ts_is_nanos(path):
+        # TIMESTAMP(NANOS) is unrepresentable in Spark; the legacy conf
+        # surfaces it as epoch-nanos bigint. Session confs leak across
+        # the driver's 50-query sweep, so: set only when the footer says
+        # the file actually needs it, and restore immediately — the read
+        # schema is captured at DataFrame creation, so later execution
+        # is unaffected by the restore (verified empirically).
+        conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true")
+        try:
+            return spark.read.parquet(path)
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
     return spark.read.parquet(path)
+
+
+def _ts_is_nanos(path: str) -> bool:
+    """Footer-only probe: is events.ts physically TIMESTAMP(NANOS)?"""
+    import pyarrow.parquet as pq
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return False  # let Spark surface the real read error
+    for field in schema:
+        if field.name == "ts":
+            return str(field.type) == "timestamp[ns]"
+    return False
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

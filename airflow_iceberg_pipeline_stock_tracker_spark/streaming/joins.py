@@ -150,7 +150,9 @@ WITH pairs AS (
 )
 SELECT strftime(ws, '%Y-%m-%d %H:00:00') AS hour,
        COUNT(*) AS n_pairs,
-       SUM(c) AS followup_cents
+       -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT -> float64 under the
+       -- driver's pandas canonicalizer; Spark stays BIGINT
+       CAST(SUM(c) AS BIGINT) AS followup_cents
 FROM pairs
 WHERE ws + INTERVAL 1 HOUR
       < (SELECT date_trunc('milliseconds', max(ts))

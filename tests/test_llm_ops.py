@@ -440,3 +440,39 @@ def test_pq_topk_recall_and_self_exclusion(spark, sf_dir):
         cutoff = max(1, len(exact) // 4)
         ok += r.neighbor_id in exact[:cutoff]
     assert ok >= 7, f"ADC top-1 inside exact top-25% for only {ok}/10 queries"
+
+
+def test_pq_training_reduces_quantization_distortion(spark, sf_dir):
+    """Lloyd's guarantee, made executable: each training round must not
+    increase total quantization distortion, and 2 rounds must beat the
+    untrained seed codebook by a clear margin (~24% on these fixtures).
+
+    Distortion — not recall@k — is the right pin here: the synthetic
+    fixture vectors are near-orthogonal with no cluster structure, so
+    recall over 10 queries is statistically flat no matter the codebook;
+    on real embedding corpora the distortion reduction is what buys
+    recall (Jégou et al. 2011, §V).
+    """
+    import numpy as np
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import pq
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        _quantized,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    emb = _quantized(load_table(spark, sf_dir, "embeddings")).persist()
+    X = np.array(
+        [r["q"] for r in emb.collect()], dtype=np.int64
+    ).reshape(-1, pq.PQ_M, pq.PQ_D)
+
+    def distortion(iters: int) -> float:
+        cmat, valid = pq._train_codebook(emb, iters)
+        codes = pq._encode(X, cmat, valid)
+        recon = cmat[np.arange(pq.PQ_M)[None, :], codes]
+        return float(((X - recon) ** 2).sum(axis=(1, 2)).mean())
+
+    d0, d1, d2 = distortion(0), distortion(1), distortion(2)
+    emb.unpersist()
+    assert d1 <= d0 and d2 <= d1, (d0, d1, d2)  # Lloyd monotonicity
+    assert d2 < 0.9 * d0, f"trained codebook only {d2/d0:.3f}x of seed distortion"

@@ -1,11 +1,26 @@
 """Local replica of the driver's oracle-differential gate.
 
-Runs every `queries()` entry in `__spark_entry__.py` on Spark and its
-`oracle_sql()` twin on DuckDB over the same parquet tables, then compares
-row count + column names + an order-insensitive canonical value hash.
-Use while iterating so CORRECTNESS_r{N}.json holds no surprises.
+Runs `queries()` entries from `__spark_entry__.py` on Spark and their
+`oracle_sql()` twins on DuckDB over the same parquet tables — ONE
+SparkSession, ONE DuckDB connection, SWEEP_ORDER sequence, exactly the
+driver's shape — then compares row count + column names + an
+order-insensitive canonical value hash.
 
-Usage:  python tools/selfcheck.py [sf_dir] [query ...]
+Two comparison layers (the r4 lesson — `similarity_pq_topk` was
+hash-green under every fetchall-based harness yet red under the driver):
+  * value hash over fetchall/collect rows (plain Python objects);
+  * a pandas dtype-kind cross-check: the driver canonicalizes via
+    pandas, where DuckDB HUGEINT (e.g. any un-CAST SUM(BIGINT)) lands
+    as float64 and formats as "...663.0" against Spark's int64
+    "...663" — equal values, different hash. Any oracle column typed
+    HUGEINT/UHUGEINT, or any dtype-kind mismatch between
+    `sdf.toPandas()` and `rel.df()`, is therefore a FAILURE here even
+    when the value hashes agree.
+
+By default runs only the first 50 SWEEP_ORDER queries — the driver's
+exact correctness budget. `--all` sweeps the registered tail too.
+
+Usage:  python tools/selfcheck.py [--all] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -61,8 +76,10 @@ def frame_digest(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -79,6 +96,10 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    if not run_all and not only:
+        # the driver checks exactly the first 50 registered queries
+        budget = set(entrymod.SWEEP_ORDER[:50])
+        queries = {n: fn for n, fn in queries.items() if n in budget}
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -87,6 +108,7 @@ def main() -> int:
         sdf = fn(spark, sf_dir)
         s_cols = sdf.columns
         s_rows = [tuple(r) for r in sdf.collect()]
+        s_pdf = sdf.toPandas()
         spark_s = time.time() - t0
         if name not in oracles:
             print(f"{name:32s} rows={len(s_rows):7d}  (no oracle — rows-only) "
@@ -97,9 +119,29 @@ def main() -> int:
         t0 = time.time()
         rel = con.sql(oracles[name])
         d_cols = rel.columns
+        d_types = [str(t) for t in rel.types]
+        d_pdf = rel.df()
         d_rows = rel.fetchall()
         duck_s = time.time() - t0
         problems = []
+        for col, typ in zip(d_cols, d_types):
+            if typ in ("HUGEINT", "UHUGEINT"):
+                problems.append(
+                    f"oracle col {col!r} is {typ} -> float64 under the "
+                    "driver's pandas canon (CAST it to BIGINT)"
+                )
+        for col in set(s_cols) & set(d_cols):
+            sk = s_pdf[col].dtype.kind
+            dk = d_pdf[col].dtype.kind
+            # only the integer-vs-float divergence is red under the
+            # driver ("...663" vs "...663.0"); date/object pairings
+            # (spark object vs duck datetime64) are proven hash-green
+            if {sk, dk} in ({"i", "f"}, {"u", "f"}):
+                problems.append(
+                    f"pandas int-vs-float dtype mismatch on {col!r}: "
+                    f"spark={s_pdf[col].dtype} duck={d_pdf[col].dtype} "
+                    "(the driver's pandas canon hashes these differently)"
+                )
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
         if sorted(s_cols) != sorted(d_cols):
