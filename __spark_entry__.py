@@ -107,18 +107,21 @@ def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 # out of coverage for a whole round. Registration order is therefore a
 # budget allocation, managed explicitly here:
 #   * every operator family keeps at least one row inside the first 50;
-#   * the tail (>50, registered but unchecked by the driver) holds only
-#     rows whose logic another checked row or a pytest already proves:
-#     composites (text_corpus_stats, curation_corpus_verdict,
-#     curation_source_overlap ride already-checked components /
-#     the shared pair graph), events_ohlc_bars (the checked
-#     events_ohlc_daily rollup-composition proof recomputes it), and
-#     the stub-codec multimodal variants (decode/resize/frame share
-#     byte-stats' mapInPandas plumbing; pytest-covered).
-# New queries: insert into SWEEP_ORDER deliberately — promoting one row
-# into the first 50 must demote another, never silently push the tail.
+#   * SWEEP_TAIL (registered but unchecked by the driver) holds only
+#     rows whose logic another checked row or a pytest already proves.
+# New queries: add to SWEEP_CHECKED and demote a long-green row to the
+# tail — the exactly-50 ValueError in queries() makes a silent push
+# impossible.
 # ---------------------------------------------------------------------------
-SWEEP_ORDER = [
+CHECKED_BUDGET = 50  # the driver hashes exactly this many leading rows
+
+# Exactly CHECKED_BUDGET names — queries() enforces the length with a
+# ValueError so a careless insertion can't silently demote a checked row.
+# Rotation policy: a query is safe to demote to SWEEP_TAIL only after
+# >=2 consecutive green rounds AND pytest coverage; every NEW operator
+# must spend its first round inside the checked prefix (the r4 lesson:
+# six new operators shipped driver-unchecked for a full round).
+SWEEP_CHECKED = [
     # reference-parity core (SURVEY §2) + both parity proofs up front:
     # if the driver truncates a run, the victims must be already-proven
     # cheap rows, never the §2 core or the exactly-once proofs
@@ -128,31 +131,36 @@ SWEEP_ORDER = [
     "cumulate_day",
     "pipeline_daily_run",
     "pipeline_micro_batch_parity",
-    # streaming family (fell out of r3's sweep — promoted)
+    # streaming family — incl. the r4-new chained/interval/incremental
+    # operators getting their first driver row this round
     "streaming_hourly_tumbling",
     "streaming_sliding_value",
     "streaming_sessionize",
     "streaming_rolling_stateful",
     "streaming_event_dedup",
     "streaming_exact_dedup",
+    "streaming_interval_join",
+    "streaming_chained_hourly",
     "events_micro_batch_parity",
-    # relational / TPC-H-ish
+    "events_ohlc_incremental",
+    # relational / TPC-H-ish — q6/q14 first driver row this round
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q6_forecast_revenue",
+    "q14_promo_revenue",
     "topk_parts_per_brand",
     "customer_order_activity",
-    "order_priority_stats",
-    # events analytics
+    # events analytics — sketches first driver row this round
     "events_hourly",
     "events_sessionize",
     "events_asof_join",
     "events_ohlc_daily",
     "events_funnel",
-    "events_retention",
     "events_type_totals_salted",
-    # dedup
-    "dedup_exact",
+    "events_range_join",
+    "events_sketch_accuracy",
+    # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest)
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
@@ -165,26 +173,24 @@ SWEEP_ORDER = [
     "similarity_ivf_topk",
     "embedding_kmeans",
     "similarity_pq_topk",
-    # text
+    # text (fingerprints/pack_shards -> tail: long-green, pytest-covered;
+    # top_terms -> tail r5: rides the checked shared-shingle consumers)
     "text_language_id",
     "text_quality_score",
-    "text_fingerprints",
-    "text_pack_shards",
-    "text_top_terms",
-    # curation
+    # layout health round-trip — new r5, first round driver-checked
+    "layout_file_stats",
+    # curation (pii_scrub -> tail: long-green, pytest-covered)
     "curation_contamination",
     "curation_stratified_sample",
     "curation_split",
-    "curation_pii_scrub",
     "curation_repetition",
     # multimodal (real compute; byte_stats and stub-codec variants -> tail)
     "multimodal_audio_chunks",
-    # novel round-4 operators: a checked row catches regressions the
-    # long-green trivial rows they displaced (byte_stats, token_stats —
-    # both pytest-covered) cannot
-    "events_range_join",
-    # ---- 50-row budget boundary (everything below is registered and
-    # ---- oracle-paired but not driver-checked; see block comment) ----
+]
+
+# Registered and oracle-paired but past the driver's hash budget: only
+# rows whose logic another checked row or a pytest already proves.
+SWEEP_TAIL = [
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",
@@ -194,15 +200,18 @@ SWEEP_ORDER = [
     "multimodal_resize",
     "multimodal_frame_sample",
     "text_token_stats",
-    # round-4 additions: selfcheck- and pytest-verified; promote into the
-    # first 50 next time a checked row becomes redundant
-    "events_sketch_accuracy",
-    "streaming_interval_join",
-    "streaming_chained_hourly",
-    "q6_forecast_revenue",
-    "q14_promo_revenue",
-    "events_ohlc_incremental",
+    # demoted r5 to fund the six r4-operator promotions and the new
+    # layout row — each 2-3 rounds hash-green, cheap, and pytest-covered
+    "text_top_terms",
+    "dedup_exact",
+    "text_fingerprints",
+    "text_pack_shards",
+    "curation_pii_scrub",
+    "order_priority_stats",
+    "events_retention",
 ]
+
+SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL
 
 
 def queries() -> dict[str, QueryFn]:
@@ -220,8 +229,20 @@ def queries() -> dict[str, QueryFn]:
     for name, (fn, _sql) in STREAMING_QUERIES.items():
         pool[name] = fn
 
+    # hard errors, not asserts: these invariants guard the driver's
+    # correctness budget and must survive `python -O`
+    if len(SWEEP_CHECKED) != CHECKED_BUDGET:
+        raise ValueError(
+            f"SWEEP_CHECKED must hold exactly {CHECKED_BUDGET} names, "
+            f"got {len(SWEEP_CHECKED)} — a careless insertion would "
+            "silently demote a checked query into the tail"
+        )
+    if len(set(SWEEP_ORDER)) != len(SWEEP_ORDER):
+        dupes = sorted({n for n in SWEEP_ORDER if SWEEP_ORDER.count(n) > 1})
+        raise ValueError(f"SWEEP_ORDER has duplicate names: {dupes}")
     missing = [n for n in SWEEP_ORDER if n not in pool]
-    assert not missing, f"SWEEP_ORDER names unknown queries: {missing}"
+    if missing:
+        raise ValueError(f"SWEEP_ORDER names unknown queries: {missing}")
     out: dict[str, QueryFn] = {n: pool[n] for n in SWEEP_ORDER}
     # anything newly registered but not yet placed lands at the very
     # tail (unchecked) rather than silently displacing a checked row
