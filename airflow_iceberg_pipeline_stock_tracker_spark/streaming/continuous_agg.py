@@ -11,12 +11,24 @@ into the stored ones, touching only the date partitions the batch
 actually contains. A view renders final bars from state; the raw events
 are never re-read.
 
-Exactly-once: the merge is keyed by (bar_start, event_type) and the
-write is an idempotent dynamic partition overwrite of the affected
-dates (pipeline._insert), so replaying a failed batch converges to the
-same state. Correctness is pinned by a test folding the same events in
-1-file micro-batches and comparing the rendered view bit-for-bit with
-the batch operator's output.
+Exactly-once under REPLAY, not just re-drain: foreachBatch sinks sit in
+an at-least-once window — the state write can commit while the
+checkpoint offset commit is lost (crash between the two), after which
+Spark re-delivers the same batch_id. A plain fold into stored state
+would double-count it. So state rows carry the `src_batch` that
+produced them, and each batch's write EXCLUDES any stored rows already
+tagged with its own batch_id (the replay guard): re-delivering batch b
+reconstructs exactly pre-b state plus b's partials — the write is a
+converging function of (stored \\ b, batch b), idempotent by
+construction, which is the contract foreachBatch's batch_id parameter
+exists for. Bars render by merging partials at read; `compact_state`
+folds accumulated per-batch rows back to one row per key offline (the
+TimescaleDB materialization/compression split).
+
+Correctness is pinned by tests folding the same events in 1-file
+micro-batches (bit-identical to the batch operator), re-delivering a
+batch under the same batch_id (no double count), and compacting
+(render-invariant).
 """
 
 from __future__ import annotations
@@ -29,12 +41,14 @@ from ..functions.money import cents, dollars
 
 BARS_TABLE = "ohlc_bars_state"
 
+COMPACTED_BATCH = -1  # src_batch tag for offline-compacted baseline rows
+
 _STATE_COLS = (
     "bar_start timestamp, event_type string, "
     "first_pack struct<ts:timestamp,event_id:bigint,v:bigint>, "
     "last_pack struct<ts:timestamp,event_id:bigint,v:bigint>, "
     "hi_cents bigint, lo_cents bigint, volume bigint, sum_cents bigint, "
-    "date date"
+    "src_batch bigint, date date"
 )
 
 
@@ -76,16 +90,43 @@ def ensure_state_table(spark: SparkSession, db: str) -> None:
 def process_events_batch(batch: DataFrame, batch_id: int, db: str) -> None:
     spark = batch.sparkSession
     ensure_state_table(spark, db)
-    new = _partials(batch).persist()
+    new = (
+        _partials(batch)
+        .withColumn("src_batch", F.lit(batch_id).cast("bigint"))
+        .persist()
+    )
     dates = [r.date for r in new.select("date").distinct().collect()]
     if not dates:
         new.unpersist()
         return
-    stored = spark.table(f"{db}.{BARS_TABLE}").where(F.col("date").isin(dates))
-    merged = _merge(stored.unionByName(new))
-    # idempotent: dynamic partition overwrite of exactly the touched dates
-    pipeline._insert(merged, f"{db}.{BARS_TABLE}", overwrite=True)
+    # replay guard: a re-delivered batch_id (state committed, checkpoint
+    # offset lost) must not fold on top of its own previous contribution
+    stored = spark.table(f"{db}.{BARS_TABLE}").where(
+        F.col("date").isin(dates) & (F.col("src_batch") != F.lit(batch_id))
+    )
+    # per-batch partials are kept (merge happens at read/compaction):
+    # the rewrite of a touched date is then a pure function of
+    # (stored minus this batch, this batch) — idempotent under replay
+    out = stored.unionByName(new)
+    # dynamic partition overwrite of exactly the touched dates
+    pipeline._insert(out, f"{db}.{BARS_TABLE}", overwrite=True)
     new.unpersist()
+
+
+def compact_state(spark: SparkSession, db: str) -> None:
+    """Fold per-batch partial rows into one baseline row per key.
+
+    Run offline (not concurrently with the stream). Render output is
+    invariant — the merge is the same associative fold the reader does —
+    and re-running compaction converges (idempotent dynamic overwrite).
+    At 100 TB this is the TimescaleDB materialize/compress split: the
+    stream stays append-cheap, compaction amortizes read cost.
+    """
+    st = spark.table(f"{db}.{BARS_TABLE}")
+    merged = _merge(st).withColumn(
+        "src_batch", F.lit(COMPACTED_BATCH).cast("bigint")
+    )
+    pipeline._insert(merged, f"{db}.{BARS_TABLE}", overwrite=True)
 
 
 def run_ohlc_stream(
@@ -114,8 +155,12 @@ def run_ohlc_stream(
 
 
 def rendered_bars(spark: SparkSession, db: str) -> DataFrame:
-    """Final OHLC bars from state — same surface as analytics.ohlc_bars."""
-    st = spark.table(f"{db}.{BARS_TABLE}")
+    """Final OHLC bars from state — same surface as analytics.ohlc_bars.
+
+    Merges per-batch partials at read (cheap: state is per-(hour, type,
+    batch), orders of magnitude below raw events; compact_state folds it
+    smaller still)."""
+    st = _merge(spark.table(f"{db}.{BARS_TABLE}"))
     return st.select(
         F.date_format("bar_start", "yyyy-MM-dd HH:mm:ss").alias("bar_start"),
         "event_type",

@@ -72,3 +72,56 @@ def test_incremental_extends_on_new_data_and_is_idempotent(
     assert _rows(continuous_agg.rendered_bars(spark, db)) == _rows(
         analytics.ohlc_bars(ev)
     )
+
+
+def test_replayed_batch_id_does_not_double_count(spark, sf_dir, db):
+    """The at-least-once window foreachBatch actually has: the state
+    write commits, the checkpoint offset commit is lost, and Spark
+    re-delivers the SAME batch under the SAME batch_id. The src_batch
+    replay guard must make the second delivery a no-op for the rendered
+    bars — no doubled volume/sum_cents."""
+    ev = load_table(spark, sf_dir, "events")
+    want = _rows(analytics.ohlc_bars(ev))
+
+    continuous_agg.ensure_state_table(spark, db)
+    continuous_agg.process_events_batch(ev, 7, db=db)
+    once = _rows(continuous_agg.rendered_bars(spark, db))
+    assert once == want
+
+    # crash-replay: identical batch, identical batch_id
+    continuous_agg.process_events_batch(ev, 7, db=db)
+    assert _rows(continuous_agg.rendered_bars(spark, db)) == want
+
+    # a genuinely NEW batch_id over the same rows IS double-delivery by
+    # contract (different offsets) and must fold — guard discriminates
+    # on batch identity, not content
+    continuous_agg.process_events_batch(ev, 8, db=db)
+    doubled = {
+        r for r in _rows(continuous_agg.rendered_bars(spark, db))
+    }
+    assert doubled != set(want)
+
+
+def test_compaction_is_render_invariant_and_idempotent(
+    spark, sf_dir, db, tmp_path
+):
+    ev = load_table(spark, sf_dir, "events")
+    events_dir = str(tmp_path / "ev_cmp")
+    ev.repartition(3).write.parquet(events_dir)
+    continuous_agg.run_ohlc_stream(
+        spark, events_dir, str(tmp_path / "ckpt_cmp"), db=db,
+        max_files_per_trigger=1,
+    )
+    before = _rows(continuous_agg.rendered_bars(spark, db))
+    n_partials = spark.table(f"{db}.{continuous_agg.BARS_TABLE}").count()
+
+    continuous_agg.compact_state(spark, db)
+    st = spark.table(f"{db}.{continuous_agg.BARS_TABLE}")
+    assert st.count() < n_partials  # actually folded batch rows
+    assert set(
+        r.src_batch for r in st.select("src_batch").distinct().collect()
+    ) == {continuous_agg.COMPACTED_BATCH}
+    assert _rows(continuous_agg.rendered_bars(spark, db)) == before
+
+    continuous_agg.compact_state(spark, db)  # converges
+    assert _rows(continuous_agg.rendered_bars(spark, db)) == before
