@@ -8,24 +8,26 @@ files per date turns the next full scan into millions of opens, and
 metadata listing alone dominates query latency. These operators are the
 OPTIMIZE/compaction tier:
 
-* ``write_clustered`` — one shuffle keyed by the partition columns so
-  each output partition is written by few tasks, sorted within files by
-  the cluster columns so parquet row-group min/max stats actually prune
-  (a range predicate on a clustered column skips whole files), with
-  ``maxRecordsPerFile`` bounding file size.
+* ``write_clustered`` — one shuffle keyed by (partition columns, salt)
+  so each output partition is written by a BOUNDED number of tasks yet
+  not funneled through one, sorted within files by the cluster columns
+  so parquet row-group min/max stats actually prune (a range predicate
+  on a clustered column skips whole files), with ``maxRecordsPerFile``
+  bounding file size.
 * ``compact_partitions`` — rewrite an existing directory to the same
   clustered layout; idempotent (same rows, fewer files), the periodic
   maintenance job every streaming ingest needs.
 * ``file_stats`` — files/rows/bytes per partition directory, the
   measurement half (alerting on file-count drift is how compaction gets
-  scheduled in production).
+  scheduled in production). Row counts come from parquet footers only —
+  no data read.
 """
 
 from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 __all__ = ["write_clustered", "compact_partitions", "file_stats"]
@@ -37,22 +39,47 @@ def write_clustered(
     partition_cols: list[str],
     cluster_cols: list[str],
     max_records_per_file: int = 1_000_000,
-    files_per_partition: int = 1,
+    files_per_partition: int = 8,
+    salt: Column | None = None,
 ) -> None:
     """Write ``df`` partitioned by ``partition_cols``, each partition
-    produced by ``files_per_partition`` tasks, rows inside each file
-    sorted by ``cluster_cols``.
+    value's rows spread across at most ``files_per_partition`` writer
+    groups, rows inside each file sorted by ``cluster_cols``.
 
-    `repartition(N, partition_cols)` guarantees every partition-value's
-    rows land in at most N tasks (hash co-location), so a partition
-    yields at most N files (plus maxRecordsPerFile splits) instead of
-    one per upstream task. sortWithinPartitions keeps the sort OUT of
-    the shuffle (no global ordering — local per-task sort only), which
-    is what parquet needs for tight row-group min/max ranges.
+    Why the salt: ``repartition(n, partition_cols)`` hashes on the
+    partition columns ALONE, so every row of one partition value lands
+    in exactly one task no matter what n says — at 100 TB that funnels
+    each (possibly multi-TB) partition through a single writer. Adding a
+    salt key bounds the writer-group count per partition value at
+    ``files_per_partition`` while keeping parallelism. The default salt
+    is a deterministic hash of the cluster columns (same input -> same
+    layout, unlike rand()); pass ``salt`` to control file splits
+    exactly (e.g. ``F.col("event_id") % 4`` makes per-partition file
+    counts a pure function of the data).
+
+    sortWithinPartitions keeps the sort OUT of the shuffle (no global
+    ordering — local per-task sort only), which is what parquet needs
+    for tight row-group min/max ranges.
+
+    ``files_per_partition`` is an UPPER bound on writer groups, not an
+    exact count: the repartition is column-keyed (no forced partition
+    count), so AQE's partition coalescing still merges salt buckets
+    that fall below the advisory target size. That interaction is
+    deliberate — at 100 TB a hot date spreads across the full salt
+    range (its buckets are large, AQE leaves them alone) while a
+    near-empty date collapses to one file instead of n tiny ones. Pin
+    `spark.sql.adaptive.coalescePartitions.enabled=false` if an exact
+    salt-group layout is required (tests/test_layout.py does).
     """
     n = max(1, files_per_partition)
+    keys: list[Column] = [F.col(c) for c in partition_cols]
+    if n > 1:
+        if salt is None:
+            basis = cluster_cols if cluster_cols else df.columns
+            salt = F.pmod(F.hash(*[F.col(c) for c in basis]), F.lit(n))
+        keys.append(salt.alias("__salt"))
     (
-        df.repartition(n, *[F.col(c) for c in partition_cols])
+        df.repartition(*keys)
         .sortWithinPartitions(*partition_cols, *cluster_cols)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", max_records_per_file)
@@ -67,17 +94,24 @@ def compact_partitions(
     partition_cols: list[str],
     cluster_cols: list[str],
     max_records_per_file: int = 1_000_000,
+    files_per_partition: int = 1,
 ) -> None:
     """Rewrite ``path`` in place to the clustered layout (row-preserving).
 
-    Reads the full dataset, then overwrites atomically-per-partition via
-    a staging rewrite. Local-FS simple version: stage to `path + .compact`,
-    then swap — object-store deployments would dynamic-overwrite
-    partition-by-partition instead.
+    Reads the full dataset, stages the rewrite to ``path + .compact``,
+    then swaps via rename-aside: old -> ``path + .old``, staged -> live,
+    delete old. At no instant is the live path missing — a crash leaves
+    either the original intact (before the first rename) or the staged
+    copy live (after the second); the stray ``.old``/``.compact`` dirs
+    are cleaned up by the next run. Object-store deployments would
+    dynamic-overwrite partition-by-partition instead.
     """
     import shutil
 
     staged = path.rstrip("/") + ".compact"
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(staged, ignore_errors=True)  # leftover from a crash
+    shutil.rmtree(old, ignore_errors=True)
     df = spark.read.parquet(path)
     write_clustered(
         df,
@@ -85,14 +119,20 @@ def compact_partitions(
         partition_cols,
         cluster_cols,
         max_records_per_file=max_records_per_file,
+        files_per_partition=files_per_partition,
     )
-    # swap after the staged write fully committed
-    shutil.rmtree(path)
+    # swap only after the staged write fully committed
+    os.rename(path, old)
     os.rename(staged, path)
+    shutil.rmtree(old)
 
 
 def file_stats(spark: SparkSession, path: str) -> DataFrame:
-    """(partition, n_files, n_bytes): layout health per partition dir."""
+    """(partition, n_files, n_rows, n_bytes): layout health per
+    partition directory. Row counts come from parquet footer metadata
+    (num_rows) — no column data is read."""
+    import pyarrow.parquet as pq
+
     rows = []
     for dirpath, _dirs, files in os.walk(path):
         data = [f for f in files if f.endswith(".parquet")]
@@ -103,9 +143,14 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
             (
                 rel if rel != "." else "",
                 len(data),
+                sum(
+                    pq.read_metadata(os.path.join(dirpath, f)).num_rows
+                    for f in data
+                ),
                 sum(os.path.getsize(os.path.join(dirpath, f)) for f in data),
             )
         )
     return spark.createDataFrame(
-        rows or [("", 0, 0)], "partition string, n_files int, n_bytes bigint"
+        rows or [("", 0, 0, 0)],
+        "partition string, n_files int, n_rows bigint, n_bytes bigint",
     )

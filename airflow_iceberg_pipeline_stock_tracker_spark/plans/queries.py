@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, dollars
-from ..operators import analytics, rangejoin, sketches
+from ..operators import analytics, layout, rangejoin, sketches
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 
@@ -575,6 +575,57 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# layout round-trip: clustered write -> footer-metadata health read
+# ---------------------------------------------------------------------------
+
+def layout_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(partition, n_rows): events cluster-written partitioned by date,
+    then read back from parquet FOOTERS only (operators/layout.py).
+
+    The driver-hashed surface is per-partition-directory row counts —
+    proof the bounded-file-count write path is exactly row-preserving
+    and lays out the directories the oracle predicts. File counts are a
+    writer-layout property (not SQL-derivable), bounded by the
+    deterministic event_id%4 salt and pinned in tests/test_layout.py.
+
+    At 100 TB layout health IS a query surface: this is the
+    files-per-partition / rows-per-partition monitor a lakehouse runs
+    after every ingest to decide when compaction fires.
+    """
+    import os
+    import shutil
+
+    ev = load_table(spark, sf_dir, "events").withColumn("date", F.to_date("ts"))
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(wh, "layout_demo")
+    shutil.rmtree(path, ignore_errors=True)
+    layout.write_clustered(
+        ev,
+        path,
+        ["date"],
+        ["event_type", "ts"],
+        files_per_partition=4,
+        salt=(F.col("event_id") % 4).cast("int"),
+    )
+    # file_stats materializes from footers driver-side already; the
+    # result frame is independent of the scratch dir afterwards
+    return (
+        layout.file_stats(spark, path)
+        .select("partition", "n_rows")
+        .orderBy("partition")
+    )
+
+
+LAYOUT_FILE_STATS_SQL = """
+SELECT 'date=' || strftime(CAST(ts AS DATE), '%Y-%m-%d') AS partition,
+       COUNT(*) AS n_rows
+FROM events
+GROUP BY 1
+ORDER BY 1
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -624,4 +675,6 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
         lambda spark, sf: sketches.sketch_accuracy(load_table(spark, sf, "events")),
         sketches.SKETCH_ACCURACY_SQL,
     ),
+    # layout health as a query: clustered write -> footer-only stats
+    "layout_file_stats": (layout_file_stats, LAYOUT_FILE_STATS_SQL),
 }

@@ -21,15 +21,84 @@ def fragmented(spark, sf_dir, tmp_path):
     return ev, path
 
 
-def test_write_clustered_bounds_files_per_partition(spark, fragmented, tmp_path):
+def test_write_clustered_single_file_mode(spark, fragmented, tmp_path):
     ev, _ = fragmented
     out = str(tmp_path / "clustered")
-    layout.write_clustered(ev, out, ["date"], ["user_id"])
+    layout.write_clustered(ev, out, ["date"], ["user_id"], files_per_partition=1)
     stats = layout.file_stats(spark, out).collect()
     assert len(stats) > 1  # one row per date dir
     assert all(r.n_files == 1 for r in stats)
     # row-preserving
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_write_clustered_salt_bounds_and_spreads_files(spark, fragmented, tmp_path):
+    """files_per_partition=n must mean AT MOST n writer groups per
+    partition value — but more than one, i.e. a partition's rows are not
+    funneled through a single task (the 100 TB point of the knob). A
+    deterministic salt makes the layout a pure function of the data."""
+    ev, _ = fragmented
+    out = str(tmp_path / "salted")
+    # at test scale AQE's coalescing would (correctly) merge the tiny
+    # salt buckets back into one writer; disable it to observe the
+    # spread the salt provides at production bucket sizes
+    key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "false")
+    try:
+        layout.write_clustered(
+            ev, out, ["date"], ["user_id"],
+            files_per_partition=4,
+            salt=(F.col("event_id") % 4).cast("int"),
+        )
+    finally:
+        spark.conf.set(key, prev if prev is not None else "true")
+    stats = layout.file_stats(spark, out).collect()
+    assert len(stats) > 1
+    assert all(1 <= r.n_files <= 4 for r in stats)
+    # big partitions actually use the parallelism (not one writer)
+    biggest = max(stats, key=lambda r: r.n_rows)
+    assert biggest.n_files > 1
+    assert spark.read.parquet(out).count() == ev.count()
+    # footer-derived row counts agree with the data
+    assert sum(r.n_rows for r in stats) == ev.count()
+
+
+def test_small_partitions_collapse_under_aqe(spark, fragmented, tmp_path):
+    """The flip side of the salt: with AQE coalescing ON (default),
+    near-empty partitions must NOT fan out into files_per_partition
+    tiny files — the anti-small-file half of the contract."""
+    ev, _ = fragmented
+    out = str(tmp_path / "aqe_collapsed")
+    layout.write_clustered(
+        ev, out, ["date"], ["user_id"],
+        files_per_partition=4,
+        salt=(F.col("event_id") % 4).cast("int"),
+    )
+    stats = layout.file_stats(spark, out).collect()
+    # this fixture is ~KBs per date: every bucket sits far below the
+    # advisory size, so AQE should have merged aggressively
+    assert all(r.n_files <= 2 for r in stats)
+
+
+def test_compact_cleans_stray_dirs_from_a_prior_crash(spark, fragmented):
+    """A crash can leave .compact (staged) or .old (renamed-aside) dirs;
+    the next compaction must clean them up and still converge."""
+    import os
+
+    ev, path = fragmented
+    os.makedirs(path + ".compact", exist_ok=True)
+    os.makedirs(path + ".old", exist_ok=True)
+    rows_before = sorted(
+        map(tuple, spark.read.parquet(path).select("event_id", "user_id").collect())
+    )
+    layout.compact_partitions(spark, path, ["date"], ["user_id"])
+    assert not os.path.exists(path + ".compact")
+    assert not os.path.exists(path + ".old")
+    rows_after = sorted(
+        map(tuple, spark.read.parquet(path).select("event_id", "user_id").collect())
+    )
+    assert rows_after == rows_before
 
 
 def test_clustered_files_are_sorted_for_stats_pruning(spark, fragmented, tmp_path):
