@@ -259,7 +259,15 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         {name: sql for name, (_fn, sql) in STREAMING_QUERIES.items() if sql is not None}
     )
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
+
     out.update({
+        # full backfill, hash-checked end-to-end: the deterministic bar
+        # client is a pure sha256 function of (ticker, ds), so the SQL
+        # twin regenerates the bars and replays ingest->promote->cumulate
+        "pipeline_daily_run": _pl.backfill_oracle_sql(
+            ["2024-01-01", "2024-01-02", "2024-01-03"]
+        ),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

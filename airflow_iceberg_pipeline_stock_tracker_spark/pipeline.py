@@ -267,6 +267,96 @@ def run_for_date(
     return checks
 
 
+def _hex_int_sql(expr: str, start: int, n: int) -> str:
+    """Big-endian integer of ``n`` hex chars of ``expr`` from 1-based
+    ``start`` — int.from_bytes over a sha256 hexdigest slice, in SQL.
+    Every term is < 2^32 so the double arithmetic is exact."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+        f" * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+def backfill_oracle_sql(
+    dates: list[str], tickers: list[str] | None = None
+) -> str:
+    """DuckDB twin of a full ``backfill`` run's cumulative table
+    (exploded to the flat driver surface, updated_at excluded).
+
+    The ingested bars come from DeterministicBarClient — a pure function
+    of (ticker, ds) through sha256 (sources/stock_api.py:64-83) — so the
+    whole ingest -> DECIMAL coercion -> promote -> cumulate chain is
+    reproducible as one SQL statement: regenerate the bars (sha256 +
+    hex-slice arithmetic, bit-equal to int.from_bytes), apply the same
+    HALF_UP DECIMAL(10,2) casts as bars_to_df, then window exactly like
+    operators/cumulate.py. Because the backfill processes dates
+    ascending and day D's partition sees all days <= D, the per-day
+    partition overwrites compose to one window over the full range.
+    """
+    tk = tickers or REFERENCE_TICKERS
+    tk_values = ", ".join(f"('{t}')" for t in tk)
+    ds_values = ", ".join(f"('{d}')" for d in dates)
+    return f"""
+WITH gen AS (
+  SELECT t.ticker, d.ds
+  FROM (VALUES {tk_values}) t(ticker), (VALUES {ds_values}) d(ds)
+),
+h AS (
+  SELECT ticker, CAST(ds AS DATE) AS date, sha256(ticker || '|' || ds) AS hx
+  FROM gen
+),
+nums AS (
+  SELECT ticker, date,
+         {_hex_int_sql('hx', 1, 8)} AS n1,
+         {_hex_int_sql('hx', 9, 4)} AS n2,
+         {_hex_int_sql('hx', 13, 6)} AS n3
+  FROM h
+),
+base AS (
+  SELECT ticker, date,
+         50.0 + (n1 % 45000) / 100.0 AS b,
+         1.0 + (n2 % 900) / 100.0 AS s,
+         CAST(1000000 + (n3 % 9000000) AS BIGINT) AS volume
+  FROM nums
+),
+bars AS (
+  SELECT ticker, date,
+         CAST(ROUND(b + s * 0.25, 4) AS DECIMAL(10,2)) AS open,
+         CAST(ROUND(b + s, 4) AS DECIMAL(10,2)) AS high,
+         CAST(ROUND(b, 4) AS DECIMAL(10,2)) AS low,
+         CAST(ROUND(b + s * 0.5, 4) AS DECIMAL(10,2)) AS close,
+         volume
+  FROM base
+),
+windowed AS (
+  SELECT ticker, date,
+         list(open)  OVER w AS last_7_days_open,
+         list(high)  OVER w AS last_7_days_high,
+         list(low)   OVER w AS last_7_days_low,
+         list(close) OVER w AS last_7_days_close,
+         list(volume) OVER w AS last_7_days_volume,
+         CAST(ROUND(AVG(volume) OVER w, 2) AS DECIMAL(15,2))
+           AS avg_7_day_volume,
+         CAST(ROUND(COALESCE(STDDEV_SAMP(close) OVER w, 0), 4)
+              AS DECIMAL(10,4)) AS volatility_7_day
+  FROM bars
+  WINDOW w AS (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, date,
+       CAST(unnest(range(1, len(last_7_days_open) + 1)) AS INT) AS idx,
+       unnest(last_7_days_open)   AS open_i,
+       unnest(last_7_days_high)   AS high_i,
+       unnest(last_7_days_low)    AS low_i,
+       unnest(last_7_days_close)  AS close_i,
+       unnest(last_7_days_volume) AS volume_i,
+       avg_7_day_volume, volatility_7_day
+FROM windowed
+"""
+
+
 def backfill(
     spark: SparkSession,
     start_ds: str,

@@ -19,8 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __spark_entry__ as entry
 
 # rows whose result is inherently un-oracle-able (documented per-case in
-# the query docstrings); everything else must carry a SQL twin
-ROWS_ONLY_OK: set[str] = {"pipeline_daily_run"}
+# the query docstrings); everything else must carry a SQL twin. Empty
+# since r5: pipeline_daily_run's bars are a pure sha256 function of
+# (ticker, ds), so even the full backfill has a SQL twin now.
+ROWS_ONLY_OK: set[str] = set()
 
 
 def test_checked_prefix_is_exactly_the_budget():
