@@ -334,8 +334,16 @@ def simhash_pairs(
     cap to survive, so recall loss is confined to docs whose entire
     simhash neighborhood is hot; run exact_dedup first so identical
     texts never reach this operator. The cap is mirrored in SIMHASH_SQL,
-    so the oracle verifies the capped semantics, and the fixture corpus
-    never reaches it (largest bucket there is far below 200).
+    so the oracle verifies the CAPPED semantics — and that is exercised
+    for real: the sf0.1 fixture has a 269-doc bucket (> the 200 cap),
+    and the driver row stays hash-green with it dropped on both engines.
+
+    The post-filter `.distinct()` is load-bearing and cheap: a pair can
+    agree in up to 4 chunks, and "emit only from the first agreeing
+    chunk" bit-math would lose pairs whose earlier agreeing chunk sits
+    in a capped-away hot bucket (measured: 28 of 489 pairs at sf0.1).
+    The distinct shuffles only post-hamming TRUE pairs — orders of
+    magnitude below the candidate stream — so it stays O(output).
     """
     from pyspark.sql import Window
 
