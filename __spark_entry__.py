@@ -156,7 +156,6 @@ SWEEP_CHECKED = [
     "events_sessionize",
     "events_asof_join",
     "events_ohlc_daily",
-    "events_funnel",
     "events_type_totals_salted",
     "events_range_join",
     "events_sketch_accuracy",
@@ -173,6 +172,8 @@ SWEEP_CHECKED = [
     "similarity_ivf_topk",
     "embedding_kmeans",
     "similarity_pq_topk",
+    # full IVFADC (coarse + residual PQ) — new r5, first round checked
+    "similarity_ivfpq_topk",
     # text (fingerprints/pack_shards -> tail: long-green, pytest-covered;
     # top_terms -> tail r5: rides the checked shared-shingle consumers)
     "text_language_id",
@@ -201,7 +202,9 @@ SWEEP_TAIL = [
     "multimodal_frame_sample",
     "text_token_stats",
     # demoted r5 to fund the six r4-operator promotions and the new
-    # layout row — each 2-3 rounds hash-green, cheap, and pytest-covered
+    # layout/ivfpq rows — each 2-3 rounds hash-green, cheap, and
+    # pytest-covered
+    "events_funnel",
     "text_top_terms",
     "dedup_exact",
     "text_fingerprints",

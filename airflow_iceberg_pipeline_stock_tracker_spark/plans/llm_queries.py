@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import curation, dedup, multimodal, pq, similarity, text
+from ..operators import curation, dedup, ivfpq, multimodal, pq, similarity, text
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -299,6 +299,9 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "similarity_ivf_topk": (similarity.ivf_topk, similarity.IVF_TOPK_SQL),
     # product quantization: 32x memory compression + LUT-add scoring
     "similarity_pq_topk": (pq.pq_topk, pq.PQ_TOPK_SQL),
+    # the full IVFADC composition: coarse cells + PQ over residuals,
+    # nprobe-bounded candidate scan — index build AND query hash-checked
+    "similarity_ivfpq_topk": (ivfpq.ivfpq_topk, ivfpq.IVFPQ_TOPK_SQL),
     # iterative Lloyd's k-means, exact via integer quantization — the
     # whole 3-round algorithm is hash-checked, not just one step
     "embedding_kmeans": (similarity.embedding_kmeans, similarity.EMBEDDING_KMEANS_SQL),

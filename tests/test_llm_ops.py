@@ -476,3 +476,61 @@ def test_pq_training_reduces_quantization_distortion(spark, sf_dir):
     emb.unpersist()
     assert d1 <= d0 and d2 <= d1, (d0, d1, d2)  # Lloyd monotonicity
     assert d2 < 0.9 * d0, f"trained codebook only {d2/d0:.3f}x of seed distortion"
+
+
+def test_ivfpq_probes_bound_candidates_and_rank_sanely(spark, sf_dir):
+    """IVFADC contract: every emitted neighbor must live in one of the
+    query's nprobe probed cells (the IVF pruning actually prunes), ranks
+    are dense per query with non-decreasing ADC distance, and the ADC
+    top-1 lands in the exact top-25% for most queries (residual-PQ at 16
+    codes is coarse, but far better than random)."""
+    import numpy as np
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import ivfpq
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        _quantized,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    out = ivfpq.ivfpq_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.adc_dist, r.neighbor_id))
+    assert len(by_q) == 10
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r for r, _, _ in rows] == [1, 2, 3, 4, 5]
+        dists = [d for _, d, _ in rows]
+        assert dists == sorted(dists), q
+
+    # replicate the deterministic index driver-side to check the probe
+    # restriction: neighbor's cell must be among the query's probes
+    emb = _quantized(load_table(spark, sf_dir, "embeddings")).persist()
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.array([r["q"] for r in rows], dtype=np.int64)
+    cmat = ivfpq._train_coarse(emb, ivfpq.IVFPQ_CELLS, ivfpq.IVFPQ_COARSE_ITERS)
+    emb.unpersist()
+    cells = dict(zip(ids.tolist(), ivfpq._coarse_assign(X, cmat).tolist()))
+    c2 = (cmat * cmat).sum(axis=1)
+    ok_top1 = 0
+    emb_by_id = dict(zip(ids.tolist(), X))
+    for q, rows_q in by_q.items():
+        qv = X[ids == q][0]
+        qdist = c2 - 2 * (qv @ cmat.T)
+        probe = set(
+            np.argsort(qdist, kind="stable")[: ivfpq.IVFPQ_NPROBE].tolist()
+        )
+        for _, _, nb in rows_q:
+            assert cells[nb] in probe, (q, nb, cells[nb], probe)
+        # recall sanity on the top-1
+        exact = sorted(
+            (int(((emb_by_id[i] - qv) ** 2).sum()), i)
+            for i in ids.tolist()
+            if i != q
+        )
+        cutoff = max(1, len(exact) // 4)
+        top_ids = {i for _, i in exact[:cutoff]}
+        ok_top1 += rows_q[0][2] in top_ids
+    assert ok_top1 >= 6, f"IVFADC top-1 inside exact top-25% for only {ok_top1}/10"
