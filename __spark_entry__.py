@@ -178,11 +178,12 @@ SWEEP_CHECKED = [
     # top_terms -> tail r5: rides the checked shared-shingle consumers)
     "text_language_id",
     "text_quality_score",
-    # layout health round-trip — new r5, first round driver-checked
+    # layout health + z-order math — new r5, first round driver-checked
     "layout_file_stats",
-    # curation (pii_scrub -> tail: long-green, pytest-covered)
+    "layout_zorder_stats",
+    # curation (pii_scrub -> tail: long-green, pytest-covered;
+    # stratified_sample -> tail r5: md5-deterministic, 3 rounds green)
     "curation_contamination",
-    "curation_stratified_sample",
     "curation_split",
     "curation_repetition",
     # multimodal (real compute; byte_stats and stub-codec variants -> tail)
@@ -202,9 +203,10 @@ SWEEP_TAIL = [
     "multimodal_frame_sample",
     "text_token_stats",
     # demoted r5 to fund the six r4-operator promotions and the new
-    # layout/ivfpq rows — each 2-3 rounds hash-green, cheap, and
+    # layout/zorder/ivfpq rows — each 2-3 rounds hash-green, cheap, and
     # pytest-covered
     "events_funnel",
+    "curation_stratified_sample",
     "text_top_terms",
     "dedup_exact",
     "text_fingerprints",

@@ -30,7 +30,72 @@ import os
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["write_clustered", "compact_partitions", "file_stats"]
+__all__ = [
+    "write_clustered",
+    "compact_partitions",
+    "file_stats",
+    "zvalue_expr",
+    "write_zordered",
+]
+
+Z_BITS = 16  # per-dimension resolution of the z-curve
+
+
+def zvalue_expr(a: str, b: str, bits: int = Z_BITS) -> str:
+    """SQL-string expression interleaving two ``bits``-wide non-negative
+    ints into one Morton (Z-order) value — ``a``'s bit i lands at 2i+1,
+    ``b``'s at 2i.
+
+    Z-ordering is the lakehouse answer to multi-column pruning
+    (Databricks OPTIMIZE ZORDER, Iceberg sort orders): a linear sort
+    gives perfect min/max file stats on its FIRST column and none on
+    the rest, while sorting by the interleaved value gives every
+    z-mapped column locality in every file, so a conjunctive range
+    predicate prunes files on all of them at once.
+
+    Built as one SQL string, not chained Column ops (the simhash
+    precedent: 2*bits py4j Column calls cost ~driver seconds; one
+    selectExpr parse is milliseconds). Exact int64 — both engines agree
+    bit-for-bit, so z-values are oracle-checkable.
+    """
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({a}, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright({b}, {i}) & 1, {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zvalue_duckdb_expr(a: str, b: str, bits: int = Z_BITS) -> str:
+    """DuckDB twin of :func:`zvalue_expr` (>> << operator spelling)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zcol: str,
+    n_files: int,
+    max_records_per_file: int = 1_000_000,
+) -> None:
+    """Write ``df`` as ``n_files`` files globally ordered by ``zcol``.
+
+    repartitionByRange gives each task a contiguous z-range (global
+    order across files, unlike hash repartition), and the local sort
+    inside each task tightens per-file min/max stats on every z-mapped
+    column — the layout that makes multi-column range predicates skip
+    files. One range shuffle; no global sort barrier.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(zcol))
+        .sortWithinPartitions(zcol)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .parquet(path)
+    )
 
 
 def write_clustered(

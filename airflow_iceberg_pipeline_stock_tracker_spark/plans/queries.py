@@ -626,6 +626,79 @@ ORDER BY 1
 """
 
 
+def layout_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(z_bucket, n_events, min_user, max_user, min_ts_s, max_ts_s):
+    coarse histogram of events along the (user_id, ts) Z-curve.
+
+    Hash-checks the exact bit math behind write_zordered: per-dimension
+    ranks are integer-scaled to 16 bits with `div` (exact in both
+    engines, unlike a double division whose floor can flip on exact
+    quotients), interleaved with layout.zvalue_expr, and bucketed by the
+    top 6 bits. The min/max per bucket demonstrate the locality the
+    layout buys: each z-bucket covers a bounded box in BOTH dimensions —
+    exactly what per-file min/max stats prune on after a z-ordered
+    write (the write itself is a filesystem property, pinned in
+    tests/test_layout.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    b = (
+        ev.agg(
+            F.min("user_id").alias("mn_u"),
+            F.max("user_id").alias("mx_u"),
+            F.min(F.col("ts").cast("long")).alias("mn_t"),
+            F.max(F.col("ts").cast("long")).alias("mx_t"),
+        )
+    )
+    z = layout.zvalue_expr("u16", "t16")
+    return (
+        ev.select("user_id", F.col("ts").cast("long").alias("ts_s"))
+        .crossJoin(F.broadcast(b))
+        .selectExpr(
+            "user_id",
+            "ts_s",
+            "((user_id - mn_u) * 65535) div greatest(mx_u - mn_u, 1) AS u16",
+            "((ts_s - mn_t) * 65535) div greatest(mx_t - mn_t, 1) AS t16",
+        )
+        .selectExpr("user_id", "ts_s", f"shiftright({z}, 26) AS z_bucket")
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("ts_s").alias("min_ts_s"),
+            F.max("ts_s").alias("max_ts_s"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+LAYOUT_ZORDER_SQL = f"""
+WITH b AS (
+  SELECT MIN(user_id) AS mn_u, MAX(user_id) AS mx_u,
+         MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS mn_t,
+         MAX(CAST(floor(epoch(ts)) AS BIGINT)) AS mx_t
+  FROM events
+),
+scaled AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+         ((user_id - mn_u) * 65535) // greatest(mx_u - mn_u, 1) AS u16,
+         ((CAST(floor(epoch(ts)) AS BIGINT) - mn_t) * 65535)
+           // greatest(mx_t - mn_t, 1) AS t16
+  FROM events, b
+),
+zed AS (
+  SELECT user_id, ts_s,
+         ({layout.zvalue_duckdb_expr('u16', 't16')} >> 26) AS z_bucket
+  FROM scaled
+)
+SELECT z_bucket, COUNT(*) AS n_events,
+       MIN(user_id) AS min_user, MAX(user_id) AS max_user,
+       MIN(ts_s) AS min_ts_s, MAX(ts_s) AS max_ts_s
+FROM zed
+GROUP BY z_bucket
+ORDER BY z_bucket
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -677,4 +750,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     ),
     # layout health as a query: clustered write -> footer-only stats
     "layout_file_stats": (layout_file_stats, LAYOUT_FILE_STATS_SQL),
+    # z-curve bucket histogram: the exact interleave math behind
+    # multi-column file pruning, hash-checked
+    "layout_zorder_stats": (layout_zorder_stats, LAYOUT_ZORDER_SQL),
 }

@@ -81,6 +81,92 @@ def test_small_partitions_collapse_under_aqe(spark, fragmented, tmp_path):
     assert all(r.n_files <= 2 for r in stats)
 
 
+def test_zorder_prunes_more_files_than_linear_sort(spark, sf_dir, tmp_path):
+    """The point of the z-curve: under a conjunctive range predicate, a
+    z-ordered layout's per-file min/max stats prune on BOTH columns,
+    while a linear sort prunes only on its leading column. Compare
+    candidate-file counts (files whose [min,max] on every predicate
+    column overlaps the box) from the real parquet footers."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", F.col("ts").cast("long").alias("ts_s"))
+    )
+    lo_u, hi_u, lo_t, hi_t = ev.agg(
+        F.min("user_id"), F.max("user_id"), F.min("ts_s"), F.max("ts_s")
+    ).collect()[0]
+    span_u, span_t = max(hi_u - lo_u, 1), max(hi_t - lo_t, 1)
+    scaled = ev.selectExpr(
+        "event_id",
+        "user_id",
+        "ts_s",
+        f"((user_id - {lo_u}) * 65535) div {span_u} AS u16",
+        f"((ts_s - {lo_t}) * 65535) div {span_t} AS t16",
+    ).selectExpr(
+        "event_id",
+        "user_id",
+        "ts_s",
+        layout.zvalue_expr("u16", "t16") + " AS z",
+    )
+    n_files = 16
+    zpath, lpath = str(tmp_path / "zord"), str(tmp_path / "linear")
+    layout.write_zordered(scaled, zpath, "z", n_files)
+    # linear baseline: range-sorted by user_id alone, same file count
+    (
+        scaled.repartitionByRange(n_files, F.col("user_id"))
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    import glob
+
+    import pyarrow.parquet as pq
+
+    def candidates(path, box):
+        (ulo, uhi), (tlo, thi) = box
+        n_total, n_cand = 0, 0
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.read_metadata(f)
+            stats = {}
+            for g in range(md.num_row_groups):
+                rg = md.row_group(g)
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    name = col.path_in_schema
+                    s = col.statistics
+                    mn, mx = stats.get(name, (s.min, s.max))
+                    stats[name] = (min(mn, s.min), max(mx, s.max))
+            n_total += 1
+            u_mn, u_mx = stats["user_id"]
+            t_mn, t_mx = stats["ts_s"]
+            if u_mx >= ulo and u_mn <= uhi and t_mx >= tlo and t_mn <= thi:
+                n_cand += 1
+        return n_total, n_cand
+
+    # broad user slice, narrow time slice: the layout where user_id is
+    # the only sorted column cannot prune on time at all
+    box = (
+        (lo_u, lo_u + span_u // 2),
+        (lo_t + span_t // 2, lo_t + span_t // 2 + span_t // 16),
+    )
+    z_total, z_cand = candidates(zpath, box)
+    l_total, l_cand = candidates(lpath, box)
+    # range partitioning may leave a couple of boundary partitions empty,
+    # so compare PRUNING FRACTIONS, not raw counts
+    assert z_total >= n_files - 4 and l_total >= n_files - 4
+    assert z_cand / z_total < l_cand / l_total, (
+        (z_cand, z_total), (l_cand, l_total)
+    )
+    # and the layouts hold the same rows
+    assert (
+        spark.read.parquet(zpath).count() == spark.read.parquet(lpath).count()
+    )
+
+
 def test_compact_cleans_stray_dirs_from_a_prior_crash(spark, fragmented):
     """A crash can leave .compact (staged) or .old (renamed-aside) dirs;
     the next compaction must clean them up and still converge."""
