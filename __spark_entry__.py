@@ -165,6 +165,8 @@ SWEEP_CHECKED = [
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_keep_list",
+    # exact-substring span coverage — new r5, first round checked
+    "dedup_repeated_spans",
     # similarity / embeddings
     "embedding_near_dup",
     "similarity_cosine_topk",
@@ -182,10 +184,9 @@ SWEEP_CHECKED = [
     "layout_file_stats",
     "layout_zorder_stats",
     # curation (pii_scrub -> tail: long-green, pytest-covered;
-    # stratified_sample -> tail r5: md5-deterministic, 3 rounds green)
+    # stratified_sample/repetition -> tail r5: 2-3 rounds green, pytest)
     "curation_contamination",
     "curation_split",
-    "curation_repetition",
     # multimodal (real compute; byte_stats and stub-codec variants -> tail)
     "multimodal_audio_chunks",
 ]
@@ -207,6 +208,7 @@ SWEEP_TAIL = [
     # pytest-covered
     "events_funnel",
     "curation_stratified_sample",
+    "curation_repetition",
     "text_top_terms",
     "dedup_exact",
     "text_fingerprints",

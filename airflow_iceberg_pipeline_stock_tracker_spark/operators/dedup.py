@@ -764,3 +764,142 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN comp c USING (doc_id)
 ORDER BY d.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# cross-document repeated-span coverage (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+SPAN_TOKENS = 20
+
+
+def repeated_span_coverage(docs: DataFrame, span: int = SPAN_TOKENS) -> DataFrame:
+    """(doc_id, n_tokens, dup_tokens): per-document token coverage by
+    spans of >= ``span`` tokens that also occur verbatim in ANOTHER
+    document.
+
+    This is the signal behind exact-substring training-data dedup (Lee
+    et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL 2022 — their ExactSubstr uses a suffix array at 50 BPE tokens).
+    A distributed suffix array is the wrong tool on Spark; the
+    equivalent decomposition is shingle-based: a repeated span of
+    length >= L exists iff its L-token shingles are repeated, so
+      1. emit every L-token rolling shingle as (doc_id, pos, md5-hash)
+         — one narrow JVM-side pass, the shared-tokenizer convention;
+      2. keep hashes seen in >= 2 DISTINCT documents (map-side
+         combinable aggregate on the shingle hash — the only
+         corpus-sized shuffle);
+      3. per document, merge the surviving [pos, pos+L-1] intervals
+         (the sessionize window pattern) and sum the covered lengths.
+    Downstream policy — drop covered spans, drop whole docs over a
+    duplication threshold — is a projection over this surface.
+
+    Exactness: interval arithmetic on int token positions; the md5
+    shingle hash is the portable hash32, so the DuckDB twin reproduces
+    the whole pipeline bit-for-bit. A 32-bit hash over ~1e6 shingles
+    has ~1e-1 expected collisions corpus-wide (birthday bound) — a
+    collision can only ADD a false duplicated span, identically in
+    both engines; at 100 TB swap hash60 in the same slot.
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("t"))
+    counts = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    sh = (
+        toks.where(F.size("t") >= span)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {span - 1}), "
+                    f"i -> concat_ws(' ', slice(t, i, {span})))"
+                )
+            ).alias("i0", "s"),
+        )
+        .select("doc_id", (F.col("i0") + 1).alias("pos"), hash32(F.col("s")).alias("h"))
+    )
+    dup_h = (
+        sh.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    starts = sh.join(dup_h, "h").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("pos")
+    merged = (
+        starts.withColumn("prev_end", F.max(F.col("pos") + span - 1).over(w_prev))
+        .withColumn(
+            "new_iv",
+            F.when(
+                F.col("prev_end").isNull()
+                | (F.col("pos") > F.col("prev_end") + 1),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("grp", F.sum("new_iv").over(w_run))
+        .groupBy("doc_id", "grp")
+        .agg((F.max("pos") - F.min("pos") + span).alias("iv_len"))
+        .groupBy("doc_id")
+        .agg(F.sum("iv_len").alias("dup_tokens"))
+    )
+    return (
+        counts.join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).alias("dup_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_SPAN = SPAN_TOKENS
+REPEATED_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+),
+counts AS (SELECT doc_id, len(t) AS n_tokens FROM toks),
+positions AS (
+  SELECT doc_id, t, unnest(range(1, len(t) - {_SPAN - 2})) AS pos
+  FROM toks WHERE len(t) >= {_SPAN}
+),
+sh AS (
+  SELECT doc_id, pos,
+         {hash32_sql(f"array_to_string(t[pos:pos+{_SPAN - 1}], ' ')")} AS h
+  FROM positions
+),
+dup_h AS (
+  SELECT h FROM sh GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+starts AS (SELECT doc_id, pos FROM sh JOIN dup_h USING (h)),
+ivs AS (
+  SELECT doc_id, pos,
+         MAX(pos + {_SPAN - 1}) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM starts
+),
+grps AS (
+  SELECT doc_id, pos,
+         -- CAST: DuckDB widens windowed SUM(INTEGER) to HUGEINT
+         CAST(SUM(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+                       THEN 1 ELSE 0 END) OVER (
+           PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS grp
+  FROM ivs
+),
+merged AS (
+  SELECT doc_id, CAST(SUM(iv_len) AS BIGINT) AS dup_tokens FROM (
+    SELECT doc_id, grp, MAX(pos) - MIN(pos) + {_SPAN} AS iv_len
+    FROM grps GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+)
+SELECT c.doc_id, c.n_tokens,
+       COALESCE(m.dup_tokens, 0) AS dup_tokens
+FROM counts c LEFT JOIN merged m USING (doc_id)
+ORDER BY c.doc_id
+"""

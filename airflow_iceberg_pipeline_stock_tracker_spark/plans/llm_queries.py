@@ -290,6 +290,14 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         ),
         dedup.DEDUP_KEEP_LIST_SQL,
     ),
+    # exact-substring dedup signal: cross-doc repeated >=20-token spans,
+    # shingle-decomposed + interval-merged (Lee et al. 2022 ExactSubstr)
+    "dedup_repeated_spans": (
+        lambda spark, sf: dedup.repeated_span_coverage(
+            load_table(spark, sf, "documents")
+        ),
+        dedup.REPEATED_SPANS_SQL,
+    ),
     "embedding_near_dup": (
         similarity.embedding_near_dup_pairs,
         similarity.EMBEDDING_NEAR_DUP_SQL,

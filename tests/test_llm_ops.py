@@ -478,6 +478,39 @@ def test_pq_training_reduces_quantization_distortion(spark, sf_dir):
     assert d2 < 0.9 * d0, f"trained codebook only {d2/d0:.3f}x of seed distortion"
 
 
+def test_repeated_span_coverage_semantics(spark):
+    """Hand-built corpus pinning the ExactSubstr-style contract:
+    coverage counts tokens inside >=SPAN-token runs shared verbatim
+    with ANOTHER doc; overlapping shingle hits merge into one interval;
+    within-doc-only repeats and short docs contribute zero."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+
+    span = dedup.SPAN_TOKENS  # 20
+    shared = " ".join(f"w{i}" for i in range(span + 5))  # 25-token run
+    docs = spark.createDataFrame(
+        [
+            # doc 0 and 1 share the 25-token run (plus distinct tails)
+            (0, shared + " a b c"),
+            (1, "x y z " + shared),
+            # doc 2: long but fully unique
+            (2, " ".join(f"u{i}" for i in range(40))),
+            # doc 3: shorter than the span -> no shingles at all
+            (3, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in dedup.repeated_span_coverage(docs).collect()
+    }
+    # the shared run is 25 tokens; its 6 shingle starts merge into ONE
+    # interval of exactly 25 tokens in both sharers
+    assert got[0] == (28, 25)
+    assert got[1] == (28, 25)
+    assert got[2] == (40, 0)
+    assert got[3] == (2, 0)
+
+
 def test_ivfpq_probes_bound_candidates_and_rank_sanely(spark, sf_dir):
     """IVFADC contract: every emitted neighbor must live in one of the
     query's nprobe probed cells (the IVF pruning actually prunes), ranks
