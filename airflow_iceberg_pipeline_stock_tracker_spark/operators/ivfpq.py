@@ -165,19 +165,24 @@ def _train_residual_pq(emb: DataFrame, cmat, codes: int, iters: int):
                     len(x), IVFPQ_M, IVFPQ_D
                 )
                 cd = _pq_encode(r, pb, vd)
+                # ONE emitted frame per Arrow batch: scatter-add per slot
+                sums = np.zeros((IVFPQ_M, pb.shape[1], IVFPQ_D), dtype=np.int64)
+                cnts = np.zeros((IVFPQ_M, pb.shape[1]), dtype=np.int64)
                 for m in range(IVFPQ_M):
-                    for c in np.unique(cd[:, m]):
-                        sel = r[cd[:, m] == c, m, :]
-                        s = sel.sum(axis=0)
-                        yield pd.DataFrame(
-                            {
-                                "m": int(m),
-                                "code": int(c),
-                                "i": np.arange(IVFPQ_D, dtype=np.int64),
-                                "s": s,
-                                "n": int(sel.shape[0]),
-                            }
-                        )
+                    np.add.at(sums[m], cd[:, m], r[:, m, :])
+                    np.add.at(cnts[m], cd[:, m], 1)
+                mm, cc = np.nonzero(cnts)
+                yield pd.DataFrame(
+                    {
+                        "m": np.repeat(mm, IVFPQ_D),
+                        "code": np.repeat(cc, IVFPQ_D),
+                        "i": np.tile(
+                            np.arange(IVFPQ_D, dtype=np.int64), len(mm)
+                        ),
+                        "s": sums[mm, cc].reshape(-1),
+                        "n": np.repeat(cnts[mm, cc], IVFPQ_D),
+                    }
+                )
 
         upd = (
             emb.mapInPandas(partials, "m int, code int, i bigint, s bigint, n bigint")

@@ -92,19 +92,23 @@ def _train_codebook(emb: DataFrame, iters: int):
                     len(pdf), PQ_M, PQ_D
                 )
                 codes = _encode(x, cb, vd)  # (b, M)
+                # ONE emitted frame per Arrow batch (not one per (m, code)
+                # group): np.add.at scatter-adds the per-slot sums/counts
+                sums = np.zeros((PQ_M, cb.shape[1], PQ_D), dtype=np.int64)
+                cnts = np.zeros((PQ_M, cb.shape[1]), dtype=np.int64)
                 for m in range(PQ_M):
-                    for c in np.unique(codes[:, m]):
-                        sel = x[codes[:, m] == c, m, :]
-                        s = sel.sum(axis=0)
-                        yield pd.DataFrame(
-                            {
-                                "m": int(m),
-                                "code": int(c),
-                                "i": np.arange(PQ_D, dtype=np.int64),
-                                "s": s,
-                                "n": int(sel.shape[0]),
-                            }
-                        )
+                    np.add.at(sums[m], codes[:, m], x[:, m, :])
+                    np.add.at(cnts[m], codes[:, m], 1)
+                mm, cc = np.nonzero(cnts)
+                yield pd.DataFrame(
+                    {
+                        "m": np.repeat(mm, PQ_D),
+                        "code": np.repeat(cc, PQ_D),
+                        "i": np.tile(np.arange(PQ_D, dtype=np.int64), len(mm)),
+                        "s": sums[mm, cc].reshape(-1),
+                        "n": np.repeat(cnts[mm, cc], PQ_D),
+                    }
+                )
 
         upd = (
             emb.mapInPandas(partials, "m int, code int, i bigint, s bigint, n bigint")

@@ -84,6 +84,11 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q14_promo_revenue",
     "events_ohlc_incremental",
+    # --- added in round 5 ---
+    "similarity_ivfpq_topk",
+    "dedup_repeated_spans",
+    "layout_file_stats",
+    "layout_zorder_stats",
 ]
 
 # batch/stream diff-proofs: each runs two full pipelines and diffs them —
