@@ -90,6 +90,24 @@ def ensure_state_table(spark: SparkSession, db: str) -> None:
 def process_events_batch(batch: DataFrame, batch_id: int, db: str) -> None:
     spark = batch.sparkSession
     ensure_state_table(spark, db)
+    # state volume is orders of magnitude below raw events, but every
+    # micro-batch pays per-partition task/commit overhead on each of its
+    # 3 shuffles (partials agg, state read, date repartition) — size the
+    # shuffle to the state, not the session default (save/restore: the
+    # caller's session is not ours to reconfigure — streaming._drain's
+    # pattern)
+    conf_key = "spark.sql.shuffle.partitions"
+    prior = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "8")
+    try:
+        _process_events_batch(spark, batch, batch_id, db)
+    finally:
+        spark.conf.set(conf_key, prior)
+
+
+def _process_events_batch(
+    spark: SparkSession, batch: DataFrame, batch_id: int, db: str
+) -> None:
     new = (
         _partials(batch)
         .withColumn("src_batch", F.lit(batch_id).cast("bigint"))
@@ -106,8 +124,13 @@ def process_events_batch(batch: DataFrame, batch_id: int, db: str) -> None:
     )
     # per-batch partials are kept (merge happens at read/compaction):
     # the rewrite of a touched date is then a pure function of
-    # (stored minus this batch, this batch) — idempotent under replay
-    out = stored.unionByName(new)
+    # (stored minus this batch, this batch) — idempotent under replay.
+    # repartition by date: without it every batch writes
+    # shuffle.partitions files per touched date and the NEXT batch's
+    # state read pays the exploding listing (measured 6x drain cost);
+    # state volume per date is tiny relative to events, so one writer
+    # per date is the right trade here (unlike raw-event writes).
+    out = stored.unionByName(new).repartition(F.col("date"))
     # dynamic partition overwrite of exactly the touched dates
     pipeline._insert(out, f"{db}.{BARS_TABLE}", overwrite=True)
     new.unpersist()
