@@ -95,3 +95,77 @@ def test_asof_join_matches_bruteforce(spark, left, right):
         want = _ts(max(candidates)) if candidates else None
         assert got[i] == want, (i, u, s)
     assert len(got) == len(left)  # every left row survives (left-join flavor)
+
+
+# ---------------------------------------------------------------------------
+# z-order interleave: exact bit round-trip
+# ---------------------------------------------------------------------------
+
+_u16 = st.integers(0, (1 << 16) - 1)
+
+
+@given(st.lists(st.tuples(_u16, _u16), min_size=1, max_size=40))
+@_prop_settings
+def test_zvalue_interleave_roundtrip(spark, pairs):
+    """The Morton value must deinterleave back to exactly (a, b) — the
+    property every pruning guarantee rests on — and be monotone in each
+    coordinate when the other is fixed at zero."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import layout
+
+    df = spark.createDataFrame(pairs, "a long, b long")
+    rows = df.selectExpr(
+        "a", "b", layout.zvalue_expr("a", "b") + " AS z"
+    ).collect()
+    for r in rows:
+        a = b = 0
+        for i in range(16):
+            b |= ((r.z >> (2 * i)) & 1) << i
+            a |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (a, b) == (r.a, r.b), (r.a, r.b, r.z)
+
+
+# ---------------------------------------------------------------------------
+# repeated-span coverage invariants vs a brute-force reference
+# ---------------------------------------------------------------------------
+
+# tiny vocab + short docs force verbatim span collisions across docs
+_docs = st.lists(
+    st.lists(st.integers(0, 2), min_size=0, max_size=12),
+    min_size=2,
+    max_size=6,
+)
+
+
+@given(_docs)
+@_prop_settings
+def test_repeated_span_coverage_matches_bruteforce(spark, token_docs):
+    """Brute-force reference: token i of doc d is duplicated iff some
+    window [s, s+L) containing i appears verbatim in another document.
+    The operator's interval-merged counts must agree exactly."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+
+    L = 4  # small span so 12-token docs can collide
+    texts = [" ".join(f"t{t}" for t in toks) for toks in token_docs]
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_tokens)
+        for r in dedup.repeated_span_coverage(df, span=L).collect()
+    }
+
+    def windows(toks):
+        return [tuple(toks[i : i + L]) for i in range(len(toks) - L + 1)]
+
+    all_w = {}
+    for d, toks in enumerate(token_docs):
+        for w in set(windows(toks)):
+            all_w.setdefault(w, set()).add(d)
+    for d, toks in enumerate(token_docs):
+        # split("") edge: an empty text still tokenizes to one '' token
+        n_tok = len(toks) if toks else 1
+        covered = set()
+        for i, w in enumerate(windows(toks)):
+            if len(all_w[w]) >= 2:
+                covered.update(range(i, i + L))
+        assert got[d] == (n_tok, len(covered)), (d, toks, got[d], len(covered))
