@@ -213,6 +213,7 @@ def ivfpq_topk(
     n_queries: int = 10,
     k: int = 5,
     nprobe: int = IVFPQ_NPROBE,
+    rerank: int | None = None,
 ) -> DataFrame:
     """(query_id, rank, neighbor_id, adc_dist): IVFADC top-k per query.
 
@@ -220,6 +221,14 @@ def ivfpq_topk(
     (probe order: exact int L2 to the coarse centroids, ties to the
     lower cell id); distances are asymmetric PQ lookups over residual
     codes. query_id is the query's actual vec_id.
+
+    ``rerank``: when set (> k), the standard two-stage retrieval: take
+    the top-``rerank`` ADC candidates per query, score ONLY those with
+    the exact int64 L2 against the stored full vectors, and return the
+    exact top-k (adc_dist column then carries the exact distance).
+    Production PQ systems close the quantization recall gap exactly
+    this way — the expensive metric touches O(nq * rerank) vectors,
+    never the corpus (tests pin recall(reranked) >= recall(ADC)).
     """
     import pandas as pd
 
@@ -280,10 +289,34 @@ def ivfpq_topk(
         score, "query_id bigint, neighbor_id bigint, adc_dist bigint"
     )
     w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
-    out = (
+    ranked = (
         scored.where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+    )
+    if rerank is not None and rerank > k:
+        from .similarity import _sq_dist
+
+        cand = ranked.where(F.col("rank") <= rerank).drop("rank", "adc_dist")
+        qv = emb.select(
+            F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+        ).where(F.col("query_id") < n_queries)
+        nv = emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq")
+        )
+        # O(nq * rerank) candidate rows resolve their vectors by id —
+        # broadcast-sized here, plain shuffle-hash joins at scale
+        w2 = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+        ranked = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(nv, "neighbor_id")
+            .withColumn(
+                "adc_dist", _sq_dist(F.col("qq"), F.col("nq"))
+            )
+            .drop("qq", "nq")
+            .withColumn("rank", F.row_number().over(w2))
+        )
+    out = (
+        ranked.where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist")
         .orderBy("query_id", "rank")
         .localCheckpoint(eager=True)

@@ -567,3 +567,44 @@ def test_ivfpq_probes_bound_candidates_and_rank_sanely(spark, sf_dir):
         top_ids = {i for _, i in exact[:cutoff]}
         ok_top1 += rows_q[0][2] in top_ids
     assert ok_top1 >= 6, f"IVFADC top-1 inside exact top-25% for only {ok_top1}/10"
+
+
+def test_ivfpq_rerank_closes_the_recall_gap(spark, sf_dir):
+    """Two-stage retrieval contract: exact re-ranking of the ADC top-20
+    must never lose recall@5 vs plain ADC (it scores the same candidate
+    set with the true metric), and its distances must BE the exact int64
+    L2 — verified against a driver-side recompute."""
+    import numpy as np
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import ivfpq
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        _quantized,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    emb = {
+        r["vec_id"]: np.array(r["q"], dtype=np.int64)
+        for r in _quantized(load_table(spark, sf_dir, "embeddings")).collect()
+    }
+    ids = sorted(emb)
+
+    def exact_top5(q):
+        srt = sorted(
+            (int(((emb[i] - emb[q]) ** 2).sum()), i) for i in ids if i != q
+        )
+        return [i for _, i in srt[:5]]
+
+    def recall(rows):
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+        return sum(
+            len(nbs & set(exact_top5(q))) for q, nbs in by_q.items()
+        ) / (5 * len(by_q))
+
+    plain = ivfpq.ivfpq_topk(spark, sf_dir).collect()
+    rr = ivfpq.ivfpq_topk(spark, sf_dir, rerank=20).collect()
+    assert recall(rr) >= recall(plain), (recall(rr), recall(plain))
+    for r in rr:  # distances are the true metric now
+        want = int(((emb[r.query_id] - emb[r.neighbor_id]) ** 2).sum())
+        assert r.adc_dist == want, (r.query_id, r.neighbor_id)
