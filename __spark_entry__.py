@@ -151,6 +151,19 @@ SWEEP_CHECKED = [
     "q14_promo_revenue",
     "topk_parts_per_brand",
     "customer_order_activity",
+    # relational shape extensions — new r5, first round checked:
+    # semi join (EXISTS), outer-join distribution, anti join (NOT IN),
+    # decorrelated scalar subquery, HAVING-subquery, ROLLUP, PIVOT,
+    # MERGE algebra, window-function breadth
+    "q4_order_priority",
+    "q13_customer_distribution",
+    "q16_supplier_cnt",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "revenue_rollup",
+    "returnflag_pivot",
+    "customer_merge_upsert",
+    "events_window_funcs",
     # events analytics — sketches first driver row this round
     "events_hourly",
     "events_sessionize",
@@ -159,34 +172,31 @@ SWEEP_CHECKED = [
     "events_type_totals_salted",
     "events_range_join",
     "events_sketch_accuracy",
-    # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest)
+    # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest;
+    # ngram_jaccard/components/keep_list -> tail r5: 3 rounds green each,
+    # pytest-covered, and they ride the checked minhash pair graph)
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "dedup_keep_list",
     # exact-substring span coverage — new r5, first round checked
     "dedup_repeated_spans",
-    # similarity / embeddings
-    "embedding_near_dup",
-    "similarity_cosine_topk",
-    "similarity_rp_lsh_topk",
+    # similarity / embeddings (cosine/rp_lsh/near_dup/kmeans -> tail r5:
+    # 3 rounds green, pytest-covered; ivf/pq/ivfpq stay — pq/ivfpq are
+    # on their first-or-second checked round)
     "similarity_ivf_topk",
-    "embedding_kmeans",
     "similarity_pq_topk",
     # full IVFADC (coarse + residual PQ) — new r5, first round checked
     "similarity_ivfpq_topk",
     # text (fingerprints/pack_shards -> tail: long-green, pytest-covered;
-    # top_terms -> tail r5: rides the checked shared-shingle consumers)
-    "text_language_id",
+    # top_terms -> tail r5: rides the checked shared-shingle consumers;
+    # language_id -> tail r5: 3 rounds green, pytest-covered)
     "text_quality_score",
     # layout health + z-order math — new r5, first round driver-checked
     "layout_file_stats",
     "layout_zorder_stats",
     # curation (pii_scrub -> tail: long-green, pytest-covered;
-    # stratified_sample/repetition -> tail r5: 2-3 rounds green, pytest)
+    # stratified_sample/repetition -> tail r5: 2-3 rounds green, pytest;
+    # split -> tail r5: 3 rounds green, rides checked contamination)
     "curation_contamination",
-    "curation_split",
     # multimodal (real compute; byte_stats and stub-codec variants -> tail)
     "multimodal_audio_chunks",
 ]
@@ -216,6 +226,17 @@ SWEEP_TAIL = [
     "curation_pii_scrub",
     "order_priority_stats",
     "events_retention",
+    # demoted late-r5 to fund the nine relational-shape promotions —
+    # each 3 consecutive rounds hash-green (r2/r3/r4) and pytest-covered
+    "dedup_ngram_jaccard",
+    "dedup_components",
+    "dedup_keep_list",
+    "embedding_near_dup",
+    "similarity_cosine_topk",
+    "similarity_rp_lsh_topk",
+    "embedding_kmeans",
+    "text_language_id",
+    "curation_split",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -754,3 +754,9 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     # multi-column file pruning, hash-checked
     "layout_zorder_stats": (layout_zorder_stats, LAYOUT_ZORDER_SQL),
 }
+
+# semi/anti joins, decorrelated subqueries, rollup, pivot, MERGE algebra,
+# window-function breadth (plans/relational_ext.py)
+from .relational_ext import RELATIONAL_EXT_QUERIES  # noqa: E402
+
+RELATIONAL_QUERIES.update(RELATIONAL_EXT_QUERIES)

@@ -1,0 +1,527 @@
+"""Relational operator shapes beyond the core TPC-H-ish set.
+
+The reference never joins (its only multi-input operator is UNION ALL,
+``/root/reference/dags/dag.py:279-307``), but a complete engine needs the
+full decision-support shape catalogue. This module adds the shapes
+``plans/queries.py`` does not yet exercise:
+
+  q4_order_priority        EXISTS          -> left-semi join
+  q13_customer_distribution LEFT OUTER + double aggregate (decorrelated)
+  q16_supplier_cnt         NOT IN          -> broadcast left-anti join
+  q17_small_qty_revenue    correlated scalar subquery -> decorrelated agg+join
+  q18_large_orders         HAVING-subquery -> pre-aggregated semi filter
+  revenue_rollup           GROUP BY ROLLUP -> Expand + grouping_id
+  returnflag_pivot         PIVOT (explicit values -> no discovery scan)
+  customer_merge_upsert    MERGE INTO algebra (operators/merge.py)
+  events_window_funcs      lag/lead/row_number/ntile/dense_rank breadth
+
+Every builder is paired with a DuckDB oracle twin; all money math goes
+through exact integer cents (functions/money.py) so partial aggregation
+and AQE can never perturb a hash.
+
+Scale notes are inline per query; the common themes: decorrelate
+subqueries into aggregates + joins (never per-row re-scans), reduce the
+big side BEFORE any join, broadcast every genuinely small side, and keep
+semi/anti joins on pruned single-column projections.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, dollars
+from ..operators.merge import merge_upsert
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Q4-style: EXISTS -> left-semi join
+# ---------------------------------------------------------------------------
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders in 1996Q1 having >=1 deep-discount line, counted by priority.
+
+    EXISTS becomes a LEFT SEMI join: the probe side (orders) keeps its
+    columns, the build side (lineitem) is pruned to l_orderkey before
+    the shuffle — no distinct needed, semi-join semantics dedup for
+    free. At 100 TB both sides shuffle on orderkey, but the lineitem
+    side carries ONE bigint column after pushdown.
+    """
+    orders = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_discount") > 0.06)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+  AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_discount > 0.06)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13-style: LEFT OUTER join + two-level aggregate, decorrelated
+# ---------------------------------------------------------------------------
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of non-urgent order counts per customer.
+
+    The textbook form left-joins customer->orders then counts twice.
+    Shuffle-minimal form used here: pre-aggregate orders by custkey
+    FIRST (map-side combinable, output = one row per customer), then
+    left-join customer to the tiny aggregate and count the distribution.
+    Equivalent because c_custkey is unique in customer. At 100 TB the
+    orders fact collapses before any join, and the join input is
+    |customers| rows instead of |orders|.
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .where(~F.col("o_orderpriority").like("%URGENT%"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.count(F.lit(1)).alias("c_count"))
+    )
+    return (
+        cust.join(per_cust, "c_custkey", "left_outer")
+        .select(F.coalesce("c_count", F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '%URGENT%'
+  GROUP BY c_custkey) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16-style: NOT IN -> broadcast left-anti join
+# ---------------------------------------------------------------------------
+
+
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier count per (brand, type), excluding flagged suppliers.
+
+    NOT IN over a subquery becomes a broadcast LEFT ANTI join: the
+    flagged-supplier set (s_acctbal < 0 stands in for the reference
+    benchmark's complaints filter; this table has no comment column) is
+    tiny, so the lineitem side never shuffles for the exclusion. The
+    only shuffles are the part join and the final distinct aggregate.
+    """
+    flagged = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    part = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#45")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(flagged), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type")
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+ORDER BY supplier_cnt DESC, p_brand, p_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17-style: correlated scalar subquery, decorrelated
+# ---------------------------------------------------------------------------
+
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yearly revenue from lines under 20% of their part's average quantity.
+
+    The correlated subquery `l_quantity < 0.2 * (SELECT AVG(l_quantity)
+    ... WHERE l2.l_partkey = l_partkey)` decorrelates into a per-part
+    aggregate joined back. Two scale moves:
+      * the part filter (Brand#23, small sizes) is applied FIRST and the
+        lineitem side is semi-reduced by a broadcast join to that part
+        set BEFORE the per-part aggregate — the filter is on part
+        attributes only, so the reduced set still contains every line
+        of each surviving part and the aggregate is exact;
+      * the 0.2*avg comparison is cross-multiplied into pure int64
+        (5*qty*cnt < sum_qty): quantities are integral, so neither
+        engine ever divides and the predicate can't flip on a last-ulp.
+    """
+    part = (
+        load_table(spark, sf_dir, "part")
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(
+            F.broadcast(part),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .drop("p_partkey")
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt_qty"),
+    )
+    return (
+        li.join(F.broadcast(stats), "l_partkey")
+        .where(
+            F.col("l_quantity").cast("bigint") * 5 * F.col("cnt_qty")
+            < F.col("sum_qty")
+        )
+        .agg(
+            (dollars(F.sum(cents("l_extendedprice"))) / 7.0).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+Q17_SQL = """
+SELECT SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0 AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS pk,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+             CAST(COUNT(*) AS BIGINT) AS cnt_qty
+      FROM lineitem GROUP BY l_partkey) stats ON pk = p_partkey
+WHERE p_brand = 'Brand#23' AND p_size <= 10
+  AND CAST(l_quantity AS BIGINT) * 5 * cnt_qty < sum_qty
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18-style: HAVING-subquery -> pre-aggregated filter, no re-join of the fact
+# ---------------------------------------------------------------------------
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers holding orders whose total quantity exceeds 300.
+
+    `o_orderkey IN (SELECT ... HAVING SUM(qty) > 300)` pre-aggregates
+    lineitem once; the surviving key set is tiny (tail of the per-order
+    quantity distribution), so it broadcasts into orders and the total
+    is carried along instead of re-joining lineitem a second time (the
+    textbook plan scans the fact twice; this one folds the HAVING
+    payload into the same aggregate).
+    """
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("total_qty"))
+        .where(F.col("total_qty") > 300)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+Q18_SQL = """
+WITH big AS (
+  SELECT l_orderkey AS bok,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) > 300
+)
+SELECT c_name, c_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       total_qty
+FROM orders
+JOIN big ON o_orderkey = bok
+JOIN customer ON o_custkey = c_custkey
+ORDER BY total_qty DESC, o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP: grouping sets via Expand + grouping_id
+# ---------------------------------------------------------------------------
+
+
+def revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by (nation, year) with ROLLUP subtotals and grand total.
+
+    Spark executes rollup as ONE Expand node feeding one hash aggregate:
+    each input row fans out to its 3 grouping-set replicas map-side,
+    partials combine per (gid, keys), and the single shuffle carries the
+    combined partials — no per-level re-scan of the fact. grouping_id()
+    mirrors DuckDB's GROUPING(n_name)*2 + GROUPING(o_year) bitmask.
+    The year is projected BEFORE the rollup so both engines group on an
+    identical concrete column, and NULL grouping keys are disambiguated
+    from real values via the gid (COALESCE stands in 'ALL'/-1 labels).
+    """
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.year(F.col("o_orderdate")).cast("bigint").alias("o_year"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .rollup("n_name", "o_year")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            dollars(F.sum("rev_c")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "gid",
+            "revenue",
+        )
+        .orderBy("gid", "nation", "o_year")
+    )
+
+
+REVENUE_ROLLUP_SQL = """
+WITH joined AS (
+  SELECT n_name, CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+         CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT COALESCE(n_name, 'ALL') AS nation,
+       COALESCE(o_year, -1) AS o_year,
+       CAST(GROUPING(n_name) * 2 + GROUPING(o_year) AS BIGINT) AS gid,
+       SUM(rev_c) / 100.0 AS revenue
+FROM joined
+GROUP BY ROLLUP(n_name, o_year)
+ORDER BY gid, nation, o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# PIVOT with explicit values
+# ---------------------------------------------------------------------------
+
+
+def returnflag_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per ship-year pivoted across return flags (A/N/R).
+
+    The pivot values are EXPLICIT: Spark's value-less pivot() runs an
+    eager distinct job over the pivot column before it can even build
+    the plan — a full extra scan at 100 TB. With values supplied, pivot
+    compiles to one groupBy with conditional aggregates (exactly the
+    FILTER form in the oracle), single scan, single shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.select(
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            "l_returnflag",
+            rev.alias("rev_c"),
+        )
+        .groupBy("ship_year")
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum("rev_c"))
+        .select(
+            "ship_year",
+            dollars(F.coalesce("A", F.lit(0))).alias("rev_a"),
+            dollars(F.coalesce("N", F.lit(0))).alias("rev_n"),
+            dollars(F.coalesce("R", F.lit(0))).alias("rev_r"),
+        )
+        .orderBy("ship_year")
+    )
+
+
+RETURNFLAG_PIVOT_SQL = """
+SELECT CAST(YEAR(l_shipdate) AS BIGINT) AS ship_year,
+  COALESCE(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+           FILTER (WHERE l_returnflag='A'), 0) / 100.0 AS rev_a,
+  COALESCE(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+           FILTER (WHERE l_returnflag='N'), 0) / 100.0 AS rev_n,
+  COALESCE(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+           FILTER (WHERE l_returnflag='R'), 0) / 100.0 AS rev_r
+FROM lineitem
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO algebra (operators/merge.py)
+# ---------------------------------------------------------------------------
+
+
+def customer_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert 1996 order activity into a customer-balance dimension.
+
+    Target: customers with c_custkey % 10 != 0 (a dimension missing some
+    rows, so the insert branch is genuinely exercised). Source: per-
+    customer 1996 spend in exact cents. MATCHED rows add the spend to
+    the balance; NOT MATCHED keys insert a placeholder row; untouched
+    target rows pass through. The broadcast-hinted source keeps the
+    target on the streamed side of every branch join (merge_upsert's
+    three-way decomposition — Spark can't broadcast a full-outer build,
+    so the naive MERGE algebra would shuffle the whole target).
+    """
+    target = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") % 10 != 0)
+        .select("c_custkey", "c_name", cents("c_acctbal").alias("acct_cents"))
+    )
+    source = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.year("o_orderdate") == 1996)
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.sum(cents("o_totalprice")).alias("spend_cents"))
+    )
+    merged = merge_upsert(
+        target,
+        F.broadcast(source),
+        keys=["c_custkey"],
+        when_matched={
+            "acct_cents": F.col("t.acct_cents") + F.col("s.spend_cents"),
+        },
+        when_not_matched={
+            "c_name": F.concat(F.lit("NEW#"), F.col("c_custkey").cast("string")),
+            "acct_cents": F.col("s.spend_cents"),
+        },
+    )
+    return merged.select(
+        "c_custkey", "c_name", dollars("acct_cents").alias("acctbal")
+    ).orderBy("c_custkey")
+
+
+CUSTOMER_MERGE_SQL = """
+WITH target AS (
+  SELECT c_custkey, c_name,
+         CAST(ROUND(c_acctbal * 100) AS BIGINT) AS acct_cents
+  FROM customer WHERE c_custkey % 10 <> 0
+),
+source AS (
+  SELECT o_custkey AS c_custkey,
+         SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS spend_cents
+  FROM orders WHERE YEAR(o_orderdate) = 1996
+  GROUP BY o_custkey
+)
+SELECT COALESCE(t.c_custkey, s.c_custkey) AS c_custkey,
+       CASE WHEN t.c_custkey IS NULL
+            THEN 'NEW#' || CAST(s.c_custkey AS VARCHAR)
+            ELSE t.c_name END AS c_name,
+       (CASE WHEN t.c_custkey IS NULL THEN s.spend_cents
+             WHEN s.c_custkey IS NULL THEN t.acct_cents
+             ELSE t.acct_cents + s.spend_cents END) / 100.0 AS acctbal
+FROM target t FULL OUTER JOIN source s ON t.c_custkey = s.c_custkey
+ORDER BY c_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Window-function breadth: lag / lead / row_number / ntile / dense_rank
+# ---------------------------------------------------------------------------
+
+
+def events_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event stream annotated with the offset/rank window family.
+
+    One keyed shuffle produces BOTH windows: they share the partition key
+    (user_id), so Spark plans a single exchange with two in-partition
+    sorts. Every ordering is fully tie-broken by event_id, making
+    lag/lead/ntile deterministic across partitionings and engines. No
+    unbounded-preceding frames over unsorted data; state per partition
+    is one user's events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_time = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_value = Window.partitionBy("user_id").orderBy(
+        F.desc("value"), "event_id"
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lag("value").over(w_time).alias("prev_value"),
+            F.lead("value").over(w_time).alias("next_value"),
+            F.row_number().over(w_time).alias("seq"),
+            F.ntile(4).over(w_time).alias("quartile"),
+            F.dense_rank().over(w_value).alias("value_rank"),
+        )
+        .orderBy("user_id", "seq")
+    )
+
+
+EVENTS_WINDOW_SQL = """
+SELECT event_id, user_id, value,
+       LAG(value)  OVER w_time AS prev_value,
+       LEAD(value) OVER w_time AS next_value,
+       CAST(ROW_NUMBER() OVER w_time AS INT) AS seq,
+       CAST(NTILE(4) OVER w_time AS INT) AS quartile,
+       CAST(DENSE_RANK() OVER w_value AS INT) AS value_rank
+FROM events
+WINDOW w_time  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w_value AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+ORDER BY user_id, seq
+"""
+
+
+RELATIONAL_EXT_QUERIES = {
+    "q4_order_priority": (q4_order_priority, Q4_SQL),
+    "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
+    "q16_supplier_cnt": (q16_supplier_cnt, Q16_SQL),
+    "q17_small_qty_revenue": (q17_small_qty_revenue, Q17_SQL),
+    "q18_large_orders": (q18_large_orders, Q18_SQL),
+    "revenue_rollup": (revenue_rollup, REVENUE_ROLLUP_SQL),
+    "returnflag_pivot": (returnflag_pivot, RETURNFLAG_PIVOT_SQL),
+    "customer_merge_upsert": (customer_merge_upsert, CUSTOMER_MERGE_SQL),
+    "events_window_funcs": (events_window_funcs, EVENTS_WINDOW_SQL),
+}

@@ -179,3 +179,71 @@ def test_contamination_no_cross_product(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # the DF-cap window over the benchmark postings is present
     assert "windowspecdefinition(h#" in plan
+
+
+# ---------------------------------------------------------------------------
+# relational_ext plan shapes (plans/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_q4_exists_becomes_semi_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q4_order_priority")
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    # the discount predicate prunes lineitem at the scan
+    assert "GreaterThan(l_discount" in plan
+
+
+def test_q16_not_in_becomes_broadcast_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_cnt")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_with_part_filter_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q17_small_qty_revenue")
+    # the brand filter must reach the part scan, not run post-join
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    # per-part stats and the part set both broadcast into lineitem
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_q18_having_set_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q18_large_orders")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rollup_is_single_expand_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_rollup")
+    # grouping sets = ONE Expand feeding one aggregate, never a
+    # per-grouping-level re-scan of the fact table
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") <= 4  # lineitem+orders+customer+nation
+
+
+def test_pivot_explicit_values_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "returnflag_pivot")
+    # explicit pivot values: one lineitem scan, no distinct-discovery job
+    assert plan.count("Scan parquet") == 1
+
+
+def test_window_funcs_share_one_exchange(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_window_funcs")
+    # both windows partition by user_id -> a single hash exchange feeds
+    # two in-partition sorts (plus the final presentation sort's range
+    # exchange); anything more means the windows stopped sharing
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_merge_upsert_target_never_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "customer_merge_upsert")
+    # three-branch MERGE decomposition: every join builds the (broadcast)
+    # changeset side; a FullOuter SortMergeJoin here would mean the
+    # whole target shuffles for a day's changeset
+    assert "FullOuter" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # anti + inner + insert-anti
+    # the only exchanges are the source pre-aggregate and the output sort
+    assert "hashpartitioning(c_custkey" not in plan
