@@ -164,18 +164,18 @@ SWEEP_CHECKED = [
     "returnflag_pivot",
     "customer_merge_upsert",
     "events_window_funcs",
-    # events analytics — sketches first driver row this round
-    "events_hourly",
-    "events_sessionize",
+    # INTERSECT/EXCEPT + exact-integer-moment regression — new r5
+    "events_user_set_ops",
+    "events_user_trend",
     "events_asof_join",
     "events_ohlc_daily",
     "events_type_totals_salted",
     "events_range_join",
     "events_sketch_accuracy",
     # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest;
-    # ngram_jaccard/components/keep_list -> tail r5: 3 rounds green each,
-    # pytest-covered, and they ride the checked minhash pair graph)
-    "dedup_minhash_lsh",
+    # ngram_jaccard/components/keep_list/minhash_lsh -> tail r5: 3 rounds
+    # green each, pytest-covered; simhash + repeated_spans keep the
+    # family's checked rows)
     "dedup_simhash",
     # exact-substring span coverage — new r5, first round checked
     "dedup_repeated_spans",
@@ -190,9 +190,11 @@ SWEEP_CHECKED = [
     # top_terms -> tail r5: rides the checked shared-shingle consumers;
     # language_id -> tail r5: 3 rounds green, pytest-covered)
     "text_quality_score",
-    # layout health + z-order math — new r5, first round driver-checked
+    # layout health + z-order math + bucketed co-located join — new r5,
+    # first round driver-checked
     "layout_file_stats",
     "layout_zorder_stats",
+    "layout_bucketed_join",
     # curation (pii_scrub -> tail: long-green, pytest-covered;
     # stratified_sample/repetition -> tail r5: 2-3 rounds green, pytest;
     # split -> tail r5: 3 rounds green, rides checked contamination)
@@ -237,6 +239,14 @@ SWEEP_TAIL = [
     "embedding_kmeans",
     "text_language_id",
     "curation_split",
+    # demoted to fund set-ops/trend: green r2+r4 (r3 row lost to the
+    # loader-bug infra failure, same as the funnel/retention precedent),
+    # pytest-covered, and their checked streaming twins
+    # (streaming_hourly_tumbling / streaming_sessionize) hash-prove the
+    # identical aggregation logic every round
+    "events_hourly",
+    "events_sessionize",
+    "dedup_minhash_lsh",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -36,7 +36,38 @@ __all__ = [
     "file_stats",
     "zvalue_expr",
     "write_zordered",
+    "write_bucketed",
 ]
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sort-within-bucket)
+    catalog table.
+
+    Bucketing is the pre-paid shuffle: rows are hash-distributed into
+    ``n_buckets`` files per write task BY KEY at write time, and the
+    bucket spec is recorded in the catalog. Every later equi-join or
+    aggregation on the bucket columns then reads co-located data and
+    plans with NO Exchange on that side — at 100 TB this turns the
+    nightly fact-to-fact join from two full shuffles into zero. SortBy
+    additionally pre-orders within buckets so sort-merge joins skip
+    their sort. Spark only exploits the spec when BOTH join sides share
+    the bucket count/keys (pinned in tests/test_layout.py).
+    """
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(n_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
 
 Z_BITS = 16  # per-dimension resolution of the z-curve
 

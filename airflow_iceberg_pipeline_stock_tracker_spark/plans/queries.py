@@ -699,6 +699,58 @@ ORDER BY z_bucket
 """
 
 
+def layout_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per priority off PRE-BUCKETED orders ⋈ lineitem tables.
+
+    Both facts are persisted bucketed by the join key (operators/
+    layout.py::write_bucketed), then joined and aggregated. With
+    matching bucket specs the join plans with NO shuffle exchange on
+    either side — the pre-paid-shuffle property pinned differentially
+    in tests/test_layout.py (the same join over plain parquet plans two
+    exchanges). The driver-hashed surface proves the bucketed write +
+    bucket-aware read round-trip is value-exact, not just well-shaped.
+    """
+    import os
+    import shutil
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_orders", "bkt_lineitem"):
+        # a killed prior run can leave the warehouse dir without its
+        # in-memory catalog entry; clear both so overwrite can't trip
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+    layout.write_bucketed(orders, "bkt_orders", ["o_orderkey"], 8, ["o_orderkey"])
+    layout.write_bucketed(li, "bkt_lineitem", ["l_orderkey"], 8, ["l_orderkey"])
+    o, l = spark.table("bkt_orders"), spark.table("bkt_lineitem")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            dollars(F.sum(rev)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+LAYOUT_BUCKETED_SQL = """
+SELECT o_orderpriority,
+       SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+         / 100.0 AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -753,6 +805,8 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     # z-curve bucket histogram: the exact interleave math behind
     # multi-column file pruning, hash-checked
     "layout_zorder_stats": (layout_zorder_stats, LAYOUT_ZORDER_SQL),
+    # pre-bucketed co-located join: the pre-paid shuffle, value-checked
+    "layout_bucketed_join": (layout_bucketed_join, LAYOUT_BUCKETED_SQL),
 }
 
 # semi/anti joins, decorrelated subqueries, rollup, pivot, MERGE algebra,

@@ -514,6 +514,134 @@ ORDER BY user_id, seq
 """
 
 
+# ---------------------------------------------------------------------------
+# Set operations: INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+
+
+def events_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-spend purchasers ∩ frequent clickers ∖ error-heavy users.
+
+    INTERSECT and EXCEPT (distinct set semantics) — Spark plans both as
+    aggregate + semi/anti join, so each input collapses to its distinct
+    user set map-side before any shuffle. Thresholds are exact integer
+    aggregates (cent sums, counts), so set membership can't flip on a
+    float tie.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def users_where(etype: str, having) -> DataFrame:
+        agg = (
+            ev.where(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents("value")).alias("v_cents"),
+            )
+        )
+        return agg.where(having).select("user_id")
+
+    big_spenders = users_where("purchase", F.col("v_cents") > 59000)
+    clickers = users_where("click", F.col("n") >= 13)
+    error_heavy = users_where("error", F.col("n") > 16)
+    # subtract = EXCEPT (set semantics), planned as an aggregate + anti
+    # join; exceptAll would plan the union/replicate-rows multiset form,
+    # pointlessly heavier when both inputs are already distinct sets
+    return (
+        big_spenders.intersect(clickers)
+        .subtract(error_heavy)
+        .orderBy("user_id")
+    )
+
+
+EVENTS_SET_OPS_SQL = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+GROUP BY user_id HAVING SUM(CAST(ROUND(value * 100) AS BIGINT)) > 59000
+INTERSECT
+SELECT user_id FROM events WHERE event_type = 'click'
+GROUP BY user_id HAVING COUNT(*) >= 13
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+GROUP BY user_id HAVING COUNT(*) > 16
+ORDER BY user_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Per-user least-squares trend from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+def events_user_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of spend over time — regression WITHOUT UDFs.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over x = seconds since the
+    corpus min timestamp, y = value in cents. All five moments are exact
+    int64 sums (map-side combinable, one keyed shuffle), so the closing
+    double divisions run on bit-identical operands in any engine and any
+    partitioning — the float-determinism discipline of functions/money.py
+    extended to second-order moments.
+
+    Overflow bound: the denominator is ≤ (n·x_range)²; with the events
+    corpus range (~2.6e6 s) that holds to ~1000 events/user. Beyond
+    that, rebase x per day-partition (or widen to decimal) upstream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.agg(F.min(F.col("ts").cast("long")).alias("mn_t"))
+    m = (
+        ev.select("user_id", F.col("ts").cast("long").alias("ts_s"), "value")
+        .crossJoin(F.broadcast(base))
+        .select(
+            "user_id",
+            (F.col("ts_s") - F.col("mn_t")).alias("x"),
+            cents("value").alias("y"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.nullif(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0))
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    ).orderBy("user_id")
+
+
+EVENTS_TREND_SQL = """
+WITH b AS (SELECT MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS mn_t FROM events),
+m AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(x*y) AS BIGINT) AS sxy
+  FROM (SELECT user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) - mn_t AS x,
+               CAST(ROUND(value * 100) AS BIGINT) AS y
+        FROM events, b) t
+  GROUP BY user_id
+)
+SELECT user_id, n AS n_events,
+       CAST(n*sxy - sx*sy AS DOUBLE) / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE)
+         AS slope,
+       (CAST(sy AS DOUBLE)
+        - (CAST(n*sxy - sx*sy AS DOUBLE)
+           / CAST(NULLIF(n*sxx - sx*sx, 0) AS DOUBLE)) * CAST(sx AS DOUBLE))
+         / CAST(n AS DOUBLE) AS intercept
+FROM m ORDER BY user_id
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -524,4 +652,6 @@ RELATIONAL_EXT_QUERIES = {
     "returnflag_pivot": (returnflag_pivot, RETURNFLAG_PIVOT_SQL),
     "customer_merge_upsert": (customer_merge_upsert, CUSTOMER_MERGE_SQL),
     "events_window_funcs": (events_window_funcs, EVENTS_WINDOW_SQL),
+    "events_user_set_ops": (events_user_set_ops, EVENTS_SET_OPS_SQL),
+    "events_user_trend": (events_user_trend, EVENTS_TREND_SQL),
 }

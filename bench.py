@@ -98,6 +98,9 @@ HEADLINE = [
     "returnflag_pivot",
     "customer_merge_upsert",
     "events_window_funcs",
+    "events_user_set_ops",
+    "events_user_trend",
+    "layout_bucketed_join",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

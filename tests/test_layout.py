@@ -217,3 +217,45 @@ def test_compact_reduces_files_and_preserves_rows(spark, fragmented):
         map(tuple, spark.read.parquet(path).select("event_id", "user_id").collect())
     )
     assert rows_after == rows_before
+
+
+def test_bucketed_join_eliminates_both_shuffles(spark, sf_dir):
+    """The whole point of write_bucketed: with matching bucket specs the
+    equi-join plans ZERO hash exchanges, while the identical join over
+    plain parquet plans one per side. Differential so the assertion can't
+    rot into vacuous truth if plan strings change."""
+    import shutil
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import layout
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("tb_orders", "tb_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+    layout.write_bucketed(orders, "tb_orders", ["o_orderkey"], 4, ["o_orderkey"])
+    layout.write_bucketed(li, "tb_lineitem", ["l_orderkey"], 4, ["l_orderkey"])
+
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, l = spark.table("tb_orders"), spark.table("tb_lineitem")
+        bucketed = l.join(o, l.l_orderkey == o.o_orderkey)
+        bplan = bucketed._jdf.queryExecution().executedPlan().toString()
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        pplan = plain._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+
+    assert "Exchange hashpartitioning" not in bplan
+    assert "SelectedBucketsCount" in bplan  # bucket spec actually used
+    assert pplan.count("Exchange hashpartitioning") == 2  # differential
+
+    # joining rows are value-identical to the plain-parquet join
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, plain.collect())
+    )

@@ -247,3 +247,20 @@ def test_merge_upsert_target_never_shuffles(spark, sf_dir):
     assert plan.count("BroadcastHashJoin") >= 3  # anti + inner + insert-anti
     # the only exchanges are the source pre-aggregate and the output sort
     assert "hashpartitioning(c_custkey" not in plan
+
+
+def test_set_ops_become_semi_anti_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_user_set_ops")
+    # INTERSECT -> semi join over distinct sets, EXCEPT -> anti join;
+    # never a cross product, never a full materialized set comparison
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_user_trend_is_one_keyed_shuffle_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_user_trend")
+    # the five regression moments combine map-side into ONE user_id
+    # exchange; the closing divisions are JVM expressions, not a UDF
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
