@@ -143,9 +143,13 @@ SWEEP_CHECKED = [
     "streaming_chained_hourly",
     "events_micro_batch_parity",
     "events_ohlc_incremental",
+    # stream-static enrichment + foreachBatch CDC merge apply — new r5
+    "streaming_enriched_hourly",
+    "streaming_merge_apply",
     # relational / TPC-H-ish — q6/q14 first driver row this round
+    # (q3 -> tail late-r5: 3 rounds green, pytest plan-pinned; q1/q5 stay
+    # as the scan-agg and 5-way-join family anchors)
     "q1_pricing_summary",
-    "q3_top_orders",
     "q5_nation_revenue",
     "q6_forecast_revenue",
     "q14_promo_revenue",
@@ -164,12 +168,15 @@ SWEEP_CHECKED = [
     "returnflag_pivot",
     "customer_merge_upsert",
     "events_window_funcs",
-    # INTERSECT/EXCEPT + exact-integer-moment regression — new r5
+    # INTERSECT/EXCEPT + exact-integer-moment regression + SCD2 — new r5
     "events_user_set_ops",
     "events_user_trend",
+    "scd2_priority_intervals",
+    # events analytics (hourly/sessionize have checked streaming twins;
+    # type_totals_salted -> tail late-r5: green r2+r4 with the r3
+    # infra-loss precedent, pytest NULL-semantics + plan-shape covered)
     "events_asof_join",
     "events_ohlc_daily",
-    "events_type_totals_salted",
     "events_range_join",
     "events_sketch_accuracy",
     # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest;
@@ -179,10 +186,9 @@ SWEEP_CHECKED = [
     "dedup_simhash",
     # exact-substring span coverage — new r5, first round checked
     "dedup_repeated_spans",
-    # similarity / embeddings (cosine/rp_lsh/near_dup/kmeans -> tail r5:
-    # 3 rounds green, pytest-covered; ivf/pq/ivfpq stay — pq/ivfpq are
-    # on their first-or-second checked round)
-    "similarity_ivf_topk",
+    # similarity / embeddings (cosine/rp_lsh/near_dup/kmeans/ivf -> tail
+    # r5: 3 rounds green, pytest-covered; pq/ivfpq stay — they are on
+    # their first-or-second checked round)
     "similarity_pq_topk",
     # full IVFADC (coarse + residual PQ) — new r5, first round checked
     "similarity_ivfpq_topk",
@@ -247,6 +253,9 @@ SWEEP_TAIL = [
     "events_hourly",
     "events_sessionize",
     "dedup_minhash_lsh",
+    "q3_top_orders",
+    "similarity_ivf_topk",
+    "events_type_totals_salted",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -642,6 +642,77 @@ FROM m ORDER BY user_id
 """
 
 
+# ---------------------------------------------------------------------------
+# SCD2: slowly-changing-dimension intervals from a changelog
+# ---------------------------------------------------------------------------
+
+
+def scd2_priority_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build: per-customer priority history as
+    [valid_from, valid_to) intervals with an is_current flag.
+
+    Orders are read as a changelog of each customer's "current order
+    priority". The standard SCD2 construction: order the changelog per
+    key (fully tie-broken by orderkey), keep only CHANGE rows
+    (lag-compare drops consecutive duplicates), then close each interval
+    with the next change's start (lead). Both windows share the
+    (o_custkey) partition key, so the whole build is ONE keyed shuffle —
+    the shape that lets a 100 TB dimension rebuild run as a single pass.
+    """
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .withColumn("prev_prio", F.lag("o_orderpriority").over(w))
+        .where(
+            F.col("prev_prio").isNull()
+            | (F.col("o_orderpriority") != F.col("prev_prio"))
+        )
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        changes.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderdate").alias("valid_from"),
+            F.lead("o_orderdate").over(w2).alias("valid_to"),
+        )
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .orderBy("c_custkey", "valid_from", "priority")
+    )
+
+
+SCD2_SQL = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         o_orderpriority,
+         LAG(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey
+         ) AS prev_prio
+  FROM orders
+),
+changes AS (
+  SELECT * FROM ordered
+  WHERE prev_prio IS NULL OR o_orderpriority <> prev_prio
+)
+SELECT o_custkey AS c_custkey, o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS valid_to,
+       LEAD(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL AS is_current
+FROM changes
+ORDER BY c_custkey, valid_from, priority
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -654,4 +725,5 @@ RELATIONAL_EXT_QUERIES = {
     "events_window_funcs": (events_window_funcs, EVENTS_WINDOW_SQL),
     "events_user_set_ops": (events_user_set_ops, EVENTS_SET_OPS_SQL),
     "events_user_trend": (events_user_trend, EVENTS_TREND_SQL),
+    "scd2_priority_intervals": (scd2_priority_intervals, SCD2_SQL),
 }

@@ -375,6 +375,76 @@ def events_ohlc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return continuous_agg.rendered_bars(spark, db)
 
 
+def streaming_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: events joined to a broadcast customer-
+    segment dim per micro-batch (stateless join), hourly totals per
+    segment. The dim maps user_id -> c_mktsegment via c_custkey =
+    user_id + 1 over the first 150 customers — deterministic and
+    mirrored verbatim in the oracle's LEFT JOIN."""
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 150)
+        .select(
+            (F.col("c_custkey") - 1).alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    return _drain(
+        windows.enriched_hourly(_events_stream(spark, sf_dir), dim)
+    )
+
+
+ENRICHED_HOURLY_SQL = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+LEFT JOIN customer ON c_custkey = user_id + 1 AND c_custkey <= 150
+GROUP BY 1, 2
+"""
+
+
+def streaming_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply loop: 4 deterministic micro-batches of purchase events
+    MERGEd into a keyed balance table (streaming/cdc.py). The oracle is
+    the one-shot batch aggregate, so a hash match proves the incremental
+    merge fold — insert branch on a user's first batch, accumulate
+    branch on every later one — exactly reconstructs it."""
+    from ..streaming import cdc
+
+    ev = load_table(spark, sf_dir, "events")
+    path = _scratch_dir(
+        "events_multi",
+        sf_dir,
+        lambda p: ev.repartition(4).write.mode("overwrite").parquet(p),
+    )
+    tgt = os.path.join(tempfile.mkdtemp(prefix="graft_cdc_"), "balances")
+    ckpt = tempfile.mkdtemp(prefix="graft_cdc_ckpt_")
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    cdc.run_merge_apply(spark, path, schema, tgt, ckpt)
+    return (
+        spark.read.schema(cdc.TARGET_SCHEMA)
+        .parquet(tgt)
+        .select(
+            "user_id", "n_events", (F.col("bal_cents") / 100.0).alias("balance")
+        )
+        .orderBy("user_id")
+    )
+
+
+MERGE_APPLY_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS balance
+FROM events WHERE event_type = 'purchase'
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def events_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch/stream parity on the EVENTS domain: the same operator code
     (windows.hourly_tumbling) applied to the batch events table and
@@ -436,6 +506,10 @@ STREAMING_QUERIES: dict[str, tuple] = {
     # oracle = the BATCH recompute from raw events: hash equality proves
     # the incremental state-fold path exact
     "events_ohlc_incremental": (events_ohlc_incremental, _OHLC_BARS_SQL),
+    # stream-static broadcast enrichment (stateless join + stateful agg)
+    "streaming_enriched_hourly": (streaming_enriched_hourly, ENRICHED_HOURLY_SQL),
+    # foreachBatch CDC apply: incremental MERGE fold == batch aggregate
+    "streaming_merge_apply": (streaming_merge_apply, MERGE_APPLY_SQL),
     "pipeline_micro_batch_parity": (pipeline_micro_batch_parity, PIPELINE_PARITY_SQL),
     "events_micro_batch_parity": (events_micro_batch_parity, EVENTS_PARITY_SQL),
 }

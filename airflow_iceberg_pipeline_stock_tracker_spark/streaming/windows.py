@@ -122,6 +122,36 @@ def sessionize(
     )
 
 
+def enriched_hourly(
+    events: DataFrame, dim: DataFrame, watermark: str = DEFAULT_WATERMARK
+) -> DataFrame:
+    """Stream-static enrichment join -> tumbling hourly totals per segment.
+
+    The stream-static join is STATELESS: every micro-batch joins against
+    the dimension's current snapshot — no join state, no watermark
+    interplay, unlike stream-stream joins. The broadcast hint keeps the
+    dim map-side, so at 100 TB the stream never shuffles for the
+    enrichment; only the windowed aggregate is stateful (O(active
+    windows × segments)). This is THE production enrichment shape:
+    join first, aggregate on the enriched key.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .join(F.broadcast(dim), "user_id", "left_outer")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(_cents("value")) / 100.0).alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour"),
+            "segment",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
     """Drive a streaming frame to a memory sink with AvailableNow and wait.
 

@@ -101,6 +101,9 @@ HEADLINE = [
     "events_user_set_ops",
     "events_user_trend",
     "layout_bucketed_join",
+    "streaming_enriched_hourly",
+    "streaming_merge_apply",
+    "scd2_priority_intervals",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -112,6 +115,7 @@ PROOF_TIER = frozenset(
         "pipeline_micro_batch_parity",
         "events_micro_batch_parity",
         "events_ohlc_incremental",
+        "streaming_merge_apply",
     }
 )
 
@@ -124,6 +128,8 @@ RUN_ONCE = frozenset(
         "events_micro_batch_parity",
         # table-lifecycle-dominated drain; one measured pass
         "events_ohlc_incremental",
+        # 4-commit CDC merge fold + per-batch table rotation; same class
+        "streaming_merge_apply",
     }
 )
 
