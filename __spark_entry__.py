@@ -133,12 +133,13 @@ SWEEP_CHECKED = [
     "pipeline_micro_batch_parity",
     # streaming family — incl. the r4-new chained/interval/incremental
     # operators getting their first driver row this round
+    # (sliding_value/exact_dedup -> tail late-r5: green r2+r4 with the
+    # r3 infra-loss precedent, pytest-covered; sliding rides tumbling's
+    # window machinery, exact_dedup rides the checked event_dedup path)
     "streaming_hourly_tumbling",
-    "streaming_sliding_value",
     "streaming_sessionize",
     "streaming_rolling_stateful",
     "streaming_event_dedup",
-    "streaming_exact_dedup",
     "streaming_interval_join",
     "streaming_chained_hourly",
     "events_micro_batch_parity",
@@ -160,7 +161,9 @@ SWEEP_CHECKED = [
     # decorrelated scalar subquery, HAVING-subquery, ROLLUP, PIVOT,
     # MERGE algebra, window-function breadth
     "q4_order_priority",
+    "q7_nation_volume",
     "q13_customer_distribution",
+    "q15_top_supplier",
     "q16_supplier_cnt",
     "q17_small_qty_revenue",
     "q18_large_orders",
@@ -256,6 +259,8 @@ SWEEP_TAIL = [
     "q3_top_orders",
     "similarity_ivf_topk",
     "events_type_totals_salted",
+    "streaming_sliding_value",
+    "streaming_exact_dedup",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

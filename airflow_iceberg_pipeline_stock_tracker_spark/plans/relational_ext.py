@@ -643,6 +643,122 @@ FROM m ORDER BY user_id
 
 
 # ---------------------------------------------------------------------------
+# Q7-style: the same dimension joined in TWO roles
+# ---------------------------------------------------------------------------
+
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume: nation joined TWICE, as the customer's
+    nation and the supplier's nation.
+
+    The distinct shape is one dimension in two roles — each role gets
+    its own broadcast build with its own filter, so the fact side
+    streams once through both. The pair predicate is applied on the
+    pre-broadcast dimension rows (2 rows each), not post-join.
+    """
+    nations = ("NATION_1", "NATION_2")
+    nation = load_table(spark, sf_dir, "nation").where(
+        F.col("n_name").isin(*nations)
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    orders = load_table(spark, sf_dir, "orders").where(
+        F.year("o_orderdate").isin(1996, 1997)
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .where(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
+        .agg(dollars(F.sum(rev)).alias("revenue"))
+        .orderBy("cust_nation", "supp_nation", "o_year")
+    )
+
+
+Q7_SQL = """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       CAST(YEAR(o_orderdate) AS BIGINT) AS o_year,
+       SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT))/100.0
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+  AND YEAR(o_orderdate) IN (1996, 1997)
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15-style: predicate against a scalar-aggregate subquery
+# ---------------------------------------------------------------------------
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier(s) whose quarterly revenue equals the global maximum.
+
+    The scalar subquery `total = (SELECT MAX(total) FROM rev)` becomes a
+    1-row aggregate broadcast back onto the per-supplier revenue — the
+    fact aggregates ONCE and is reused for both the ranking and the
+    threshold (Spark reuses the exchange). Exact cent totals make the
+    max comparison tie-stable: every supplier at the max survives.
+    """
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate").cast("date") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("total_c"))
+    )
+    mx = rev.agg(F.max("total_c").alias("mx"))
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), rev.total_c == F.col("mx"))
+        .join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", dollars("total_c").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS total_c
+  FROM lineitem
+  WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+    AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_c / 100.0 AS total_revenue
+FROM supplier JOIN rev ON s_suppkey = l_suppkey
+WHERE total_c = (SELECT MAX(total_c) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # SCD2: slowly-changing-dimension intervals from a changelog
 # ---------------------------------------------------------------------------
 
@@ -726,4 +842,6 @@ RELATIONAL_EXT_QUERIES = {
     "events_user_set_ops": (events_user_set_ops, EVENTS_SET_OPS_SQL),
     "events_user_trend": (events_user_trend, EVENTS_TREND_SQL),
     "scd2_priority_intervals": (scd2_priority_intervals, SCD2_SQL),
+    "q7_nation_volume": (q7_nation_volume, Q7_SQL),
+    "q15_top_supplier": (q15_top_supplier, Q15_SQL),
 }

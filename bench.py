@@ -104,6 +104,8 @@ HEADLINE = [
     "streaming_enriched_hourly",
     "streaming_merge_apply",
     "scd2_priority_intervals",
+    "q7_nation_volume",
+    "q15_top_supplier",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -264,3 +264,20 @@ def test_user_trend_is_one_keyed_shuffle_no_python(spark, sf_dir):
     # exchange; the closing divisions are JVM expressions, not a UDF
     assert plan.count("hashpartitioning(user_id") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_q7_dimension_in_two_roles_both_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q7_nation_volume")
+    # nation builds twice (customer role + supplier role), plus customer
+    # and supplier dims — all broadcast; the fact side never shuffles
+    # for a dimension
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q15_scalar_max_broadcasts_onto_reused_aggregate(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q15_top_supplier")
+    # the MAX threshold joins back as a broadcast 1-row relation
+    assert "BroadcastHashJoin" in plan
+    # the shipdate range reaches the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
