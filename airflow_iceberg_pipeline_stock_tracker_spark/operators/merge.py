@@ -51,6 +51,11 @@ def merge_upsert(
     ``source`` should carry a ``F.broadcast`` hint when it is a small
     changeset — every join here places it (or a projection of it) on
     the build side, so the hint keeps the target from ever shuffling.
+
+    ``source`` must be key-unique (the CDC contract — aggregate the
+    changeset per key first): a duplicate source key would multiply
+    matched target rows, the same condition for which SQL MERGE raises
+    its multiple-source-match error.
     """
     out_cols = target.columns
     missing = [c for c in out_cols if c not in keys and c not in when_not_matched]
