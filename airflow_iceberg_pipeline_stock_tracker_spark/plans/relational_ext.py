@@ -520,30 +520,38 @@ ORDER BY user_id, seq
 
 
 def events_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """High-spend purchasers ∩ frequent clickers ∖ error-heavy users.
+    """Above-average purchasers ∩ above-average clickers ∖ error-heavy
+    users — INTERSECT / EXCEPT against global-aggregate thresholds.
 
-    INTERSECT and EXCEPT (distinct set semantics) — Spark plans both as
-    aggregate + semi/anti join, so each input collapses to its distinct
-    user set map-side before any shuffle. Thresholds are exact integer
-    aggregates (cent sums, counts), so set membership can't flip on a
-    float tie.
+    Two shapes in one: set operators (Spark plans both as aggregate +
+    semi/anti join, so each input collapses to its distinct user set
+    map-side before any shuffle), and the q22-style "above the global
+    average" predicate — a 1-row corpus aggregate broadcast onto the
+    per-user aggregate. The average comparison is cross-multiplied into
+    pure int64 (per_user * n_users > corpus_total), so membership is
+    scale-invariant AND can't flip on a float tie at any sf.
     """
     ev = load_table(spark, sf_dir, "events")
 
-    def users_where(etype: str, having) -> DataFrame:
-        agg = (
+    def users_above_avg(etype: str, metric) -> DataFrame:
+        per_user = (
             ev.where(F.col("event_type") == etype)
             .groupBy("user_id")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(cents("value")).alias("v_cents"),
-            )
+            .agg(metric.alias("m"))
         )
-        return agg.where(having).select("user_id")
+        totals = per_user.agg(
+            F.sum("m").alias("corpus_total"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+        return (
+            per_user.crossJoin(F.broadcast(totals))
+            .where(F.col("m") * F.col("n_users") > F.col("corpus_total"))
+            .select("user_id")
+        )
 
-    big_spenders = users_where("purchase", F.col("v_cents") > 59000)
-    clickers = users_where("click", F.col("n") >= 13)
-    error_heavy = users_where("error", F.col("n") > 16)
+    big_spenders = users_above_avg("purchase", F.sum(cents("value")))
+    clickers = users_above_avg("click", F.count(F.lit(1)))
+    error_heavy = users_above_avg("error", F.count(F.lit(1)))
     # subtract = EXCEPT (set semantics), planned as an aggregate + anti
     # join; exceptAll would plan the union/replicate-rows multiset form,
     # pointlessly heavier when both inputs are already distinct sets
@@ -555,14 +563,26 @@ def events_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EVENTS_SET_OPS_SQL = """
-SELECT user_id FROM events WHERE event_type = 'purchase'
-GROUP BY user_id HAVING SUM(CAST(ROUND(value * 100) AS BIGINT)) > 59000
+WITH spend AS (
+  SELECT user_id, SUM(CAST(ROUND(value * 100) AS BIGINT)) AS m
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+clicks AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m
+  FROM events WHERE event_type = 'click' GROUP BY user_id
+),
+errors AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS m
+  FROM events WHERE event_type = 'error' GROUP BY user_id
+)
+SELECT user_id FROM spend
+WHERE m * (SELECT COUNT(*) FROM spend) > (SELECT SUM(m) FROM spend)
 INTERSECT
-SELECT user_id FROM events WHERE event_type = 'click'
-GROUP BY user_id HAVING COUNT(*) >= 13
+SELECT user_id FROM clicks
+WHERE m * (SELECT COUNT(*) FROM clicks) > (SELECT SUM(m) FROM clicks)
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
-GROUP BY user_id HAVING COUNT(*) > 16
+SELECT user_id FROM errors
+WHERE m * (SELECT COUNT(*) FROM errors) > (SELECT SUM(m) FROM errors)
 ORDER BY user_id
 """
 
