@@ -248,11 +248,14 @@ SWEEP_TAIL = [
     "embedding_kmeans",
     "text_language_id",
     "curation_split",
-    # demoted to fund set-ops/trend: green r2+r4 (r3 row lost to the
-    # loader-bug infra failure, same as the funnel/retention precedent),
-    # pytest-covered, and their checked streaming twins
-    # (streaming_hourly_tumbling / streaming_sessionize) hash-prove the
-    # identical aggregation logic every round
+    # demoted late-r5 to fund the relational/streaming shape promotions.
+    # Evidence bar: the r2+r4 rows (r3 lost to the loader-bug infra
+    # failure, so "consecutive" is unknowable for them) were ALL
+    # re-verified hash-green THIS round by `tools/selfcheck.py --all`
+    # in driver shape at sf0.01 — current-round evidence, not an
+    # assumption riding the infra-loss precedent. minhash/q3/ivf are
+    # 3-round green; hourly/sessionize also have checked streaming twins
+    # hash-proving the same aggregation logic every round.
     "events_hourly",
     "events_sessionize",
     "dedup_minhash_lsh",

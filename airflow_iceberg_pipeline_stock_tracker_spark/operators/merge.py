@@ -64,6 +64,16 @@ def merge_upsert(
             f"when_not_matched must define every non-key target column; "
             f"missing: {missing}"
         )
+    settable = set(out_cols) - set(keys)
+    unknown = (set(when_matched) | set(when_not_matched)) - settable
+    if unknown:
+        # a typo'd column name must fail loudly, not become a silent
+        # no-op update (the matched branch falls back to t.<col> for any
+        # column the mapping doesn't mention)
+        raise ValueError(
+            f"merge mappings name columns that are not settable target "
+            f"columns: {sorted(unknown)}"
+        )
     keys = list(keys)
     t, s = target.alias("t"), source.alias("s")
     key_cond = None

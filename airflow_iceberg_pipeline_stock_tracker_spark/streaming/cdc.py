@@ -9,12 +9,13 @@ three-branch merge, so the target never shuffles, and the final table
 equals the one-shot batch aggregate (the parity the oracle checks).
 
 Replay safety: the target swap is rename-aside (write staged, rotate),
-so a crash leaves either the pre-batch or post-batch table intact, and
-the checkpoint decides whether the batch re-runs. A re-run of a batch
-whose swap completed WOULD double-apply — production pairs this with
-the applied-batch ledger pattern from ``streaming/continuous_agg.py``
-(src_batch tagging); here the swap is atomic-per-batch and the scope is
-the parity proof.
+so a crash leaves either the live dir or its ``.old`` sibling holding
+the pre-batch table; ``_read_target`` restores the sibling if the crash
+hit between the two renames, and the checkpoint decides whether the
+batch re-runs. A re-run of a batch whose swap fully completed WOULD
+double-apply — production pairs this with the applied-batch ledger
+pattern from ``streaming/continuous_agg.py`` (src_batch tagging); here
+the swap is atomic-per-batch and the scope is the parity proof.
 """
 
 from __future__ import annotations
@@ -25,12 +26,20 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.money import cents
 from ..operators.merge import merge_upsert
 
 TARGET_SCHEMA = "user_id bigint, n_events bigint, bal_cents bigint"
 
 
 def _read_target(spark: SparkSession, target_dir: str) -> DataFrame:
+    old = target_dir + ".old"
+    if not os.path.isdir(target_dir) and os.path.isdir(old):
+        # crashed BETWEEN the two renames: the live dir is gone and the
+        # pre-batch table sits aside in .old — restore it before reading,
+        # or the replayed batch would fold into an empty target and every
+        # earlier batch's state would be silently lost
+        os.rename(old, target_dir)
     if os.path.isdir(target_dir):
         return spark.read.schema(TARGET_SCHEMA).parquet(target_dir)
     return spark.createDataFrame([], TARGET_SCHEMA)
@@ -48,9 +57,7 @@ def apply_purchases_batch(
         .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias(
-                "bal_cents"
-            ),
+            F.sum(cents("value")).alias("bal_cents"),
         )
     )
     merged = merge_upsert(

@@ -70,3 +70,26 @@ def test_apply_batch_rotation_leaves_no_stray_dirs(spark, sf_dir, tmp_path):
     )
     expected = ev.where(F.col("event_type") == "purchase").count()
     assert row.n == 2 * expected
+
+
+def test_crash_between_renames_recovers_pre_batch_state(spark, sf_dir, tmp_path):
+    """Simulate dying after `target -> .old` but before `staged ->
+    target`: the next apply must restore .old and fold on top of it,
+    not rebuild from an empty table."""
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    tgt = str(tmp_path / "t")
+    cdc.apply_purchases_batch(ev, 0, tgt)
+    before = {
+        r.user_id: (r.n_events, r.bal_cents)
+        for r in spark.read.schema(cdc.TARGET_SCHEMA).parquet(tgt).collect()
+    }
+    os.rename(tgt, tgt + ".old")  # the crash window state
+
+    empty = ev.where(F.lit(False))
+    cdc.apply_purchases_batch(empty, 1, tgt)  # replayed empty batch
+    after = {
+        r.user_id: (r.n_events, r.bal_cents)
+        for r in spark.read.schema(cdc.TARGET_SCHEMA).parquet(tgt).collect()
+    }
+    assert after == before
+    assert not os.path.exists(tgt + ".old")

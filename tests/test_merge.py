@@ -79,3 +79,15 @@ def test_missing_insert_column_raises(spark):
             when_matched={},
             when_not_matched={"name": F.lit("n")},  # bal missing
         )
+
+
+def test_unknown_mapping_column_raises(spark):
+    target, source = _frames(spark)
+    with pytest.raises(ValueError, match="balanc"):
+        merge_upsert(
+            target,
+            source,
+            keys=["k"],
+            when_matched={"balanc": F.lit(0)},  # typo for "bal"
+            when_not_matched={"name": F.lit("n"), "bal": F.lit(0)},
+        )
