@@ -183,10 +183,9 @@ SWEEP_CHECKED = [
     "events_range_join",
     "events_sketch_accuracy",
     # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest;
-    # ngram_jaccard/components/keep_list/minhash_lsh -> tail r5: 3 rounds
-    # green each, pytest-covered; simhash + repeated_spans keep the
-    # family's checked rows)
-    "dedup_simhash",
+    # ngram_jaccard/components/keep_list/minhash_lsh/simhash -> tail r5:
+    # 3 rounds green each, pytest-covered + selfcheck --all re-verified
+    # this round; repeated_spans keeps the family's checked row)
     # exact-substring span coverage — new r5, first round checked
     "dedup_repeated_spans",
     # similarity / embeddings (cosine/rp_lsh/near_dup/kmeans/ivf -> tail
@@ -195,6 +194,8 @@ SWEEP_CHECKED = [
     "similarity_pq_topk",
     # full IVFADC (coarse + residual PQ) — new r5, first round checked
     "similarity_ivfpq_topk",
+    # SemDeDup composition — new r5, first round checked
+    "similarity_semantic_dedup",
     # text (fingerprints/pack_shards -> tail: long-green, pytest-covered;
     # top_terms -> tail r5: rides the checked shared-shingle consumers;
     # language_id -> tail r5: 3 rounds green, pytest-covered)
@@ -264,6 +265,7 @@ SWEEP_TAIL = [
     "events_type_totals_salted",
     "streaming_sliding_value",
     "streaming_exact_dedup",
+    "dedup_simhash",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -770,3 +770,90 @@ def _kmeans_sql(k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> str:
 
 
 EMBEDDING_KMEANS_SQL = _kmeans_sql()
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup): k-means cells + within-cluster cosine
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.4  # fixture embeddings are near-orthogonal (max cos ~0.51)
+
+
+def semantic_dedup(
+    spark: SparkSession, sf_dir: str, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """(vec_id, cluster, is_kept): SemDeDup over the embeddings table.
+
+    Abbas et al. 2023 ("SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): cluster embeddings with k-means,
+    then inside each cluster mark all but one representative of every
+    cosine>=tau group as duplicates. The quadratic step runs only
+    WITHIN a cluster — at web scale k is chosen ~n/target_cell_size, so
+    cells stay bounded and the pair scan is O(n * cell); there is no
+    corpus-wide pair join anywhere. Representative rule: a vector is
+    dropped iff a SMALLER vec_id in its cluster is cosine>=tau —
+    deterministic, order-free, and exactly mirrored in the oracle.
+
+    Composition: reuses the driver-checked exact k-means
+    (embedding_kmeans — int64 iterates identical to the unrolled-CTE
+    oracle) and the proven double-cosine scoring of
+    embedding_near_dup (left-to-right fold == list_dot_product).
+    """
+    assign = embedding_kmeans(spark, sf_dir)
+    emb = with_norm(load_table(spark, sf_dir, "embeddings"))
+    j = emb.join(assign, "vec_id").select("vec_id", "cluster", "embedding", "norm")
+    a = j.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("cluster").alias("cl_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = j.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("cluster").alias("cl_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    cos = _dot(_as_double(F.col("emb_a")), _as_double(F.col("emb_b"))) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("cl_a") == F.col("cl_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .where(cos >= tau)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("dup", F.lit(True))
+    )
+    return (
+        j.select("vec_id", "cluster")
+        .join(dropped, "vec_id", "left_outer")
+        .select("vec_id", "cluster", F.col("dup").isNull().alias("is_kept"))
+        .orderBy("vec_id")
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH assign AS (SELECT * FROM ({EMBEDDING_KMEANS_SQL})),
+normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+),
+j AS (
+  SELECT n.vec_id, a.cluster, n.embedding, n.norm
+  FROM normed n JOIN assign a USING (vec_id)
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM j a JOIN j b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          / (a.norm * b.norm) >= {SEMDEDUP_TAU}
+)
+SELECT j.vec_id, j.cluster,
+       j.vec_id NOT IN (SELECT vec_id FROM dup) AS is_kept
+FROM j ORDER BY vec_id
+"""

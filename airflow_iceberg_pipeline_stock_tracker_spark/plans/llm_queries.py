@@ -307,6 +307,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "similarity_ivf_topk": (similarity.ivf_topk, similarity.IVF_TOPK_SQL),
     # product quantization: 32x memory compression + LUT-add scoring
     "similarity_pq_topk": (pq.pq_topk, pq.PQ_TOPK_SQL),
+    # SemDeDup (Abbas et al. 2023): k-means cells + within-cluster cosine,
+    # keep-lowest-id representative; no corpus-wide pair join
+    "similarity_semantic_dedup": (
+        similarity.semantic_dedup,
+        similarity.SEMANTIC_DEDUP_SQL,
+    ),
     # the full IVFADC composition: coarse cells + PQ over residuals,
     # nprobe-bounded candidate scan — index build AND query hash-checked
     "similarity_ivfpq_topk": (ivfpq.ivfpq_topk, ivfpq.IVFPQ_TOPK_SQL),

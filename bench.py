@@ -106,6 +106,7 @@ HEADLINE = [
     "scd2_priority_intervals",
     "q7_nation_volume",
     "q15_top_supplier",
+    "similarity_semantic_dedup",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -169,3 +169,45 @@ def test_repeated_span_coverage_matches_bruteforce(spark, token_docs):
             if len(all_w[w]) >= 2:
                 covered.update(range(i, i + L))
         assert got[d] == (n_tok, len(covered)), (d, toks, got[d], len(covered))
+
+
+@given(
+    tgt=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-100, 100)),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+    src=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(-100, 100)),
+        max_size=12,
+        unique_by=lambda t: t[0],
+    ),
+)
+@_prop_settings
+def test_merge_upsert_matches_dict_reference(spark, tgt, src):
+    """merge_upsert == the dict-based upsert any engineer would write:
+    matched keys accumulate, new keys insert, others pass through."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.merge import (
+        merge_upsert,
+    )
+
+    target = spark.createDataFrame(
+        [(k, v) for k, v in tgt] or [(None, None)], "k int, v int"
+    ).where(F.col("k").isNotNull())
+    source = spark.createDataFrame(
+        [(k, d) for k, d in src] or [(None, None)], "k int, d int"
+    ).where(F.col("k").isNotNull())
+
+    out = merge_upsert(
+        target,
+        source,
+        keys=["k"],
+        when_matched={"v": F.col("t.v") + F.col("s.d")},
+        when_not_matched={"v": F.col("s.d")},
+    )
+    got = {r.k: r.v for r in out.collect()}
+
+    ref = dict(tgt)
+    for k, d in src:
+        ref[k] = ref.get(k, 0) + d
+    assert got == ref
