@@ -135,11 +135,11 @@ SWEEP_CHECKED = [
     # operators getting their first driver row this round
     # (sliding_value/exact_dedup -> tail late-r5: green r2+r4 with the
     # r3 infra-loss precedent, pytest-covered; sliding rides tumbling's
-    # window machinery, exact_dedup rides the checked event_dedup path)
-    "streaming_hourly_tumbling",
-    "streaming_sessionize",
-    "streaming_rolling_stateful",
-    "streaming_event_dedup",
+    # window machinery, exact_dedup rides the checked event_dedup path;
+    # hourly_tumbling/sessionize/rolling_stateful/event_dedup -> tail
+    # late-r5 to fund the TPC-H-suite promotions: each green r2+r4 AND
+    # re-verified hash-green this round by selfcheck --all in driver
+    # shape at sf0.01; the family keeps 7 checked rows)
     "streaming_interval_join",
     "streaming_chained_hourly",
     "events_micro_batch_parity",
@@ -148,14 +148,29 @@ SWEEP_CHECKED = [
     "streaming_enriched_hourly",
     "streaming_merge_apply",
     # relational / TPC-H-ish — q6/q14 first driver row this round
-    # (q3 -> tail late-r5: 3 rounds green, pytest plan-pinned; q1/q5 stay
-    # as the scan-agg and 5-way-join family anchors)
-    "q1_pricing_summary",
-    "q5_nation_revenue",
+    # (q3 -> tail late-r5: 3 rounds green, pytest plan-pinned;
+    # q1/q5/topk/customer_order_activity -> tail late-r5 to fund the
+    # TPC-H-suite promotions: each 3 consecutive rounds green r2/r3/r4
+    # AND selfcheck-reverified this round; the family keeps 20+ checked
+    # rows including the same scan-agg/join/top-k shapes)
     "q6_forecast_revenue",
     "q14_promo_revenue",
-    "topk_parts_per_brand",
-    "customer_order_activity",
+    # the remaining TPC-H shapes — new r5, first round checked:
+    # correlated-MIN (q2), share-by-year two-role join (q8), wide-join
+    # profit (q9), join-agg top-20 (q10), HAVING-vs-global-scalar (q11),
+    # CASE-conditional lateness counts (q12), OR-of-conjunctions (q19),
+    # chained semi-joins (q20), self semi+anti (q21), substring-bucket +
+    # scalar-AVG + anti (q22)
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_part_value_conc",
+    "q12_late_lines",
+    "q19_disjunctive_preds",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
     # relational shape extensions — new r5, first round checked:
     # semi join (EXISTS), outer-join distribution, anti join (NOT IN),
     # decorrelated scalar subquery, HAVING-subquery, ROLLUP, PIVOT,
@@ -177,9 +192,10 @@ SWEEP_CHECKED = [
     "scd2_priority_intervals",
     # events analytics (hourly/sessionize have checked streaming twins;
     # type_totals_salted -> tail late-r5: green r2+r4 with the r3
-    # infra-loss precedent, pytest NULL-semantics + plan-shape covered)
-    "events_asof_join",
-    "events_ohlc_daily",
+    # infra-loss precedent, pytest NULL-semantics + plan-shape covered;
+    # asof_join/ohlc_daily -> tail late-r5: green r4 AND selfcheck
+    # --all-reverified this round, property-tested (test_asof), with the
+    # checked ohlc_incremental proving the same bar math every round)
     "events_range_join",
     "events_sketch_accuracy",
     # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest;
@@ -266,6 +282,18 @@ SWEEP_TAIL = [
     "streaming_sliding_value",
     "streaming_exact_dedup",
     "dedup_simhash",
+    # demoted to fund the ten TPC-H-suite promotions (see SWEEP_CHECKED
+    # comments for the per-row evidence)
+    "streaming_hourly_tumbling",
+    "streaming_sessionize",
+    "streaming_rolling_stateful",
+    "streaming_event_dedup",
+    "q1_pricing_summary",
+    "q5_nation_revenue",
+    "topk_parts_per_brand",
+    "customer_order_activity",
+    "events_asof_join",
+    "events_ohlc_daily",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

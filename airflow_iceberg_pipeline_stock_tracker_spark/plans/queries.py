@@ -814,3 +814,9 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
 from .relational_ext import RELATIONAL_EXT_QUERIES  # noqa: E402
 
 RELATIONAL_QUERIES.update(RELATIONAL_EXT_QUERIES)
+
+# the remaining TPC-H shapes (q2/q8-q12/q19-q22) — with these every
+# TPC-H query number has a registered twin (plans/tpch_suite.py)
+from .tpch_suite import TPCH_SUITE_QUERIES  # noqa: E402
+
+RELATIONAL_QUERIES.update(TPCH_SUITE_QUERIES)

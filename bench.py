@@ -107,6 +107,17 @@ HEADLINE = [
     "q7_nation_volume",
     "q15_top_supplier",
     "similarity_semantic_dedup",
+    # --- TPC-H suite completion (late round 5) ---
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_part_value_conc",
+    "q12_late_lines",
+    "q19_disjunctive_preds",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -184,6 +195,10 @@ def main() -> None:
         # real per-session feature, but a measured pass must pay for them
         # exactly once itself — not inherit them from the previous pass
         clear_result_caches()
+        # .cache()d intermediates (q11's per-part aggregate) match by
+        # logical plan, so a pass-2 rebuild of the same query would hit
+        # pass-1's materialized cache — clear so each pass pays its own
+        spark.catalog.clearCache()
         # drop the previous pass's streaming memory-sink tables: each
         # holds a full drained result in driver memory, and a pass-2
         # measurement shouldn't run against a heap aged by pass-1 leftovers

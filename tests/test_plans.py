@@ -281,3 +281,96 @@ def test_q15_scalar_max_broadcasts_onto_reused_aggregate(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     # the shipdate range reaches the lineitem scan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+# ---------------------------------------------------------------------------
+# TPC-H suite completion (plans/tpch_suite.py): q2/q8-q12/q19-q22
+# ---------------------------------------------------------------------------
+
+
+def test_q2_offers_reduced_by_both_broadcasts_before_agg(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q2_min_cost_supplier")
+    # part (size=15) and the EUROPE supplier set both broadcast into the
+    # lineitem scan BEFORE the per-(part,supp) MIN — the only wide
+    # exchange is the aggregate itself
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "EqualTo(p_size,15)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q8_two_role_nation_all_dims_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q8_market_share")
+    # part, customer-nation set, supplier-nation map all broadcast; the
+    # only sort-merge-eligible join is fact-to-orders on orderkey
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_profit_expression_stays_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q9_product_profit")
+    # part (name-filtered) and supplier-nation broadcast; the profit
+    # arithmetic is whole-stage codegen, never Python
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "StringStartsWith(p_name,blue)" in plan
+
+
+def test_q10_top20_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q10_returned_items")
+    # ORDER BY revenue DESC LIMIT 20 over the customer aggregate must
+    # compile to TakeOrderedAndProject, not a global sort
+    assert "TakeOrderedAndProject" in plan
+    # the returnflag predicate reaches the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q11_single_fact_scan_for_scalar_total(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q11_part_value_conc")
+    # the global total is an aggregate OF the cached per-part aggregate:
+    # both consumers (scalar total + filter) must read the InMemory
+    # relation — the plan string repeats the cached subplan under each
+    # reference, but execution scans the lineitem fact exactly once
+    assert plan.count("InMemoryTableScan") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_lateness_counts_single_join_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q12_late_lines")
+    # the CASE sums fold map-side; the ship-date window reaches the scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_q19_quantity_bound_pushed_and_part_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q19_disjunctive_preds")
+    # the union-of-bands quantity bound prunes the fact scan even though
+    # the exact OR evaluates post-join
+    assert "LessThanOrEqual(l_quantity" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_chained_semi_reductions(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q20_excess_suppliers")
+    # part-name prefilter broadcast into the fact, survivors semi-join
+    # supplier — no full-width join anywhere in the chain
+    assert "LeftSemi" in plan
+    assert "StringStartsWith(p_name,new)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_self_semi_and_anti_joins(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    # supplier+nation broadcast; result is TakeOrdered, not global sort
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_on_pruned_orders_projection(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # the dormancy cutoff prunes the orders scan; only o_custkey is read
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "CartesianProduct" not in plan
