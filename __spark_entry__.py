@@ -128,7 +128,9 @@ SWEEP_CHECKED = [
     "prices_standin",
     "dq_checks",
     "cumulate_rolling",
-    "cumulate_day",
+    # cumulate_day -> tail late-r5: it IS cumulate_rolling + a date
+    # filter (operators/cumulate.py shares the whole plan), green
+    # r1-r4 and selfcheck-reverified this round
     "pipeline_daily_run",
     "pipeline_micro_batch_parity",
     # streaming family — incl. the r4-new chained/interval/incremental
@@ -198,6 +200,11 @@ SWEEP_CHECKED = [
     # checked ohlc_incremental proving the same bar math every round)
     "events_range_join",
     "events_sketch_accuracy",
+    # time-series: gap-fill (locf + exact interpolation), time-RANGE
+    # window frame, CUBE lattice — new late-r5, first round checked
+    "events_gapfill",
+    "events_time_range_window",
+    "events_cube",
     # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest;
     # ngram_jaccard/components/keep_list/minhash_lsh/simhash -> tail r5:
     # 3 rounds green each, pytest-covered + selfcheck --all re-verified
@@ -214,8 +221,9 @@ SWEEP_CHECKED = [
     "similarity_semantic_dedup",
     # text (fingerprints/pack_shards -> tail: long-green, pytest-covered;
     # top_terms -> tail r5: rides the checked shared-shingle consumers;
-    # language_id -> tail r5: 3 rounds green, pytest-covered)
-    "text_quality_score",
+    # language_id -> tail r5: 3 rounds green, pytest-covered;
+    # quality_score -> tail late-r5: 3 consecutive rounds green, a pure
+    # JVM projection — the lowest-risk op class in the repo)
     # layout health + z-order math + bucketed co-located join — new r5,
     # first round driver-checked
     "layout_file_stats",
@@ -225,8 +233,8 @@ SWEEP_CHECKED = [
     # stratified_sample/repetition -> tail r5: 2-3 rounds green, pytest;
     # split -> tail r5: 3 rounds green, rides checked contamination)
     "curation_contamination",
-    # multimodal (real compute; byte_stats and stub-codec variants -> tail)
-    "multimodal_audio_chunks",
+    # multimodal: audio_chunks -> tail late-r5 (3 consecutive rounds
+    # green, pytest-covered; the family's Arrow plumbing is pytest-pinned)
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -294,6 +302,11 @@ SWEEP_TAIL = [
     "customer_order_activity",
     "events_asof_join",
     "events_ohlc_daily",
+    # demoted late-r5 to fund the timeseries promotions (evidence in
+    # the SWEEP_CHECKED comments)
+    "cumulate_day",
+    "text_quality_score",
+    "multimodal_audio_chunks",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

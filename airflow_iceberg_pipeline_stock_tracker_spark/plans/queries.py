@@ -820,3 +820,9 @@ RELATIONAL_QUERIES.update(RELATIONAL_EXT_QUERIES)
 from .tpch_suite import TPCH_SUITE_QUERIES  # noqa: E402
 
 RELATIONAL_QUERIES.update(TPCH_SUITE_QUERIES)
+
+# time-series: gap-fill (locf + exact interpolation), time-RANGE window
+# frames, CUBE grouping lattice (plans/timeseries.py)
+from .timeseries import TIMESERIES_QUERIES  # noqa: E402
+
+RELATIONAL_QUERIES.update(TIMESERIES_QUERIES)

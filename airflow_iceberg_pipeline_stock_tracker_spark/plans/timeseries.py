@@ -1,0 +1,268 @@
+"""Time-series operators: gap-fill, time-RANGE windows, CUBE breadth.
+
+The reference is a stock tracker whose cumulate stage assumes a dense
+daily series per ticker (``/root/reference/dags/dag.py:318-376`` windows
+over whatever rows exist); real market data has holes (halts, holidays,
+late feeds). This module adds the operators a production time-series
+store (TimescaleDB's ``time_bucket_gapfill`` + ``locf`` +
+``interpolate``) provides for exactly that:
+
+  events_gapfill          dense hourly spine per event_type, zero-filled
+                          counts, last-observation-carried-forward and
+                          exact-integer linear interpolation of value
+  events_time_range_window per-event rolling 1h aggregate via a RANGE
+                          (time-interval) window frame — no self-join,
+                          no bucket explode
+  events_cube             CUBE(event_type, day-of-week) via one Expand
+
+Scale notes:
+  * the gap-fill spine is |time-range| x |types| rows — independent of
+    data volume, so it broadcasts; the only full shuffle is the hourly
+    aggregate of the fact itself;
+  * interpolation is pure int64: num = prev*len + (next-prev)*pos stays
+    exact, and the single closing division of two exact integers is one
+    deterministic FP op in both engines — no order-dependent double
+    math anywhere;
+  * a RANGE frame is evaluated in one pass over each partition's sorted
+    run (two moving pointers), where the naive self-join alternative is
+    O(rows x avg-frame-size) and a shuffle heavier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents, dollars
+from ..sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Gap-fill: dense spine + LOCF + exact-integer linear interpolation
+# ---------------------------------------------------------------------------
+
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly (event_type, hour) grid with locf + interpolated value.
+
+    Buckets with no events get: n_events = 0, ``value_locf`` carried
+    forward from the last observed bucket, and ``value_interp`` linearly
+    interpolated between the surrounding observed buckets (falling back
+    to the nearest neighbor at the edges). Interpolation is exact int64:
+    ``prev_c * len + (next_c - prev_c) * pos`` never divides until the
+    one closing ``/ (len * 100.0)``.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("value_c"),
+        )
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+    )
+    grid = spine.join(F.broadcast(hourly), ["event_type", "hour"], "left")
+    # epoch-hours as the interpolation x-axis (exact int64)
+    eh = (F.unix_timestamp("hour") / 3600).cast("bigint")
+    w = Window.partitionBy("event_type").orderBy("hour")
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    observed_h = F.when(F.col("value_c").isNotNull(), eh)
+    filled = (
+        grid.withColumn("eh", eh)
+        .withColumn("prev_c", F.last("value_c", ignorenulls=True).over(back))
+        .withColumn("prev_h", F.last(observed_h, ignorenulls=True).over(back))
+        .withColumn("next_c", F.first("value_c", ignorenulls=True).over(fwd))
+        .withColumn("next_h", F.first(observed_h, ignorenulls=True).over(fwd))
+    )
+    seg_len = F.col("next_h") - F.col("prev_h")
+    interp_num = (
+        F.col("prev_c") * seg_len
+        + (F.col("next_c") - F.col("prev_c")) * (F.col("eh") - F.col("prev_h"))
+    )
+    value_interp = (
+        F.when(F.col("value_c").isNotNull(), F.col("value_c") / 100.0)
+        .when(F.col("prev_c").isNull(), F.col("next_c") / 100.0)
+        .when(F.col("next_c").isNull(), F.col("prev_c") / 100.0)
+        .otherwise(interp_num / (seg_len * 100.0))
+    )
+    return (
+        filled.select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            dollars(F.col("value_c")).alias("value_obs"),
+            dollars(F.col("prev_c")).alias("value_locf"),
+            value_interp.alias("value_interp"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(ROUND(value * 100) AS BIGINT)) AS value_c
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT date_trunc('hour', MIN(ts)) AS h0, date_trunc('hour', MAX(ts)) AS h1
+  FROM events
+), spine AS (
+  SELECT t.hour, ty.event_type
+  FROM (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+        FROM bounds) t
+  CROSS JOIN (SELECT DISTINCT event_type FROM events) ty
+), grid AS (
+  SELECT s.event_type, s.hour, h.n_events, h.value_c,
+         CAST(epoch(s.hour) // 3600 AS BIGINT) AS eh
+  FROM spine s LEFT JOIN hourly h
+    ON s.event_type = h.event_type AND s.hour = h.hour
+), filled AS (
+  SELECT *,
+    LAST_VALUE(value_c IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+    LAST_VALUE(CASE WHEN value_c IS NOT NULL THEN eh END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+    FIRST_VALUE(value_c IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+    FIRST_VALUE(CASE WHEN value_c IS NOT NULL THEN eh END IGNORE NULLS) OVER
+      (PARTITION BY event_type ORDER BY hour
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM grid
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
+       COALESCE(n_events, 0) AS n_events,
+       value_c / 100.0 AS value_obs,
+       prev_c / 100.0 AS value_locf,
+       CASE WHEN value_c IS NOT NULL THEN value_c / 100.0
+            WHEN prev_c IS NULL THEN next_c / 100.0
+            WHEN next_c IS NULL THEN prev_c / 100.0
+            ELSE (prev_c * (next_h - prev_h)
+                  + (next_c - prev_c) * (eh - prev_h))
+                 / ((next_h - prev_h) * 100.0)
+       END AS value_interp
+FROM filled
+ORDER BY event_type, hour
+"""
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE window frame: rolling 1h per user without a self-join
+# ---------------------------------------------------------------------------
+
+
+def events_time_range_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-1-hour activity for the same user.
+
+    A RANGE frame over event-time micros: every event sees the count /
+    exact-cents sum of its user's events in ``[ts - 1h, ts]``. This is
+    the one-pass sorted-run formulation — the naive alternative
+    (self-join on ``user_id`` + BETWEEN) re-materializes every frame.
+    Frame bounds are integral micros, so peer-row semantics (equal
+    timestamps include each other) match DuckDB's RANGE frame exactly.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_1h"),
+            dollars(F.sum(cents("value")).over(w)).alias("value_1h"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_TIME_RANGE_SQL = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0 AS value_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all four grouping sets from one Expand
+# ---------------------------------------------------------------------------
+
+
+def events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event value by CUBE(event_type, day-of-week).
+
+    Like revenue_rollup but the full lattice: (type, dow), (type),
+    (dow), (). One Expand feeding one aggregate — 4x map-side fan-out,
+    a single shuffle, never a re-scan per grouping set. grouping_id
+    mirrors DuckDB's GROUPING(a)*2 + GROUPING(b) bitmask.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        cents("value").alias("val_c"),
+    )
+    return (
+        ev.cube("event_type", "dow")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).alias("n_events"),
+            dollars(F.sum("val_c")).alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "gid",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("gid", "event_type", "dow")
+    )
+
+
+EVENTS_CUBE_SQL = """
+WITH ev AS (
+  SELECT event_type,
+         CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(ROUND(value * 100) AS BIGINT) AS val_c
+  FROM events
+)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(dow, -1) AS dow,
+       CAST(GROUPING(event_type) * 2 + GROUPING(dow) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(val_c) / 100.0 AS total_value
+FROM ev
+GROUP BY CUBE(event_type, dow)
+ORDER BY gid, event_type, dow
+"""
+
+
+TIMESERIES_QUERIES = {
+    "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
+    "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
+    "events_cube": (events_cube, EVENTS_CUBE_SQL),
+}

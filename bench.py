@@ -118,6 +118,9 @@ HEADLINE = [
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "events_gapfill",
+    "events_time_range_window",
+    "events_cube",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

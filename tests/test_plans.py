@@ -374,3 +374,34 @@ def test_q22_anti_join_on_pruned_orders_projection(spark, sf_dir):
     # the dormancy cutoff prunes the orders scan; only o_custkey is read
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Time-series (plans/timeseries.py)
+# ---------------------------------------------------------------------------
+
+
+def test_gapfill_spine_broadcasts_single_fact_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_gapfill")
+    # the dense spine is |hours| x |types| rows (data-volume independent)
+    # and must join the hourly aggregate broadcast-side; the only wide
+    # exchange is the hourly aggregate of the fact plus the window sort
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_time_range_window_no_self_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_time_range_window")
+    # the trailing-1h aggregate is a RANGE frame over one sorted run —
+    # never a self-join re-materializing every frame
+    assert "Join" not in plan
+    assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_cube_is_single_expand_single_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_cube")
+    # the 4-set lattice fans out map-side via ONE Expand; the fact scans
+    # once, never once per grouping set
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
