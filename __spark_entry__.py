@@ -144,6 +144,9 @@ SWEEP_CHECKED = [
     # shape at sf0.01; the family keeps 7 checked rows)
     "streaming_interval_join",
     "streaming_chained_hourly",
+    # stream-stream LEFT OUTER interval join — new late-r5, first round
+    # checked; emission cut pinned empirically + in the oracle
+    "streaming_left_outer_join",
     "events_micro_batch_parity",
     "events_ohlc_incremental",
     # stream-static enrichment + foreachBatch CDC merge apply — new r5
@@ -231,8 +234,10 @@ SWEEP_CHECKED = [
     "layout_bucketed_join",
     # curation (pii_scrub -> tail: long-green, pytest-covered;
     # stratified_sample/repetition -> tail r5: 2-3 rounds green, pytest;
-    # split -> tail r5: 3 rounds green, rides checked contamination)
-    "curation_contamination",
+    # split -> tail r5: 3 rounds green, rides checked contamination;
+    # contamination -> tail late-r5 to fund the left-outer-join
+    # promotion: 3 consecutive driver-green rounds r2/r3/r4 AND
+    # selfcheck-reverified in driver shape this round)
     # multimodal: audio_chunks -> tail late-r5 (3 consecutive rounds
     # green, pytest-covered; the family's Arrow plumbing is pytest-pinned)
 ]
@@ -307,6 +312,7 @@ SWEEP_TAIL = [
     "cumulate_day",
     "text_quality_score",
     "multimodal_audio_chunks",
+    "curation_contamination",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

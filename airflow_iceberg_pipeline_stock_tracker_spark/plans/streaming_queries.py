@@ -350,6 +350,18 @@ def streaming_chained_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: matches on arrival, null-
+    padded unmatched errors once the watermark proves them matchless."""
+    drained = _drain(
+        sjoins.left_outer_interval_join(_events_stream(spark, sf_dir)),
+        mode="append",
+    )
+    return drained.withColumn(
+        "err_ts", F.date_format("err_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    )
+
+
 def events_ohlc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuous-aggregate maintenance: fold the events stream into the
     mergeable OHLC partial-state table micro-batch by micro-batch, then
@@ -503,6 +515,7 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_exact_dedup": (streaming_exact_dedup, STREAMING_EXACT_DEDUP_SQL),
     "streaming_interval_join": (streaming_interval_join, sjoins.INTERVAL_JOIN_SQL),
     "streaming_chained_hourly": (streaming_chained_hourly, sjoins.CHAINED_HOURLY_SQL),
+    "streaming_left_outer_join": (streaming_left_outer_join, sjoins.LEFT_OUTER_JOIN_SQL),
     # oracle = the BATCH recompute from raw events: hash equality proves
     # the incremental state-fold path exact
     "events_ohlc_incremental": (events_ohlc_incremental, _OHLC_BARS_SQL),

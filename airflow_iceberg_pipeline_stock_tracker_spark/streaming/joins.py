@@ -160,3 +160,100 @@ WHERE ws + INTERVAL 1 HOUR
          FROM events WHERE event_type = 'error')
 GROUP BY ws
 """
+
+
+def left_outer_interval_join(
+    events: DataFrame,
+    window_minutes: int = 10,
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join: every error emits — with
+    its follow-ups when they arrive, or once with NULL follow-up columns
+    when the watermark proves no follow-up can still come.
+
+    The outer side is why the time bound is mandatory, not just an
+    optimization: Spark emits the null-padded row only when the
+    watermark passes ``err_ts + window`` (the point after which a match
+    is impossible), so the unmatched-row latency IS the watermark delay
+    plus the window. State stays O(horizon) exactly as in the inner
+    variant.
+
+    Emission cut (mirrored in LEFT_OUTER_JOIN_SQL, pinned by the oracle
+    row): an unmatched error is emitted iff
+    ``err_ts + window < min-input-watermark`` where the global watermark
+    is ``floor_ms(max err_ts) - delay`` (errors are a subset of events,
+    so theirs is the min input).
+    """
+    errors = (
+        events.where(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id").alias("err_user"),
+            F.col("ts").alias("err_ts"),
+        )
+        .withWatermark("err_ts", watermark)
+    )
+    followups = events.select(
+        F.col("event_id").alias("followup_id"),
+        "user_id",
+        "ts",
+        "value",
+    ).withWatermark("ts", watermark)
+
+    return (
+        errors.join(
+            followups,
+            (F.col("err_user") == F.col("user_id"))
+            & (F.col("ts") > F.col("err_ts"))
+            & (
+                F.col("ts")
+                <= F.col("err_ts") + F.expr(f"INTERVAL {window_minutes} MINUTES")
+            ),
+            "left_outer",
+        )
+        .select(
+            "error_id",
+            F.col("err_user").alias("user_id"),
+            "followup_id",
+            "err_ts",
+            (F.round(F.col("value") * 100)).cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+# LEFT OUTER oracle: all matched pairs (emitted on arrival, no cut) plus
+# the null-padded unmatched errors the watermark had already proven
+# matchless when the stream ended
+LEFT_OUTER_JOIN_SQL = """
+WITH wm AS (
+  SELECT date_trunc('milliseconds', max(ts)) - INTERVAL 1 HOUR AS w
+  FROM events WHERE event_type = 'error'
+), matched AS (
+  SELECT e.event_id AS error_id, e.user_id,
+         f.event_id AS followup_id,
+         e.ts AS err_ts,
+         CAST(ROUND(f.value * 100) AS BIGINT) AS value_cents
+  FROM events e
+  JOIN events f
+    ON f.user_id = e.user_id
+   AND f.ts > e.ts
+   AND f.ts <= e.ts + INTERVAL 10 MINUTE
+  WHERE e.event_type = 'error'
+), unmatched AS (
+  SELECT e.event_id AS error_id, e.user_id,
+         CAST(NULL AS BIGINT) AS followup_id,
+         e.ts AS err_ts,
+         CAST(NULL AS BIGINT) AS value_cents
+  FROM events e
+  WHERE e.event_type = 'error'
+    AND e.ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    AND NOT EXISTS (SELECT 1 FROM events f
+                    WHERE f.user_id = e.user_id
+                      AND f.ts > e.ts
+                      AND f.ts <= e.ts + INTERVAL 10 MINUTE)
+)
+SELECT error_id, user_id, followup_id,
+       strftime(err_ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts,
+       value_cents
+FROM (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+"""

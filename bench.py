@@ -121,6 +121,7 @@ HEADLINE = [
     "events_gapfill",
     "events_time_range_window",
     "events_cube",
+    "streaming_left_outer_join",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -320,3 +320,44 @@ def test_micro_batch_multi_batch_drain_and_incremental_restart(
     prod = spark.table(f"{stream_db}.{pipeline.PROD_TABLE}")
     assert prod.count() == 25
     assert prod.groupBy("ticker", "date").count().where("count > 1").count() == 0
+
+
+def test_left_outer_interval_join_boundaries(spark, tmp_path):
+    """Boundary semantics of the stream-stream LEFT OUTER interval join:
+    a follow-up at EXACTLY +10min matches (<= bound); an unmatched error
+    old enough for the watermark emits one null-padded row; an unmatched
+    error inside the watermark horizon emits nothing."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import joins as sjoins
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # error 1: follow-up exactly +10min -> matched pair
+        (1, base, 7, "error", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 7, "click", 2.5, "{}"),
+        # error 3: no follow-up, far in the past -> unmatched row emitted
+        (3, base + dt.timedelta(hours=1), 8, "error", 1.0, "{}"),
+        # error 4: no follow-up, within (watermark + window) of the max
+        # error ts -> still held in state, NOT emitted
+        (4, base + dt.timedelta(hours=12), 9, "error", 1.0, "{}"),
+        # max-ts error pushing the watermark to 12h59m - 1h
+        (5, base + dt.timedelta(hours=12, minutes=59), 10, "error", 1.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    path = str(tmp_path / "ev")
+    df.write.parquet(path)
+    stream = spark.readStream.schema(df.schema).parquet(path)
+    windows.run_to_memory(
+        sjoins.left_outer_interval_join(stream), "loj_s", mode="append"
+    )
+    got = {
+        r.error_id: (r.followup_id, r.value_cents)
+        for r in spark.table("loj_s").collect()
+    }
+    assert got == {
+        1: (2, 250),   # +10min inclusive
+        3: (None, None),  # watermark-proven matchless
+        # 4 and 5 still inside the horizon: no row at all
+    }
