@@ -125,7 +125,10 @@ SWEEP_CHECKED = [
     # reference-parity core (SURVEY §2) + both parity proofs up front:
     # if the driver truncates a run, the victims must be already-proven
     # cheap rows, never the §2 core or the exactly-once proofs
-    "prices_standin",
+    # prices_standin -> tail late-r5 to fund the chunking promotion:
+    # 4 consecutive driver-green rounds r1-r4, selfcheck-reverified this
+    # round, and it is the literal INPUT relation of the checked
+    # dq_checks + cumulate_rolling rows — any breakage fails those
     "dq_checks",
     "cumulate_rolling",
     # cumulate_day -> tail late-r5: it IS cumulate_rolling + a date
@@ -227,6 +230,8 @@ SWEEP_CHECKED = [
     # language_id -> tail r5: 3 rounds green, pytest-covered;
     # quality_score -> tail late-r5: 3 consecutive rounds green, a pure
     # JVM projection — the lowest-risk op class in the repo)
+    # sliding token-window chunking — new late-r5, first round checked
+    "text_chunk_documents",
     # layout health + z-order math + bucketed co-located join — new r5,
     # first round driver-checked
     "layout_file_stats",
@@ -313,6 +318,7 @@ SWEEP_TAIL = [
     "text_quality_score",
     "multimodal_audio_chunks",
     "curation_contamination",
+    "prices_standin",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -437,3 +437,73 @@ SELECT agg.source, n_docs, total_tokens, min_tokens,
 FROM agg JOIN p50 USING (source) JOIN p95 USING (source)
 ORDER BY agg.source
 """
+
+
+CHUNK_SIZE = 64       # tokens per chunk
+CHUNK_STRIDE = 48     # tokens advanced per chunk (overlap = 16)
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Sliding token-window chunking: the context-window packer's input.
+
+    Every doc becomes ceil-division many overlapping chunks of ``size``
+    tokens advanced by ``stride`` (trailing chunk may be short; a doc
+    shorter than one chunk still yields its single chunk). All JVM
+    built-ins: tokenize once, explode a chunk-index sequence, slice the
+    token array per index — no Python, no shuffle at all until a
+    downstream consumer aggregates. Chunk text is emitted as md5 so the
+    result surface stays narrow; n_chunk_tokens pins the slice bounds.
+
+    n_chunks = 1 + floor((n - size + stride - 1) / stride) for n > size
+    (pure positive-int arithmetic, identical in both engines).
+    """
+    toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
+    n = F.size(toks).cast("long")
+    n_chunks = F.when(n <= size, F.lit(1).cast("long")).otherwise(
+        1 + ((n - size + stride - 1) / stride).cast("long")
+    )
+    t = docs.select("doc_id", toks.alias("toks"), n.alias("n_tokens"),
+                    n_chunks.alias("n_chunks"))
+    idx = F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1))
+    chunk = F.slice(
+        F.col("toks"), (F.col("chunk_idx") * stride + 1).cast("int"), size
+    )
+    return (
+        t.select("doc_id", "toks", idx.alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size(chunk).cast("long").alias("n_chunk_tokens"),
+            F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '{TOKEN_REGEX}') AS toks,
+         CAST(len(regexp_extract_all(text, '{TOKEN_REGEX}')) AS BIGINT) AS n
+  FROM documents
+), spec AS (
+  SELECT doc_id, toks, n,
+         CASE WHEN n <= {CHUNK_SIZE} THEN CAST(1 AS BIGINT)
+              ELSE 1 + (n - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) // {CHUNK_STRIDE}
+         END AS n_chunks
+  FROM t
+), chunks AS (
+  SELECT doc_id,
+         CAST(i AS BIGINT) AS chunk_idx,
+         toks[CAST(i * {CHUNK_STRIDE} + 1 AS BIGINT)
+              : CAST(i * {CHUNK_STRIDE} + {CHUNK_SIZE} AS BIGINT)] AS chunk
+  FROM spec, UNNEST(generate_series(0, n_chunks - 1)) AS u(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM chunks
+ORDER BY doc_id, chunk_idx
+"""

@@ -326,6 +326,7 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_pack_shards": (_docs(text.pack_shards), text.PACK_SHARDS_SQL),
     "text_top_terms": (_docs(text.top_terms), text.TOP_TERMS_SQL),
     "text_corpus_stats": (_docs(text.corpus_stats), text.CORPUS_STATS_SQL),
+    "text_chunk_documents": (_docs(text.chunk_documents), text.CHUNK_DOCUMENTS_SQL),
     # corpus curation: decontamination, sampling, split, scrubbing
     "curation_contamination": (
         lambda spark, sf: _contamination(spark, sf),

@@ -122,6 +122,7 @@ HEADLINE = [
     "events_time_range_window",
     "events_cube",
     "streaming_left_outer_join",
+    "text_chunk_documents",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -72,3 +72,28 @@ def test_jsonl_failfast_on_corrupt_record(spark, sf_dir, tmp_path):
         f.write('{"event_id": "not-a-number", "ts": 12, "user_id": {}}\n')
     with _pytest.raises((PySparkException, Py4JJavaError)):
         formats.read_jsonl(spark, path, ev.schema).count()
+
+
+def test_orc_round_trip_exact(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_orc")
+    formats.write_orc(ev, path)
+    back = formats.read_orc(spark, path, ev.schema)
+    assert back.schema == ev.schema
+    assert _rows(back) == _rows(ev)
+
+
+def test_orc_scan_keeps_pushdown_and_pruning(spark, sf_dir, tmp_path):
+    """The point of offering ORC at all: its scans must push filters and
+    prune columns like parquet, or every downstream plan regresses."""
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "ev_orc2")
+    formats.write_orc(ev, path)
+    df = (
+        formats.read_orc(spark, path, ev.schema)
+        .where(F.col("event_type") == "error")
+        .select("event_id", "user_id")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+    assert "ReadSchema: struct<event_id:bigint,user_id:bigint" in plan
