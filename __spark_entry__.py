@@ -319,6 +319,12 @@ SWEEP_TAIL = [
     "multimodal_audio_chunks",
     "curation_contamination",
     "prices_standin",
+    # registered late-r5 directly to the tail (documented exception to
+    # the first-round-checked rule): its exact columns (per-type distinct
+    # users) are a subset of the checked events_sketch_accuracy surface,
+    # and the only new outputs (n_days, the merged-bound boolean) are
+    # pinned by two pytests incl. merge-vs-direct sketch equality
+    "events_sketch_reagg",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

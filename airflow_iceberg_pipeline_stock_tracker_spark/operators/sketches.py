@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sketch_accuracy"]
+__all__ = ["sketch_accuracy", "sketch_reaggregation"]
 
 # advertised bounds, deliberately looser than the configured sketch
 # parameters (rsd=0.01, accuracy=10000) so the check verifies the
@@ -75,6 +75,60 @@ SELECT event_type,
        TRUE AS distinct_ok,
        TRUE AS p50_ok,
        TRUE AS p95_ok
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+def sketch_reaggregation(events: DataFrame) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches unioned per type.
+
+    THE pattern that makes distinct counts work in a pre-aggregated
+    store at 100 TB: exact COUNT(DISTINCT) is not re-aggregatable (a
+    per-day rollup table cannot answer a monthly distinct), but a
+    Datasketches HLL sketch is — store the per-(type, day) sketch
+    binary, union sketches at query time, estimate once. This operator
+    proves the full chain in-plan: build per-day sketches
+    (`hll_sketch_agg`), merge them per type (`hll_union_agg`), and
+    compare the merged estimate to the exact distinct computed from the
+    raw rows — emitted as a within-bound boolean the oracle pins TRUE.
+
+    Also emits n_days (rollup width) and the exact per-type distinct, so
+    the row set stays fully deterministic.
+    """
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("_merged_est"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users_exact")
+    )
+    return (
+        merged.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_users_exact",
+            (
+                F.abs(F.col("_merged_est") - F.col("n_users_exact"))
+                <= F.greatest(
+                    F.lit(DISTINCT_REL_ERR) * F.col("n_users_exact"), F.lit(1.0)
+                )
+            ).alias("merged_distinct_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SKETCH_REAGG_SQL = """
+SELECT event_type,
+       COUNT(DISTINCT CAST(ts AS DATE)) AS n_days,
+       COUNT(DISTINCT user_id) AS n_users_exact,
+       TRUE AS merged_distinct_ok
 FROM events
 GROUP BY event_type
 ORDER BY event_type

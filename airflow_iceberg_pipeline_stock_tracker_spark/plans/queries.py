@@ -800,6 +800,14 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
         lambda spark, sf: sketches.sketch_accuracy(load_table(spark, sf, "events")),
         sketches.SKETCH_ACCURACY_SQL,
     ),
+    # mergeable-sketch rollup: per-day HLL binaries unioned per type,
+    # merged estimate verified in-plan against the exact distinct
+    "events_sketch_reagg": (
+        lambda spark, sf: sketches.sketch_reaggregation(
+            load_table(spark, sf, "events")
+        ),
+        sketches.SKETCH_REAGG_SQL,
+    ),
     # layout health as a query: clustered write -> footer-only stats
     "layout_file_stats": (layout_file_stats, LAYOUT_FILE_STATS_SQL),
     # z-curve bucket histogram: the exact interleave math behind

@@ -123,6 +123,7 @@ HEADLINE = [
     "events_cube",
     "streaming_left_outer_join",
     "text_chunk_documents",
+    "events_sketch_reagg",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

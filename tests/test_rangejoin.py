@@ -172,3 +172,39 @@ def test_chained_stateful_emission_semantics(spark):
                         (4, 2, base + dt.timedelta(hours=9), "click", 4.0, "")])
         == []
     )
+
+
+def test_sketch_reaggregation_merged_bounds_hold(spark, sf_dir):
+    """The per-day HLL sketches, unioned per type, must estimate the
+    exact distinct within the advertised bound — the re-aggregatability
+    contract that makes a sketch rollup table answer coarser queries."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = sketches.sketch_reaggregation(ev).collect()
+    assert rows, "no event types?"
+    for r in rows:
+        assert r.n_days >= 1
+        assert r.merged_distinct_ok, (r.event_type, r.n_users_exact)
+
+
+def test_sketch_reaggregation_merge_equals_direct_sketch(spark, sf_dir):
+    """Unioning per-day sketches must equal sketching the whole column
+    directly (associativity of the HLL merge) — estimate-for-estimate,
+    not just within-bound."""
+    from pyspark.sql import functions as F
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sk"))
+        .groupBy("event_type")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est"))
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 14))").alias("est")
+    )
+    m = {r.event_type: r.est for r in merged.collect()}
+    d = {r.event_type: r.est for r in direct.collect()}
+    assert m == d
