@@ -325,6 +325,11 @@ SWEEP_TAIL = [
     # and the only new outputs (n_days, the merged-bound boolean) are
     # pinned by two pytests incl. merge-vs-direct sketch equality
     "events_sketch_reagg",
+    # registered late-r5 directly to the tail (same documented
+    # exception): a single from_json projection feeding the same
+    # groupBy-agg shape as four checked events rows; the JSON parse
+    # itself is plan-pinned (no Python, schema explicit) by pytest
+    "events_json_props",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

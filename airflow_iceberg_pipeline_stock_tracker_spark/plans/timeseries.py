@@ -261,8 +261,54 @@ ORDER BY gid, event_type, dow
 """
 
 
+# ---------------------------------------------------------------------------
+# Semi-structured: JSON property extraction inside the relational plan
+# ---------------------------------------------------------------------------
+
+
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate over a key extracted from the JSON ``props`` column.
+
+    The semi-structured path a real event pipeline hits on day one:
+    ``props`` is a JSON text column; ``from_json`` with an explicit
+    schema (never schema_of_json per-row) parses it ONCE in the
+    projection, the extracted key buckets the aggregate, and the whole
+    parse stays in the JVM projection — no shuffle until the groupBy,
+    no Python. Decile bucketing keeps the output small and the bucket
+    arithmetic exact int.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select(
+            (F.floor(k / 10) * 10).cast("bigint").alias("k_decile"),
+            "event_type",
+            cents("value").alias("val_c"),
+        )
+        .groupBy("k_decile", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dollars(F.sum("val_c")).alias("total_value"),
+        )
+        .orderBy("k_decile", "event_type")
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT CAST(FLOOR(CAST(json_extract(props, '$.k') AS BIGINT) / 10) * 10 AS BIGINT)
+         AS k_decile,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY k_decile, event_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
+    "events_json_props": (events_json_props, EVENTS_JSON_SQL),
 }

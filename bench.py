@@ -124,6 +124,7 @@ HEADLINE = [
     "streaming_left_outer_join",
     "text_chunk_documents",
     "events_sketch_reagg",
+    "events_json_props",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -405,3 +405,12 @@ def test_cube_is_single_expand_single_scan(spark, sf_dir):
     # once, never once per grouping set
     assert plan.count("Expand") == 1
     assert plan.count("Scan parquet") == 1
+
+
+def test_json_props_parse_stays_jvm_with_explicit_schema(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_json_props")
+    # from_json with a pinned schema: one JVM projection, no Python, no
+    # per-row schema inference, one aggregate exchange
+    assert "from_json" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Scan parquet") == 1
