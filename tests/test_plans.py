@@ -414,3 +414,49 @@ def test_json_props_parse_stays_jvm_with_explicit_schema(spark, sf_dir):
     assert "from_json" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Scan parquet") == 1
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The skew path the engine leans on at 100 TB (session.py enables
+    skewJoin) must actually engage: a sort-merge join with one hot key
+    gets its skewed partition split by AQE — visible as `skew=true` on
+    the SMJ node of the final adaptive plan. Thresholds are lowered to
+    test scale and restored."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        # force SMJ: skew handling only applies to shuffle joins
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    prior = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        # 200k rows of key=0 (hot) + 2k spread keys, joined to a dim
+        left = spark.range(0, 202_000).select(
+            F.when(F.col("id") < 200_000, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.concat(F.lit("payload_"), F.col("id")).alias("payload"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.col("id").alias("dim")
+        )
+        df = left.join(right, "k")
+        # collect() (not count()) so the inspected QueryExecution is the
+        # one that actually ran — count() builds its own QE and the
+        # join's plan would still read isFinalPlan=false
+        assert len(df.collect()) == 202_000
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
