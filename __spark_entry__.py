@@ -330,6 +330,11 @@ SWEEP_TAIL = [
     # groupBy-agg shape as four checked events rows; the JSON parse
     # itself is plan-pinned (no Python, schema explicit) by pytest
     "events_json_props",
+    # same documented exception: deterministic md5 ranking is the
+    # machinery of the pytest-covered stratified_sample; the sqrt-quota
+    # integer math is selfcheck-verified at sf0.001+0.01 this session
+    # and the flattening property is pytest-pinned
+    "curation_mixture_sample",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -644,3 +644,70 @@ FROM exact_ov e FULL OUTER JOIN near_ov n
   ON e.source_a = n.source_a AND e.source_b = n.source_b
 ORDER BY source_a, source_b
 """
+
+
+# ---------------------------------------------------------------------------
+# temperature-weighted mixture sampling across sources
+# ---------------------------------------------------------------------------
+
+MIXTURE_TARGET = 200  # total docs in the mixed corpus slice
+
+
+def mixture_sample(docs: DataFrame, target: int = MIXTURE_TARGET) -> DataFrame:
+    """Temperature-weighted source mixing (alpha = 0.5): each source gets
+    a quota proportional to sqrt(its doc count), flattening dominant
+    sources — the standard data-recipe move for multi-source LLM corpora
+    (a raw-proportional mix lets one crawl drown the rest; a uniform mix
+    over-samples tiny sources).
+
+    Everything is exact integer arithmetic so both engines agree
+    bit-for-bit: per-source weight = floor(sqrt(n)) (sqrt is IEEE
+    correctly-rounded, floor of it deterministic for n < 2^53), quota =
+    (target * weight) div sum(weights) with positive integer division,
+    and WITHIN a source the quota takes the lowest md5(doc_id) — the
+    same rand()-free determinism as stratified_sample. One window
+    shuffle on source + one tiny broadcast of the per-source quotas.
+    """
+    from pyspark.sql import Window
+
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    weights = counts.select(
+        "source", F.floor(F.sqrt(F.col("n"))).cast("bigint").alias("w")
+    )
+    total = weights.agg(F.sum("w").alias("tw"))
+    quotas = (
+        weights.join(F.broadcast(total))
+        .select("source", F.expr(f"CAST({target} * w AS BIGINT) div tw").alias("quota"))
+    )
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "source")
+        .where(F.col("rk") <= F.col("quota"))
+        .select("source", "doc_id", "rk", "quota")
+        .orderBy("source", "rk")
+    )
+
+
+MIXTURE_SAMPLE_SQL = f"""
+WITH weights AS (
+  SELECT source, CAST(FLOOR(SQRT(COUNT(*))) AS BIGINT) AS w
+  FROM documents GROUP BY source
+), quotas AS (
+  SELECT source,
+         ({MIXTURE_TARGET} * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM weights)
+           AS quota
+  FROM weights
+), ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rk
+  FROM documents
+)
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk, quota
+FROM ranked JOIN quotas USING (source)
+WHERE rk <= quota
+ORDER BY source, rk
+"""

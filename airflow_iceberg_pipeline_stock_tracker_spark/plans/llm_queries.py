@@ -332,6 +332,10 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda spark, sf: _contamination(spark, sf),
         curation.CONTAMINATION_SQL,
     ),
+    "curation_mixture_sample": (
+        _docs(curation.mixture_sample),
+        curation.MIXTURE_SAMPLE_SQL,
+    ),
     "curation_stratified_sample": (
         _docs(curation.stratified_sample),
         curation.STRATIFIED_SAMPLE_SQL,

@@ -125,6 +125,7 @@ HEADLINE = [
     "text_chunk_documents",
     "events_sketch_reagg",
     "events_json_props",
+    "curation_mixture_sample",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -191,3 +191,34 @@ def test_source_overlap_near_dup_pairs(spark):
         ("crawl_a", "crawl_b"): (0, 1),  # near-only row, zero-filled exact
         ("crawl_a", "crawl_c"): (1, 0),  # exact-only row, zero-filled near
     }
+
+
+def test_mixture_sample_flattens_dominant_sources(spark, sf_dir):
+    """Alpha-0.5 mixing must pull every source's share toward the
+    middle: dominant sources lose share vs raw proportion, tiny sources
+    gain — and the quota math stays within the target."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import curation
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+    import math
+
+    docs = load_table(spark, sf_dir, "documents")
+    raw = {r.source: r.n for r in docs.groupBy("source").count()
+           .withColumnRenamed("count", "n").collect()}
+    picked = curation.mixture_sample(docs).collect()
+    got = {}
+    for r in picked:
+        got[r.source] = got.get(r.source, 0) + 1
+    assert sum(got.values()) <= curation.MIXTURE_TARGET
+    # every source with a nonzero quota appears; shares flattened
+    n_total = sum(raw.values())
+    k_total = sum(got.values())
+    for s, n in raw.items():
+        w = math.floor(math.sqrt(n))
+        if w == 0:
+            continue
+        assert s in got, s
+        raw_share = n / n_total
+        mixed_share = got[s] / k_total
+        # sqrt-weighting: above-average sources shrink, below-average grow
+        if raw_share > 1.2 / len(raw):
+            assert mixed_share < raw_share, (s, raw_share, mixed_share)
