@@ -211,3 +211,28 @@ def test_merge_upsert_matches_dict_reference(spark, tgt, src):
     for k, d in src:
         ref[k] = ref.get(k, 0) + d
     assert got == ref
+
+
+def test_results_invariant_under_partition_count(spark, sf_dir):
+    """Exactness contract: changing spark.sql.shuffle.partitions must not
+    change any result bit — the property that makes the engine safe to
+    rescale from local[4] to a 1000-executor cluster. Exercised on three
+    shapes that historically break under re-partitioning: multi-agg
+    scan (double sums), per-key least-squares (moment sums), and the
+    interpolating gap-fill (window over a composed join)."""
+    import __spark_entry__ as entry
+
+    names = ["q1_pricing_summary", "events_user_trend", "events_gapfill"]
+    qs = entry.queries()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = {}
+    try:
+        for parts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            for n in names:
+                rows = [tuple(r) for r in qs[n](spark, sf_dir).collect()]
+                results.setdefault(n, []).append(rows)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    for n, (a, b) in results.items():
+        assert a == b, f"{n} changed under re-partitioning"
