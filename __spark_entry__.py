@@ -335,6 +335,11 @@ SWEEP_TAIL = [
     # integer math is selfcheck-verified at sf0.001+0.01 this session
     # and the flattening property is pytest-pinned
     "curation_mixture_sample",
+    # same documented exception: the banded-LSH candidate machinery is
+    # the checked embedding_near_dup path (r2-r4 green) plus the
+    # WindowGroupLimit top-k shape pinned by plan tests; both engines
+    # diffed at two SFs by selfcheck this session
+    "similarity_knn_graph",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -857,3 +857,101 @@ SELECT j.vec_id, j.cluster,
        j.vec_id NOT IN (SELECT vec_id FROM dup) AS is_kept
 FROM j ORDER BY vec_id
 """
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph: per-vector top-k neighbors over the banded-LSH candidates
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+def knn_graph_df(emb_raw: DataFrame, k: int = KNN_K) -> DataFrame:
+    """Directed k-NN graph edges (src -> its k most-cosine-similar
+    candidates), the substrate for graph-based dedup/clustering over an
+    embedding corpus.
+
+    Same scale discipline as embedding_near_dup_pairs: candidates come
+    from the 8-band RP-LSH self-join (never all pairs), the exact cosine
+    scores only survivors, and the per-source top-k is a row_number
+    window (rank pushdown keeps k rows per src before the final sort).
+    Approximation is recall-only — every emitted edge carries its true
+    cosine, ties broken by dst id. A vector whose buckets hold no other
+    vector simply has no edges (isolated node), which the oracle mirrors.
+    """
+    from pyspark.sql import Window
+
+    keyed = _banded_keys(emb_raw).persist()
+    keyed.count()
+    cand = (
+        keyed.alias("a")
+        .join(
+            keyed.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("dst"))
+        .distinct()
+    )
+    emb = with_norm(emb_raw)
+    es = emb.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("emb_s"),
+        F.col("norm").alias("norm_s"),
+    )
+    ed = emb.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("emb_d"),
+        F.col("norm").alias("norm_d"),
+    )
+    cos = _dot(_as_double(F.col("emb_s")), _as_double(F.col("emb_d"))) / (
+        F.col("norm_s") * F.col("norm_d")
+    )
+    scored = (
+        cand.join(es, "src")
+        .join(ed, "dst")
+        .withColumn("cosine", cos)
+        .select("src", "dst", "cosine")
+    )
+    keyed.unpersist()
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("src", "dst", F.col("rk").cast("bigint").alias("rk"), "cosine")
+        .orderBy("src", "rk")
+    )
+
+
+def knn_graph_sql(k: int = KNN_K) -> str:
+    bands = "\n  UNION ALL ".join(
+        f"SELECT vec_id, embedding, norm, {b} AS band, "
+        f"({_band_key_sql(b)}) AS band_key FROM normed"
+        for b in range(NEARDUP_BANDS)
+    )
+    return f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+), keyed AS (
+  {bands}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (a.norm * b.norm) AS cosine
+  FROM keyed a JOIN keyed b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT src, dst, cosine,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+  FROM cand
+)
+SELECT src, dst, CAST(rk AS BIGINT) AS rk, cosine
+FROM ranked WHERE rk <= {k}
+ORDER BY src, rk
+"""
+
+
+KNN_GRAPH_SQL = knn_graph_sql()

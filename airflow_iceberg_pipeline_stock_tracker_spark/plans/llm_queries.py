@@ -298,6 +298,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         ),
         dedup.REPEATED_SPANS_SQL,
     ),
+    "similarity_knn_graph": (
+        lambda spark, sf_dir: similarity.knn_graph_df(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+        similarity.KNN_GRAPH_SQL,
+    ),
     "embedding_near_dup": (
         similarity.embedding_near_dup_pairs,
         similarity.EMBEDDING_NEAR_DUP_SQL,

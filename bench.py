@@ -126,6 +126,7 @@ HEADLINE = [
     "events_sketch_reagg",
     "events_json_props",
     "curation_mixture_sample",
+    "similarity_knn_graph",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -460,3 +460,10 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_knn_graph_rank_pushdown_no_cartesian(spark, sf_dir):
+    plan = _llm_plan(spark, sf_dir, "similarity_knn_graph")
+    # per-src top-k must keep k rows per group before the final sort
+    assert plan.count("WindowGroupLimit") >= 1
+    assert "CartesianProduct" not in plan
