@@ -674,11 +674,16 @@ def mixture_sample(docs: DataFrame, target: int = MIXTURE_TARGET) -> DataFrame:
     weights = counts.select(
         "source", F.floor(F.sqrt(F.col("n"))).cast("bigint").alias("w")
     )
-    total = weights.agg(F.sum("w").alias("tw"))
-    quotas = (
-        weights.join(F.broadcast(total))
-        .select("source", F.expr(f"CAST({target} * w AS BIGINT) div tw").alias("quota"))
-    )
+    # the weight total comes from an unpartitioned window over the
+    # per-source weights — |sources| rows, so the single-partition sort
+    # is trivially cheap and avoids the nested-loop join a 1-row
+    # broadcast-back would plan (the LLM plan audit forbids NLJ here)
+    tw = F.sum("w").over(Window.partitionBy())
+    quotas = weights.select(
+        "source",
+        (F.lit(target) * F.col("w")).cast("bigint").alias("_num"),
+        tw.alias("_tw"),
+    ).select("source", F.expr("_num div _tw").alias("quota"))
     w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
     ranked = docs.select(
         "doc_id", "source", F.row_number().over(w).alias("rk")
