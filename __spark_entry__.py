@@ -340,6 +340,9 @@ SWEEP_TAIL = [
     # WindowGroupLimit top-k shape pinned by plan tests; both engines
     # diffed at two SFs by selfcheck this session
     "similarity_knn_graph",
+    # same documented exception: exact-integer-moment machinery is the
+    # checked events_user_trend row; only the closing corr formula is new
+    "events_hourly_corr",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

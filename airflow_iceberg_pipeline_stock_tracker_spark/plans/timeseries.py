@@ -306,9 +306,112 @@ ORDER BY k_decile, event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Correlation from exact integer moments (no order-dependent corr())
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of each event type's hourly volume vs clicks.
+
+    The built-in ``corr()`` streams doubles and is order-dependent —
+    unusable on an oracle surface and quietly irreproducible at scale.
+    Instead: hourly counts pivot to one row per hour (explicit type
+    values, no discovery scan), then the five exact int64 moments
+    (n, sx, sy, sxx, syy, sxy) aggregate — associative, AQE-proof — and
+    the textbook formula closes in ONE deterministic double expression
+    per type. Same discipline as events_user_trend.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+    out = []
+    y = F.col("click").cast("bigint")
+    for t in EVENT_TYPES:
+        if t == "click":
+            continue
+        x = F.col(t).cast("bigint")
+        agg = hourly.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        ).select(
+            F.lit(t).alias("event_type"),
+            "n", "sx", "sy",
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(
+                        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                        .cast("double")
+                    )
+                    * F.sqrt(
+                        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                        .cast("double")
+                    )
+                )
+            ).alias("corr_vs_click"),
+        )
+        out.append(agg)
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res.orderBy("event_type")
+
+
+EVENTS_HOURLY_CORR_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup,
+         CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view
+  FROM events GROUP BY 1
+), m AS (
+  SELECT t.event_type,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE t.event_type WHEN 'error' THEN error
+                  WHEN 'purchase' THEN purchase WHEN 'signup' THEN signup
+                  ELSE view END) AS BIGINT) AS sx,
+         CAST(SUM(click) AS BIGINT) AS sy,
+         CAST(SUM(CASE t.event_type WHEN 'error' THEN error * error
+                  WHEN 'purchase' THEN purchase * purchase
+                  WHEN 'signup' THEN signup * signup
+                  ELSE view * view END) AS BIGINT) AS sxx,
+         CAST(SUM(click * click) AS BIGINT) AS syy,
+         CAST(SUM(CASE t.event_type WHEN 'error' THEN error * click
+                  WHEN 'purchase' THEN purchase * click
+                  WHEN 'signup' THEN signup * click
+                  ELSE view * click END) AS BIGINT) AS sxy
+  FROM hourly
+  CROSS JOIN (SELECT UNNEST(['error','purchase','signup','view']) AS event_type) t
+  GROUP BY t.event_type
+)
+SELECT event_type, n, sx, sy,
+       (n * sxy - sx * sy)
+         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_vs_click
+FROM m
+ORDER BY event_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
+    "events_hourly_corr": (events_hourly_corr, EVENTS_HOURLY_CORR_SQL),
 }

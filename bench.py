@@ -127,6 +127,7 @@ HEADLINE = [
     "events_json_props",
     "curation_mixture_sample",
     "similarity_knn_graph",
+    "events_hourly_corr",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
