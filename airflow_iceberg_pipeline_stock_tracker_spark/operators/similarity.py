@@ -866,7 +866,9 @@ FROM j ORDER BY vec_id
 KNN_K = 3
 
 
-def knn_graph_df(emb_raw: DataFrame, k: int = KNN_K) -> DataFrame:
+def knn_graph_df(
+    emb_raw: DataFrame, k: int = KNN_K, checkpoint: bool = True
+) -> DataFrame:
     """Directed k-NN graph edges (src -> its k most-cosine-similar
     candidates), the substrate for graph-based dedup/clustering over an
     embedding corpus.
@@ -908,20 +910,24 @@ def knn_graph_df(emb_raw: DataFrame, k: int = KNN_K) -> DataFrame:
     cos = _dot(_as_double(F.col("emb_s")), _as_double(F.col("emb_d"))) / (
         F.col("norm_s") * F.col("norm_d")
     )
-    scored = (
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    edges = (
         cand.join(es, "src")
         .join(ed, "dst")
         .withColumn("cosine", cos)
         .select("src", "dst", "cosine")
-    )
-    keyed.unpersist()
-    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
-    return (
-        scored.withColumn("rk", F.row_number().over(w))
+        .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
         .select("src", "dst", F.col("rk").cast("bigint").alias("rk"), "cosine")
-        .orderBy("src", "rk")
     )
+    # materialize the (small, k-bounded) edge set BEFORE releasing the
+    # band cache — unpersisting first would force the lazy self-join to
+    # re-mine the bands at action time (the near_dup pattern above).
+    # checkpoint=False keeps the full lazy plan inspectable (plan tests).
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+        keyed.unpersist()
+    return edges.orderBy("src", "rk")
 
 
 def knn_graph_sql(k: int = KNN_K) -> str:

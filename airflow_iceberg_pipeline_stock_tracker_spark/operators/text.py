@@ -460,12 +460,17 @@ def chunk_documents(
     (pure positive-int arithmetic, identical in both engines).
     """
     toks = F.regexp_extract_all(F.col("text"), F.lit(TOKEN_REGEX), 0)
-    n = F.size(toks).cast("long")
-    n_chunks = F.when(n <= size, F.lit(1).cast("long")).otherwise(
-        1 + ((n - size + stride - 1) / stride).cast("long")
+    base = docs.select(
+        "doc_id", toks.alias("toks"), F.size(toks).cast("long").alias("n_tokens")
     )
-    t = docs.select("doc_id", toks.alias("toks"), n.alias("n_tokens"),
-                    n_chunks.alias("n_chunks"))
+    # integer `div`, not `/`: the docstring's both-engines-pure-int
+    # invariant must hold in the expression, not just at today's counts
+    n_chunks = F.when(
+        F.col("n_tokens") <= size, F.lit(1).cast("long")
+    ).otherwise(
+        1 + F.expr(f"(n_tokens - {size} + {stride} - 1) div {stride}").cast("long")
+    )
+    t = base.select("doc_id", "toks", "n_tokens", n_chunks.alias("n_chunks"))
     idx = F.explode(F.sequence(F.lit(0).cast("long"), F.col("n_chunks") - 1))
     chunk = F.slice(
         F.col("toks"), (F.col("chunk_idx") * stride + 1).cast("int"), size

@@ -60,10 +60,14 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
             F.sum(cents("value")).alias("value_c"),
         )
+        # spine-sized (|hours| x |types|); materialized once so the
+        # bounds, the type set, AND the grid all derive from it — the
+        # fact table scans exactly once (min/max of hourly.hour equals
+        # date_trunc of min/max ts; hourly's types are the fact's types)
+        .localCheckpoint(eager=True)
     )
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    bounds = hourly.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
     spine = (
         bounds.select(
@@ -71,7 +75,7 @@ def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
             ).alias("hour")
         )
-        .crossJoin(F.broadcast(ev.select("event_type").distinct()))
+        .crossJoin(F.broadcast(hourly.select("event_type").distinct()))
     )
     grid = spine.join(F.broadcast(hourly), ["event_type", "hour"], "left")
     # epoch-hours as the interpolation x-axis (exact int64)

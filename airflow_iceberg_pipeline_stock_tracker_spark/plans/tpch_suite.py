@@ -260,10 +260,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = (
         load_table(spark, sf_dir, "part")
         .where(F.col("p_name").startswith("blue"))
-        # 10% of retail, in cents: retail * 0.1 * 100 = retail * 10
+        # 10% of retail, in cents: retail * 0.1 * 100 = retail at scale 10
         .select(
             "p_partkey",
-            F.round(F.col("p_retailprice") * 10, 0).cast("bigint").alias("unit_cost_c"),
+            cents(F.col("p_retailprice"), 10).alias("unit_cost_c"),
         )
     )
     li = load_table(spark, sf_dir, "lineitem").select(
@@ -414,10 +414,12 @@ def q11_part_value_conc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_partkey", cents("l_extendedprice").alias("val_c"))
         .groupBy("l_partkey")
         .agg(F.sum("val_c").alias("value_c"))
-        # consumed twice (scalar total + the filter); cached it is
-        # |partkey| skinny rows, so the fact table scans ONCE — without
-        # this both consumers re-run the full lineitem scan + aggregate
-        .cache()
+        # consumed twice (scalar total + the filter): eagerly materialize
+        # the |partkey|-row aggregate so the fact scans ONCE, without
+        # leaving a pinned cache entry behind in the shared session
+        # (a .cache() here would outlive the query; the repo pattern is
+        # eager localCheckpoint for small shared intermediates)
+        .localCheckpoint(eager=True)
     )
     total = per_part.agg(F.sum("value_c").alias("total_c"))
     return (

@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 
 DEFAULT_WATERMARK = "1 hour"
 
-__all__ = ["interval_join_error_followups"]
+__all__ = [
+    "interval_join_error_followups",
+    "error_followup_hourly",
+    "left_outer_interval_join",
+]
 
 
 def interval_join_error_followups(

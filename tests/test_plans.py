@@ -326,11 +326,12 @@ def test_q10_top20_is_take_ordered(spark, sf_dir):
 
 def test_q11_single_fact_scan_for_scalar_total(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q11_part_value_conc")
-    # the global total is an aggregate OF the cached per-part aggregate:
-    # both consumers (scalar total + filter) must read the InMemory
-    # relation — the plan string repeats the cached subplan under each
-    # reference, but execution scans the lineitem fact exactly once
-    assert plan.count("InMemoryTableScan") == 2
+    # the per-part aggregate is eagerly materialized (localCheckpoint)
+    # at build time, so the returned plan contains NO lineitem scan at
+    # all — both consumers (scalar total + filter) read the checkpointed
+    # RDD and the fact was scanned exactly once, during the checkpoint
+    assert "Scan parquet" not in plan
+    assert plan.count("Scan ExistingRDD") >= 2
     assert "CartesianProduct" not in plan
 
 
@@ -463,7 +464,14 @@ def test_aqe_splits_skewed_join_partitions(spark):
 
 
 def test_knn_graph_rank_pushdown_no_cartesian(spark, sf_dir):
-    plan = _llm_plan(spark, sf_dir, "similarity_knn_graph")
+    # the registered query checkpoints its edges (the executed plan is a
+    # scan of the checkpoint); inspect the un-checkpointed plan instead,
+    # as the contamination test does
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import similarity
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = similarity.knn_graph_df(emb, checkpoint=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
     # per-src top-k must keep k rows per group before the final sort
     assert plan.count("WindowGroupLimit") >= 1
     assert "CartesianProduct" not in plan
