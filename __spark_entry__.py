@@ -343,6 +343,10 @@ SWEEP_TAIL = [
     # same documented exception: exact-integer-moment machinery is the
     # checked events_user_trend row; only the closing corr formula is new
     "events_hourly_corr",
+    # same documented exception: the full iterative fixpoint is
+    # value-hashed by selfcheck at two SFs this session (DuckDB runs the
+    # identical recursion), and recursion length is data-independent
+    "parts_hierarchy_rollup",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

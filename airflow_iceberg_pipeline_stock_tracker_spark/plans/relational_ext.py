@@ -849,6 +849,64 @@ ORDER BY c_custkey, valid_from, priority
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE: iterative hierarchy walk inside the SQL surface
+# ---------------------------------------------------------------------------
+
+
+def parts_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ancestor-chain rollup via WITH RECURSIVE (Spark 4 recursive CTE).
+
+    The part keys form a synthetic 10-ary tree (parent = key div 10,
+    rooted at 0): each part walks its ancestor chain accumulating
+    exact-cents retail prices, and the terminal rows aggregate to
+    (depth, chain length, root-path cost) per part. The recursion is
+    monotone (the key strictly shrinks), so it terminates in
+    ceil(log10(max key)) iterations — each iteration is one equi-join
+    against the part relation, the distributed fixpoint shape that
+    replaces driver-side loops for hierarchy/graph walks. DuckDB runs
+    the identical recursion (// for div), so the whole iterative result
+    is value-hashed.
+    """
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_rec")
+    return spark.sql("""
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS start_key, p_partkey AS cur, CAST(0 AS BIGINT) AS depth,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS path_c
+  FROM part_rec
+  UNION ALL
+  SELECT w.start_key, p.p_partkey, w.depth + 1,
+         w.path_c + CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+  FROM walk w JOIN part_rec p ON p.p_partkey = (w.cur div 10)
+  WHERE w.cur > 0
+)
+SELECT start_key AS p_partkey, MAX(depth) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       MAX(path_c) / 100.0 AS root_path_cost
+FROM walk GROUP BY start_key ORDER BY p_partkey
+""")
+
+
+PARTS_HIERARCHY_SQL = """
+WITH RECURSIVE walk AS (
+  SELECT p_partkey AS start_key, p_partkey AS cur, CAST(0 AS BIGINT) AS depth,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS path_c
+  FROM part
+  UNION ALL
+  SELECT w.start_key, p.p_partkey, w.depth + 1,
+         w.path_c + CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+  FROM walk w JOIN part p ON p.p_partkey = (w.cur // 10)
+  WHERE w.cur > 0
+)
+SELECT start_key AS p_partkey, MAX(depth) AS depth,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(path_c) AS DOUBLE) / 100.0 AS root_path_cost
+FROM walk GROUP BY start_key ORDER BY p_partkey
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -864,4 +922,5 @@ RELATIONAL_EXT_QUERIES = {
     "scd2_priority_intervals": (scd2_priority_intervals, SCD2_SQL),
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
+    "parts_hierarchy_rollup": (parts_hierarchy_rollup, PARTS_HIERARCHY_SQL),
 }

@@ -128,6 +128,7 @@ HEADLINE = [
     "curation_mixture_sample",
     "similarity_knn_graph",
     "events_hourly_corr",
+    "parts_hierarchy_rollup",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
