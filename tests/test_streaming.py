@@ -361,3 +361,39 @@ def test_left_outer_interval_join_boundaries(spark, tmp_path):
         3: (None, None),  # watermark-proven matchless
         # 4 and 5 still inside the horizon: no row at all
     }
+
+
+def test_transform_with_state_running_totals(spark, events, events_stream):
+    """Spark 4 transformWithState (StatefulProcessor + ValueState): the
+    drained per-event running totals must equal the batch window prefix.
+    Skips where the protobuf state protocol is unavailable (this
+    container ships no protobuf; same honest-gate as Iceberg)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import tws
+
+    if not tws.tws_available():
+        pytest.skip("protobuf absent: transformWithState protocol cannot run")
+    windows.run_to_memory(
+        tws.running_user_totals(events_stream), "tws_s", mode="append"
+    )
+    got = sorted(map(tuple, spark.table("tws_s").collect()))
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    exp = sorted(
+        map(
+            tuple,
+            events.select(
+                "event_id",
+                "user_id",
+                F.count(F.lit(1)).over(w).alias("n_so_far"),
+                F.sum(F.round(F.col("value") * 100).cast("bigint"))
+                .over(w)
+                .alias("cents_so_far"),
+            ).collect(),
+        )
+    )
+    assert got == exp
