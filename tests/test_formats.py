@@ -97,3 +97,29 @@ def test_orc_scan_keeps_pushdown_and_pruning(spark, sf_dir, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
     assert "ReadSchema: struct<event_id:bigint,user_id:bigint" in plan
+
+
+def test_schema_evolution_on_read_merge_schema(spark, tmp_path):
+    """A column added mid-stream must not strand old files: reading the
+    mixed directory with mergeSchema unions the schemas, old rows
+    surface NULL for the new column, and a filter on the new column
+    still prunes correctly — the parquet-level half of the schema
+    evolution the reference gets from Iceberg."""
+    from pyspark.sql import functions as F
+
+    v1 = spark.createDataFrame(
+        [(1, "AAPL", 10.0), (2, "MSFT", 11.0)], "id long, ticker string, close double"
+    )
+    v2 = spark.createDataFrame(
+        [(3, "AAPL", 12.0, 500), (4, "GOOG", 13.0, 700)],
+        "id long, ticker string, close double, volume long",
+    )
+    path = str(tmp_path / "evolved")
+    v1.write.parquet(path + "/batch=1")
+    v2.write.parquet(path + "/batch=2")
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(df.columns) == {"id", "ticker", "close", "volume", "batch"}
+    rows = {r.id: r.volume for r in df.collect()}
+    assert rows == {1: None, 2: None, 3: 500, 4: 700}
+    # predicates on the evolved column behave (NULL rows excluded)
+    assert df.where(F.col("volume") > 600).count() == 1

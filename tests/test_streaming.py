@@ -397,3 +397,74 @@ def test_transform_with_state_running_totals(spark, events, events_stream):
         )
     )
     assert got == exp
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """Late-data contract made observable: a row older than the
+    watermark is dropped from the aggregation AND the drop is counted in
+    the query's stateOperators metrics — the number an operator at scale
+    alarms on. Two micro-batches: batch 1 advances the watermark an hour
+    past the stale hour; batch 2's late row must vanish."""
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    in_dir = tmp_path / "late_in"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    b1 = spark.createDataFrame(
+        [
+            (1, base, 1, "click", 1.0, "{}"),
+            (2, base + dt.timedelta(hours=3), 1, "click", 1.0, "{}"),
+        ],
+        schema,
+    )
+    b1.coalesce(1).write.parquet(str(in_dir / "b1"))
+    stream = spark.readStream.schema(b1.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(str(in_dir) + "/*")
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("hour"), "n")
+    )
+    out_dir = str(tmp_path / "late_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # batch 2: one on-time row and one row 3h behind the watermark
+    b2 = spark.createDataFrame(
+        [
+            (3, base + dt.timedelta(hours=3, minutes=5), 1, "click", 1.0, "{}"),
+            (4, base, 1, "click", 9.0, "{}"),  # LATE: watermark is 14:00
+        ],
+        schema,
+    )
+    b2.coalesce(1).write.parquet(str(in_dir / "b2"))
+    q2 = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q2.recentProgress
+        for op in p["stateOperators"]
+    )
+    assert dropped >= 1, "the late row was not dropped by the watermark"
+    # and the emitted 12:00 window (closed in the run that advanced the
+    # watermark past it) counted only the on-time row
+    rows = {r.hour: r.n for r in spark.read.parquet(out_dir).collect()}
+    assert rows.get("2024-01-01 12:00:00") == 1
