@@ -347,6 +347,10 @@ SWEEP_TAIL = [
     # value-hashed by selfcheck at two SFs this session (DuckDB runs the
     # identical recursion), and recursion length is data-independent
     "parts_hierarchy_rollup",
+    # same documented exception: exact rows ride the checked top-k
+    # window shapes; the tie-tolerant sketch boolean is the only new
+    # logic, selfcheck-diffed at two SFs this session
+    "events_heavy_hitters",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

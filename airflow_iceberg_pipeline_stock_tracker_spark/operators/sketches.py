@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["sketch_accuracy", "sketch_reaggregation"]
+__all__ = ["sketch_accuracy", "sketch_reaggregation", "heavy_hitters"]
 
 # advertised bounds, deliberately looser than the configured sketch
 # parameters (rsd=0.01, accuracy=10000) so the check verifies the
@@ -132,4 +132,68 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 ORDER BY event_type
+"""
+
+
+HH_K = 5
+
+
+def heavy_hitters(events: DataFrame, k: int = HH_K) -> DataFrame:
+    """Top-k users by event count, exact vs the approx_top_k sketch.
+
+    The frequent-items sketch is the streaming-friendly half (one pass,
+    mergeable, bounded memory) of a query exact top-k needs a full
+    count-and-sort for. Same oracle contract as the other sketch rows:
+    the surfaced rows are the EXACT top-k (fully tie-broken on
+    (count desc, user_id)), and `sketch_agrees` verifies in-plan that
+    every item the sketch returned carries its exact count — tie-
+    tolerant at the k boundary, where which equal-count item surfaces
+    is legitimately unspecified. The oracle pins the boolean TRUE.
+    """
+    from pyspark.sql import Window
+
+    counts = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), "user_id")
+    exact = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("user_id", "n", F.col("rk").cast("bigint").alias("rk"))
+    )
+    sk = (
+        events.agg(
+            F.expr(f"approx_top_k(user_id, {k})").alias("items")
+        )
+        .select(F.explode("items").alias("it"))
+        .select(
+            F.col("it.item").alias("user_id"),
+            F.col("it.count").alias("sk_n"),
+        )
+    )
+    agree = (
+        sk.join(counts, "user_id", "left")
+        .agg(
+            (
+                (F.count(F.lit(1)) == k)
+                & (F.sum(F.when(F.col("sk_n") == F.col("n"), 0).otherwise(1)) == 0)
+            ).alias("sketch_agrees"),
+            F.lit(1).alias("jk"),
+        )
+    )
+    return (
+        exact.withColumn("jk", F.lit(1))
+        .join(F.broadcast(agree), "jk")
+        .select("user_id", "n", "rk", "sketch_agrees")
+        .orderBy("rk")
+    )
+
+
+HEAVY_HITTERS_SQL = f"""
+SELECT user_id, n, rk, TRUE AS sketch_agrees
+FROM (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, user_id) AS BIGINT) AS rk
+  FROM events GROUP BY user_id
+)
+WHERE rk <= {HH_K}
+ORDER BY rk
 """

@@ -808,6 +808,11 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
         ),
         sketches.SKETCH_REAGG_SQL,
     ),
+    # frequent-items sketch vs exact top-k, tie-tolerant in-plan check
+    "events_heavy_hitters": (
+        lambda spark, sf: sketches.heavy_hitters(load_table(spark, sf, "events")),
+        sketches.HEAVY_HITTERS_SQL,
+    ),
     # layout health as a query: clustered write -> footer-only stats
     "layout_file_stats": (layout_file_stats, LAYOUT_FILE_STATS_SQL),
     # z-curve bucket histogram: the exact interleave math behind

@@ -129,6 +129,7 @@ HEADLINE = [
     "similarity_knn_graph",
     "events_hourly_corr",
     "parts_hierarchy_rollup",
+    "events_heavy_hitters",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
