@@ -75,24 +75,85 @@ def frame_digest(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
-def main() -> int:
-    argv = [a for a in sys.argv[1:] if a != "--all"]
-    run_all = "--all" in sys.argv[1:]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
-    only = set(argv[1:])
-
+def connect_oracle(sf_dir: str):
+    """DuckDB connection with the driver tables registered as views."""
     import duckdb
-
-    import __spark_entry__ as entrymod
-    from airflow_iceberg_pipeline_stock_tracker_spark.session import get_spark
-
-    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
 
     con = duckdb.connect()
     for t in TABLES:
         path = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(path):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def compare_one(spark, con, name, fn, sql, sf_dir) -> tuple[int, list[str]]:
+    """Run one (Spark builder, oracle SQL) pair; return (rows, problems).
+
+    Empty problems = the pair matches under the driver's comparison
+    semantics (rowcount + column names + order-insensitive value hash +
+    the pandas int-vs-float dtype cross-check). Shared by the CLI sweep
+    and tests/test_tail_oracle.py, so tail coverage is a repeatable
+    pytest gate rather than a session artifact.
+    """
+    sdf = fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+    s_pdf = sdf.toPandas()
+    if sql is None:
+        return len(s_rows), ([] if s_rows else ["0 rows (rows-only check)"])
+    rel = con.sql(sql)
+    d_cols = rel.columns
+    d_types = [str(t) for t in rel.types]
+    d_pdf = rel.df()
+    d_rows = rel.fetchall()
+    problems: list[str] = []
+    for col, typ in zip(d_cols, d_types):
+        if typ in ("HUGEINT", "UHUGEINT"):
+            problems.append(
+                f"oracle col {col!r} is {typ} -> float64 under the "
+                "driver's pandas canon (CAST it to BIGINT)"
+            )
+    for col in set(s_cols) & set(d_cols):
+        sk = s_pdf[col].dtype.kind
+        dk = d_pdf[col].dtype.kind
+        if {sk, dk} in ({"i", "f"}, {"u", "f"}):
+            problems.append(
+                f"pandas int-vs-float dtype mismatch on {col!r}: "
+                f"spark={s_pdf[col].dtype} duck={d_pdf[col].dtype} "
+                "(the driver's pandas canon hashes these differently)"
+            )
+    if len(s_rows) != len(d_rows):
+        problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
+    if sorted(s_cols) != sorted(d_cols):
+        problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+    else:
+        hs, hd = frame_digest(s_cols, s_rows), frame_digest(d_cols, d_rows)
+        if hs != hd:
+            problems.append("value-hash mismatch")
+            order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+            order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+            ls = sorted("|".join(canon(r[i]) for i in order_s) for r in s_rows)
+            ld = sorted("|".join(canon(r[i]) for i in order_d) for r in d_rows)
+            for a, b in zip(ls, ld):
+                if a != b:
+                    problems.append(f"  spark: {a[:220]}")
+                    problems.append(f"  duck : {b[:220]}")
+                    break
+    return len(s_rows), problems
+
+
+def main() -> int:
+    argv = [a for a in sys.argv[1:] if a != "--all"]
+    run_all = "--all" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+
+    import __spark_entry__ as entrymod
+    from airflow_iceberg_pipeline_stock_tracker_spark.session import get_spark
+
+    spark = get_spark(cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    con = connect_oracle(sf_dir)
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
@@ -105,64 +166,16 @@ def main() -> int:
         if only and name not in only:
             continue
         t0 = time.time()
-        sdf = fn(spark, sf_dir)
-        s_cols = sdf.columns
-        s_rows = [tuple(r) for r in sdf.collect()]
-        s_pdf = sdf.toPandas()
-        spark_s = time.time() - t0
+        n_rows, problems = compare_one(
+            spark, con, name, fn, oracles.get(name), sf_dir
+        )
+        dt = time.time() - t0
         if name not in oracles:
-            print(f"{name:32s} rows={len(s_rows):7d}  (no oracle — rows-only) "
-                  f"[{spark_s:.1f}s]")
-            if len(s_rows) == 0:
-                failures.append((name, "0 rows (rows-only check)"))
-            continue
-        t0 = time.time()
-        rel = con.sql(oracles[name])
-        d_cols = rel.columns
-        d_types = [str(t) for t in rel.types]
-        d_pdf = rel.df()
-        d_rows = rel.fetchall()
-        duck_s = time.time() - t0
-        problems = []
-        for col, typ in zip(d_cols, d_types):
-            if typ in ("HUGEINT", "UHUGEINT"):
-                problems.append(
-                    f"oracle col {col!r} is {typ} -> float64 under the "
-                    "driver's pandas canon (CAST it to BIGINT)"
-                )
-        for col in set(s_cols) & set(d_cols):
-            sk = s_pdf[col].dtype.kind
-            dk = d_pdf[col].dtype.kind
-            # only the integer-vs-float divergence is red under the
-            # driver ("...663" vs "...663.0"); date/object pairings
-            # (spark object vs duck datetime64) are proven hash-green
-            if {sk, dk} in ({"i", "f"}, {"u", "f"}):
-                problems.append(
-                    f"pandas int-vs-float dtype mismatch on {col!r}: "
-                    f"spark={s_pdf[col].dtype} duck={d_pdf[col].dtype} "
-                    "(the driver's pandas canon hashes these differently)"
-                )
-        if len(s_rows) != len(d_rows):
-            problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"cols spark={sorted(s_cols)} duck={sorted(d_cols)}")
+            print(f"{name:32s} rows={n_rows:7d}  (no oracle — rows-only) "
+                  f"[{dt:.1f}s]")
         else:
-            hs, hd = frame_digest(s_cols, s_rows), frame_digest(d_cols, d_rows)
-            if hs != hd:
-                problems.append("value-hash mismatch")
-                # show first differing canonical line for debugging
-                order_s = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
-                order_d = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
-                ls = sorted("|".join(canon(r[i]) for i in order_s) for r in s_rows)
-                ld = sorted("|".join(canon(r[i]) for i in order_d) for r in d_rows)
-                for a, b in zip(ls, ld):
-                    if a != b:
-                        problems.append(f"  spark: {a[:220]}")
-                        problems.append(f"  duck : {b[:220]}")
-                        break
-        status = "OK " if not problems else "FAIL"
-        print(f"{name:32s} rows={len(s_rows):7d}  {status} "
-              f"[spark {spark_s:.1f}s, duck {duck_s:.1f}s]")
+            status = "OK " if not problems else "FAIL"
+            print(f"{name:32s} rows={n_rows:7d}  {status} [{dt:.1f}s]")
         for p in problems:
             print(f"    {p}")
         if problems:
