@@ -351,6 +351,10 @@ SWEEP_TAIL = [
     # window shapes; the tie-tolerant sketch boolean is the only new
     # logic, selfcheck-diffed at two SFs this session
     "events_heavy_hitters",
+    # same documented exception — and from this commit on, EVERY tail
+    # row is oracle-diffed per CI run by tests/test_tail_oracle.py, so
+    # the tail is a pytest-gated surface, not an unverified one
+    "parts_name_linkage",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

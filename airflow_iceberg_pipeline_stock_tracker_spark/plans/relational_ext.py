@@ -907,6 +907,55 @@ FROM walk GROUP BY start_key ORDER BY p_partkey
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocking + edit-distance matching
+# ---------------------------------------------------------------------------
+
+
+def parts_name_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-match part names: blocking key + Levenshtein threshold.
+
+    The entity-resolution primitive: candidate pairs come ONLY from
+    within a blocking key (here the name's first token), so the
+    quadratic step is bounded per block exactly like LSH banding bounds
+    near-dup mining — never an all-pairs cross join. Survivors score
+    with the built-in JVM ``levenshtein`` (same definition in DuckDB, so
+    the distances hash-match) and keep dist <= 4. Output is the distinct
+    name-pair edge list, deterministic by construction.
+    """
+    names = (
+        load_table(spark, sf_dir, "part")
+        .select("p_name")
+        .distinct()
+        .withColumn("block", F.split(F.col("p_name"), " ").getItem(0))
+    )
+    a = names.select(F.col("block"), F.col("p_name").alias("name_a"))
+    b = names.select(F.col("block").alias("block_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, (F.col("block") == F.col("block_b"))
+               & (F.col("name_a") < F.col("name_b")))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .where(F.col("dist") <= 4)
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
+PARTS_LINKAGE_SQL = """
+WITH names AS (
+  SELECT DISTINCT p_name, string_split(p_name, ' ')[1] AS block FROM part
+)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a JOIN names b
+  ON a.block = b.block AND a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 4
+ORDER BY name_a, name_b
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -923,4 +972,5 @@ RELATIONAL_EXT_QUERIES = {
     "q7_nation_volume": (q7_nation_volume, Q7_SQL),
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "parts_hierarchy_rollup": (parts_hierarchy_rollup, PARTS_HIERARCHY_SQL),
+    "parts_name_linkage": (parts_name_linkage, PARTS_LINKAGE_SQL),
 }

@@ -130,6 +130,7 @@ HEADLINE = [
     "events_hourly_corr",
     "parts_hierarchy_rollup",
     "events_heavy_hitters",
+    "parts_name_linkage",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
