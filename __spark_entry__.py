@@ -70,6 +70,22 @@ def _q_cumulate_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cumulate_flat(prices_standin(spark, sf_dir), ds=DEFAULT_DS)
 
 
+def _q_prices_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        vwap_weekly,
+    )
+
+    return vwap_weekly(prices_standin(spark, sf_dir))
+
+
+def _q_prices_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        drawdown,
+    )
+
+    return drawdown(prices_standin(spark, sf_dir))
+
+
 def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full daily pipeline (ingest->DQ->promote->cumulate), 3-day backfill.
 
@@ -355,6 +371,10 @@ SWEEP_TAIL = [
     # row is oracle-diffed per CI run by tests/test_tail_oracle.py, so
     # the tail is a pytest-gated surface, not an unverified one
     "parts_name_linkage",
+    # finance windows over the checked prices surface (cumulate family);
+    # pytest-gated per run like every tail row
+    "prices_vwap",
+    "prices_drawdown",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL
@@ -363,6 +383,8 @@ SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL
 def queries() -> dict[str, QueryFn]:
     pool: dict[str, QueryFn] = {
         "prices_standin": _q_prices,
+        "prices_vwap": _q_prices_vwap,
+        "prices_drawdown": _q_prices_drawdown,
         "dq_checks": _q_dq_checks,
         "cumulate_rolling": _q_cumulate_rolling,
         "cumulate_day": _q_cumulate_day,
@@ -407,7 +429,14 @@ def oracle_sql() -> dict[str, str]:
     )
     from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
 
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        DRAWDOWN_SQL,
+        VWAP_SQL,
+    )
+
     out.update({
+        "prices_vwap": prices_cte + VWAP_SQL.replace("FROM prices", "FROM prices", 1),
+        "prices_drawdown": prices_cte + DRAWDOWN_SQL.replace("WITH c AS", ", c AS", 1),
         # full backfill, hash-checked end-to-end: the deterministic bar
         # client is a pure sha256 function of (ticker, ds), so the SQL
         # twin regenerates the bars and replays ingest->promote->cumulate

@@ -1,0 +1,112 @@
+"""Finance analytics over the prices surface: VWAP, drawdown, returns.
+
+The reference is a stock tracker whose cumulate stage stops at rolling
+mean/volatility (``/root/reference/dags/dag.py:318-376``); these are the
+next operators a quant user reaches for, each built to the repo's
+exactness discipline:
+
+  prices_vwap       rolling 7-day volume-weighted average price:
+                    sum(close_cents x volume) / sum(volume) — both sums
+                    pure int64 over the window, ONE closing division of
+                    two exact integers
+  prices_drawdown   running peak (window cummax on cents), drawdown from
+                    peak (int64 subtraction), and daily simple return
+                    (close_c - prev_c as exact int, ratio as one division)
+
+Scale: both are single-window queries — one hash exchange on ticker,
+sorted runs inside partitions, no joins, no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.money import cents
+
+ROLLING = 7  # trading days in the VWAP window, matching the cumulate frame
+
+
+def vwap_weekly(prices: DataFrame) -> DataFrame:
+    """Per (ticker, date): rolling 7-row VWAP in exact int64 until the
+    one closing division."""
+    w = (
+        Window.partitionBy("ticker")
+        .orderBy("date")
+        .rowsBetween(-(ROLLING - 1), 0)
+    )
+    close_c = cents("close")
+    vol = F.col("volume").cast("bigint")
+    pv = F.sum(close_c * vol).over(w)
+    v = F.sum(vol).over(w)
+    return (
+        prices.select(
+            "ticker",
+            "date",
+            F.count(F.lit(1)).over(w).alias("n_days"),
+            pv.alias("pv_c"),
+            v.alias("vol_sum"),
+            (pv / v).alias("vwap_c"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+VWAP_SQL = f"""
+SELECT ticker, date,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
+       CAST(SUM(CAST(ROUND(close * 100) AS BIGINT) * CAST(volume AS BIGINT))
+            OVER w AS BIGINT) AS pv_c,
+       CAST(SUM(CAST(volume AS BIGINT)) OVER w AS BIGINT) AS vol_sum,
+       CAST(SUM(CAST(ROUND(close * 100) AS BIGINT) * CAST(volume AS BIGINT))
+            OVER w AS DOUBLE)
+         / SUM(CAST(volume AS BIGINT)) OVER w AS vwap_c
+FROM prices
+WINDOW w AS (PARTITION BY ticker ORDER BY date
+             ROWS BETWEEN {ROLLING - 1} PRECEDING AND CURRENT ROW)
+ORDER BY ticker, date
+"""
+
+
+def drawdown(prices: DataFrame) -> DataFrame:
+    """Per (ticker, date): running peak close, drawdown from peak, and
+    the daily simple return — all int64 except two closing divisions."""
+    w = Window.partitionBy("ticker").orderBy("date")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    close_c = cents("close")
+    peak_c = F.max(close_c).over(run)
+    prev_c = F.lag(close_c).over(w)
+    return (
+        prices.select(
+            "ticker",
+            "date",
+            peak_c.alias("peak_c"),
+            (close_c - peak_c).alias("drawdown_c"),
+            ((close_c - peak_c) / peak_c).alias("drawdown_pct"),
+            (close_c - prev_c).alias("change_c"),
+            ((close_c - prev_c) / prev_c).alias("daily_return"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+DRAWDOWN_SQL = """
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(close * 100) AS BIGINT) AS close_c
+  FROM prices
+)
+SELECT ticker, date,
+       MAX(close_c) OVER run AS peak_c,
+       close_c - MAX(close_c) OVER run AS drawdown_c,
+       CAST(close_c - MAX(close_c) OVER run AS DOUBLE)
+         / (MAX(close_c) OVER run) AS drawdown_pct,
+       close_c - LAG(close_c) OVER w AS change_c,
+       CAST(close_c - LAG(close_c) OVER w AS DOUBLE)
+         / LAG(close_c) OVER w AS daily_return
+FROM c
+WINDOW w AS (PARTITION BY ticker ORDER BY date),
+       run AS (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY ticker, date
+"""

@@ -131,6 +131,8 @@ HEADLINE = [
     "parts_hierarchy_rollup",
     "events_heavy_hitters",
     "parts_name_linkage",
+    "prices_vwap",
+    "prices_drawdown",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
