@@ -375,6 +375,9 @@ SWEEP_TAIL = [
     # pytest-gated per run like every tail row
     "prices_vwap",
     "prices_drawdown",
+    # monitoring tier: exact-moment z-score flags; rides the checked
+    # hourly-agg + moment machinery, pytest-gated per run
+    "events_hourly_anomaly",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

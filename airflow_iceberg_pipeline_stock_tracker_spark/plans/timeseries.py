@@ -412,10 +412,96 @@ ORDER BY event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Monitoring tier: trailing z-score anomaly flags on hourly volume
+# ---------------------------------------------------------------------------
+
+
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event volume is anomalous vs the trailing day.
+
+    The ops/monitoring query class: hourly counts per type, then each
+    hour scores against the PRECEDING 24 hours (current row excluded —
+    scoring a point against a baseline that contains it shrinks real
+    anomalies). Mean and variance come from exact int64 window sums
+    (n, sx, sxx), so the z-score is a single deterministic expression;
+    the n*sxx - sx^2 >= 0 guard keeps sqrt off negative-zero noise.
+    Emits only |z| > 3 rows plus the exact moments that justify them.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    x = F.col("n_events").cast("bigint")
+    # moments first, division AFTER the n_base filter: ANSI mode (the
+    # Spark 4 default) raises DIVIDE_BY_ZERO eagerly, so the baseline
+    # guard must prune 0/1-row windows before any divisor is built
+    moments = hourly.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+        x.alias("n_events"),
+        F.count(F.lit(1)).over(w).alias("n_base"),
+        F.sum(x).over(w).alias("sum_base"),
+        F.sum(x * x).over(w).alias("sumsq_base"),
+    ).where(F.col("n_base") >= 12)
+    n, sx, sxx = F.col("n_base"), F.col("sum_base"), F.col("sumsq_base")
+    var_num = n * sxx - sx * sx  # n^2 * biased var; unbiased adds n/(n-1)
+    # a zero-variance baseline has no defined z — exclude it BEFORE the
+    # division (ANSI mode raises DIVIDE_BY_ZERO even for doubles, and
+    # DuckDB would emit +-Inf: both engines must drop the row)
+    moments = moments.where(var_num > 0)
+    z = (n * F.col("n_events") - sx) / F.sqrt(
+        (var_num * n / (n - 1)).cast("double")
+    )
+    return (
+        moments.withColumn("zscore", z)
+        .where(F.col("zscore") > 3.0)
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_ANOMALY_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT event_type, hour, n_events,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_base,
+         CAST(SUM(n_events) OVER w AS BIGINT) AS sum_base,
+         CAST(SUM(n_events * n_events) OVER w AS BIGINT) AS sumsq_base
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type,
+       strftime(hour, '%Y-%m-%d %H:00:00') AS hour,
+       n_events, n_base, sum_base, sumsq_base,
+       (n_base * n_events - sum_base)
+         / sqrt(CAST((n_base * sumsq_base - sum_base * sum_base) * n_base
+                     / (n_base - 1) AS DOUBLE)) AS zscore
+FROM scored
+WHERE n_base >= 12
+  AND n_base * sumsq_base - sum_base * sum_base > 0
+  AND (n_base * n_events - sum_base)
+        / sqrt(CAST((n_base * sumsq_base - sum_base * sum_base) * n_base
+                    / (n_base - 1) AS DOUBLE)) > 3.0
+ORDER BY event_type, hour
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
     "events_cube": (events_cube, EVENTS_CUBE_SQL),
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_hourly_corr": (events_hourly_corr, EVENTS_HOURLY_CORR_SQL),
+    "events_hourly_anomaly": (events_hourly_anomaly, EVENTS_ANOMALY_SQL),
 }

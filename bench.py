@@ -133,6 +133,7 @@ HEADLINE = [
     "parts_name_linkage",
     "prices_vwap",
     "prices_drawdown",
+    "events_hourly_anomaly",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
