@@ -378,6 +378,9 @@ SWEEP_TAIL = [
     # monitoring tier: exact-moment z-score flags; rides the checked
     # hourly-agg + moment machinery, pytest-gated per run
     "events_hourly_anomaly",
+    # profiling tier: exact-int Gini/top-share of per-user volume — the
+    # query that justifies (or not) the salted-agg strategy; pytest-gated
+    "events_skew_profile",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -497,6 +497,84 @@ ORDER BY event_type, hour
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Skew profiling: per-type Gini of the user activity distribution
+# ---------------------------------------------------------------------------
+
+
+def events_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How skewed is each event type's per-user volume? (Gini + top share)
+
+    The profiling query you run BEFORE picking a partitioning strategy:
+    a high-Gini key needs salting (functions/skew.py), a flat one
+    doesn't. Gini from the sorted-cumulative formula
+    ``(2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x))`` — ranks from a
+    window, every term an exact int64 sum, ONE closing division; the
+    top-1 user share is emitted as exact (numerator, denominator) ints
+    plus their quotient. Two shuffles total: the (type, user) count and
+    the per-type window/aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("x")
+    )
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = per_user.select(
+        "event_type",
+        F.col("x").cast("bigint").alias("x"),
+        F.row_number().over(w).cast("bigint").alias("rk"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("rk") * F.col("x")).alias("rank_weighted"),
+        F.max("x").alias("top_user_events"),
+    )
+    gini = (
+        (2 * F.col("rank_weighted") - (F.col("n_users") + 1) * F.col("total"))
+        / (F.col("n_users") * F.col("total"))
+    )
+    return (
+        agg.select(
+            "event_type",
+            "n_users",
+            "total",
+            "top_user_events",
+            (F.col("top_user_events") / F.col("total")).alias("top_share"),
+            gini.alias("gini"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_SKEW_SQL = """
+WITH per_user AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, x,
+         CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY x, user_id) AS BIGINT) AS rk
+  FROM per_user
+), agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS total,
+         CAST(SUM(rk * x) AS BIGINT) AS rank_weighted,
+         CAST(MAX(x) AS BIGINT) AS top_user_events
+  FROM ranked GROUP BY event_type
+)
+SELECT event_type, n_users, total, top_user_events,
+       CAST(top_user_events AS DOUBLE) / total AS top_share,
+       CAST(2 * rank_weighted - (n_users + 1) * total AS DOUBLE)
+         / (n_users * total) AS gini
+FROM agg
+ORDER BY event_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -504,4 +582,5 @@ TIMESERIES_QUERIES = {
     "events_json_props": (events_json_props, EVENTS_JSON_SQL),
     "events_hourly_corr": (events_hourly_corr, EVENTS_HOURLY_CORR_SQL),
     "events_hourly_anomaly": (events_hourly_anomaly, EVENTS_ANOMALY_SQL),
+    "events_skew_profile": (events_skew_profile, EVENTS_SKEW_SQL),
 }

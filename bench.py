@@ -134,6 +134,7 @@ HEADLINE = [
     "prices_vwap",
     "prices_drawdown",
     "events_hourly_anomaly",
+    "events_skew_profile",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
