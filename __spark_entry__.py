@@ -441,7 +441,7 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out.update({
-        "prices_vwap": prices_cte + VWAP_SQL.replace("FROM prices", "FROM prices", 1),
+        "prices_vwap": prices_cte + VWAP_SQL,
         "prices_drawdown": prices_cte + DRAWDOWN_SQL.replace("WITH c AS", ", c AS", 1),
         # full backfill, hash-checked end-to-end: the deterministic bar
         # client is a pure sha256 function of (ticker, ds), so the SQL

@@ -923,10 +923,13 @@ def knn_graph_df(
     # materialize the (small, k-bounded) edge set BEFORE releasing the
     # band cache — unpersisting first would force the lazy self-join to
     # re-mine the bands at action time (the near_dup pattern above).
-    # checkpoint=False keeps the full lazy plan inspectable (plan tests).
+    # checkpoint=False keeps the full lazy plan inspectable (plan tests);
+    # the cache is released in BOTH branches — in inspection mode a later
+    # execution simply recomputes the bands instead of pinning the cache
+    # in the shared session forever
     if checkpoint:
         edges = edges.localCheckpoint(eager=True)
-        keyed.unpersist()
+    keyed.unpersist()
     return edges.orderBy("src", "rk")
 
 

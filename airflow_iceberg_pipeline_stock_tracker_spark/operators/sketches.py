@@ -169,14 +169,28 @@ def heavy_hitters(events: DataFrame, k: int = HH_K) -> DataFrame:
             F.col("it.count").alias("sk_n"),
         )
     )
+    # fewer than k distinct users is NOT a disagreement: both sides then
+    # return all users, so the bar is "as many items as the exact top-k
+    # has rows, each with its exact count" (empty-sum NULL coalesced)
+    n_exact = exact.agg(
+        F.count(F.lit(1)).alias("n_ex"), F.lit(1).alias("jk")
+    )
     agree = (
         sk.join(counts, "user_id", "left")
         .agg(
-            (
-                (F.count(F.lit(1)) == k)
-                & (F.sum(F.when(F.col("sk_n") == F.col("n"), 0).otherwise(1)) == 0)
-            ).alias("sketch_agrees"),
+            F.count(F.lit(1)).alias("n_sk"),
+            F.coalesce(
+                F.sum(F.when(F.col("sk_n") == F.col("n"), 0).otherwise(1)),
+                F.lit(0),
+            ).alias("n_bad"),
             F.lit(1).alias("jk"),
+        )
+        .join(F.broadcast(n_exact), "jk")
+        .select(
+            ((F.col("n_sk") == F.col("n_ex")) & (F.col("n_bad") == 0)).alias(
+                "sketch_agrees"
+            ),
+            "jk",
         )
     )
     return (

@@ -336,6 +336,10 @@ def events_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("event_type", EVENT_TYPES)
         .agg(F.count(F.lit(1)))
         .na.fill(0, EVENT_TYPES)
+        # |hours| rows consumed by four per-type aggregate branches:
+        # materialize once so the fact scans (and the pivot shuffle)
+        # happen once, not once per branch
+        .localCheckpoint(eager=True)
     )
     out = []
     y = F.col("click").cast("bigint")
@@ -343,29 +347,39 @@ def events_hourly_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         if t == "click":
             continue
         x = F.col(t).cast("bigint")
-        agg = hourly.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(x).alias("sx"),
-            F.sum(y).alias("sy"),
-            F.sum(x * x).alias("sxx"),
-            F.sum(y * y).alias("syy"),
-            F.sum(x * y).alias("sxy"),
-        ).select(
-            F.lit(t).alias("event_type"),
-            "n", "sx", "sy",
-            (
-                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-                / (
-                    F.sqrt(
-                        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                        .cast("double")
+        agg = (
+            hourly.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(x).alias("sx"),
+                F.sum(y).alias("sy"),
+                F.sum(x * x).alias("sxx"),
+                F.sum(y * y).alias("syy"),
+                F.sum(x * y).alias("sxy"),
+            )
+            # a constant series has zero variance -> no defined corr;
+            # dropping the row (both engines) beats ANSI's
+            # DIVIDE_BY_ZERO crash / DuckDB's NaN divergence
+            .where(
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+                & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+            )
+            .select(
+                F.lit(t).alias("event_type"),
+                "n", "sx", "sy",
+                (
+                    (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                    / (
+                        F.sqrt(
+                            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                            .cast("double")
+                        )
+                        * F.sqrt(
+                            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                            .cast("double")
+                        )
                     )
-                    * F.sqrt(
-                        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-                        .cast("double")
-                    )
-                )
-            ).alias("corr_vs_click"),
+                ).alias("corr_vs_click"),
+            )
         )
         out.append(agg)
     res = out[0]
@@ -408,6 +422,7 @@ SELECT event_type, n, sx, sy,
          / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
             * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_vs_click
 FROM m
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
 ORDER BY event_type
 """
 
@@ -462,7 +477,7 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         moments.withColumn("zscore", z)
-        .where(F.col("zscore") > 3.0)
+        .where(F.abs(F.col("zscore")) > 3.0)
         .orderBy("event_type", "hour")
     )
 
@@ -490,9 +505,9 @@ SELECT event_type,
 FROM scored
 WHERE n_base >= 12
   AND n_base * sumsq_base - sum_base * sum_base > 0
-  AND (n_base * n_events - sum_base)
+  AND abs((n_base * n_events - sum_base)
         / sqrt(CAST((n_base * sumsq_base - sum_base * sum_base) * n_base
-                    / (n_base - 1) AS DOUBLE)) > 3.0
+                    / (n_base - 1) AS DOUBLE))) > 3.0
 ORDER BY event_type, hour
 """
 

@@ -208,3 +208,23 @@ def test_sketch_reaggregation_merge_equals_direct_sketch(spark, sf_dir):
     m = {r.event_type: r.est for r in merged.collect()}
     d = {r.event_type: r.est for r in direct.collect()}
     assert m == d
+
+
+def test_heavy_hitters_fewer_than_k_users_still_agrees(spark, tmp_path):
+    """<k distinct users is not a disagreement: both sides return all
+    users and the flag stays TRUE (the bar is 'as many items as the
+    exact top-k has rows, each with its exact count')."""
+    rows = [(i, 1_700_000_000_000_000_000 + i, i % 3, "click", 1.0, "{}")
+            for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    ev = load_table(spark, str(tmp_path), "events")
+    out = sketches.heavy_hitters(ev).collect()
+    assert len(out) == 3  # only 3 distinct users exist
+    assert all(r.sketch_agrees for r in out)
+    assert [r.n for r in out] == [10, 10, 10]

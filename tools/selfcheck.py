@@ -169,13 +169,13 @@ def main() -> int:
         n_rows, problems = compare_one(
             spark, con, name, fn, oracles.get(name), sf_dir
         )
-        dt = time.time() - t0
+        elapsed = time.time() - t0
         if name not in oracles:
             print(f"{name:32s} rows={n_rows:7d}  (no oracle — rows-only) "
-                  f"[{dt:.1f}s]")
+                  f"[{elapsed:.1f}s]")
         else:
             status = "OK " if not problems else "FAIL"
-            print(f"{name:32s} rows={n_rows:7d}  {status} [{dt:.1f}s]")
+            print(f"{name:32s} rows={n_rows:7d}  {status} [{elapsed:.1f}s]")
         for p in problems:
             print(f"    {p}")
         if problems:
