@@ -381,6 +381,9 @@ SWEEP_TAIL = [
     # profiling tier: exact-int Gini/top-share of per-user volume — the
     # query that justifies (or not) the salted-agg strategy; pytest-gated
     "events_skew_profile",
+    # RFM segmentation: aggregate + three tie-broken ntile windows, the
+    # same shapes as checked window-breadth rows; pytest-gated per run
+    "customer_rfm",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

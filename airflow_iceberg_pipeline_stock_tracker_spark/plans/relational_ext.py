@@ -956,6 +956,83 @@ ORDER BY name_a, name_b
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency/frequency/monetary quartiles per customer
+# ---------------------------------------------------------------------------
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM marketing segmentation, exactness-hardened.
+
+    One aggregate over orders (last order date, order count, exact-cents
+    spend per customer), then three ntile(4) windows — each fully
+    tie-broken with c_custkey so quartile boundaries are deterministic
+    in both engines (ntile on a non-unique ordering would split ties
+    engine-dependently). The segment code concatenates the three scores.
+    Scale: one keyed shuffle for the aggregate; the ntile windows are
+    global sorts of a |customers|-sized relation — at 100 TB still just
+    the customer dimension, and each window is a single range exchange.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        cents("o_totalprice").alias("price_c"),
+    )
+    rfm = orders.groupBy("o_custkey").agg(
+        F.max("d").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum("price_c").alias("monetary_c"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), "o_custkey")  # recent = 1
+    f_w = Window.orderBy(F.desc("frequency"), "o_custkey")   # frequent = 1
+    m_w = Window.orderBy(F.desc("monetary_c"), "o_custkey")  # big spender = 1
+    return (
+        rfm.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "last_order",
+            "frequency",
+            dollars("monetary_c").alias("monetary"),
+            F.ntile(4).over(r_w).cast("bigint").alias("r_score"),
+            F.ntile(4).over(f_w).cast("bigint").alias("f_score"),
+            F.ntile(4).over(m_w).cast("bigint").alias("m_score"),
+        )
+        .withColumn(
+            "segment",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+CUSTOMER_RFM_SQL = """
+WITH rfm AS (
+  SELECT o_custkey AS c_custkey,
+         MAX(CAST(o_orderdate AS DATE)) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_c
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey, last_order, frequency, monetary_c / 100.0 AS monetary,
+       CAST(NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS BIGINT)
+         AS r_score,
+       CAST(NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS BIGINT)
+         AS f_score,
+       CAST(NTILE(4) OVER (ORDER BY monetary_c DESC, c_custkey) AS BIGINT)
+         AS m_score,
+       CAST(NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY frequency DESC, c_custkey) AS VARCHAR)
+         || CAST(NTILE(4) OVER (ORDER BY monetary_c DESC, c_custkey) AS VARCHAR)
+         AS segment
+FROM rfm
+ORDER BY c_custkey
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -973,4 +1050,5 @@ RELATIONAL_EXT_QUERIES = {
     "q15_top_supplier": (q15_top_supplier, Q15_SQL),
     "parts_hierarchy_rollup": (parts_hierarchy_rollup, PARTS_HIERARCHY_SQL),
     "parts_name_linkage": (parts_name_linkage, PARTS_LINKAGE_SQL),
+    "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
 }

@@ -135,6 +135,7 @@ HEADLINE = [
     "prices_drawdown",
     "events_hourly_anomaly",
     "events_skew_profile",
+    "customer_rfm",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
