@@ -86,6 +86,14 @@ def _q_prices_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drawdown(prices_standin(spark, sf_dir))
 
 
+def _q_prices_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        bollinger,
+    )
+
+    return bollinger(prices_standin(spark, sf_dir))
+
+
 def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full daily pipeline (ingest->DQ->promote->cumulate), 3-day backfill.
 
@@ -375,6 +383,7 @@ SWEEP_TAIL = [
     # pytest-gated per run like every tail row
     "prices_vwap",
     "prices_drawdown",
+    "prices_bollinger",
     # monitoring tier: exact-moment z-score flags; rides the checked
     # hourly-agg + moment machinery, pytest-gated per run
     "events_hourly_anomaly",
@@ -384,6 +393,9 @@ SWEEP_TAIL = [
     # RFM segmentation: aggregate + three tie-broken ntile windows, the
     # same shapes as checked window-breadth rows; pytest-gated per run
     "customer_rfm",
+    # sequence mining: lag-adjacency transition matrix; rides the checked
+    # sessionize/funnel ordering machinery, pytest-gated per run
+    "events_transitions",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL
@@ -394,6 +406,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_standin": _q_prices,
         "prices_vwap": _q_prices_vwap,
         "prices_drawdown": _q_prices_drawdown,
+        "prices_bollinger": _q_prices_bollinger,
         "dq_checks": _q_dq_checks,
         "cumulate_rolling": _q_cumulate_rolling,
         "cumulate_day": _q_cumulate_day,
@@ -439,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
     from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
 
     from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        BOLLINGER_SQL,
         DRAWDOWN_SQL,
         VWAP_SQL,
     )
@@ -446,6 +460,8 @@ def oracle_sql() -> dict[str, str]:
     out.update({
         "prices_vwap": prices_cte + VWAP_SQL,
         "prices_drawdown": prices_cte + DRAWDOWN_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_bollinger": prices_cte
+        + BOLLINGER_SQL.replace("WITH c AS", ", c AS", 1),
         # full backfill, hash-checked end-to-end: the deterministic bar
         # client is a pure sha256 function of (ticker, ds), so the SQL
         # twin regenerates the bars and replays ingest->promote->cumulate

@@ -110,3 +110,75 @@ WINDOW w AS (PARTITION BY ticker ORDER BY date),
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 ORDER BY ticker, date
 """
+
+
+def bollinger(prices: DataFrame, width: int = ROLLING) -> DataFrame:
+    """Rolling Bollinger bands from exact integer moments.
+
+    stddev_samp over a window streams doubles (order-dependent); here
+    sigma comes from the int64 moments (n, sum, sum-of-squares) of the
+    cents frame, so both engines derive identical doubles from identical
+    integers and even the band-breach BOOLEANS hash-match. Emits the
+    exact moments alongside the derived bands — the moments are the
+    re-aggregatable representation a rollup table would store.
+    """
+    w = (
+        Window.partitionBy("ticker")
+        .orderBy("date")
+        .rowsBetween(-(width - 1), 0)
+    )
+    c = cents("close")
+    n = F.count(F.lit(1)).over(w)
+    sx = F.sum(c).over(w)
+    sxx = F.sum(c * c).over(w)
+    mean = sx / n
+    var = (n * sxx - sx * sx) / (n * (n - 1))
+    sigma = F.sqrt(var.cast("double"))
+    upper = mean + 2 * sigma
+    lower = mean - 2 * sigma
+    return (
+        prices.select(
+            "ticker",
+            "date",
+            c.alias("close_c"),
+            n.alias("n_days"),
+            sx.alias("sum_c"),
+            sxx.alias("sumsq_c"),
+            F.when(n >= 2, upper).alias("upper_c"),
+            F.when(n >= 2, lower).alias("lower_c"),
+            F.when(n >= 2, c > upper).alias("breach_up"),
+            F.when(n >= 2, c < lower).alias("breach_down"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+BOLLINGER_SQL = f"""
+WITH c AS (
+  SELECT ticker, date, CAST(ROUND(close * 100) AS BIGINT) AS close_c
+  FROM prices
+), m AS (
+  SELECT ticker, date, close_c,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_days,
+         CAST(SUM(close_c) OVER w AS BIGINT) AS sum_c,
+         CAST(SUM(close_c * close_c) OVER w AS BIGINT) AS sumsq_c
+  FROM c
+  WINDOW w AS (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN {ROLLING - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, date, close_c, n_days, sum_c, sumsq_c,
+       CASE WHEN n_days >= 2 THEN CAST(sum_c AS DOUBLE) / n_days
+            + 2 * sqrt(CAST((n_days * sumsq_c - sum_c * sum_c)
+                            / (n_days * (n_days - 1)) AS DOUBLE)) END AS upper_c,
+       CASE WHEN n_days >= 2 THEN CAST(sum_c AS DOUBLE) / n_days
+            - 2 * sqrt(CAST((n_days * sumsq_c - sum_c * sum_c)
+                            / (n_days * (n_days - 1)) AS DOUBLE)) END AS lower_c,
+       CASE WHEN n_days >= 2 THEN close_c > CAST(sum_c AS DOUBLE) / n_days
+            + 2 * sqrt(CAST((n_days * sumsq_c - sum_c * sum_c)
+                            / (n_days * (n_days - 1)) AS DOUBLE)) END AS breach_up,
+       CASE WHEN n_days >= 2 THEN close_c < CAST(sum_c AS DOUBLE) / n_days
+            - 2 * sqrt(CAST((n_days * sumsq_c - sum_c * sum_c)
+                            / (n_days * (n_days - 1)) AS DOUBLE)) END AS breach_down
+FROM m
+ORDER BY ticker, date
+"""

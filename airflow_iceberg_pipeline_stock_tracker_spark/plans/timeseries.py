@@ -590,6 +590,68 @@ ORDER BY event_type
 """
 
 
+
+
+# ---------------------------------------------------------------------------
+# Sequence mining: per-user event-type transition matrix
+# ---------------------------------------------------------------------------
+
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix of event types within user streams.
+
+    The sequence-adjacency view funnel analysis doesn't give you: for
+    each user's (ts, event_id)-ordered stream, count every consecutive
+    (from_type -> to_type) pair, then the transition probability as
+    exact-int numerator over the per-from_type total (one closing
+    division). lag is one sorted pass per user partition; the pair count
+    and the row total ride the same keyed aggregate output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .where(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+    row_w = Window.partitionBy("from_type")
+    return (
+        pairs.select(
+            "from_type",
+            "to_type",
+            "n_pairs",
+            F.sum("n_pairs").over(row_w).alias("row_total"),
+            (F.col("n_pairs") / F.sum("n_pairs").over(row_w)).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENTS_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_pairs,
+       CAST(SUM(n_pairs) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+       CAST(n_pairs AS DOUBLE)
+         / SUM(n_pairs) OVER (PARTITION BY from_type) AS p
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -598,4 +660,5 @@ TIMESERIES_QUERIES = {
     "events_hourly_corr": (events_hourly_corr, EVENTS_HOURLY_CORR_SQL),
     "events_hourly_anomaly": (events_hourly_anomaly, EVENTS_ANOMALY_SQL),
     "events_skew_profile": (events_skew_profile, EVENTS_SKEW_SQL),
+    "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
 }

@@ -136,6 +136,8 @@ HEADLINE = [
     "events_hourly_anomaly",
     "events_skew_profile",
     "customer_rfm",
+    "prices_bollinger",
+    "events_transitions",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
