@@ -136,6 +136,9 @@ ORDER BY event_type
 
 
 HH_K = 5
+# explicit sketch capacity: exact-count agreement (the oracle's pinned
+# TRUE) requires distinct keys <= capacity; see heavy_hitters docstring
+HH_MAX_TRACKED = 100_000
 
 
 def heavy_hitters(events: DataFrame, k: int = HH_K) -> DataFrame:
@@ -149,6 +152,17 @@ def heavy_hitters(events: DataFrame, k: int = HH_K) -> DataFrame:
     every item the sketch returned carries its exact count — tie-
     tolerant at the k boundary, where which equal-count item surfaces
     is legitimately unspecified. The oracle pins the boolean TRUE.
+
+    Cardinality assumption (load-bearing for the pinned TRUE): the
+    sketch's counts are bit-exact with the exact counts only while the
+    distinct-key cardinality stays within its tracking capacity, so
+    ``maxItemsTracked`` is passed EXPLICITLY (:data:`HH_MAX_TRACKED`,
+    100k — a few MB of executor memory) rather than left at the default.
+    Test fixtures stay far under it (~1.5k distinct users at sf0.1,
+    ~15k at sf1). Beyond capacity the sketch may undercount and the
+    boolean legitimately flips false — at that scale raise
+    HH_MAX_TRACKED or drop the in-plan pin to a tolerance check; the
+    exact top-k half of the query is unaffected either way.
     """
     from pyspark.sql import Window
 
@@ -161,7 +175,9 @@ def heavy_hitters(events: DataFrame, k: int = HH_K) -> DataFrame:
     )
     sk = (
         events.agg(
-            F.expr(f"approx_top_k(user_id, {k})").alias("items")
+            F.expr(
+                f"approx_top_k(user_id, {k}, {HH_MAX_TRACKED})"
+            ).alias("items")
         )
         .select(F.explode("items").alias("it"))
         .select(

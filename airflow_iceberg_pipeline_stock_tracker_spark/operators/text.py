@@ -167,7 +167,7 @@ SELECT doc_id, n_chars, n_tokens, punct_ratio, stop_ratio, mean_token_len,
        (CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.4 ELSE 0.0 END
         + CASE WHEN punct_ratio <= 0.2 THEN 0.2 ELSE 0.0 END
         + CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12 THEN 0.2 ELSE 0.0 END
-        + CASE WHEN stop_ratio >= 0.05 THEN 0.2 ELSE 0.0 END) AS quality
+        + CASE WHEN stop_ratio >= 0.05 THEN 0.2 ELSE 0.0 END)::DOUBLE AS quality
 FROM base ORDER BY doc_id
 """
 

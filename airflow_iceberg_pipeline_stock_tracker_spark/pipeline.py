@@ -75,7 +75,16 @@ def _insert(df: DataFrame, name: str, overwrite: bool) -> None:
     reference's DELETE+INSERT pair as one atomic commit.
     """
     spark = df.sparkSession
-    target_cols = spark.table(name).columns
+    target = spark.table(name)
+    target_cols = target.columns
+    # Additive schema evolution compat: a writer built against the
+    # pre-evolution schema keeps working after ALTER TABLE ADD COLUMNS —
+    # missing nullable columns are padded with typed NULLs, exactly what
+    # Iceberg's positional evolution semantics give an old writer. A
+    # missing NON-nullable column still fails (as it must).
+    for f in target.schema.fields:
+        if f.name not in df.columns and f.nullable:
+            df = df.withColumn(f.name, F.lit(None).cast(f.dataType))
     # The overwrite path is only partition-scoped under dynamic
     # partition-overwrite mode. session.get_spark sets it globally, but
     # the pipeline must be correct under ANY caller's session (the
@@ -279,22 +288,12 @@ def _hex_int_sql(expr: str, start: int, n: int) -> str:
     return f"CAST({terms} AS BIGINT)"
 
 
-def backfill_oracle_sql(
-    dates: list[str], tickers: list[str] | None = None
-) -> str:
-    """DuckDB twin of a full ``backfill`` run's cumulative table
-    (exploded to the flat driver surface, updated_at excluded).
-
-    The ingested bars come from DeterministicBarClient — a pure function
-    of (ticker, ds) through sha256 (sources/stock_api.py:64-83) — so the
-    whole ingest -> DECIMAL coercion -> promote -> cumulate chain is
-    reproducible as one SQL statement: regenerate the bars (sha256 +
-    hex-slice arithmetic, bit-equal to int.from_bytes), apply the same
-    HALF_UP DECIMAL(10,2) casts as bars_to_df, then window exactly like
-    operators/cumulate.py. Because the backfill processes dates
-    ascending and day D's partition sees all days <= D, the per-day
-    partition overwrites compose to one window over the full range.
-    """
+def _bars_cte_sql(dates: list[str], tickers: list[str] | None = None) -> str:
+    """Shared CTE chain ``gen -> h -> nums -> base -> bars`` regenerating
+    DeterministicBarClient's bars in SQL: sha256 + hex-slice arithmetic
+    bit-equal to ``int.from_bytes`` (sources/stock_api.py:64-83), then
+    the same DECIMAL(10,2) coercions as bars_to_df. ``bars`` carries the
+    full staging surface (OHLC, volume, vwap, transactions)."""
     tk = tickers or REFERENCE_TICKERS
     tk_values = ", ".join(f"('{t}')" for t in tk)
     ds_values = ", ".join(f"('{d}')" for d in dates)
@@ -311,14 +310,16 @@ nums AS (
   SELECT ticker, date,
          {_hex_int_sql('hx', 1, 8)} AS n1,
          {_hex_int_sql('hx', 9, 4)} AS n2,
-         {_hex_int_sql('hx', 13, 6)} AS n3
+         {_hex_int_sql('hx', 13, 6)} AS n3,
+         {_hex_int_sql('hx', 19, 4)} AS n4
   FROM h
 ),
 base AS (
   SELECT ticker, date,
          50.0 + (n1 % 45000) / 100.0 AS b,
          1.0 + (n2 % 900) / 100.0 AS s,
-         CAST(1000000 + (n3 % 9000000) AS BIGINT) AS volume
+         CAST(1000000 + (n3 % 9000000) AS BIGINT) AS volume,
+         CAST(10000 + (n4 % 90000) AS INT) AS transactions
   FROM nums
 ),
 bars AS (
@@ -327,9 +328,33 @@ bars AS (
          CAST(ROUND(b + s, 4) AS DECIMAL(10,2)) AS high,
          CAST(ROUND(b, 4) AS DECIMAL(10,2)) AS low,
          CAST(ROUND(b + s * 0.5, 4) AS DECIMAL(10,2)) AS close,
-         volume
+         volume,
+         CAST(ROUND(b + s * 0.4, 4) AS DECIMAL(10,2)) AS vwap,
+         transactions
   FROM base
-),
+)"""
+
+
+def backfill_oracle_sql(
+    dates: list[str], tickers: list[str] | None = None
+) -> str:
+    """DuckDB twin of a full ``backfill`` run's cumulative table
+    (exploded to the flat driver surface, updated_at excluded).
+
+    The ingested bars come from DeterministicBarClient — a pure function
+    of (ticker, ds) through sha256 (sources/stock_api.py:64-83) — so the
+    whole ingest -> DECIMAL coercion -> promote -> cumulate chain is
+    reproducible as one SQL statement: regenerate the bars, apply the
+    same HALF_UP DECIMAL(10,2) casts as bars_to_df, then window exactly
+    like operators/cumulate.py. Because the backfill processes dates
+    ascending and day D's partition sees all days <= D, the per-day
+    partition overwrites compose to one window over the full range.
+    The final SELECT casts every DECIMAL to DOUBLE — the driver's pandas
+    canon renders DuckDB DECIMAL as float64 but Spark DECIMAL as object
+    Decimal, so the checked surface is double on both engines while the
+    managed tables keep the reference DECIMAL schema.
+    """
+    return _bars_cte_sql(dates, tickers) + """,
 windowed AS (
   SELECT ticker, date,
          list(open)  OVER w AS last_7_days_open,
@@ -347,12 +372,13 @@ windowed AS (
 )
 SELECT ticker, date,
        CAST(unnest(range(1, len(last_7_days_open) + 1)) AS INT) AS idx,
-       unnest(last_7_days_open)   AS open_i,
-       unnest(last_7_days_high)   AS high_i,
-       unnest(last_7_days_low)    AS low_i,
-       unnest(last_7_days_close)  AS close_i,
+       CAST(unnest(last_7_days_open)  AS DOUBLE) AS open_i,
+       CAST(unnest(last_7_days_high)  AS DOUBLE) AS high_i,
+       CAST(unnest(last_7_days_low)   AS DOUBLE) AS low_i,
+       CAST(unnest(last_7_days_close) AS DOUBLE) AS close_i,
        unnest(last_7_days_volume) AS volume_i,
-       avg_7_day_volume, volatility_7_day
+       CAST(avg_7_day_volume AS DOUBLE) AS avg_7_day_volume,
+       CAST(volatility_7_day AS DOUBLE) AS volatility_7_day
 FROM windowed
 """
 
@@ -380,3 +406,70 @@ def backfill(
         done.append(ds)
         day += dt.timedelta(days=1)
     return done
+
+
+EVOLUTION_DATES = ["2024-01-01", "2024-01-02", "2024-01-03"]
+EVOLUTION_COL = "source"
+
+
+def run_evolution_demo(spark: SparkSession, db: str) -> DataFrame:
+    """Schema evolution exercised END-TO-END across a read boundary.
+
+    The reference's README names Iceberg schema evolution as a design
+    rationale (reference README.md:29); this proves the fallback path
+    delivers the same observable semantics:
+
+      1. backfill days 1-2 with the original 10-col prod schema;
+      2. ``ALTER TABLE .. ADD COLUMNS (source string)``;
+      3. backfill day 3 through the UNCHANGED writer — `_insert` pads
+         the new nullable column with a typed NULL, the old-writer
+         guarantee additive evolution promises;
+      4. a new-writer pass overwrites only day 3's partition tagging
+         ``source='polygon'``;
+      5. read the whole table across the boundary: day 1-2 files
+         physically lack the column and surface NULL, day 3 carries the
+         value.
+
+    Returns the driver surface: full prod table, DECIMALs cast to
+    double (driver canon), insertion_timestamp dropped (wall clock).
+    """
+    prod = f"{db}.{PROD_TABLE}"
+    backfill(spark, EVOLUTION_DATES[0], EVOLUTION_DATES[1], db=db)
+    evolve_add_columns(spark, PROD_TABLE, f"{EVOLUTION_COL} string", db=db)
+    run_for_date(spark, EVOLUTION_DATES[2], db=db)  # old writer, NULL-padded
+    d3 = spark.table(prod).where(
+        F.col("date") == F.lit(EVOLUTION_DATES[2]).cast("date")
+    )
+    _insert(
+        d3.withColumn(EVOLUTION_COL, F.lit("polygon")), prod, overwrite=True
+    )
+    out = spark.table(prod).drop("insertion_timestamp")
+    return out.select(
+        "ticker",
+        "date",
+        F.col("open").cast("double").alias("open"),
+        F.col("high").cast("double").alias("high"),
+        F.col("low").cast("double").alias("low"),
+        F.col("close").cast("double").alias("close"),
+        "volume",
+        F.col("vwap").cast("double").alias("vwap"),
+        "transactions",
+        EVOLUTION_COL,
+    )
+
+
+def evolution_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`run_evolution_demo`'s returned surface."""
+    return _bars_cte_sql(EVOLUTION_DATES, tickers) + f"""
+SELECT ticker, date,
+       CAST(open AS DOUBLE) AS open,
+       CAST(high AS DOUBLE) AS high,
+       CAST(low AS DOUBLE) AS low,
+       CAST(close AS DOUBLE) AS close,
+       volume,
+       CAST(vwap AS DOUBLE) AS vwap,
+       transactions,
+       CASE WHEN date = DATE '{EVOLUTION_DATES[2]}' THEN 'polygon' END
+         AS source
+FROM bars
+"""

@@ -884,7 +884,7 @@ WITH RECURSIVE walk AS (
 )
 SELECT start_key AS p_partkey, MAX(depth) AS depth,
        CAST(COUNT(*) AS BIGINT) AS n_nodes,
-       MAX(path_c) / 100.0 AS root_path_cost
+       CAST(MAX(path_c) AS DOUBLE) / 100.0 AS root_path_cost
 FROM walk GROUP BY start_key ORDER BY p_partkey
 """)
 

@@ -138,6 +138,8 @@ HEADLINE = [
     "customer_rfm",
     "prices_bollinger",
     "events_transitions",
+    # --- added in round 6 ---
+    "pipeline_schema_evolution",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -150,6 +152,9 @@ PROOF_TIER = frozenset(
         "events_micro_batch_parity",
         "events_ohlc_incremental",
         "streaming_merge_apply",
+        # 3-day backfill + ALTER TABLE + partition overwrite: table
+        # lifecycle, not operator throughput
+        "pipeline_schema_evolution",
     }
 )
 
@@ -164,6 +169,8 @@ RUN_ONCE = frozenset(
         "events_ohlc_incremental",
         # 4-commit CDC merge fold + per-batch table rotation; same class
         "streaming_merge_apply",
+        # full backfill + evolution DDL chain; same class
+        "pipeline_schema_evolution",
     }
 )
 
@@ -206,18 +213,31 @@ def main() -> None:
     # cost stays visible rather than hidden.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    all_times: dict[str, list[float]] = {}
     from airflow_iceberg_pipeline_stock_tracker_spark.plans.llm_queries import (
         clear_result_caches,
     )
 
-    for rnd in (0, 1):
+    # Pass 0+1 for everything; pass 2 only for the fast (<1s warm) rows.
+    # Same-code swings of up to 1.5x between whole runs (README) make 2x
+    # regression detection noisy — a third sample on the cheap rows
+    # costs ~seconds and the recorded per-query spread (max-min across
+    # measured passes) lets a reader separate noise from regression.
+    # Queries that print (the pipeline's reference-parity DQ echo) must
+    # not break the ONE-JSON-line stdout contract: all query-time stdout
+    # is routed to stderr; only the final JSON line reaches stdout.
+    _stdout = sys.stdout
+    sys.stdout = sys.stderr
+    for rnd in (0, 1, 2):
         # memoized computed intermediates (shared pair graph etc.) are a
         # real per-session feature, but a measured pass must pay for them
         # exactly once itself — not inherit them from the previous pass
         clear_result_caches()
-        # .cache()d intermediates (q11's per-part aggregate) match by
-        # logical plan, so a pass-2 rebuild of the same query would hit
-        # pass-1's materialized cache — clear so each pass pays its own
+        # clear any catalog-cached relations generally so a later pass
+        # can't hit an earlier pass's materialized cache by logical-plan
+        # match. Note: localCheckpoint intermediates (q11) are NOT in
+        # the catalog cache and are rebuilt per pass anyway, because
+        # each query fn constructs a fresh DataFrame
         spark.catalog.clearCache()
         # drop the previous pass's streaming memory-sink tables: each
         # holds a full drained result in driver memory, and a pass-2
@@ -228,6 +248,8 @@ def main() -> None:
         for name in HEADLINE:
             if rnd > 0 and name in RUN_ONCE:
                 continue
+            if rnd == 2 and timings.get(name, 99.0) >= 1.0:
+                continue  # third sample only for the fast rows
             fn = queries[name]
             t0 = time.time()
             df = fn(spark, sf_dir)
@@ -236,9 +258,29 @@ def main() -> None:
             if rnd == 0:
                 cold[name] = t
             timings[name] = min(timings.get(name, t), t)
+            all_times.setdefault(name, []).append(t)
             print(f"# {name}[{rnd}]: {t}s ({n} rows)", file=sys.stderr)
 
+    # Sustained-rate streaming throughput: the streaming proofs above
+    # measure drain latency of synthetic micro-batches; this row pins a
+    # rate source at a fixed rows/sec for a fixed duration and reports
+    # what the watermarked tumbling-window pipeline actually absorbed.
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming.throughput import (
+        rate_tumbling_throughput,
+    )
+
+    throughput = rate_tumbling_throughput(
+        spark, rows_per_sec=200_000, run_sec=8.0
+    )
+    print(f"# streaming_rate_tumbling: {throughput}", file=sys.stderr)
+    sys.stdout = _stdout
+
     total = round(sum(timings.values()), 3)
+    spread = {
+        q: round(max(ts) - min(ts), 3)
+        for q, ts in all_times.items()
+        if len(ts) > 1
+    }
     # round-over-round comparability: BENCH_r02 benched exactly the
     # 47 queries in HEADLINE at that commit; report their subtotal
     # separately so later rounds that extend HEADLINE stay comparable
@@ -257,8 +299,10 @@ def main() -> None:
                 "queries": timings,
                 "common_r2_sec": common_r2,
                 "proof_tier_sec": proof_tier,
-                "runs_per_query": 2,
+                "runs_per_query": "2 (3 for <1s rows; proofs once)",
                 "agg": "min",
+                "spread": spread,
+                "throughput": {"streaming_rate_tumbling": throughput},
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": sf,
             }

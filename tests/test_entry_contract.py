@@ -49,15 +49,21 @@ def test_every_query_is_oracle_paired_or_documented_rows_only():
     assert not orphans, f"oracles for unregistered queries: {sorted(orphans)}"
 
 
-def test_new_r4_operators_are_inside_the_checked_prefix():
-    # the r4 lesson: new operators must not ship driver-unchecked
+def test_new_operators_are_inside_the_checked_prefix():
+    # the r4 lesson: new operators must not ship driver-unchecked.
+    # Pins the CURRENT round's first-round-checked set: the r6-new
+    # schema-evolution query plus the seven late-r5 registrations
+    # promoted for their first driver round (q6/q14 rotated to the tail
+    # r6 after their green r5 round funded these slots).
     promoted = {
-        "events_ohlc_incremental",
-        "streaming_interval_join",
-        "streaming_chained_hourly",
-        "events_sketch_accuracy",
-        "q6_forecast_revenue",
-        "q14_promo_revenue",
+        "pipeline_schema_evolution",
+        "prices_vwap",
+        "prices_drawdown",
+        "prices_bollinger",
+        "events_hourly_anomaly",
+        "events_skew_profile",
+        "customer_rfm",
+        "events_transitions",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)
 

@@ -112,6 +112,92 @@ def test_schema_evolution_add_column(spark, db):
     assert all(r.source_feed == "polygon" for r in evolved)
 
 
+def test_old_writer_survives_evolution_via_null_padding(spark, db):
+    """The additive-evolution guarantee: a writer built against the
+    pre-evolution schema keeps working after ADD COLUMNS — `_insert`
+    pads missing nullable columns with typed NULLs."""
+    pipeline.run_for_date(spark, "2024-01-01", db=db)
+    pipeline.evolve_add_columns(
+        spark, pipeline.PROD_TABLE, "source STRING", db=db
+    )
+    # the UNCHANGED pipeline writer (no knowledge of `source`) runs again
+    pipeline.run_for_date(spark, "2024-01-02", db=db)
+    prod = spark.table(f"{db}.{pipeline.PROD_TABLE}")
+    assert prod.where("date = DATE '2024-01-02'").count() == 5
+    assert prod.where("source IS NOT NULL").count() == 0
+
+
+def test_crash_window_after_drop_before_create_recovers(spark, db):
+    """The parquet fallback's CREATE OR REPLACE emulation (DROP+CREATE,
+    pipeline.create_staging_table) has a non-atomic window where the
+    staging table does not exist. A run killed inside that window leaves
+    no staging table; a plain re-run must recover completely."""
+    ds = "2024-01-02"
+    pipeline.create_schema(spark, db)
+    pipeline.create_staging_table(spark, ds, db)
+    # simulate the crash: DROP committed, CREATE never ran
+    spark.sql(f"DROP TABLE IF EXISTS {pipeline.staging_table_name(ds, db)}")
+    checks = pipeline.run_for_date(spark, ds, db=db)
+    assert all(r.status == "PASS" for r in checks.collect())
+    prod = spark.table(f"{db}.{pipeline.PROD_TABLE}")
+    assert prod.where(f"date = DATE '{ds}'").count() == 5
+
+
+def test_crash_window_after_load_before_promote_recovers(spark, db):
+    """Killed after staging is loaded but before promote: staging holds
+    rows, prod does not. A re-run must NOT double-ingest (staging is
+    recreated fresh) and must land exactly one bar per ticker in prod."""
+    ds = "2024-01-02"
+    pipeline.create_schema(spark, db)
+    pipeline.create_staging_table(spark, ds, db)
+    pipeline.create_prod_table(spark, db)
+    pipeline.create_cumulative_table(spark, db)
+    pipeline.load_to_staging(spark, ds, db=db)
+    # crash here: staging loaded, nothing promoted. Re-run from the top.
+    # create_staging_table's DROP+CREATE discards the orphaned load, so
+    # the ingest is NOT doubled; the completed run then drops staging.
+    pipeline.run_for_date(spark, ds, db=db)
+    prod = spark.table(f"{db}.{pipeline.PROD_TABLE}")
+    assert prod.where(f"date = DATE '{ds}'").count() == 5  # not 10
+    # the completed recovery run cleaned its staging table up
+    assert not spark.catalog.tableExists(pipeline.staging_table_name(ds, db))
+
+
+def test_crash_window_after_promote_before_drop_recovers(spark, db):
+    """Killed after promote but before drop_staging: a leftover staging
+    table exists. The next run's DROP+CREATE clears it; the partition
+    overwrite keeps prod at exactly one bar per ticker."""
+    ds = "2024-01-02"
+    pipeline.create_schema(spark, db)
+    pipeline.create_staging_table(spark, ds, db)
+    pipeline.create_prod_table(spark, db)
+    pipeline.create_cumulative_table(spark, db)
+    pipeline.load_to_staging(spark, ds, db=db)
+    pipeline.promote(spark, ds, db)
+    # crash here: staging leftover on disk. Re-run end-to-end:
+    checks = pipeline.run_for_date(spark, ds, db=db)
+    assert all(r.status == "PASS" for r in checks.collect())
+    prod = spark.table(f"{db}.{pipeline.PROD_TABLE}")
+    assert prod.where(f"date = DATE '{ds}'").count() == 5
+    cum = spark.table(f"{db}.{pipeline.CUMULATIVE_TABLE}")
+    assert cum.where(f"date = DATE '{ds}'").count() == 5
+
+
+def test_run_evolution_demo_surface(spark, db):
+    """End-to-end evolution demo: 15 rows (5 tickers x 3 days), source
+    NULL before the boundary, 'polygon' after, DECIMALs cast double."""
+    out = pipeline.run_evolution_demo(spark, db=db)
+    rows = out.collect()
+    assert len(rows) == 15
+    by_src = {(r.date.isoformat(), r.source) for r in rows}
+    assert ("2024-01-01", None) in by_src
+    assert ("2024-01-02", None) in by_src
+    assert ("2024-01-03", "polygon") in by_src
+    assert ("2024-01-03", None) not in by_src
+    assert dict(out.dtypes)["open"] == "double"
+    assert dict(out.dtypes)["vwap"] == "double"
+
+
 def test_insert_overwrite_partition_scoped_without_session_conf(spark, db):
     """The external correctness driver supplies its own session WITHOUT
     partitionOverwriteMode=dynamic (Spark's default is static). Under

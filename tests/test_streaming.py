@@ -468,3 +468,18 @@ def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
     # watermark past it) counted only the on-time row
     rows = {r.hour: r.n for r in spark.read.parquet(out_dir).collect()}
     assert rows.get("2024-01-01 12:00:00") == 1
+
+
+def test_rate_tumbling_throughput_probe(spark):
+    """Sustained-rate probe: a short low-rate run must absorb rows,
+    produce windowed aggregates, and report a positive achieved rate."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming.throughput import (
+        rate_tumbling_throughput,
+    )
+
+    r = rate_tumbling_throughput(spark, rows_per_sec=10_000, run_sec=4.0)
+    assert r["input_rows"] > 0
+    assert r["achieved_rows_per_sec"] > 0
+    assert r["result_rows"] > 0
+    # at this trivial offer the 1s-trigger pipeline must keep up
+    assert r["kept_up"]

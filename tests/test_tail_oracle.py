@@ -24,11 +24,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-# tail rows that are legitimately EMPTY at the tiny test SF (both
-# engines agree on 0 rows): cumulate_day pins DEFAULT_DS, which the
-# sf0.001 fixture's date range doesn't reach — it is non-vacuous (42
-# rows) at sf0.01, re-verified there by `tools/selfcheck.py --all`
-_EMPTY_OK_AT_TINY = {"cumulate_day"}
+# The escalation SF for rows that are legitimately empty at the tiny
+# fixture: instead of waiving them (a vacuous green), the gate re-runs
+# them at sf0.01 and demands a NON-EMPTY green there — e.g. cumulate_day
+# pins DEFAULT_DS, which sf0.001's date range doesn't reach (42 rows at
+# sf0.01), and q7_nation_volume's nation-pair filter matches nothing in
+# a 6k-row lineitem sample (4 rows at sf0.01).
+_ESCALATION_SF_DIR = "/root/testdata/sf0.01"
 
 
 def test_every_tail_query_matches_its_oracle(spark, sf_dir):
@@ -38,14 +40,23 @@ def test_every_tail_query_matches_its_oracle(spark, sf_dir):
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     con = connect_oracle(sf_dir)
+    con_big = None
     failures: list[str] = []
     for name in entrymod.SWEEP_TAIL:
         n_rows, problems = compare_one(
             spark, con, name, queries[name], oracles.get(name), sf_dir
         )
+        if not problems and n_rows == 0:
+            # a 0-row green is a vacuous check — escalate to a SF where
+            # the query produces rows, and require green there
+            if con_big is None:
+                con_big = connect_oracle(_ESCALATION_SF_DIR)
+            n_rows, problems = compare_one(
+                spark, con_big, name, queries[name], oracles.get(name),
+                _ESCALATION_SF_DIR,
+            )
+            if not problems and n_rows == 0:
+                problems = ["0 rows even at the escalation SF (vacuous)"]
         if problems:
             failures.append(f"{name}: {problems[0]}")
-        elif n_rows == 0 and name not in _EMPTY_OK_AT_TINY:
-            # a 0-row green is a vacuous check — surface it
-            failures.append(f"{name}: oracle matched but 0 rows (vacuous)")
     assert not failures, "\n".join(failures)

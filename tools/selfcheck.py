@@ -114,6 +114,17 @@ def compare_one(spark, con, name, fn, sql, sf_dir) -> tuple[int, list[str]]:
                 f"oracle col {col!r} is {typ} -> float64 under the "
                 "driver's pandas canon (CAST it to BIGINT)"
             )
+        # the r5 lesson (pipeline_daily_run): DuckDB DECIMAL -> float64
+        # under .df() while Spark DecimalType -> object Decimal('1.40')
+        # under toPandas(), so the driver's pandas string canon hashes
+        # equal values differently. Any DECIMAL on the oracle surface is
+        # a failure even when the raw value hashes agree.
+        if typ.startswith("DECIMAL"):
+            problems.append(
+                f"oracle col {col!r} is {typ} -> float64 under the "
+                "driver's pandas canon while Spark DECIMAL stays "
+                "object-Decimal (CAST both surfaces to DOUBLE)"
+            )
     for col in set(s_cols) & set(d_cols):
         sk = s_pdf[col].dtype.kind
         dk = d_pdf[col].dtype.kind
@@ -123,6 +134,20 @@ def compare_one(spark, con, name, fn, sql, sf_dir) -> tuple[int, list[str]]:
                 f"spark={s_pdf[col].dtype} duck={d_pdf[col].dtype} "
                 "(the driver's pandas canon hashes these differently)"
             )
+        # {object, float} with Decimal cells on the object side is the
+        # same canon split as above, seen from the pandas frames (covers
+        # Decimal surfaces that reach pandas without a DECIMAL oracle
+        # type, e.g. Spark-side-only DECIMAL casts)
+        for side, pdf, kind in (("spark", s_pdf, sk), ("duck", d_pdf, dk)):
+            if kind == "O" and len(pdf):
+                cell = pdf[col].dropna()
+                if len(cell) and isinstance(cell.iloc[0], decimal.Decimal):
+                    problems.append(
+                        f"{side} col {col!r} holds decimal.Decimal cells "
+                        "(object dtype) — the driver's pandas canon "
+                        "formats these with trailing zeros unlike "
+                        "float64 (cast the surface to double)"
+                    )
     if len(s_rows) != len(d_rows):
         problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
     if sorted(s_cols) != sorted(d_cols):
