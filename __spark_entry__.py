@@ -240,7 +240,6 @@ SWEEP_CHECKED = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_part_value_conc",
-    "q12_late_lines",
     "q19_disjunctive_preds",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
@@ -248,8 +247,12 @@ SWEEP_CHECKED = [
     # relational shape extensions — checked r5 green; q4/q7/q13/q15/q16
     # -> tail r6 (their semi/anti/outer/scalar-subquery shapes stay
     # checked via q20/q21/q22/q11, pytest + per-CI tail-oracle gated)
-    "q17_small_qty_revenue",
     "q18_large_orders",
+    # NEW r6: hand-rolled Bloom runtime-filter semi join (build ->
+    # scan-local probe -> exact repair), first round checked
+    "lineitem_bloom_semi_join",
+    # NEW r6: per-row char-entropy quality signal, first round checked
+    "text_char_entropy",
     "revenue_rollup",
     "returnflag_pivot",
     "customer_merge_upsert",
@@ -439,6 +442,11 @@ SWEEP_TAIL = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_cnt",
+    # demoted r6 to fund the bloom/entropy first-round slots (same
+    # documented exception as the q-rows above: one green driver round
+    # r5, simple scan-agg/CASE shapes, pytest + per-CI tail-oracle)
+    "q12_late_lines",
+    "q17_small_qty_revenue",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -512,3 +512,79 @@ SELECT doc_id, chunk_idx,
 FROM chunks
 ORDER BY doc_id, chunk_idx
 """
+
+
+def char_entropy(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_chars, entropy_millibits): exact
+    character-level Shannon entropy — the classic gibberish/boilerplate
+    quality signal (low entropy = repeated filler, high = random noise).
+
+    Scale design: the whole computation is per-row JVM higher-order
+    functions inside one WholeStageCodegen projection — NO explode, NO
+    (doc_id, char) shuffle, no Python. Each row sorts its distinct chars
+    and folds ``c*log2(c)`` in that PINNED order, so the double result
+    is a deterministic function of the row alone (O(d*L) per row with
+    d <= alphabet size; for huge docs switch the inner filter-count to
+    sorted-run lengths, same surface).
+
+    Cross-engine discipline: the fold order is pinned by the char sort,
+    so Spark and DuckDB differ at most by libm-vs-JVM log2 ulps
+    (~1e-14 relative); quantizing to integer MILLIBITS absorbs that
+    while keeping 3 decimal places of real signal. The repo rule "never
+    round an order-dependent double aggregate" is not violated — the
+    sum's order is deterministic, not partition-dependent.
+    """
+    text_c = F.col("text")
+    n = F.length(text_c)
+    chars = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n), lambda i: text_c.substr(i, F.lit(1))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    out = docs.select(
+        "doc_id", n.cast("bigint").alias("n_chars"), chars.alias("chars")
+    )
+    uniq = F.array_sort(F.array_distinct(F.col("chars")))
+    out = out.withColumn(
+        "counts",
+        F.transform(
+            uniq,
+            lambda ch: F.size(F.filter(F.col("chars"), lambda x: x == ch)),
+        ),
+    )
+    sum_clog = F.aggregate(
+        F.col("counts"),
+        F.lit(0.0),
+        lambda acc, c: acc + c.cast("double") * F.log2(c.cast("double")),
+    )
+    h = F.log2(F.col("n_chars")) - sum_clog / F.col("n_chars")
+    return out.select(
+        "doc_id",
+        "n_chars",
+        F.size("counts").cast("bigint").alias("n_distinct_chars"),
+        F.round(h * 1000, 0).cast("bigint").alias("entropy_millibits"),
+    ).orderBy("doc_id")
+
+
+CHAR_ENTROPY_SQL = """
+WITH base AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         list_transform(range(1, length(text) + 1),
+                        i -> substr(text, i, 1)) AS chars
+  FROM documents
+),
+cn AS (
+  SELECT doc_id, n_chars,
+         list_transform(
+           list_sort(list_distinct(chars)),
+           u -> len(list_filter(chars, x -> x = u))) AS counts
+  FROM base
+)
+SELECT doc_id, n_chars,
+       CAST(len(counts) AS BIGINT) AS n_distinct_chars,
+       CAST(ROUND((log2(n_chars)
+             - list_aggregate(list_transform(counts, c -> c * log2(c)), 'sum')
+               / n_chars) * 1000) AS BIGINT) AS entropy_millibits
+FROM cn ORDER BY doc_id
+"""

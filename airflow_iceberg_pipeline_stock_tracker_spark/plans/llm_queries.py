@@ -333,6 +333,9 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_top_terms": (_docs(text.top_terms), text.TOP_TERMS_SQL),
     "text_corpus_stats": (_docs(text.corpus_stats), text.CORPUS_STATS_SQL),
     "text_chunk_documents": (_docs(text.chunk_documents), text.CHUNK_DOCUMENTS_SQL),
+    # per-row char-level Shannon entropy (gibberish/boilerplate signal),
+    # pinned-order fold quantized to exact integer millibits
+    "text_char_entropy": (_docs(text.char_entropy), text.CHAR_ENTROPY_SQL),
     # corpus curation: decontamination, sampling, split, scrubbing
     "curation_contamination": (
         lambda spark, sf: _contamination(spark, sf),

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, dollars
-from ..operators import analytics, layout, rangejoin, sketches
+from ..operators import analytics, bloom, layout, rangejoin, sketches
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 
@@ -812,6 +812,14 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "events_heavy_hitters": (
         lambda spark, sf: sketches.heavy_hitters(load_table(spark, sf, "events")),
         sketches.HEAVY_HITTERS_SQL,
+    ),
+    # hand-rolled Bloom runtime filter: build->probe->exact-repair semi
+    # join, no-false-negative self-probe pinned in-plan
+    "lineitem_bloom_semi_join": (
+        lambda spark, sf: bloom.bloom_semi_join(
+            load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+        ),
+        bloom.BLOOM_SEMI_JOIN_SQL,
     ),
     # layout health as a query: clustered write -> footer-only stats
     "layout_file_stats": (layout_file_stats, LAYOUT_FILE_STATS_SQL),

@@ -140,6 +140,8 @@ HEADLINE = [
     "events_transitions",
     # --- added in round 6 ---
     "pipeline_schema_evolution",
+    "lineitem_bloom_semi_join",
+    "text_char_entropy",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -608,3 +608,26 @@ def test_ivfpq_rerank_closes_the_recall_gap(spark, sf_dir):
     for r in rr:  # distances are the true metric now
         want = int(((emb[r.query_id] - emb[r.neighbor_id]) ** 2).sum())
         assert r.adc_dist == want, (r.query_id, r.neighbor_id)
+
+
+def test_char_entropy_known_values(spark):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        char_entropy,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa"),          # single symbol: H = 0
+            (2, "abab"),          # two equiprobable symbols: H = 1 bit
+            (3, "abcdabcdabcd"),  # four equiprobable symbols: H = 2 bits
+            (4, ""),              # empty: 0 chars, 0 distinct
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in char_entropy(docs).collect()}
+    assert rows[1].entropy_millibits == 0
+    assert rows[2].entropy_millibits == 1000
+    assert rows[3].entropy_millibits == 2000
+    assert rows[1].n_distinct_chars == 1
+    assert rows[3].n_distinct_chars == 4
+    assert rows[4].n_chars == 0 and rows[4].n_distinct_chars == 0
