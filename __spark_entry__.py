@@ -138,6 +138,21 @@ def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prices_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-layer time travel (pipeline.snapshot_time_travel_demo):
+    overwrite-commit v1, append-commit v2, read both versions back via
+    the manifest history — the Iceberg commit/time-travel semantics the
+    sandbox cannot run natively, emulated and hash-checked."""
+    import os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return pipeline.snapshot_time_travel_demo(
+        spark, os.path.join(wh, "entry_snapshot_demo")
+    )
+
+
 def _q_pipeline_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end (pipeline.run_evolution_demo):
     backfill 2 days -> ALTER TABLE ADD COLUMNS -> old-writer day 3
@@ -194,6 +209,9 @@ SWEEP_CHECKED = [
     # COLUMNS + old-writer NULL padding + cross-boundary read) — first
     # round checked per policy
     "pipeline_schema_evolution",
+    # NEW r6: snapshot-layer atomic commits + time travel (the emulated
+    # Iceberg semantics), first round checked
+    "prices_snapshot_time_travel",
     # promoted r6 (registered late-r5 straight to the tail; this is
     # their first driver round per the first-round-checked rule):
     # finance windows over the prices surface
@@ -240,7 +258,6 @@ SWEEP_CHECKED = [
     "q9_product_profit",
     "q10_returned_items",
     "q11_part_value_conc",
-    "q19_disjunctive_preds",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
@@ -447,6 +464,7 @@ SWEEP_TAIL = [
     # r5, simple scan-agg/CASE shapes, pytest + per-CI tail-oracle)
     "q12_late_lines",
     "q17_small_qty_revenue",
+    "q19_disjunctive_preds",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL
@@ -463,6 +481,7 @@ def queries() -> dict[str, QueryFn]:
         "cumulate_day": _q_cumulate_day,
         "pipeline_daily_run": _q_pipeline_daily_run,
         "pipeline_schema_evolution": _q_pipeline_schema_evolution,
+        "prices_snapshot_time_travel": _q_prices_snapshot_time_travel,
     }
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         pool[name] = fn
@@ -521,6 +540,7 @@ def oracle_sql() -> dict[str, str]:
             ["2024-01-01", "2024-01-02", "2024-01-03"]
         ),
         "pipeline_schema_evolution": _pl.evolution_oracle_sql(),
+        "prices_snapshot_time_travel": _pl.snapshot_oracle_sql(),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

@@ -408,6 +408,58 @@ def backfill(
     return done
 
 
+def snapshot_time_travel_demo(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Time travel exercised end-to-end on the snapshot layer
+    (sources/snapshots.py — the manifest-swap re-creation of the
+    reference's Iceberg commit/time-travel semantics, dag.py:145).
+
+    Commit v1 = bars for days 1-2 (overwrite), commit v2 = day 3
+    appended (O(1) metadata, no rewrite), then read BOTH versions back
+    through the manifest history and union them under a ``version``
+    column: v1 must still show exactly the pre-append state after v2
+    lands. Surface: (version, ticker, date, close double, volume).
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+    d12 = bars_to_df(
+        spark,
+        fetch_bars(client, EVOLUTION_DATES[0]) + fetch_bars(client, EVOLUTION_DATES[1]),
+    ).drop("insertion_timestamp")
+    snapshots.commit(d12, table_dir, mode="overwrite")
+    d3 = bars_to_df(spark, fetch_bars(client, EVOLUTION_DATES[2])).drop(
+        "insertion_timestamp"
+    )
+    v2 = snapshots.commit(d3, table_dir, mode="append")
+    assert snapshots.history(table_dir) == [1, 2] and v2 == 2
+    out = None
+    for ver in (1, 2):
+        part = snapshots.read(spark, table_dir, version=ver).select(
+            F.lit(ver).alias("version"),
+            "ticker",
+            "date",
+            F.col("close").cast("double").alias("close"),
+            "volume",
+        )
+        out = part if out is None else out.unionAll(part)
+    return out
+
+
+def snapshot_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`snapshot_time_travel_demo`: v1 sees days
+    1-2, v2 sees all three — regenerated from the deterministic bars."""
+    return _bars_cte_sql(EVOLUTION_DATES, tickers) + f"""
+SELECT v.version, ticker, date,
+       CAST(close AS DOUBLE) AS close, volume
+FROM bars, (VALUES (1), (2)) v(version)
+WHERE v.version = 2 OR date < DATE '{EVOLUTION_DATES[2]}'
+"""
+
+
 EVOLUTION_DATES = ["2024-01-01", "2024-01-02", "2024-01-03"]
 EVOLUTION_COL = "source"
 

@@ -142,6 +142,7 @@ HEADLINE = [
     "pipeline_schema_evolution",
     "lineitem_bloom_semi_join",
     "text_char_entropy",
+    "prices_snapshot_time_travel",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -157,6 +158,8 @@ PROOF_TIER = frozenset(
         # 3-day backfill + ALTER TABLE + partition overwrite: table
         # lifecycle, not operator throughput
         "pipeline_schema_evolution",
+        # two snapshot commits + two manifest-resolved reads; same class
+        "prices_snapshot_time_travel",
     }
 )
 
@@ -173,6 +176,8 @@ RUN_ONCE = frozenset(
         "streaming_merge_apply",
         # full backfill + evolution DDL chain; same class
         "pipeline_schema_evolution",
+        # snapshot lifecycle demo; same class
+        "prices_snapshot_time_travel",
     }
 )
 
