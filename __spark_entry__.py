@@ -254,7 +254,6 @@ SWEEP_CHECKED = [
     # chained semi-joins (q20), self semi+anti (q21), substring-bucket +
     # scalar-AVG + anti (q22)
     "q2_min_cost_supplier",
-    "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
     "q11_part_value_conc",
@@ -268,6 +267,9 @@ SWEEP_CHECKED = [
     # NEW r6: hand-rolled Bloom runtime-filter semi join (build ->
     # scan-local probe -> exact repair), first round checked
     "lineitem_bloom_semi_join",
+    # NEW r6: exact-integer PageRank fixpoint (iterative graph
+    # analytics), first round checked
+    "graph_pagerank_trade",
     # NEW r6: per-row char-entropy quality signal, first round checked
     "text_char_entropy",
     "revenue_rollup",
@@ -465,6 +467,7 @@ SWEEP_TAIL = [
     "q12_late_lines",
     "q17_small_qty_revenue",
     "q19_disjunctive_preds",
+    "q8_market_share",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, dollars
-from ..operators import analytics, bloom, layout, rangejoin, sketches
+from ..operators import analytics, bloom, layout, pagerank, rangejoin, sketches
 from ..operators.asof import asof_join
 from ..sources.tables import load_table
 
@@ -812,6 +812,14 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "events_heavy_hitters": (
         lambda spark, sf: sketches.heavy_hitters(load_table(spark, sf, "events")),
         sketches.HEAVY_HITTERS_SQL,
+    ),
+    # iterative graph analytics: exact integer PageRank over the
+    # supplier<->customer trade graph, full fixpoint hash-checked
+    "graph_pagerank_trade": (
+        lambda spark, sf: pagerank.pagerank_bipartite(
+            load_table(spark, sf, "lineitem"), load_table(spark, sf, "orders")
+        ),
+        pagerank.PAGERANK_SQL,
     ),
     # hand-rolled Bloom runtime filter: build->probe->exact-repair semi
     # join, no-false-negative self-probe pinned in-plan

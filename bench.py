@@ -143,6 +143,7 @@ HEADLINE = [
     "lineitem_bloom_semi_join",
     "text_char_entropy",
     "prices_snapshot_time_travel",
+    "graph_pagerank_trade",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
