@@ -255,7 +255,6 @@ SWEEP_CHECKED = [
     # scalar-AVG + anti (q22)
     "q2_min_cost_supplier",
     "q9_product_profit",
-    "q10_returned_items",
     "q11_part_value_conc",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
@@ -272,6 +271,8 @@ SWEEP_CHECKED = [
     "graph_pagerank_trade",
     # NEW r6: per-row char-entropy quality signal, first round checked
     "text_char_entropy",
+    # NEW r6: corpus-bigram LM quality scoring, first round checked
+    "text_lm_score",
     "revenue_rollup",
     "returnflag_pivot",
     "customer_merge_upsert",
@@ -468,6 +469,7 @@ SWEEP_TAIL = [
     "q17_small_qty_revenue",
     "q19_disjunctive_preds",
     "q8_market_share",
+    "q10_returned_items",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

@@ -588,3 +588,102 @@ SELECT doc_id, n_chars,
                / n_chars) * 1000) AS BIGINT) AS entropy_millibits
 FROM cn ORDER BY doc_id
 """
+
+
+def lm_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, lm_score_millibits): corpus-bigram language
+    model scoring — the CCNet/RedPajama-style statistical quality filter.
+
+    A bigram LM is trained on the corpus itself (exact integer counts:
+    c(w1 w2) and the context count c(w1 ·)), then every document is
+    scored by its mean log2 conditional probability
+    ``mean log2( c(w1 w2) / c(w1 ·) )`` — fluent, corpus-typical text
+    scores near 0, repetitive or out-of-distribution text scores low.
+    No smoothing is needed because scoring and training share the
+    corpus, so every scored bigram has a nonzero count.
+
+    Scale/plan: tokenize once, one explode to (doc, bigram), two count
+    aggregations (bigram and context — counts only, no row blowup), one
+    join back, one per-doc aggregation. All JVM built-ins.
+
+    Cross-engine discipline: each log term is a function of two exact
+    integers; the per-doc sum folds in bigram-sorted PINNED order, and
+    the mean is quantized to integer millibits — same contract as
+    char_entropy.
+    """
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size("t")
+    base = docs.select("doc_id", toks.alias("t"))
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = base.select("doc_id", F.explode(bigrams).alias("b"))
+    cbg = ex.groupBy("b").agg(F.count(F.lit(1)).alias("cb"))
+    cw = (
+        ex.select(F.substring_index("b", " ", 1).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw"))
+    )
+    scored = (
+        ex.join(cbg, "b")
+        .join(cw, F.substring_index(ex.b, " ", 1) == cw.w)
+        .select(
+            "doc_id",
+            "b",
+            (F.log2(F.col("cb")) - F.log2(F.col("cw"))).alias("lp"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sort_array(F.collect_list(F.struct("b", "lp"))).alias("terms"),
+    )
+    total = F.aggregate(
+        F.col("terms"), F.lit(0.0), lambda acc, x: acc + x["lp"]
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(total / F.col("n_bigrams") * 1000, 0)
+            .cast("bigint")
+            .alias("lm_score_millibits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+LM_SCORE_SQL = """
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                                       i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM toked
+),
+cbg AS (SELECT b, COUNT(*) AS cb FROM ex GROUP BY b),
+cw AS (
+  SELECT split_part(b, ' ', 1) AS w, COUNT(*) AS cw FROM ex GROUP BY 1
+),
+scored AS (
+  SELECT e.doc_id, e.b, log2(cb) - log2(cw.cw) AS lp
+  FROM ex e JOIN cbg USING (b)
+  JOIN cw ON split_part(e.b, ' ', 1) = cw.w
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         list_aggregate(list(lp ORDER BY b, lp), 'sum') AS total
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       CAST(ROUND(a.total / a.n_bigrams * 1000) AS BIGINT)
+         AS lm_score_millibits
+FROM toked t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+"""

@@ -336,6 +336,9 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # per-row char-level Shannon entropy (gibberish/boilerplate signal),
     # pinned-order fold quantized to exact integer millibits
     "text_char_entropy": (_docs(text.char_entropy), text.CHAR_ENTROPY_SQL),
+    # corpus-bigram LM scoring (CCNet-style statistical quality filter),
+    # exact-count probabilities, pinned-order fold, millibit surface
+    "text_lm_score": (_docs(text.lm_score), text.LM_SCORE_SQL),
     # corpus curation: decontamination, sampling, split, scrubbing
     "curation_contamination": (
         lambda spark, sf: _contamination(spark, sf),

@@ -144,6 +144,7 @@ HEADLINE = [
     "text_char_entropy",
     "prices_snapshot_time_travel",
     "graph_pagerank_trade",
+    "text_lm_score",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

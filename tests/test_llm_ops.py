@@ -631,3 +631,44 @@ def test_char_entropy_known_values(spark):
     assert rows[1].n_distinct_chars == 1
     assert rows[3].n_distinct_chars == 4
     assert rows[4].n_chars == 0 and rows[4].n_distinct_chars == 0
+
+
+def test_lm_score_known_values(spark):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b"),   # c(a b)=1, context c(a .)=2 -> log2(1/2) = -1 bit
+            (2, "a c"),   # same: -1 bit
+            (3, "z"),     # one token: no bigrams
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in lm_score(docs).collect()}
+    assert rows[1].lm_score_millibits == -1000
+    assert rows[2].lm_score_millibits == -1000
+    assert rows[3].n_bigrams == 0
+    assert rows[3].lm_score_millibits is None
+
+
+def test_lm_score_repetitive_text_scores_higher(spark):
+    """Text whose bigrams dominate the corpus scores closer to 0 than
+    text made of one-off bigrams."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # dominant pattern: p(cat|the)=3/5 — mildly surprising only
+            (1, "the cat sat the cat sat the cat sat"),
+            # one-off continuations of the shared context: p(dog|the)=
+            # p(bird|the)=1/5 — much more surprising per bigram
+            (2, "the dog sat the bird sat"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in lm_score(docs).collect()}
+    assert rows[1].lm_score_millibits > rows[2].lm_score_millibits
