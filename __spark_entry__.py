@@ -254,7 +254,6 @@ SWEEP_CHECKED = [
     # chained semi-joins (q20), self semi+anti (q21), substring-bucket +
     # scalar-AVG + anti (q22)
     "q2_min_cost_supplier",
-    "q9_product_profit",
     "q11_part_value_conc",
     "q20_excess_suppliers",
     "q21_waiting_suppliers",
@@ -301,6 +300,9 @@ SWEEP_CHECKED = [
     # window frame, CUBE lattice — new late-r5, first round checked
     "events_gapfill",
     "events_time_range_window",
+    # NEW r6: set-state RANGE window (trailing-24h DISTINCT users),
+    # first round checked
+    "events_rolling_distinct",
     "events_cube",
     # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest;
     # ngram_jaccard/components/keep_list/minhash_lsh/simhash -> tail r5:
@@ -470,6 +472,7 @@ SWEEP_TAIL = [
     "q19_disjunctive_preds",
     "q8_market_share",
     "q10_returned_items",
+    "q9_product_profit",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

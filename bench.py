@@ -145,6 +145,7 @@ HEADLINE = [
     "prices_snapshot_time_travel",
     "graph_pagerank_trade",
     "text_lm_score",
+    "events_rolling_distinct",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -78,3 +78,33 @@ def test_retention_offsets(spark):
         for r in analytics.retention_cohorts(ev).collect()
     }
     assert rows == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+def test_rolling_distinct_set_semantics(spark, tmp_path):
+    """Repeat visits inside the frame must count once; events outside
+    the 24h range must age out."""
+    import datetime as dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_rolling_distinct,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (0, t0, 1, "click", 1.0, "{}"),
+        (1, t0 + dt.timedelta(hours=1), 1, "click", 1.0, "{}"),   # same user
+        (2, t0 + dt.timedelta(hours=2), 2, "click", 1.0, "{}"),   # new user
+        (3, t0 + dt.timedelta(hours=30), 3, "click", 1.0, "{}"),  # all aged out
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "events.parquet"
+    ev.write.parquet(str(d))
+    import shutil, os
+    # events_rolling_distinct loads <sf_dir>/events.parquet
+    got = {
+        r.event_id: r.n_users_24h
+        for r in events_rolling_distinct(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1}
