@@ -78,14 +78,17 @@ def dq_checks(
         count_if(on_ds & ~F.col("ticker").isin(valid_tickers)).alias("c6"),
     )
 
+    # check_name literals match the reference byte-for-byte
+    # (dag.py:206,217,229,247,259,270) — checks 1-2 carry a " check"
+    # suffix there, 3-6 do not; that asymmetry is part of the row set
     checks = agg.selectExpr(
         f"""stack(6,
-            'Missing stocks check',      c1, CAST({expected} AS BIGINT),
-            'NULL prices check',         c2, CAST(0 AS BIGINT),
-            'Invalid price ranges check',c3, CAST(0 AS BIGINT),
-            'Non-positive volume check', c4, CAST(0 AS BIGINT),
-            'Date mismatch check',       c5, CAST(0 AS BIGINT),
-            'Invalid ticker check',      c6, CAST(0 AS BIGINT)
+            'Missing stocks check',  c1, CAST({expected} AS BIGINT),
+            'NULL prices check',     c2, CAST(0 AS BIGINT),
+            'Invalid price ranges',  c3, CAST(0 AS BIGINT),
+            'Non-positive volume',   c4, CAST(0 AS BIGINT),
+            'Date mismatch',         c5, CAST(0 AS BIGINT),
+            'Invalid ticker format', c6, CAST(0 AS BIGINT)
         ) AS (check_name, actual_count, expected_count)"""
     ).withColumn(
         "status",
@@ -122,11 +125,11 @@ WITH agg AS (
   FROM prices
 ), checks(check_name, actual_count, expected_count) AS (
   SELECT 'Missing stocks check',       c1, CAST({expected} AS BIGINT) FROM agg
-  UNION ALL SELECT 'NULL prices check',          c2, 0 FROM agg
-  UNION ALL SELECT 'Invalid price ranges check', c3, 0 FROM agg
-  UNION ALL SELECT 'Non-positive volume check',  c4, 0 FROM agg
-  UNION ALL SELECT 'Date mismatch check',        c5, 0 FROM agg
-  UNION ALL SELECT 'Invalid ticker check',       c6, 0 FROM agg
+  UNION ALL SELECT 'NULL prices check',     c2, 0 FROM agg
+  UNION ALL SELECT 'Invalid price ranges',  c3, 0 FROM agg
+  UNION ALL SELECT 'Non-positive volume',   c4, 0 FROM agg
+  UNION ALL SELECT 'Date mismatch',         c5, 0 FROM agg
+  UNION ALL SELECT 'Invalid ticker format', c6, 0 FROM agg
 )
 SELECT check_name, actual_count, expected_count,
        CASE WHEN actual_count = expected_count THEN 'PASS' ELSE 'FAIL' END AS status

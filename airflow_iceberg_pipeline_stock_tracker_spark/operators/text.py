@@ -583,9 +583,13 @@ cn AS (
 )
 SELECT doc_id, n_chars,
        CAST(len(counts) AS BIGINT) AS n_distinct_chars,
-       CAST(ROUND((log2(n_chars)
-             - list_aggregate(list_transform(counts, c -> c * log2(c)), 'sum')
-               / n_chars) * 1000) AS BIGINT) AS entropy_millibits
+       -- guard: DuckDB raises on log2(0) where Spark returns NULL; an
+       -- empty/NULL doc must yield NULL millibits in both engines
+       CASE WHEN n_chars > 0 THEN
+         CAST(ROUND((log2(n_chars)
+               - list_aggregate(list_transform(counts, c -> c * log2(c)), 'sum')
+                 / n_chars) * 1000) AS BIGINT)
+       END AS entropy_millibits
 FROM cn ORDER BY doc_id
 """
 

@@ -5,15 +5,25 @@ reference dags/dag.py:145,173,351), whose three behaviors this sandbox
 cannot exercise (no runtime jar, no network — README §Iceberg status):
 atomic REPLACE, ACID commit visibility, and time travel. This module
 re-creates the *mechanism* behind all three with nothing but parquet and
-an atomically swapped manifest file — the same design Iceberg itself
-uses (a commit is a metadata-pointer swap, never a data rewrite):
+atomically-claimed manifest files — the same design Iceberg's
+HadoopTableOperations uses (a commit is a metadata-pointer claim, never
+a data rewrite):
 
-  * Each commit writes its data files into a NEW ``snap-NNNNNN``
-    directory, then swaps ``_manifest.json`` via ``os.replace`` — atomic
-    on POSIX. Readers resolve the manifest first, so they see either the
-    whole commit or none of it; a writer crash after data-write but
-    before the swap leaves only an orphan directory that no reader ever
-    resolves (Iceberg's uncommitted-files semantics exactly).
+  * Each commit writes its data files into a NEW ``snap-<unique>``
+    directory (uuid-suffixed, so a crashed writer's orphan can never
+    collide with or block a later commit — Iceberg's unique-data-file
+    rule), then publishes manifest version N+1. Readers resolve the
+    highest committed manifest first, so they see either the whole
+    commit or none of it; a writer crash after data-write but before
+    the publish leaves only an orphan directory no reader ever resolves.
+  * The publish is a true compare-and-swap: manifest version N is the
+    file ``_manifest-NNNNNN.json``, claimed via ``os.link`` from a
+    fully-written temp file — hard-linking onto an existing name raises,
+    so exactly ONE writer can own each version. A concurrent loser
+    re-reads the winner's manifest, rebases its snapshot entry (its data
+    directory is already on disk and unique), and retries — optimistic
+    concurrency exactly as Iceberg arbitrates writers through the
+    catalog pointer.
   * APPEND commits list the previous snapshot's directories plus the new
     one — O(1) metadata, zero data rewrite, like Iceberg manifest lists.
     OVERWRITE commits list only the new directory; old files stay on
@@ -22,84 +32,131 @@ uses (a commit is a metadata-pointer swap, never a data rewrite):
   * Every manifest retains the full snapshot history, so any historical
     version can be read back — time travel by snapshot id.
 
-Honest scope: this is a SINGLE-WRITER emulation. Iceberg arbitrates
-concurrent writers with an optimistic compare-and-swap on the catalog
-pointer; ``os.replace`` gives last-writer-wins instead. Everything a
-single-writer daily pipeline (the reference's ``max_active_runs=1``,
-dag.py:54) observes — atomicity, isolation from readers, history — is
-faithfully reproduced and tested.
-
-Scale: a commit's cost is the data write itself plus one ~KB JSON swap;
+Scale: a commit's cost is the data write itself plus one ~KB JSON link;
 reads plan directly over the listed parquet directories, so partition
 pruning and column projection work unchanged. The manifest lists
-directories, not files — at 1000 commits it is still tiny.
+directories, not files — at 1000 commits it is still tiny; ``vacuum``
+also prunes superseded manifest versions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-MANIFEST = "_manifest.json"
+MANIFEST_PREFIX = "_manifest-"
+# legacy alias kept for external readers of the module surface
+MANIFEST = MANIFEST_PREFIX
 
 
-def _manifest_path(table_dir: str) -> str:
-    return os.path.join(table_dir, MANIFEST)
+def _manifest_versions(table_dir: str) -> list[int]:
+    try:
+        names = os.listdir(table_dir)
+    except FileNotFoundError:
+        return []
+    out = []
+    for n in names:
+        if n.startswith(MANIFEST_PREFIX) and n.endswith(".json"):
+            try:
+                out.append(int(n[len(MANIFEST_PREFIX) : -len(".json")]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _manifest_path(table_dir: str, seq: int) -> str:
+    return os.path.join(table_dir, f"{MANIFEST_PREFIX}{seq:06d}.json")
 
 
 def _load_manifest(table_dir: str) -> dict:
-    path = _manifest_path(table_dir)
-    if not os.path.exists(path):
-        return {"current": 0, "snapshots": []}
-    with open(path) as f:
+    """Resolve the highest committed manifest version (or the empty
+    table state). A partially-created manifest can never be observed:
+    versions appear only via ``os.link`` of a fully-written temp."""
+    versions = _manifest_versions(table_dir)
+    if not versions:
+        return {"seq": 0, "current": 0, "snapshots": []}
+    with open(_manifest_path(table_dir, versions[-1])) as f:
         return json.load(f)
 
 
-def _swap_manifest(table_dir: str, manifest: dict) -> None:
-    """Atomic commit point: write a temp file, fsync, os.replace."""
-    tmp = os.path.join(table_dir, f".{MANIFEST}.{uuid.uuid4().hex}.tmp")
+def _publish_manifest(table_dir: str, manifest: dict) -> bool:
+    """Atomically claim manifest version ``manifest['seq']``.
+
+    Returns True iff this writer won the version: the content is written
+    to a unique temp file (fsync'd), then hard-linked onto the versioned
+    name — ``os.link`` fails with FileExistsError when a concurrent
+    writer already claimed that version, which IS the compare-and-swap.
+    """
+    tmp = os.path.join(
+        table_dir, f".manifest.{uuid.uuid4().hex}.tmp"
+    )
     with open(tmp, "w") as f:
         json.dump(manifest, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, _manifest_path(table_dir))
+    try:
+        os.link(tmp, _manifest_path(table_dir, manifest["seq"]))
+        return True
+    except FileExistsError:
+        return False
+    finally:
+        os.unlink(tmp)
 
 
-def commit(df: DataFrame, table_dir: str, mode: str = "append") -> int:
+def commit(
+    df: DataFrame, table_dir: str, mode: str = "append", max_retries: int = 16
+) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     mode="append"   : new snapshot = previous directories + the new one.
     mode="overwrite": new snapshot = the new directory only (REPLACE
                       semantics; history still reaches the old data).
 
-    The data write happens entirely BEFORE the manifest swap — a crash
-    anywhere in between leaves the table at the previous snapshot.
+    The data write happens entirely BEFORE the manifest publish — a
+    crash anywhere in between leaves the table at the previous snapshot
+    with only an orphan (never-referenced, never-colliding) directory on
+    disk. Concurrent writers are arbitrated by the manifest-version CAS:
+    the loser rebases onto the winner's manifest and retries, so no
+    committed snapshot is ever lost (optimistic concurrency, as Iceberg).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
     os.makedirs(table_dir, exist_ok=True)
-    man = _load_manifest(table_dir)
-    snap_id = man["current"] + 1
-    snap_dir = f"snap-{snap_id:06d}"
+    # unique data directory: a crashed or racing writer can never block
+    # or be clobbered by another commit's data files
+    snap_dir = f"snap-{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap_dir))
-    prev_dirs: list[str] = []
-    if mode == "append" and man["snapshots"]:
-        prev_dirs = man["snapshots"][-1]["dirs"]
-    man["snapshots"].append({"id": snap_id, "dirs": prev_dirs + [snap_dir]})
-    man["current"] = snap_id
-    _swap_manifest(table_dir, man)
-    return snap_id
+    for attempt in range(max_retries):
+        man = _load_manifest(table_dir)
+        snap_id = man["current"] + 1
+        prev_dirs: list[str] = []
+        if mode == "append" and man["snapshots"]:
+            prev_dirs = man["snapshots"][-1]["dirs"]
+        new_man = {
+            "seq": man["seq"] + 1,
+            "current": snap_id,
+            "snapshots": man["snapshots"]
+            + [{"id": snap_id, "dirs": prev_dirs + [snap_dir]}],
+        }
+        if _publish_manifest(table_dir, new_man):
+            return snap_id
+        # lost the CAS — back off briefly and rebase on the winner
+        time.sleep(0.001 * (attempt + 1))
+    raise RuntimeError(
+        f"commit lost the manifest CAS {max_retries} times in {table_dir}"
+    )
 
 
 def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
     """Read the table at ``version`` (default: current snapshot).
 
     Resolves the manifest FIRST and plans over exactly the directories it
-    lists — concurrent (single-writer) commits after this call do not
-    change what this DataFrame reads.
+    lists — concurrent commits after this call do not change what this
+    DataFrame reads (snapshot isolation).
     """
     man = _load_manifest(table_dir)
     if not man["snapshots"]:
@@ -121,26 +178,36 @@ def history(table_dir: str) -> list[int]:
     return [s["id"] for s in _load_manifest(table_dir)["snapshots"]]
 
 
-def vacuum(table_dir: str, keep_last: int = 1) -> list[str]:
+def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[str]:
     """Explicitly destructive: drop history older than the last
     ``keep_last`` snapshots and delete directories no retained snapshot
-    references (Iceberg's expire_snapshots). Returns removed dirs."""
+    references (Iceberg's expire_snapshots). Superseded manifest
+    versions are pruned too. Returns removed data dirs."""
     import shutil
 
-    man = _load_manifest(table_dir)
-    if len(man["snapshots"]) <= keep_last:
-        return []
-    kept = man["snapshots"][-keep_last:]
-    keep_dirs = {d for s in kept for d in s["dirs"]}
-    removed = []
-    for s in man["snapshots"][:-keep_last]:
-        for d in s["dirs"]:
-            if d not in keep_dirs and d not in removed:
-                removed.append(d)
-    # swap the trimmed manifest FIRST so a crash mid-delete can only
-    # leave orphan (unreferenced) directories, never a dangling manifest
-    man["snapshots"] = kept
-    _swap_manifest(table_dir, man)
-    for d in removed:
-        shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
-    return removed
+    for attempt in range(max_retries):
+        man = _load_manifest(table_dir)
+        if len(man["snapshots"]) <= keep_last:
+            return []
+        kept = man["snapshots"][-keep_last:]
+        keep_dirs = {d for s in kept for d in s["dirs"]}
+        removed = []
+        for s in man["snapshots"][:-keep_last]:
+            for d in s["dirs"]:
+                if d not in keep_dirs and d not in removed:
+                    removed.append(d)
+        new_man = {"seq": man["seq"] + 1, "current": man["current"], "snapshots": kept}
+        # publish the trimmed manifest FIRST (through the same CAS as
+        # commits) so a crash mid-delete can only leave orphan
+        # directories, never a dangling manifest
+        if _publish_manifest(table_dir, new_man):
+            for d in removed:
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+            for seq in _manifest_versions(table_dir):
+                if seq < new_man["seq"]:
+                    os.unlink(_manifest_path(table_dir, seq))
+            return removed
+        time.sleep(0.001 * (attempt + 1))
+    raise RuntimeError(
+        f"vacuum lost the manifest CAS {max_retries} times in {table_dir}"
+    )

@@ -75,10 +75,11 @@ def rate_tumbling_throughput(
         if isinstance(p, str):
             p = _json.loads(p)
         norm.append(p)
-    # drop the warm-up batch (batch 0 pays source/codegen init) when
-    # there are enough batches to afford it
+    # drop the warm-up batch (batch 0 pays source/codegen init) whenever
+    # at least one measured batch remains — including it deflates the
+    # achieved rate on short runs
     batches = [p for p in norm if p.get("numInputRows", 0) > 0]
-    measured = batches[1:] if len(batches) > 2 else batches
+    measured = batches[1:] if len(batches) >= 2 else batches
     total_rows = sum(p["numInputRows"] for p in measured)
     total_ms = sum(
         p.get("durationMs", {}).get("triggerExecution", 0) for p in measured
@@ -86,12 +87,54 @@ def rate_tumbling_throughput(
     out_rows = spark.table(name).count()
     spark.catalog.dropTempView(name)
     achieved = round(total_rows / (total_ms / 1000.0), 1) if total_ms else 0.0
+    # kept_up is meaningful only over a minimum sustained span: with <3
+    # measured batches, scheduler noise dominates triggerExecution and
+    # the flag would flip either way on jitter, so report it as None
+    kept_up = (
+        bool(achieved >= rows_per_sec * 0.8) if len(measured) >= 3 else None
+    )
     return {
         "pinned_rows_per_sec": rows_per_sec,
         "run_sec": run_sec,
         "batches_measured": len(measured),
         "input_rows": total_rows,
         "achieved_rows_per_sec": achieved,
-        "kept_up": bool(achieved >= rows_per_sec * 0.8),
+        "kept_up": kept_up,
         "result_rows": int(out_rows),
+    }
+
+
+def capacity_knee(
+    spark: SparkSession,
+    start_rows_per_sec: int = 200_000,
+    run_sec: float = 6.0,
+    max_steps: int = 4,
+) -> dict:
+    """Step the offered rate (2x per step) until the pipeline stops
+    keeping up, and report the knee.
+
+    A single comfortably-absorbed rate is a test the pipeline cannot
+    fail; the capacity number a planner needs is the HIGHEST offered
+    rate the query sustains plus the first rate it could not. kept_up
+    of None (too few batches to judge) is treated as not-sustained —
+    the probe never reports capacity it didn't observe.
+    """
+    steps: list[dict] = []
+    rate = start_rows_per_sec
+    best: dict | None = None
+    for _ in range(max_steps):
+        r = rate_tumbling_throughput(spark, rows_per_sec=rate, run_sec=run_sec)
+        steps.append(r)
+        if r["kept_up"]:
+            best = r
+            rate *= 2
+        else:
+            break
+    return {
+        "max_sustained_rows_per_sec": best["pinned_rows_per_sec"] if best else 0,
+        "achieved_at_max": best["achieved_rows_per_sec"] if best else 0.0,
+        "first_failed_offer": (
+            steps[-1]["pinned_rows_per_sec"] if steps and not steps[-1]["kept_up"] else None
+        ),
+        "steps": steps,
     }

@@ -64,13 +64,13 @@ def test_null_price(spark):
 def test_invalid_range(spark):
     rows = [_row(t) for t in TICKERS[:4]] + [_row("META", open=13.0)]  # open > high
     m = _checks_map(spark.createDataFrame(rows, SCHEMA))
-    assert m["Invalid price ranges check"].status == "FAIL"
+    assert m["Invalid price ranges"].status == "FAIL"
 
 
 def test_nonpositive_volume(spark):
     rows = [_row(t) for t in TICKERS[:4]] + [_row("META", volume=0)]
     m = _checks_map(spark.createDataFrame(rows, SCHEMA))
-    assert m["Non-positive volume check"].status == "FAIL"
+    assert m["Non-positive volume"].status == "FAIL"
 
 
 def test_date_mismatch_is_unfiltered(spark):
@@ -78,8 +78,8 @@ def test_date_mismatch_is_unfiltered(spark):
     # scopes to ds (dag.py:258-264 has no date = ds predicate)
     rows = [_row(t) for t in TICKERS] + [_row("AAPL", date="2024-01-09")]
     m = _checks_map(spark.createDataFrame(rows, SCHEMA))
-    assert m["Date mismatch check"].status == "FAIL"
-    assert m["Date mismatch check"].actual_count == 1
+    assert m["Date mismatch"].status == "FAIL"
+    assert m["Date mismatch"].actual_count == 1
     # and the off-date row does not pollute the ds-scoped checks
     assert m["Missing stocks check"].status == "PASS"
 
@@ -87,7 +87,7 @@ def test_date_mismatch_is_unfiltered(spark):
 def test_invalid_ticker(spark):
     rows = [_row(t) for t in TICKERS] + [_row("ZZZZ")]
     m = _checks_map(spark.createDataFrame(rows, SCHEMA))
-    assert m["Invalid ticker check"].status == "FAIL"
+    assert m["Invalid ticker format"].status == "FAIL"
     # the bogus ticker also bumps the distinct count
     assert m["Missing stocks check"].actual_count == 6
 
