@@ -691,3 +691,144 @@ SELECT t.doc_id,
 FROM toked t LEFT JOIN agg a ON t.doc_id = a.doc_id
 ORDER BY t.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search — the classic lexical retrieval scorer (Robertson/
+# Sparck Jones; the Lucene-default variant with the +1 inside the idf log
+# so scores stay positive even for terms in most documents).
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# precomputed in Python and injected as literals into BOTH engines, so
+# e.g. k1+1 is the exact same double rather than each engine folding the
+# constant expression its own way
+_BM25_K1P1 = BM25_K1 + 1.0
+BM25_QUERY_TERMS = ["join", "spark", "window"]
+BM25_TOP_K = 20
+
+
+def bm25_search(
+    docs: DataFrame,
+    query_terms: list[str] | None = None,
+    k: int = BM25_TOP_K,
+) -> DataFrame:
+    """(rank, doc_id, n_terms_matched, score_millibits): top-k documents
+    for a keyword query under BM25.
+
+    score(D) = sum_t idf(t) * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)),
+    idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    Plan/scale: explode+filter to the query terms only (the filter lands
+    before the (doc, term) shuffle, so the tf aggregation touches query
+    postings, not the whole corpus), df is a tiny per-term count
+    broadcast back, corpus scalars (N, sum dl) are a broadcast 1-row
+    cross join. At 100 TB this is the classic impact-ordered scoring
+    shape: per-doc work is O(matched terms), ranking is a top-k window.
+
+    Cross-engine discipline: per-term scores fold in term-sorted order
+    (pinned), ulp noise from ln() is absorbed by millibit quantization,
+    and the ranking orders by the QUANTIZED integer score + doc_id so
+    both engines rank identical keys.
+    """
+    terms_list = sorted(query_terms or BM25_QUERY_TERMS)
+    from pyspark.sql import Window
+
+    base = docs.select(
+        "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
+    ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    scalars = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        base.select(
+            "doc_id", "dl", F.explode("toks").alias("term")
+        )
+        .where(F.col("term").isin(terms_list))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    j = tf.join(F.broadcast(df_rel), "term").crossJoin(F.broadcast(scalars))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("df").cast("double") + F.lit(0.5))
+        / (F.col("df").cast("double") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    denom = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0) - F.lit(BM25_B)
+        + F.lit(BM25_B) * F.col("dl").cast("double") / avgdl
+    )
+    s = idf * (F.col("tf") * F.lit(_BM25_K1P1)) / denom
+    per_doc = (
+        j.select("doc_id", "term", s.alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.array_sort(F.collect_list(F.struct("term", "s"))).alias("ts"),
+        )
+    )
+    score = F.aggregate(
+        F.col("ts"), F.lit(0.0), lambda acc, x: acc + x["s"]
+    )
+    ranked = per_doc.select(
+        "doc_id",
+        "n_terms_matched",
+        F.round(score * 1000, 0).cast("bigint").alias("score_millibits"),
+    )
+    w = Window.orderBy(F.col("score_millibits").desc(), F.col("doc_id").asc())
+    return (
+        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("rank", "doc_id", "n_terms_matched", "score_millibits")
+        .orderBy("rank")
+    )
+
+
+def bm25_oracle_sql(
+    query_terms: list[str] | None = None, k: int = BM25_TOP_K
+) -> str:
+    terms_list = sorted(query_terms or BM25_QUERY_TERMS)
+    in_list = ", ".join(f"'{t}'" for t in terms_list)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), scal AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl
+  FROM base
+), tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+  WHERE term IN ({in_list})
+  GROUP BY doc_id, dl, term
+), dfr AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln((CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+            / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         * (tf * {_BM25_K1P1!r})
+         / (tf + {BM25_K1!r} * (1.0 - {BM25_B!r}
+            + {BM25_B!r} * CAST(dl AS DOUBLE)
+              / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE)))) AS s
+  FROM tf JOIN dfr USING (term) CROSS JOIN scal
+), per_doc AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+         CAST(ROUND(1000 * list_aggregate(list(s ORDER BY term), 'sum'))
+              AS BIGINT) AS score_millibits
+  FROM scored GROUP BY doc_id
+), ranked AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_millibits DESC, doc_id)
+              AS INTEGER) AS rank,
+         doc_id, n_terms_matched, score_millibits
+  FROM per_doc
+)
+SELECT rank, doc_id, n_terms_matched, score_millibits
+FROM ranked WHERE rank <= {k} ORDER BY rank
+"""

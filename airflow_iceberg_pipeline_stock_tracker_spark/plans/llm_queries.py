@@ -260,6 +260,43 @@ ORDER BY media_id, frame_idx
 """
 
 
+def _media_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL bytes->pixels decode, end to end: per-doc PPM (P6) payloads
+    are genuine image bytes (header + raster), and the decode step
+    parses dims and raster OUT OF THE BYTES with the pure-Python codec
+    (operators/multimodal.py) inside the same Arrow-batched mapInPandas
+    as the PIL path. The surface is pure integer channel sums, so the
+    SQL oracle recomputes it closed-form from the fixture's pixel
+    function — a hash mismatch would catch any parsing defect."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.docs_as_ppm_media(docs)
+    return multimodal.ppm_decode_stats(media).orderBy("media_id")
+
+
+# closed form of the decoded raster: pixel(r,c,k) = (id*31+r*7+c*3+k*11)%256
+# over w = 4+id%5, h = 3+id%4 — the oracle never touches bytes, so
+# agreement proves the Spark side's header/raster parsing is correct
+MEDIA_DECODE_REAL_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+), px AS (
+  SELECT media_id, w, h, r.range AS r, c.range AS c
+  FROM dims, range(0, 8) r, range(0, 8) c
+  WHERE r.range < h AND c.range < w
+)
+SELECT media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM((media_id * 31 + r * 7 + c * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((media_id * 31 + r * 7 + c * 3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((media_id * 31 + r * 7 + c * 3 + 22) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY media_id, w, h
+ORDER BY media_id
+"""
+
 LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (_docs(dedup.exact_dedup), dedup.EXACT_DEDUP_SQL),
     "dedup_minhash_lsh": (
@@ -390,5 +427,16 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "multimodal_decode_features": (_media_features, MEDIA_FEATURES_SQL),
     "multimodal_resize": (_media_resize, MEDIA_RESIZE_SQL),
     "multimodal_frame_sample": (_media_frames, MEDIA_FRAMES_SQL),
+    # REAL decode: PPM payload bytes parsed by the pure-Python codec,
+    # integer-exact oracle (new r7 — closes the "no registered query
+    # ever decodes real bytes" gap)
+    "multimodal_decode_real": (_media_decode_real, MEDIA_DECODE_REAL_SQL),
+    # BM25 keyword retrieval over the corpus (new r7): explode-filter to
+    # query postings, broadcast df + corpus scalars, pinned-order fold,
+    # millibit-quantized ranking
+    "text_bm25_search": (
+        _docs(text.bm25_search),
+        text.bm25_oracle_sql(),
+    ),
     "multimodal_audio_chunks": (_media_audio_chunks, MEDIA_AUDIO_SQL),
 }

@@ -699,6 +699,56 @@ ORDER BY from_type, to_type
 """
 
 
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, ewma_value): exponentially-weighted moving
+    average of each user's event values, alpha = 1/2, in event order —
+    the classic online smoother (monitoring baselines, rate limiting,
+    engagement decay) that SQL window frames cannot express because each
+    output depends on the previous OUTPUT, not a frame of inputs.
+
+    Determinism/scale design: the recursion s_i = (v_i + s_{i-1}) / 2 is
+    a per-key sequential fold. Instead of a Python loop or an iterative
+    driver fixpoint, each user's values are gathered into an array
+    SORTED BY (ts, event_id) (pinned, total order) and folded by the JVM
+    higher-order `aggregate` — one shuffle on user_id, no Python, state
+    O(user's events) which is the operator's intrinsic requirement.
+    Dividing by 2 is exact in binary floating point and the fold order
+    is pinned, so both engines run the identical IEEE op sequence —
+    bit-equal doubles, no rounding needed (the repo rule bans rounding
+    order-DEPENDENT sums; this order is pinned, and unlike log-based
+    scores there is no libm call to differ in ulps).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("ordered"),
+    )
+    vals = F.transform(F.col("ordered"), lambda x: x["value"])
+    ewma = F.aggregate(
+        vals,
+        F.lit(None).cast("double"),
+        lambda acc, x: F.when(acc.isNull(), x).otherwise((x + acc) / F.lit(2.0)),
+    )
+    return per_user.select(
+        "user_id", "n_events", ewma.alias("ewma_value")
+    ).orderBy("user_id")
+
+
+EVENTS_EWMA_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       list_reduce(vals, (acc, x) -> (x + acc) / 2) AS ewma_value
+FROM per_user ORDER BY user_id
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -712,4 +762,5 @@ TIMESERIES_QUERIES = {
     "events_hourly_anomaly": (events_hourly_anomaly, EVENTS_ANOMALY_SQL),
     "events_skew_profile": (events_skew_profile, EVENTS_SKEW_SQL),
     "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
+    "events_ewma": (events_ewma, EVENTS_EWMA_SQL),
 }

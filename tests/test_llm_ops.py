@@ -317,12 +317,65 @@ def _spark_docs(spark, rows):
 
 
 @pytest.mark.skipif(
-    multimodal.HAVE_PIL, reason="Pillow present: auto mode decodes for real"
+    multimodal.HAVE_PIL, reason="Pillow present: auto mode decodes via PIL"
 )
-def test_multimodal_decode_requires_decoder(spark, docs):
+def test_multimodal_real_path_rejects_non_image_bytes(spark, docs):
+    # without PIL the real path is the pure-Python PPM codec; feeding it
+    # text bytes must fail with an honest parse error, not a stub
     media = multimodal.docs_as_media(docs.limit(5))
-    with pytest.raises(Exception, match="no image codecs"):
+    with pytest.raises(Exception, match="P6"):
         multimodal.decode_image_features(media).collect()
+
+
+def test_ppm_codec_roundtrip_and_header_parsing():
+    raster = bytes(range(2 * 3 * 3)) # 2x3 image
+    payload = multimodal.encode_ppm(2, 3, raster)
+    assert multimodal.decode_ppm(payload) == (2, 3, raster)
+    # spec-compliant variations the parser must accept: comments and
+    # arbitrary whitespace between header tokens
+    weird = b"P6 # comment\n# another\n 2\t3\n255\n" + raster
+    assert multimodal.decode_ppm(weird) == (2, 3, raster)
+    for bad in (b"P5\n2 3\n255\n" + raster,          # wrong magic
+                b"P6\n2 3\n65535\n" + raster * 2,    # 16-bit maxval
+                payload[:-1]):                        # truncated raster
+        with pytest.raises(ValueError):
+            multimodal.decode_ppm(bad)
+
+
+def test_ppm_real_decode_stats_match_fixture_pixels(spark, docs):
+    """ppm_decode_stats must recover dims + exact channel sums from the
+    BYTES alone — cross-checked against the fixture's pixel function."""
+    media = multimodal.docs_as_ppm_media(docs.limit(25))
+    got = {r.media_id: r for r in multimodal.ppm_decode_stats(media).collect()}
+    assert len(got) == 25
+    for mid, r in got.items():
+        w, h = 4 + mid % 5, 3 + mid % 4
+        assert (r.width, r.height, r.n_px) == (w, h, w * h)
+        for k, col in ((0, r.sum_r), (11, r.sum_g), (22, r.sum_b)):
+            expect = sum(
+                (mid * 31 + rr * 7 + cc * 3 + k) % 256
+                for rr in range(h)
+                for cc in range(w)
+            )
+            assert col == expect
+
+
+@pytest.mark.skipif(
+    multimodal.HAVE_PIL, reason="PIL would shadow the PPM real path"
+)
+def test_ppm_real_decode_and_resize_via_auto_mode(spark, docs):
+    """The REAL (non-fake) decode_image_features/resize_images paths now
+    execute in this container via the PPM codec — no skip, no stub."""
+    media = multimodal.docs_as_ppm_media(docs.limit(8))
+    feats = multimodal.decode_image_features(media).collect()
+    assert len(feats) == 8
+    for r in feats:
+        assert len(r.features) == multimodal.FEATURE_DIM
+        assert all(0.0 <= f <= 1.0 for f in r.features)
+    resized = multimodal.resize_images(media, 4, 2).collect()
+    for r in resized:
+        w, h, raster = multimodal.decode_ppm(bytes(r.payload))
+        assert (w, h) == (4, 2) and len(raster) == 4 * 2 * 3
 
 
 @pytest.mark.skipif(
@@ -672,3 +725,41 @@ def test_lm_score_repetitive_text_scores_higher(spark):
     )
     rows = {r.doc_id: r for r in lm_score(docs).collect()}
     assert rows[1].lm_score_millibits > rows[2].lm_score_millibits
+
+
+def test_bm25_known_ranking(spark):
+    docs = _spark_docs(
+        spark,
+        [
+            (1, "spark spark spark join"),       # heavy on two terms
+            (2, "spark filter filter filter"),   # one term, once
+            (3, "filter scan merge sort"),       # no query term
+            (4, "join window spark"),            # all three terms
+        ],
+    )
+    out = text.bm25_search(docs, query_terms=["join", "spark", "window"]).collect()
+    # doc 3 matches nothing and must be absent
+    assert sorted(r.doc_id for r in out) == [1, 2, 4]
+    by_id = {r.doc_id: r for r in out}
+    assert by_id[4].n_terms_matched == 3
+    assert by_id[1].n_terms_matched == 2
+    assert by_id[2].n_terms_matched == 1
+    # doc 4 (all three distinct terms, shortest doc) outranks the others;
+    # single-common-term doc 2 is last
+    assert [r.doc_id for r in sorted(out, key=lambda r: r.rank)] == [4, 1, 2]
+    # ranks are dense from 1 and scores non-increasing
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+    scores = [r.score_millibits for r in sorted(out, key=lambda r: r.rank)]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_idf_downweights_common_terms(spark):
+    # "spark" in every doc (low idf), "window" in one (high idf): for
+    # equal tf and dl the rare term must contribute a higher score
+    docs = _spark_docs(
+        spark,
+        [(i, "spark aaa bbb ccc") for i in range(1, 6)] + [(6, "window aaa bbb ccc")],
+    )
+    out = {r.doc_id: r for r in
+           text.bm25_search(docs, query_terms=["spark", "window"]).collect()}
+    assert out[6].score_millibits > out[1].score_millibits

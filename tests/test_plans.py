@@ -475,3 +475,29 @@ def test_knn_graph_rank_pushdown_no_cartesian(spark, sf_dir):
     # per-src top-k must keep k rows per group before the final sort
     assert plan.count("WindowGroupLimit") >= 1
     assert "CartesianProduct" not in plan
+
+
+def test_events_ewma_exact_fold(spark, tmp_path):
+    """alpha=1/2 EWMA: s = ((v1), (v2+s)/2, ...) over (ts, event_id)
+    order — exact halving arithmetic, order pinned by the sort."""
+    import datetime as dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import events_ewma
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: values 1, 2, 3 in time order -> ((1+2)/2 + 3)/2 = 2.25
+        (10, t0, 1, "a", 1.0, None),
+        (11, t0 + dt.timedelta(seconds=1), 1, "a", 2.0, None),
+        (12, t0 + dt.timedelta(seconds=2), 1, "a", 3.0, None),
+        # user 2: same-timestamp tie broken by event_id: 5 then 9 -> 7.0
+        (21, t0, 2, "a", 5.0, None),
+        (22, t0, 2, "a", 9.0, None),
+    ]
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.parquet(f"{sf}/events.parquet")
+    out = {r.user_id: r for r in events_ewma(spark, sf).collect()}
+    assert out[1].n_events == 3 and out[1].ewma_value == 2.25
+    assert out[2].n_events == 2 and out[2].ewma_value == 7.0
