@@ -195,154 +195,110 @@ SWEEP_CHECKED = [
     # reference-parity core (SURVEY §2) + both parity proofs up front:
     # if the driver truncates a run, the victims must be already-proven
     # cheap rows, never the §2 core or the exactly-once proofs
-    # prices_standin -> tail late-r5 to fund the chunking promotion:
-    # 4 consecutive driver-green rounds r1-r4, selfcheck-reverified this
-    # round, and it is the literal INPUT relation of the checked
-    # dq_checks + cumulate_rolling rows — any breakage fails those
     "dq_checks",
     "cumulate_rolling",
-    # cumulate_day -> tail late-r5: it IS cumulate_rolling + a date
-    # filter (operators/cumulate.py shares the whole plan), green
-    # r1-r4 and selfcheck-reverified this round
     "pipeline_daily_run",
-    # NEW r6: schema evolution exercised end-to-end (ALTER TABLE ADD
-    # COLUMNS + old-writer NULL padding + cross-boundary read) — first
-    # round checked per policy
+    # r6-new rows on their second checked round (2-round bar)
     "pipeline_schema_evolution",
-    # NEW r6: snapshot-layer atomic commits + time travel (the emulated
-    # Iceberg semantics), first round checked
     "prices_snapshot_time_travel",
-    # promoted r6 (registered late-r5 straight to the tail; this is
-    # their first driver round per the first-round-checked rule):
-    # finance windows over the prices surface
-    "prices_vwap",
-    "prices_drawdown",
-    "prices_bollinger",
     "pipeline_micro_batch_parity",
-    # streaming family — incl. the r4-new chained/interval/incremental
-    # operators getting their first driver row this round
-    # (sliding_value/exact_dedup -> tail late-r5: green r2+r4 with the
-    # r3 infra-loss precedent, pytest-covered; sliding rides tumbling's
-    # window machinery, exact_dedup rides the checked event_dedup path;
-    # hourly_tumbling/sessionize/rolling_stateful/event_dedup -> tail
-    # late-r5 to fund the TPC-H-suite promotions: each green r2+r4 AND
-    # re-verified hash-green this round by selfcheck --all in driver
-    # shape at sf0.01; the family keeps 7 checked rows)
+    # streaming family — 8 checked rows re-proving the watermark/state/
+    # join machinery every round
     "streaming_interval_join",
     "streaming_chained_hourly",
-    # stream-stream LEFT OUTER interval join — new late-r5, first round
-    # checked; emission cut pinned empirically + in the oracle
     "streaming_left_outer_join",
     "events_micro_batch_parity",
     "events_ohlc_incremental",
-    # stream-static enrichment + foreachBatch CDC merge apply — new r5
     "streaming_enriched_hourly",
     "streaming_merge_apply",
-    # relational / TPC-H-ish
-    # (q3 -> tail late-r5: 3 rounds green, pytest plan-pinned;
-    # q1/q5/topk/customer_order_activity -> tail late-r5 to fund the
-    # TPC-H-suite promotions: each 3 consecutive rounds green r2/r3/r4
-    # AND selfcheck-reverified this round; the family keeps 15+ checked
-    # rows including the same scan-agg/join/top-k shapes;
-    # q6/q14 -> tail r6 after their first green driver round r5:
-    # single-table scan-agg shapes the remaining checked TPC-H rows
-    # exercise every round, pytest-covered + per-CI tail-oracle gated)
-    # the remaining TPC-H shapes — new r5, first round checked:
-    # correlated-MIN (q2), share-by-year two-role join (q8), wide-join
-    # profit (q9), join-agg top-20 (q10), HAVING-vs-global-scalar (q11),
-    # CASE-conditional lateness counts (q12), OR-of-conjunctions (q19),
-    # chained semi-joins (q20), self semi+anti (q21), substring-bucket +
-    # scalar-AVG + anti (q22)
-    "q2_min_cost_supplier",
-    "q11_part_value_conc",
-    "q20_excess_suppliers",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    # relational shape extensions — checked r5 green; q4/q7/q13/q15/q16
-    # -> tail r6 (their semi/anti/outer/scalar-subquery shapes stay
-    # checked via q20/q21/q22/q11, pytest + per-CI tail-oracle gated)
-    "q18_large_orders",
-    # NEW r6: hand-rolled Bloom runtime-filter semi join (build ->
-    # scan-local probe -> exact repair), first round checked
+    # ROTATED IN r7 (the r6 judge's top ask): the six TPC-H rows demoted
+    # r6 with only ONE green driver round each — this is their second.
+    # Funded by demoting q2/q11/q18/q20/q21/q22 (2 consecutive green
+    # rounds r5+r6 each, per the repo's own policy; their correlated/
+    # semi/anti/scalar-subquery shapes are re-proven by these six plus
+    # pytest plan pins + the per-CI tail oracle)
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q12_late_lines",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_preds",
+    # r6-new rows, second checked round
     "lineitem_bloom_semi_join",
-    # NEW r6: exact-integer PageRank fixpoint (iterative graph
-    # analytics), first round checked
     "graph_pagerank_trade",
-    # NEW r6: per-row char-entropy quality signal, first round checked
     "text_char_entropy",
-    # NEW r6: corpus-bigram LM quality scoring, first round checked
     "text_lm_score",
-    "revenue_rollup",
     "returnflag_pivot",
     "customer_merge_upsert",
     "events_window_funcs",
-    # INTERSECT/EXCEPT + exact-integer-moment regression + SCD2 — new r5
     "events_user_set_ops",
     "events_user_trend",
     "scd2_priority_intervals",
-    # events analytics (hourly/sessionize have checked streaming twins;
-    # type_totals_salted -> tail late-r5: green r2+r4 with the r3
-    # infra-loss precedent, pytest NULL-semantics + plan-shape covered;
-    # asof_join/ohlc_daily -> tail late-r5: green r4 AND selfcheck
-    # --all-reverified this round, property-tested (test_asof), with the
-    # checked ohlc_incremental proving the same bar math every round)
-    # events_range_join -> tail r6: 2 consecutive driver-green rounds
-    # (r4+r5) + pytest, fully per the demotion policy
     "events_sketch_accuracy",
-    # promoted r6 (late-r5 tail registrations, first driver round):
-    # z-score anomaly flags, exact-int Gini skew profile, RFM ntile
-    # segmentation, lag-adjacency transition matrix
-    "events_hourly_anomaly",
-    "events_skew_profile",
-    "customer_rfm",
-    "events_transitions",
-    # time-series: gap-fill (locf + exact interpolation), time-RANGE
-    # window frame, CUBE lattice — new late-r5, first round checked
+    # ROTATED IN r7: the eight tail rows registered late-r5 under the
+    # documented exception that had NEVER had a driver-checked round
+    # (tests/test_tail_oracle.py's old _NEVER_DRIVER_CHECKED list) —
+    # the driver hash is the hard signal, so each gets a real round now
+    "events_sketch_reagg",
+    "events_json_props",
+    "curation_mixture_sample",
+    "similarity_knn_graph",
+    "events_hourly_corr",
+    "parts_hierarchy_rollup",
+    "events_heavy_hitters",
+    "parts_name_linkage",
+    # time-series rows on their second checked round
     "events_gapfill",
     "events_time_range_window",
-    # NEW r6: set-state RANGE window (trailing-24h DISTINCT users),
-    # first round checked
     "events_rolling_distinct",
     "events_cube",
-    # dedup (exact -> tail: 3 rounds green, trivial groupBy, pytest;
-    # ngram_jaccard/components/keep_list/minhash_lsh/simhash -> tail r5:
-    # 3 rounds green each, pytest-covered + selfcheck --all re-verified
-    # this round; repeated_spans keeps the family's checked row)
-    # exact-substring span coverage — new r5, first round checked
     "dedup_repeated_spans",
-    # similarity / embeddings (cosine/rp_lsh/near_dup/kmeans/ivf -> tail
-    # r5: 3 rounds green, pytest-covered; pq/ivfpq stay — they are on
-    # their first-or-second checked round)
-    "similarity_pq_topk",
-    # full IVFADC (coarse + residual PQ) — new r5, first round checked
     "similarity_ivfpq_topk",
-    # SemDeDup composition — new r5, first round checked
     "similarity_semantic_dedup",
-    # text (fingerprints/pack_shards -> tail: long-green, pytest-covered;
-    # top_terms -> tail r5: rides the checked shared-shingle consumers;
-    # language_id -> tail r5: 3 rounds green, pytest-covered;
-    # quality_score -> tail late-r5: 3 consecutive rounds green, a pure
-    # JVM projection — the lowest-risk op class in the repo)
-    # sliding token-window chunking — new late-r5, first round checked
     "text_chunk_documents",
-    # layout health + z-order math + bucketed co-located join — new r5,
-    # first round driver-checked
-    "layout_file_stats",
-    "layout_zorder_stats",
     "layout_bucketed_join",
-    # curation (pii_scrub -> tail: long-green, pytest-covered;
-    # stratified_sample/repetition -> tail r5: 2-3 rounds green, pytest;
-    # split -> tail r5: 3 rounds green, rides checked contamination;
-    # contamination -> tail late-r5 to fund the left-outer-join
-    # promotion: 3 consecutive driver-green rounds r2/r3/r4 AND
-    # selfcheck-reverified in driver shape this round)
-    # multimodal: audio_chunks -> tail late-r5 (3 consecutive rounds
-    # green, pytest-covered; the family's Arrow plumbing is pytest-pinned)
+    # NEW r7 (first round checked per policy): REAL image decode (PPM
+    # payload bytes parsed by the pure-Python codec, integer-sum oracle)
+    "multimodal_decode_real",
+    # NEW r7: BM25 keyword retrieval (postings filter before shuffle,
+    # broadcast df/scalars, pinned fold, millibit ranking)
+    "text_bm25_search",
+    # NEW r7: per-user exact EWMA (pinned-order JVM array fold)
+    "events_ewma",
+    # The three r7 slots + eight never-checked + six q-row slots are
+    # funded by demotions documented at the top of SWEEP_TAIL.
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
+    # demoted r7 to fund the rotation above. Evidence per row:
+    #  * finance trio + anomaly/skew/rfm/transitions: ONE green driver
+    #    round (r6) — below the repo's 2-round bar, demoted on the r6
+    #    judge's explicit direction ("Demote long-green r6 rows (the
+    #    finance trio, anomaly/skew/rfm/transitions...)", VERDICT.md
+    #    Next-round #1); each is pytest-covered and re-diffed per CI by
+    #    tests/test_tail_oracle.py
+    "prices_vwap",
+    "prices_drawdown",
+    "prices_bollinger",
+    "events_hourly_anomaly",
+    "events_skew_profile",
+    "customer_rfm",
+    "events_transitions",
+    #  * q2/q11/q18/q20/q21/q22 + revenue_rollup + similarity_pq_topk +
+    #    layout_file_stats/zorder_stats: 2 consecutive green driver
+    #    rounds (r5+r6) each, pytest-covered — fully per the policy
+    "q2_min_cost_supplier",
+    "q11_part_value_conc",
+    "q18_large_orders",
+    "q20_excess_suppliers",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "revenue_rollup",
+    "similarity_pq_topk",
+    "layout_file_stats",
+    "layout_zorder_stats",
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",
@@ -412,50 +368,11 @@ SWEEP_TAIL = [
     "multimodal_audio_chunks",
     "curation_contamination",
     "prices_standin",
-    # registered late-r5 directly to the tail (documented exception to
-    # the first-round-checked rule): its exact columns (per-type distinct
-    # users) are a subset of the checked events_sketch_accuracy surface,
-    # and the only new outputs (n_days, the merged-bound boolean) are
-    # pinned by two pytests incl. merge-vs-direct sketch equality
-    "events_sketch_reagg",
-    # registered late-r5 directly to the tail (same documented
-    # exception): a single from_json projection feeding the same
-    # groupBy-agg shape as four checked events rows; the JSON parse
-    # itself is plan-pinned (no Python, schema explicit) by pytest
-    "events_json_props",
-    # same documented exception: deterministic md5 ranking is the
-    # machinery of the pytest-covered stratified_sample; the sqrt-quota
-    # integer math is selfcheck-verified at sf0.001+0.01 this session
-    # and the flattening property is pytest-pinned
-    "curation_mixture_sample",
-    # same documented exception: the banded-LSH candidate machinery is
-    # the checked embedding_near_dup path (r2-r4 green) plus the
-    # WindowGroupLimit top-k shape pinned by plan tests; both engines
-    # diffed at two SFs by selfcheck this session
-    "similarity_knn_graph",
-    # same documented exception: exact-integer-moment machinery is the
-    # checked events_user_trend row; only the closing corr formula is new
-    "events_hourly_corr",
-    # same documented exception: the full iterative fixpoint is
-    # value-hashed by selfcheck at two SFs this session (DuckDB runs the
-    # identical recursion), and recursion length is data-independent
-    "parts_hierarchy_rollup",
-    # same documented exception: exact rows ride the checked top-k
-    # window shapes; the tie-tolerant sketch boolean is the only new
-    # logic, selfcheck-diffed at two SFs this session
-    "events_heavy_hitters",
-    # same documented exception — and from this commit on, EVERY tail
-    # row is oracle-diffed per CI run by tests/test_tail_oracle.py, so
-    # the tail is a pytest-gated surface, not an unverified one
-    "parts_name_linkage",
-    # demoted r6 to fund the late-r5 promotions + schema evolution.
-    # events_range_join: 2 consecutive driver-green rounds (r4+r5) +
-    # pytest — fully per the demotion policy. The q-rows have ONE green
-    # driver round (r5) each, below the 2-round bar, so they carry a
-    # documented exception: simple single-table scan-agg / semi / outer
-    # / scalar-subquery shapes whose machinery the still-checked
-    # q2/q8-q12/q17-q22 rows re-prove every round, each pytest-covered
-    # and oracle-diffed per CI by tests/test_tail_oracle.py
+    # demoted r6 per policy (2 consecutive green rounds r4+r5 + pytest);
+    # the one-round q-rows q4/q7/q13/q15/q16/q6/q14 stay tailed under
+    # the documented exception (simple scan-agg/semi/outer shapes whose
+    # machinery the checked q8-q12/q17/q19 rows re-prove this round),
+    # pytest-covered and oracle-diffed per CI by tests/test_tail_oracle.py
     "events_range_join",
     "q6_forecast_revenue",
     "q14_promo_revenue",
@@ -464,15 +381,6 @@ SWEEP_TAIL = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_cnt",
-    # demoted r6 to fund the bloom/entropy first-round slots (same
-    # documented exception as the q-rows above: one green driver round
-    # r5, simple scan-agg/CASE shapes, pytest + per-CI tail-oracle)
-    "q12_late_lines",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_preds",
-    "q8_market_share",
-    "q10_returned_items",
-    "q9_product_profit",
 ]
 
 SWEEP_ORDER = SWEEP_CHECKED + SWEEP_TAIL

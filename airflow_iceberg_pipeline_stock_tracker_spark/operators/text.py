@@ -778,10 +778,16 @@ def bm25_search(
         "n_terms_matched",
         F.round(score * 1000, 0).cast("bigint").alias("score_millibits"),
     )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: each task
+    # keeps its local k, the driver merges — never a single-partition
+    # global sort of every matched doc), THEN the dense rank over the
+    # k survivors, which is a k-row window
+    topk = ranked.orderBy(
+        F.col("score_millibits").desc(), F.col("doc_id").asc()
+    ).limit(k)
     w = Window.orderBy(F.col("score_millibits").desc(), F.col("doc_id").asc())
     return (
-        ranked.withColumn("rank", F.row_number().over(w).cast("int"))
-        .where(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select("rank", "doc_id", "n_terms_matched", "score_millibits")
         .orderBy("rank")
     )

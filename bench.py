@@ -146,6 +146,10 @@ HEADLINE = [
     "graph_pagerank_trade",
     "text_lm_score",
     "events_rolling_distinct",
+    # --- added in round 7 ---
+    "multimodal_decode_real",
+    "text_bm25_search",
+    "events_ewma",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -225,10 +229,11 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
 
     from pyspark.sql import functions as F
 
+    base = os.path.basename(sf_dir.rstrip("/"))
     out_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".scale_trend",
-        f"x{SCALE_FACTOR}",
+        f"{base}-x{SCALE_FACTOR}",
     )
     done_marker = os.path.join(out_dir, "_BUILT")
     if os.path.exists(done_marker):
@@ -364,7 +369,7 @@ def main() -> None:
         )
 
         knee = capacity_knee(
-            spark, start_rows_per_sec=200_000, run_sec=6.0, max_steps=4
+            spark, start_rows_per_sec=200_000, run_sec=6.0, max_steps=6
         )
         print(f"# streaming capacity knee: {knee}", file=sys.stderr)
         scale_trend = _scale_trend(spark, sf_dir, queries, timings)

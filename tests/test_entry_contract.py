@@ -51,19 +51,32 @@ def test_every_query_is_oracle_paired_or_documented_rows_only():
 
 def test_new_operators_are_inside_the_checked_prefix():
     # the r4 lesson: new operators must not ship driver-unchecked.
-    # Pins the CURRENT round's first-round-checked set: the r6-new
-    # schema-evolution query plus the seven late-r5 registrations
-    # promoted for their first driver round (q6/q14 rotated to the tail
-    # r6 after their green r5 round funded these slots).
+    # Pins the CURRENT round's first-round-checked set: the three r7-new
+    # operators plus the eight never-driver-checked tail rows and six
+    # one-round q-rows rotated in per the r6 judge's top ask (funded by
+    # demoting the 2-round-green r5/r6 rows and, on the judge's explicit
+    # direction, the one-round finance/anomaly/rfm/transitions rows).
     promoted = {
-        "pipeline_schema_evolution",
-        "prices_vwap",
-        "prices_drawdown",
-        "prices_bollinger",
-        "events_hourly_anomaly",
-        "events_skew_profile",
-        "customer_rfm",
-        "events_transitions",
+        # r7-new, first round
+        "multimodal_decode_real",
+        "text_bm25_search",
+        "events_ewma",
+        # never-driver-checked tail rows getting their first real round
+        "events_sketch_reagg",
+        "events_json_props",
+        "curation_mixture_sample",
+        "similarity_knn_graph",
+        "events_hourly_corr",
+        "parts_hierarchy_rollup",
+        "events_heavy_hitters",
+        "parts_name_linkage",
+        # one-green-round q-rows getting their second
+        "q8_market_share",
+        "q9_product_profit",
+        "q10_returned_items",
+        "q12_late_lines",
+        "q17_small_qty_revenue",
+        "q19_disjunctive_preds",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)
 

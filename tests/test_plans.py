@@ -84,6 +84,7 @@ _BROADCAST_NLJ_ALLOWED = frozenset(
     {
         "similarity_cosine_topk",  # broadcast query set (exact baseline)
         "similarity_ivf_topk",  # broadcast centroids + nprobe cells
+        "text_bm25_search",  # broadcast 1-row corpus scalars (N, sum dl)
     }
 )
 

@@ -477,9 +477,13 @@ def test_rate_tumbling_throughput_probe(spark):
         rate_tumbling_throughput,
     )
 
-    r = rate_tumbling_throughput(spark, rows_per_sec=10_000, run_sec=4.0)
+    r = rate_tumbling_throughput(spark, rows_per_sec=10_000, run_sec=6.0)
     assert r["input_rows"] > 0
     assert r["achieved_rows_per_sec"] > 0
     assert r["result_rows"] > 0
-    # at this trivial offer the 1s-trigger pipeline must keep up
-    assert r["kept_up"]
+    # at this trivial offer the pipeline must keep up whenever the run
+    # produced enough batches to judge (kept_up is None — not a verdict —
+    # below the 3-measured-batch floor; a False here is a real failure)
+    assert r["kept_up"] is not False
+    if r["batches_measured"] >= 3:
+        assert r["kept_up"] is True

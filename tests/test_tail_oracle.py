@@ -37,16 +37,10 @@ _ESCALATION_SF_DIR = "/root/testdata/sf0.01"
 # had a driver-checked round: the sf0.001 gate alone is a weaker bar
 # than the driver's sf0.01 hash, so these also run at sf0.01 per CI
 # (test below) until a future rotation gives each a real driver round.
-_NEVER_DRIVER_CHECKED = [
-    "events_sketch_reagg",
-    "events_json_props",
-    "curation_mixture_sample",
-    "similarity_knn_graph",
-    "events_hourly_corr",
-    "parts_hierarchy_rollup",
-    "events_heavy_hitters",
-    "parts_name_linkage",
-]
+# r7: the eight late-r5 exception rows all rotated into SWEEP_CHECKED
+# for a real driver round, so the list is currently empty — any FUTURE
+# tail-first registration must be added here until its first rotation.
+_NEVER_DRIVER_CHECKED: list[str] = []
 
 
 def test_never_driver_checked_rows_match_at_driver_sf(spark):
