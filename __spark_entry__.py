@@ -228,9 +228,7 @@ SWEEP_CHECKED = [
     "graph_pagerank_trade",
     "text_char_entropy",
     "text_lm_score",
-    "returnflag_pivot",
     "customer_merge_upsert",
-    "events_window_funcs",
     "events_user_set_ops",
     "events_user_trend",
     "scd2_priority_intervals",
@@ -265,6 +263,12 @@ SWEEP_CHECKED = [
     "text_bm25_search",
     # NEW r7: per-user exact EWMA (pinned-order JVM array fold)
     "events_ewma",
+    # NEW r7: BPE tokenizer training (iterative argmax-merge loop; the
+    # oracle unrolls the same 8 rounds in MATERIALIZED CTEs)
+    "text_bpe_train",
+    # NEW r7: 128-bin histogram quantile sketch vs exact discrete
+    # quantiles, error contract surfaced as a hashed boolean
+    "events_quantile_sketch",
     # The three r7 slots + eight never-checked + six q-row slots are
     # funded by demotions documented at the top of SWEEP_TAIL.
 ]
@@ -299,6 +303,13 @@ SWEEP_TAIL = [
     "similarity_pq_topk",
     "layout_file_stats",
     "layout_zorder_stats",
+    #  * returnflag_pivot / events_window_funcs: demoted mid-r7 to fund
+    #    the BPE + quantile-sketch first-round slots — 2 consecutive
+    #    green rounds (r5+r6) each, pytest-covered, and their pivot/
+    #    window shapes are re-proven by the checked events_cube /
+    #    events_time_range_window / scd2 rows every round
+    "returnflag_pivot",
+    "events_window_funcs",
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",

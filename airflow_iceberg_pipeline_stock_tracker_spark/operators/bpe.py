@@ -1,0 +1,229 @@
+"""BPE tokenizer training — the core LLM-data operation the reference's
+domain (a training-data pipeline at scale) ultimately feeds.
+
+Classic byte-pair encoding (Sennrich et al. 2016, the public algorithm
+behind GPT-2/RoBERTa-style vocabularies): start from characters (plus an
+end-of-word marker), repeatedly find the most frequent adjacent symbol
+pair across the corpus and merge it, recording the merge table — the
+merge table IS the tokenizer.
+
+Spark-first shape:
+  * the corpus collapses to a (word, count) table first — bounded by
+    VOCABULARY (Zipf), not corpus size, so at 100 TB the iterative state
+    is a few million rows regardless of input rows;
+  * each round is ONE aggregation (adjacent-pair counts weighted by word
+    count) + a driver collect of exactly ONE row (the argmax pair —
+    bounded metadata, per the repo's collect rule) + ONE distributed
+    array rewrite (a JVM higher-order fold, no Python);
+  * `localCheckpoint` cuts lineage each round, as in the PageRank loop.
+
+Greedy merge semantics (matters for "aaa" with pair (a,a)): occurrences
+merge left-to-right, non-overlapping — "aaa" -> ["aa", "a"]. The fold
+implements this directly; the DuckDB oracle implements the same rule as
+gaps-and-islands parity (within each maximal run of consecutive match
+positions, every odd-offset occurrence merges), and the two are
+cross-checked by hash at two SFs plus a pure-Python reference pytest.
+
+Determinism: pair counts are exact integers; the argmax tie-break is
+(count DESC, left ASC, right ASC) in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.texthash import tokens
+
+END_MARK = "</w>"
+N_MERGES = 8
+
+
+def _merge_fold(syms, left: str, right: str):
+    """Greedy left-to-right non-overlapping merge of adjacent
+    (left, right) in a symbol array, as a JVM aggregate fold: append
+    each symbol unless it is `right` and the accumulator's last element
+    is `left` — then replace that last element with the merged symbol.
+    A chain like [a,a,a] with (a,a) yields [aa,a]: after the first
+    merge the tail is "aa" != "a", so overlap is impossible."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(merged))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def word_table(docs: DataFrame) -> DataFrame:
+    """(syms array<string>, wcount): per-distinct-word symbol sequences
+    (chars + end marker) weighted by corpus frequency."""
+    return (
+        docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+        .select(
+            F.concat(
+                F.filter(F.split("w", ""), lambda c: c != F.lit("")),
+                F.array(F.lit(END_MARK)),
+            ).alias("syms"),
+            "wcount",
+        )
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """(merge_rank, left, right, merged, pair_count): the trained merge
+    table, one row per round in training order."""
+    spark = docs.sparkSession
+    words = word_table(docs).localCheckpoint()
+    out: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        n = F.size("syms")
+        # guard: sequence(0, -1) would generate a DESCENDING sequence for
+        # a word already fused to one symbol — emit no pairs instead
+        idx = F.when(n >= 2, F.sequence(F.lit(0), n - 2)).otherwise(
+            F.array().cast("array<int>")
+        )
+        pairs = words.select(
+            "wcount",
+            F.explode(
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.get("syms", i).alias("a"),
+                        F.get("syms", i + 1).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("wcount").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best:  # every word fused to a single symbol
+            break
+        a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
+        out.append((r, a, b, a + b, cnt))
+        words = words.select(
+            _merge_fold(F.col("syms"), a, b).alias("syms"), "wcount"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        out,
+        "merge_rank int, left string, right string, merged string, "
+        "pair_count bigint",
+    )
+
+
+def bpe_train_reference(word_counts: dict[str, int], n_merges: int = N_MERGES):
+    """Pure-Python reference (pytest ground truth): same algorithm, same
+    tie-break, same greedy rewrite."""
+    words = [
+        (list(w) + [END_MARK], c) for w, c in sorted(word_counts.items())
+    ]
+    table = []
+    for r in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, c in words:
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + c
+                )
+        if not counts:
+            break
+        (a, b), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        table.append((r, a, b, a + b, cnt))
+        new_words = []
+        for syms, c in words:
+            acc: list[str] = []
+            for x in syms:
+                if acc and acc[-1] == a and x == b:
+                    acc[-1] = a + b
+                else:
+                    acc.append(x)
+            new_words.append((acc, c))
+        words = new_words
+    return table
+
+
+def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """Unrolled n-round DuckDB twin: per round, pair counts + argmax via
+    ORDER BY ... LIMIT 1, then the greedy rewrite as gaps-and-islands
+    parity (odd-offset occurrences within each run of consecutive match
+    positions merge; the following position is consumed)."""
+    ctes = [
+        f"""w1 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid,
+         CAST(COUNT(*) AS BIGINT) AS wcount,
+         list_append(string_split(w, ''), '{END_MARK}') AS syms
+  FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+    FROM documents
+  ) WHERE length(w) > 0
+  GROUP BY w
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""pos{r} AS MATERIALIZED (
+  SELECT wid, wcount, syms,
+         unnest(range(1, len(syms) + 1)) AS i
+  FROM w{r}
+), pairs{r} AS MATERIALIZED (
+  SELECT syms[i] AS a, syms[i + 1] AS b,
+         CAST(SUM(wcount) AS BIGINT) AS cnt
+  FROM pos{r} WHERE i < len(syms)
+  GROUP BY a, b
+), best{r} AS MATERIALIZED (
+  SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
+), flags{r} AS MATERIALIZED (
+  SELECT wid, wcount, i, syms[i] AS tok,
+         (i < len(syms) AND syms[i] = best.a AND syms[i + 1] = best.b) AS m
+  FROM pos{r}, best{r} best
+), runs{r} AS MATERIALIZED (
+  SELECT wid, i,
+         i - ROW_NUMBER() OVER (PARTITION BY wid ORDER BY i) AS run
+  FROM flags{r} WHERE m
+), sel{r} AS MATERIALIZED (
+  SELECT wid, i,
+         (ROW_NUMBER() OVER (PARTITION BY wid, run ORDER BY i) % 2 = 1)
+           AS take
+  FROM runs{r}
+), w{r + 1} AS MATERIALIZED (
+  SELECT f.wid, f.wcount,
+         list(CASE WHEN COALESCE(s.take, FALSE)
+                   THEN b2.a || b2.b ELSE f.tok END
+              ORDER BY f.i) AS syms
+  FROM flags{r} f
+  LEFT JOIN sel{r} s ON s.wid = f.wid AND s.i = f.i
+  LEFT JOIN sel{r} p ON p.wid = f.wid AND p.i = f.i - 1 AND p.take
+  CROSS JOIN best{r} b2
+  WHERE p.i IS NULL
+  GROUP BY f.wid, f.wcount
+)""")
+    unions = "\nUNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a AS left_, b, cnt FROM best{r}"
+        for r in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
+       left_ AS "left", b AS "right", left_ || b AS merged,
+       cnt AS pair_count
+FROM ({unions})
+ORDER BY merge_rank
+"""
+    )

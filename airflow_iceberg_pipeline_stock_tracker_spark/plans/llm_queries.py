@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import curation, dedup, ivfpq, multimodal, pq, similarity, text
+from ..operators import bpe, curation, dedup, ivfpq, multimodal, pq, similarity, text
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -437,6 +437,14 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_bm25_search": (
         _docs(text.bm25_search),
         text.bm25_oracle_sql(),
+    ),
+    # BPE tokenizer training (new r7): iterative argmax-merge loop, one
+    # aggregation + one 1-row collect + one JVM fold per round; DuckDB
+    # twin is the same 8 rounds unrolled with MATERIALIZED CTEs (greedy
+    # rewrite as gaps-and-islands parity)
+    "text_bpe_train": (
+        _docs(bpe.bpe_train),
+        bpe.bpe_oracle_sql(),
     ),
     "multimodal_audio_chunks": (_media_audio_chunks, MEDIA_AUDIO_SQL),
 }

@@ -749,6 +749,162 @@ FROM per_user ORDER BY user_id
 """
 
 
+def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, q_pct, n, exact_value, sketch_value, sketch_bin,
+    within_one_bin): per-type p50/p95 computed BOTH ways — exact discrete
+    quantile (the value at row ceil(q*n) of the per-type ordering) and a
+    128-bin equi-width histogram sketch (the mergeable fixed-size state a
+    100 TB deployment would keep instead of sorting: O(types x 128)
+    integers, reaggregatable across partitions/days exactly like the
+    events_sketch_reagg HLL row).
+
+    The sketch answer is the upper edge of the first bin whose cumulative
+    count reaches the target rank, so exact <= sketch < exact + bin_width
+    ALWAYS holds — surfaced as within_one_bin so the driver hash pins the
+    sketch's error contract, not just its values.
+
+    Determinism: bin edges derive from global min/max (exact doubles);
+    width = span/128 (division by a power of two is exact); bin index and
+    upper edge use the identical op sequence in both engines — bit-equal
+    doubles with no rounding and no libm.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value"
+    )
+    edges = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    w = (F.col("hi") - F.col("lo")) / F.lit(128.0)
+    binc = F.least(
+        F.floor((F.col("value") - F.col("lo")) / w).cast("int"), F.lit(127)
+    )
+    hist = (
+        ev.crossJoin(F.broadcast(edges))
+        .select("event_type", binc.alias("bin"))
+        .groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum",
+        F.sum("cnt").over(
+            Window.partitionBy("event_type")
+            .orderBy("bin")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
+    qs = spark.createDataFrame([(50,), (95,)], "q_pct int")
+    target = F.ceil(
+        F.col("q_pct").cast("double") / F.lit(100.0) * F.col("n").cast("double")
+    ).cast("bigint")
+    picked = (
+        cum.join(totals, "event_type")
+        .crossJoin(F.broadcast(qs))
+        .where(F.col("cum") >= target)
+        .groupBy("event_type", "q_pct", "n")
+        .agg(F.min("bin").alias("sketch_bin"))
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "event_type",
+            "q_pct",
+            "n",
+            "sketch_bin",
+            (
+                F.col("lo")
+                + (F.col("sketch_bin") + F.lit(1)).cast("double")
+                * ((F.col("hi") - F.col("lo")) / F.lit(128.0))
+            ).alias("sketch_value"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("event_type").orderBy("value")
+    )
+    exact = (
+        ev.withColumn("rn", rn)
+        .crossJoin(F.broadcast(qs.withColumnRenamed("q_pct", "q2")))
+        .join(totals, "event_type")
+        .where(
+            F.col("rn")
+            == F.ceil(
+                F.col("q2").cast("double") / F.lit(100.0) * F.col("n").cast("double")
+            ).cast("bigint")
+        )
+        .select(
+            "event_type", F.col("q2").alias("q_pct"), F.col("value").alias("exact_value")
+        )
+    )
+    bin_w = (F.col("hi") - F.col("lo")) / F.lit(128.0)
+    return (
+        picked.join(exact, ["event_type", "q_pct"])
+        .crossJoin(F.broadcast(edges))
+        .select(
+            "event_type",
+            "q_pct",
+            "n",
+            "exact_value",
+            "sketch_value",
+            "sketch_bin",
+            (
+                (F.col("sketch_value") >= F.col("exact_value"))
+                & (F.col("sketch_value") - F.col("exact_value") <= bin_w)
+            ).alias("within_one_bin"),
+        )
+        .orderBy("event_type", "q_pct")
+    )
+
+
+EVENTS_QUANTILE_SKETCH_SQL = """
+WITH edges AS (
+  SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+), binned AS (
+  SELECT event_type,
+         LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 128.0)) AS INTEGER),
+               127) AS bin
+  FROM events CROSS JOIN edges
+), hist AS (
+  SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM binned GROUP BY event_type, bin
+), cum AS (
+  SELECT event_type, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                        ROWS UNBOUNDED PRECEDING) AS cum
+  FROM hist
+), totals AS (
+  SELECT event_type, CAST(SUM(cnt) AS BIGINT) AS n FROM hist
+  GROUP BY event_type
+), qs AS (
+  SELECT * FROM (VALUES (50), (95)) AS t(q_pct)
+), picked AS (
+  SELECT c.event_type, q.q_pct, t.n, MIN(c.bin) AS sketch_bin
+  FROM cum c JOIN totals t USING (event_type) CROSS JOIN qs q
+  WHERE c.cum >= CAST(CEIL(CAST(q.q_pct AS DOUBLE) / 100.0
+                           * CAST(t.n AS DOUBLE)) AS BIGINT)
+  GROUP BY c.event_type, q.q_pct, t.n
+), sketch AS (
+  SELECT event_type, q_pct, n, sketch_bin,
+         lo + CAST(sketch_bin + 1 AS DOUBLE) * ((hi - lo) / 128.0)
+           AS sketch_value
+  FROM picked CROSS JOIN edges
+), ranked AS (
+  SELECT event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn
+  FROM events
+), exact AS (
+  SELECT r.event_type, q.q_pct, r.value AS exact_value
+  FROM ranked r CROSS JOIN qs q JOIN totals t USING (event_type)
+  WHERE r.rn = CAST(CEIL(CAST(q.q_pct AS DOUBLE) / 100.0
+                         * CAST(t.n AS DOUBLE)) AS BIGINT)
+)
+SELECT s.event_type, s.q_pct, s.n, e.exact_value, s.sketch_value,
+       s.sketch_bin,
+       (s.sketch_value >= e.exact_value
+        AND s.sketch_value - e.exact_value <= (hi - lo) / 128.0)
+         AS within_one_bin
+FROM sketch s
+JOIN exact e ON s.event_type = e.event_type AND s.q_pct = e.q_pct
+CROSS JOIN edges
+ORDER BY s.event_type, s.q_pct
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -763,4 +919,8 @@ TIMESERIES_QUERIES = {
     "events_skew_profile": (events_skew_profile, EVENTS_SKEW_SQL),
     "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
     "events_ewma": (events_ewma, EVENTS_EWMA_SQL),
+    "events_quantile_sketch": (
+        events_quantile_sketch,
+        EVENTS_QUANTILE_SKETCH_SQL,
+    ),
 }

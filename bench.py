@@ -150,6 +150,8 @@ HEADLINE = [
     "multimodal_decode_real",
     "text_bm25_search",
     "events_ewma",
+    "text_bpe_train",
+    "events_quantile_sketch",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

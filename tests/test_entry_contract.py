@@ -61,6 +61,8 @@ def test_new_operators_are_inside_the_checked_prefix():
         "multimodal_decode_real",
         "text_bm25_search",
         "events_ewma",
+        "text_bpe_train",
+        "events_quantile_sketch",
         # never-driver-checked tail rows getting their first real round
         "events_sketch_reagg",
         "events_json_props",

@@ -763,3 +763,38 @@ def test_bm25_idf_downweights_common_terms(spark):
     out = {r.doc_id: r for r in
            text.bm25_search(docs, query_terms=["spark", "window"]).collect()}
     assert out[6].score_millibits > out[1].score_millibits
+
+
+def test_bpe_spark_matches_python_reference(spark):
+    """Planted corpus incl. the 'aaa' overlap case: the Spark trainer's
+    merge table must equal the pure-Python reference exactly."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import bpe
+
+    corpus = {
+        "aaa": 5,       # overlap: greedy left-to-right gives [aa, a]
+        "aab": 3,
+        "banana": 4,
+        "bandana": 2,
+        "ab": 7,
+    }
+    rows = [(i, " ".join([w] * c)) for i, (w, c) in enumerate(corpus.items())]
+    docs = _spark_docs(spark, rows)
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe.bpe_train(docs, n_merges=6).collect()
+    ]
+    assert got == bpe.bpe_train_reference(corpus, n_merges=6)
+
+
+def test_bpe_merge_fold_greedy_overlap(spark):
+    """The fold's greedy rule directly: [a,a,a] + (a,a) -> [aa,a];
+    [a,b,a,b] + (a,b) -> [ab,ab]."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.bpe import _merge_fold
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "a", "b"],)], ["syms"]
+    )
+    out = [r.m for r in df.select(_merge_fold(F.col("syms"), "a", "a").alias("m")).collect()]
+    assert out[0] == ["aa", "a"]
+    out2 = [r.m for r in df.select(_merge_fold(F.col("syms"), "a", "b").alias("m")).collect()]
+    assert out2[1] == ["ab", "ab"]

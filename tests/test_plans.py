@@ -502,3 +502,18 @@ def test_events_ewma_exact_fold(spark, tmp_path):
     out = {r.user_id: r for r in events_ewma(spark, sf).collect()}
     assert out[1].n_events == 3 and out[1].ewma_value == 2.25
     assert out[2].n_events == 2 and out[2].ewma_value == 7.0
+
+
+def test_events_quantile_sketch_error_contract(spark, sf_dir):
+    """The histogram sketch's answer must sit in [exact, exact + bin
+    width] for every (type, q) — the invariant the driver hash pins."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_quantile_sketch,
+    )
+
+    rows = events_quantile_sketch(spark, sf_dir).collect()
+    assert rows and {r.q_pct for r in rows} == {50, 95}
+    for r in rows:
+        assert r.within_one_bin
+        assert r.sketch_value >= r.exact_value
+        assert 0 <= r.sketch_bin <= 127
