@@ -228,7 +228,6 @@ SWEEP_CHECKED = [
     "graph_pagerank_trade",
     "text_char_entropy",
     "text_lm_score",
-    "customer_merge_upsert",
     "events_user_set_ops",
     "events_user_trend",
     "scd2_priority_intervals",
@@ -269,6 +268,9 @@ SWEEP_CHECKED = [
     # NEW r7: 128-bin histogram quantile sketch vs exact discrete
     # quantiles, error contract surfaced as a hashed boolean
     "events_quantile_sketch",
+    # NEW r7: tokenizer APPLY — per-doc token counts under the trained
+    # merge table (broadcast vocab join)
+    "text_bpe_tokenize",
     # The three r7 slots + eight never-checked + six q-row slots are
     # funded by demotions documented at the top of SWEEP_TAIL.
 ]
@@ -310,6 +312,10 @@ SWEEP_TAIL = [
     #    events_time_range_window / scd2 rows every round
     "returnflag_pivot",
     "events_window_funcs",
+    #  * customer_merge_upsert: demoted mid-r7 to fund the bpe_tokenize
+    #    slot — 2 consecutive green rounds (r5+r6), pytest-covered, and
+    #    the MERGE algebra stays checked via streaming_merge_apply
+    "customer_merge_upsert",
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",

@@ -62,14 +62,15 @@ def _merge_fold(syms, left: str, right: str):
 
 
 def word_table(docs: DataFrame) -> DataFrame:
-    """(syms array<string>, wcount): per-distinct-word symbol sequences
-    (chars + end marker) weighted by corpus frequency."""
+    """(w, syms array<string>, wcount): per-distinct-word symbol
+    sequences (chars + end marker) weighted by corpus frequency."""
     return (
         docs.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wcount"))
         .select(
+            "w",
             F.concat(
                 F.filter(F.split("w", ""), lambda c: c != F.lit("")),
                 F.array(F.lit(END_MARK)),
@@ -79,10 +80,11 @@ def word_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
-    """(merge_rank, left, right, merged, pair_count): the trained merge
-    table, one row per round in training order."""
-    spark = docs.sparkSession
+def _train(
+    docs: DataFrame, n_merges: int
+) -> tuple[list[tuple], DataFrame]:
+    """Run the merge loop; returns (merge table rows, final word state —
+    (w, syms, wcount) after all merges)."""
     words = word_table(docs).localCheckpoint()
     out: list[tuple] = []
     for r in range(1, n_merges + 1):
@@ -116,12 +118,47 @@ def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
         a, b, cnt = best[0].a, best[0].b, int(best[0].cnt)
         out.append((r, a, b, a + b, cnt))
         words = words.select(
-            _merge_fold(F.col("syms"), a, b).alias("syms"), "wcount"
+            "w", _merge_fold(F.col("syms"), a, b).alias("syms"), "wcount"
         ).localCheckpoint()
-    return spark.createDataFrame(
+    return out, words
+
+
+def bpe_train(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """(merge_rank, left, right, merged, pair_count): the trained merge
+    table, one row per round in training order."""
+    out, _words = _train(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
         out,
         "merge_rank int, left string, right string, merged string, "
         "pair_count bigint",
+    )
+
+
+def bpe_tokenize(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """(doc_id, n_words, n_symbols_before, n_tokens): tokenize the corpus
+    with the freshly-trained merge table — the apply half of the
+    tokenizer. n_symbols_before counts the pre-merge symbol stream
+    (chars + end marker per word); n_tokens counts it after all merges,
+    so n_tokens <= n_symbols_before and the gap is the compression the
+    vocabulary buys.
+
+    Scale shape: the trained word state is vocabulary-bounded, so the
+    doc-side join is a broadcast of (word -> token count) — corpus rows
+    stream once, no shuffle of text."""
+    _, words = _train(docs, n_merges)
+    counts = words.select("w", F.size("syms").alias("n_toks"))
+    doc_words = docs.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    ).where(F.length("w") > 0)
+    return (
+        doc_words.join(F.broadcast(counts), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.length("w") + F.lit(1)).alias("n_symbols_before"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -158,14 +195,17 @@ def bpe_train_reference(word_counts: dict[str, int], n_merges: int = N_MERGES):
     return table
 
 
-def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
-    """Unrolled n-round DuckDB twin: per round, pair counts + argmax via
-    ORDER BY ... LIMIT 1, then the greedy rewrite as gaps-and-islands
-    parity (odd-offset occurrences within each run of consecutive match
-    positions merge; the following position is consumed)."""
+def _bpe_cte_chain(n_merges: int) -> str:
+    """The shared unrolled-round CTE chain: per round, pair counts +
+    argmax via ORDER BY ... LIMIT 1, then the greedy rewrite as
+    gaps-and-islands parity (odd-offset occurrences within each run of
+    consecutive match positions merge; the following position is
+    consumed). Every CTE is MATERIALIZED — plain CTEs inline, and each
+    round references its predecessor several times, so inlining would
+    duplicate the scan tree exponentially (2^rounds parquet opens)."""
     ctes = [
         f"""w1 AS MATERIALIZED (
-  SELECT ROW_NUMBER() OVER (ORDER BY w) AS wid,
+  SELECT w, ROW_NUMBER() OVER (ORDER BY w) AS wid,
          CAST(COUNT(*) AS BIGINT) AS wcount,
          list_append(string_split(w, ''), '{END_MARK}') AS syms
   FROM (
@@ -177,7 +217,7 @@ def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
     ]
     for r in range(1, n_merges + 1):
         ctes.append(f"""pos{r} AS MATERIALIZED (
-  SELECT wid, wcount, syms,
+  SELECT w, wid, wcount, syms,
          unnest(range(1, len(syms) + 1)) AS i
   FROM w{r}
 ), pairs{r} AS MATERIALIZED (
@@ -188,7 +228,7 @@ def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
 ), best{r} AS MATERIALIZED (
   SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1
 ), flags{r} AS MATERIALIZED (
-  SELECT wid, wcount, i, syms[i] AS tok,
+  SELECT w, wid, wcount, i, syms[i] AS tok,
          (i < len(syms) AND syms[i] = best.a AND syms[i + 1] = best.b) AS m
   FROM pos{r}, best{r} best
 ), runs{r} AS MATERIALIZED (
@@ -201,7 +241,7 @@ def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
            AS take
   FROM runs{r}
 ), w{r + 1} AS MATERIALIZED (
-  SELECT f.wid, f.wcount,
+  SELECT f.w, f.wid, f.wcount,
          list(CASE WHEN COALESCE(s.take, FALSE)
                    THEN b2.a || b2.b ELSE f.tok END
               ORDER BY f.i) AS syms
@@ -210,20 +250,50 @@ def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
   LEFT JOIN sel{r} p ON p.wid = f.wid AND p.i = f.i - 1 AND p.take
   CROSS JOIN best{r} b2
   WHERE p.i IS NULL
-  GROUP BY f.wid, f.wcount
+  GROUP BY f.w, f.wid, f.wcount
 )""")
+    return "WITH " + ",\n".join(ctes)
+
+
+def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_train`."""
     unions = "\nUNION ALL ".join(
         f"SELECT {r} AS merge_rank, a AS left_, b, cnt FROM best{r}"
         for r in range(1, n_merges + 1)
     )
     return (
-        "WITH "
-        + ",\n".join(ctes)
+        _bpe_cte_chain(n_merges)
         + f"""
 SELECT CAST(merge_rank AS INTEGER) AS merge_rank,
        left_ AS "left", b AS "right", left_ || b AS merged,
        cnt AS pair_count
 FROM ({unions})
 ORDER BY merge_rank
+"""
+    )
+
+
+def bpe_tokenize_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB twin of :func:`bpe_tokenize`: train through the same
+    unrolled chain, then join the final per-word token counts back to
+    each document's word stream."""
+    return (
+        _bpe_cte_chain(n_merges)
+        + f""",
+final_counts AS MATERIALIZED (
+  SELECT w, CAST(len(syms) AS BIGINT) AS n_toks FROM w{n_merges + 1}
+), doc_words AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+  FROM documents
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(length(d.w) + 1) AS BIGINT) AS n_symbols_before,
+       CAST(SUM(f.n_toks) AS BIGINT) AS n_tokens
+FROM doc_words d JOIN final_counts f USING (w)
+WHERE length(d.w) > 0
+GROUP BY d.doc_id
+ORDER BY d.doc_id
 """
     )

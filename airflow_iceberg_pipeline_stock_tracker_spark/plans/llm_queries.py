@@ -446,5 +446,11 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(bpe.bpe_train),
         bpe.bpe_oracle_sql(),
     ),
+    # tokenizer APPLY (new r7): per-doc token counts under the trained
+    # merge table — the vocabulary-bounded (word -> count) map broadcasts
+    "text_bpe_tokenize": (
+        _docs(bpe.bpe_tokenize),
+        bpe.bpe_tokenize_oracle_sql(),
+    ),
     "multimodal_audio_chunks": (_media_audio_chunks, MEDIA_AUDIO_SQL),
 }

@@ -152,6 +152,7 @@ HEADLINE = [
     "events_ewma",
     "text_bpe_train",
     "events_quantile_sketch",
+    "text_bpe_tokenize",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

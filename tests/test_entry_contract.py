@@ -63,6 +63,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         "events_ewma",
         "text_bpe_train",
         "events_quantile_sketch",
+        "text_bpe_tokenize",
         # never-driver-checked tail rows getting their first real round
         "events_sketch_reagg",
         "events_json_props",

@@ -798,3 +798,18 @@ def test_bpe_merge_fold_greedy_overlap(spark):
     assert out[0] == ["aa", "a"]
     out2 = [r.m for r in df.select(_merge_fold(F.col("syms"), "a", "b").alias("m")).collect()]
     assert out2[1] == ["ab", "ab"]
+
+
+def test_bpe_tokenize_compression_invariants(spark, docs):
+    """Tokenizing with the trained table must never exceed the raw
+    symbol stream, and totals must be consistent per doc."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import bpe
+
+    rows = bpe.bpe_tokenize(docs.limit(50)).collect()
+    assert rows
+    for r in rows:
+        assert r.n_words > 0
+        # each word contributes at least 1 token and at most its raw run
+        assert r.n_words <= r.n_tokens <= r.n_symbols_before
+    # 8 merges on this corpus must actually compress something
+    assert any(r.n_tokens < r.n_symbols_before for r in rows)

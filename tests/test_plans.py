@@ -517,3 +517,33 @@ def test_events_quantile_sketch_error_contract(spark, sf_dir):
         assert r.within_one_bin
         assert r.sketch_value >= r.exact_value
         assert 0 <= r.sketch_bin <= 127
+
+
+def test_quantile_histogram_is_mergeable(spark, sf_dir):
+    """The scale property the sketch exists for: per-partition histograms
+    (same global edges) SUM to the whole-table histogram, so the sketch
+    reaggregates across days/partitions without touching raw rows."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    edges = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    w = (F.col("hi") - F.col("lo")) / F.lit(128.0)
+    binc = F.least(
+        F.floor((F.col("value") - F.col("lo")) / w).cast("int"), F.lit(127)
+    )
+    binned = ev.crossJoin(F.broadcast(edges)).select(
+        "event_id", "event_type", binc.alias("bin")
+    )
+    whole = {
+        (r.event_type, r.bin): r.cnt
+        for r in binned.groupBy("event_type", "bin").agg(F.count("*").alias("cnt")).collect()
+    }
+    half_a = binned.where(F.col("event_id") % 2 == 0)
+    half_b = binned.where(F.col("event_id") % 2 == 1)
+    merged: dict = {}
+    for half in (half_a, half_b):
+        for r in half.groupBy("event_type", "bin").agg(F.count("*").alias("cnt")).collect():
+            merged[(r.event_type, r.bin)] = merged.get((r.event_type, r.bin), 0) + r.cnt
+    assert merged == whole
