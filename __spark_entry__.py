@@ -228,7 +228,6 @@ SWEEP_CHECKED = [
     "graph_pagerank_trade",
     "text_char_entropy",
     "text_lm_score",
-    "events_user_set_ops",
     "events_user_trend",
     "scd2_priority_intervals",
     "events_sketch_accuracy",
@@ -271,6 +270,9 @@ SWEEP_CHECKED = [
     # NEW r7: tokenizer APPLY — per-doc token counts under the trained
     # merge table (broadcast vocab join)
     "text_bpe_tokenize",
+    # NEW r7: triangle census + triadic closure over the minhash pair
+    # graph (ordered 3-join, integer closure coefficient)
+    "dedup_graph_stats",
     # The three r7 slots + eight never-checked + six q-row slots are
     # funded by demotions documented at the top of SWEEP_TAIL.
 ]
@@ -316,6 +318,11 @@ SWEEP_TAIL = [
     #    slot — 2 consecutive green rounds (r5+r6), pytest-covered, and
     #    the MERGE algebra stays checked via streaming_merge_apply
     "customer_merge_upsert",
+    #  * events_user_set_ops: demoted mid-r7 to fund the graph-stats
+    #    slot — 2 consecutive green rounds (r5+r6), pytest-covered;
+    #    INTERSECT/EXCEPT machinery re-proven by the checked
+    #    events_user_trend row's exact-integer set logic
+    "events_user_set_ops",
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",

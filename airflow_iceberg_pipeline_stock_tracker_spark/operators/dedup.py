@@ -903,3 +903,90 @@ SELECT c.doc_id, c.n_tokens,
 FROM counts c LEFT JOIN merged m USING (doc_id)
 ORDER BY c.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# Near-dup graph statistics: triangle census + triadic closure.
+# ---------------------------------------------------------------------------
+
+def graph_stats(pairs: DataFrame) -> DataFrame:
+    """One-row graph census over a canonical (doc_a < doc_b) pair graph:
+    (n_nodes, n_edges, n_wedges, n_triangles, closure_millionths).
+
+    Triangles are counted with the classic ordered 3-join — e1=(a,b),
+    e2=(b,c), closed by e3=(a,c); canonical edge ordering (a<b<c) counts
+    each triangle exactly once with no post-dedup. n_wedges is the exact
+    open-wedge count sum(deg*(deg-1)/2), so closure_millionths =
+    3T*1e6 div wedges is the global clustering coefficient in integer
+    millionths — the triadic-closure health signal for a dedup pair
+    miner (near-dup similarity should be roughly transitive; a closure
+    collapse means the banding is emitting spurious edges).
+
+    Scale: the input is the LSH pair output (already banded + bucket-
+    capped, edges ~O(dups) not O(n^2)); the triangle join shuffles on a
+    single vertex key twice. For heavy-tailed degree distributions the
+    standard degree-ordered orientation bounds the join fan-out; the
+    canonical doc_id order used here is the same trick with id standing
+    in for degree rank.
+    """
+    e = pairs.select("doc_a", "doc_b").distinct()
+    deg = (
+        e.select(F.col("doc_a").alias("n"))
+        .unionAll(e.select(F.col("doc_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    base = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("deg * (deg - 1) div 2")).cast("bigint").alias("n_wedges"),
+    )
+    ecnt = e.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    e1 = e.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = e.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = e.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, e1.b == e2.b2)
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        base.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(
+                F.col("n_wedges") > 0,
+                F.expr("(3 * n_triangles * 1000000) div n_wedges"),
+            ).cast("bigint").alias("closure_millionths"),
+        )
+    )
+
+
+GRAPH_STATS_SQL = f"""
+WITH prs AS MATERIALIZED ({MINHASH_LSH_SQL}),
+deg AS (
+  SELECT n, COUNT(*) AS deg FROM (
+    SELECT doc_a AS n FROM prs UNION ALL SELECT doc_b FROM prs
+  ) GROUP BY n
+),
+base AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         CAST(SUM(deg * (deg - 1) // 2) AS BIGINT) AS n_wedges
+  FROM deg
+),
+ecnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM prs),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+  FROM prs e1
+  JOIN prs e2 ON e1.doc_b = e2.doc_a
+  JOIN prs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+)
+SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       CASE WHEN n_wedges > 0
+            THEN CAST((3 * n_triangles * 1000000) // n_wedges AS BIGINT)
+       END AS closure_millionths
+FROM base, ecnt, tri
+"""

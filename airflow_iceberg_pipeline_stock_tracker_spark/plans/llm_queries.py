@@ -452,5 +452,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(bpe.bpe_tokenize),
         bpe.bpe_tokenize_oracle_sql(),
     ),
+    # triangle census over the memoized minhash pair graph (new r7):
+    # ordered 3-join triangle count + exact wedge count -> integer
+    # triadic-closure coefficient
+    "dedup_graph_stats": (
+        lambda spark, sf: dedup.graph_stats(_mined_pairs("minhash", spark, sf)),
+        dedup.GRAPH_STATS_SQL,
+    ),
     "multimodal_audio_chunks": (_media_audio_chunks, MEDIA_AUDIO_SQL),
 }

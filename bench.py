@@ -153,6 +153,7 @@ HEADLINE = [
     "text_bpe_train",
     "events_quantile_sketch",
     "text_bpe_tokenize",
+    "dedup_graph_stats",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -64,6 +64,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         "text_bpe_train",
         "events_quantile_sketch",
         "text_bpe_tokenize",
+        "dedup_graph_stats",
         # never-driver-checked tail rows getting their first real round
         "events_sketch_reagg",
         "events_json_props",

@@ -813,3 +813,27 @@ def test_bpe_tokenize_compression_invariants(spark, docs):
         assert r.n_words <= r.n_tokens <= r.n_symbols_before
     # 8 merges on this corpus must actually compress something
     assert any(r.n_tokens < r.n_symbols_before for r in rows)
+
+
+def test_graph_stats_counts_planted_triangle(spark):
+    """Planted graph: one triangle (1,2,3) + a pendant edge (3,4).
+    deg = [1:2, 2:2, 3:3, 4:1] -> wedges = 1+1+3+0 = 5, closure =
+    3*1*1e6 // 5 = 600000."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], ["doc_a", "doc_b"]
+    )
+    r = dedup.graph_stats(pairs).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 4, 5, 1)
+    assert r.closure_millionths == 600000
+
+
+def test_graph_stats_counts_each_triangle_once(spark):
+    """K4: C(4,3) = 4 triangles, each counted exactly once by the
+    ordered 3-join; wedges = 4 * C(3,2) = 12, closure = 1e6."""
+    import itertools
+
+    edges = list(itertools.combinations(range(1, 5), 2))
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    r = dedup.graph_stats(pairs).collect()[0]
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.closure_millionths == 1000000
