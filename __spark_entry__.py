@@ -228,7 +228,6 @@ SWEEP_CHECKED = [
     "graph_pagerank_trade",
     "text_char_entropy",
     "text_lm_score",
-    "events_user_trend",
     "scd2_priority_intervals",
     "events_sketch_accuracy",
     # ROTATED IN r7: the eight tail rows registered late-r5 under the
@@ -273,6 +272,9 @@ SWEEP_CHECKED = [
     # NEW r7: triangle census + triadic closure over the minhash pair
     # graph (ordered 3-join, integer closure coefficient)
     "dedup_graph_stats",
+    # NEW r7: exactly-once streaming sink through the CAS snapshot layer
+    # (tagged commits, replay no-op, batch parity in one hashed row)
+    "events_snapshot_sink_parity",
     # The three r7 slots + eight never-checked + six q-row slots are
     # funded by demotions documented at the top of SWEEP_TAIL.
 ]
@@ -318,11 +320,12 @@ SWEEP_TAIL = [
     #    slot — 2 consecutive green rounds (r5+r6), pytest-covered, and
     #    the MERGE algebra stays checked via streaming_merge_apply
     "customer_merge_upsert",
-    #  * events_user_set_ops: demoted mid-r7 to fund the graph-stats
-    #    slot — 2 consecutive green rounds (r5+r6), pytest-covered;
-    #    INTERSECT/EXCEPT machinery re-proven by the checked
-    #    events_user_trend row's exact-integer set logic
+    #  * events_user_set_ops / events_user_trend: demoted mid-r7 to fund
+    #    the graph-stats + snapshot-sink slots — 2 consecutive green
+    #    rounds (r5+r6) each, pytest-covered; the exact-integer-moment
+    #    machinery stays checked via events_hourly_corr
     "events_user_set_ops",
+    "events_user_trend",
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",

@@ -506,6 +506,60 @@ SELECT CAST(0 AS BIGINT) AS n_only_batch,
 """
 
 
+
+
+def events_snapshot_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once THROUGH the snapshot layer: drain the events file
+    stream into a snapshot table via tagged CAS commits
+    (streaming/snapshot_sink.py), then prove three things in one hashed
+    row: (1) the snapshot-read table aggregates identically to the batch
+    table (n_only_* = 0); (2) at least one commit landed; (3) replaying
+    an already-committed batch tag adds NO new snapshot (the idempotent
+    exactly-once contract, exercised by literally re-delivering tag
+    batch-0)."""
+    import tempfile as _tf
+
+    from ..sources import snapshots
+    from ..streaming.snapshot_sink import drain_to_snapshots, snapshot_append_sink
+
+    table_dir = _tf.mkdtemp(prefix="graft_snapsink_")
+    drain_to_snapshots(_events_stream(spark, sf_dir), table_dir)
+    n_commits = len(snapshots.history(table_dir))
+    # simulate sink re-delivery of the first micro-batch: same tag, any
+    # payload — the tagged CAS loop must make it a no-op
+    replay_df = load_table(spark, sf_dir, "events").limit(5)
+    snapshot_append_sink(table_dir)(replay_df, 0)
+    replay_added = len(snapshots.history(table_dir)) != n_commits
+
+    snap_read = snapshots.read(spark, table_dir)
+    batch = windows.hourly_tumbling(load_table(spark, sf_dir, "events"))
+    streamed = windows.hourly_tumbling(snap_read)
+    return spark.createDataFrame(
+        [
+            (
+                batch.exceptAll(streamed).count(),
+                streamed.exceptAll(batch).count(),
+                batch.count(),
+                bool(n_commits >= 1),
+                bool(replay_added),
+            )
+        ],
+        "n_only_batch bigint, n_only_stream bigint, n_rows bigint, "
+        "committed boolean, replay_added_commit boolean",
+    )
+
+
+SNAPSHOT_SINK_PARITY_SQL = """
+SELECT CAST(0 AS BIGINT) AS n_only_batch,
+       CAST(0 AS BIGINT) AS n_only_stream,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT date_trunc('hour', ts), event_type FROM events
+       )) AS n_rows,
+       TRUE AS committed,
+       FALSE AS replay_added_commit
+"""
+
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_hourly_tumbling": (streaming_hourly_tumbling, STREAMING_HOURLY_SQL),
     "streaming_sliding_value": (streaming_sliding, STREAMING_SLIDING_SQL),
@@ -525,4 +579,10 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_merge_apply": (streaming_merge_apply, MERGE_APPLY_SQL),
     "pipeline_micro_batch_parity": (pipeline_micro_batch_parity, PIPELINE_PARITY_SQL),
     "events_micro_batch_parity": (events_micro_batch_parity, EVENTS_PARITY_SQL),
+    # exactly-once through the CAS snapshot layer (new r7): tagged
+    # commits + replay no-op + batch parity in one hashed row
+    "events_snapshot_sink_parity": (
+        events_snapshot_sink_parity,
+        SNAPSHOT_SINK_PARITY_SQL,
+    ),
 }

@@ -108,13 +108,24 @@ def _publish_manifest(table_dir: str, manifest: dict) -> bool:
 
 
 def commit(
-    df: DataFrame, table_dir: str, mode: str = "append", max_retries: int = 16
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    max_retries: int = 16,
+    tag: str | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     mode="append"   : new snapshot = previous directories + the new one.
     mode="overwrite": new snapshot = the new directory only (REPLACE
                       semantics; history still reaches the old data).
+
+    ``tag`` makes the commit IDEMPOTENT per tag: if any snapshot in the
+    manifest already carries it, the commit is a no-op returning that
+    snapshot's id. This is the exactly-once contract a replayed
+    streaming micro-batch needs (tag = the batch id): re-delivery after
+    a sink crash cannot double-append, because the tag check happens
+    inside the same CAS loop that publishes the manifest.
 
     The data write happens entirely BEFORE the manifest publish — a
     crash anywhere in between leaves the table at the previous snapshot
@@ -126,21 +137,38 @@ def commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
     os.makedirs(table_dir, exist_ok=True)
+
+    def _tagged(man: dict) -> int | None:
+        if tag is None:
+            return None
+        for s in man["snapshots"]:
+            if s.get("tag") == tag:
+                return s["id"]
+        return None
+
+    already = _tagged(_load_manifest(table_dir))
+    if already is not None:  # replay detected before any work
+        return already
     # unique data directory: a crashed or racing writer can never block
     # or be clobbered by another commit's data files
     snap_dir = f"snap-{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap_dir))
     for attempt in range(max_retries):
         man = _load_manifest(table_dir)
+        already = _tagged(man)
+        if already is not None:  # a racing replay won the CAS first
+            return already
         snap_id = man["current"] + 1
         prev_dirs: list[str] = []
         if mode == "append" and man["snapshots"]:
             prev_dirs = man["snapshots"][-1]["dirs"]
+        entry = {"id": snap_id, "dirs": prev_dirs + [snap_dir]}
+        if tag is not None:
+            entry["tag"] = tag
         new_man = {
             "seq": man["seq"] + 1,
             "current": snap_id,
-            "snapshots": man["snapshots"]
-            + [{"id": snap_id, "dirs": prev_dirs + [snap_dir]}],
+            "snapshots": man["snapshots"] + [entry],
         }
         if _publish_manifest(table_dir, new_man):
             return snap_id

@@ -154,6 +154,7 @@ HEADLINE = [
     "events_quantile_sketch",
     "text_bpe_tokenize",
     "dedup_graph_stats",
+    "events_snapshot_sink_parity",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -171,6 +172,8 @@ PROOF_TIER = frozenset(
         "pipeline_schema_evolution",
         # two snapshot commits + two manifest-resolved reads; same class
         "prices_snapshot_time_travel",
+        # stream drain through tagged snapshot commits + parity diff
+        "events_snapshot_sink_parity",
     }
 )
 
@@ -189,6 +192,8 @@ RUN_ONCE = frozenset(
         "pipeline_schema_evolution",
         # snapshot lifecycle demo; same class
         "prices_snapshot_time_travel",
+        # full stream drain + parity diff; one measured pass
+        "events_snapshot_sink_parity",
     }
 )
 

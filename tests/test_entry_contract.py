@@ -65,6 +65,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         "events_quantile_sketch",
         "text_bpe_tokenize",
         "dedup_graph_stats",
+        "events_snapshot_sink_parity",
         # never-driver-checked tail rows getting their first real round
         "events_sketch_reagg",
         "events_json_props",

@@ -148,3 +148,38 @@ def test_many_concurrent_writers_all_land(spark, tdir):
         t.join()
     assert sorted(ids) == list(range(1, n + 1))
     assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == list(range(n))
+
+
+def test_tagged_commit_is_idempotent(spark, tdir):
+    v1 = snapshots.commit(_df(spark, [1]), tdir, mode="append", tag="batch-0")
+    # replay with the same tag: no new snapshot, same id back, data once
+    v_replay = snapshots.commit(
+        _df(spark, [99]), tdir, mode="append", tag="batch-0"
+    )
+    assert v_replay == v1
+    assert snapshots.history(tdir) == [1]
+    assert [r.x for r in snapshots.read(spark, tdir).collect()] == [1]
+    # a different tag commits normally
+    v2 = snapshots.commit(_df(spark, [2]), tdir, mode="append", tag="batch-1")
+    assert v2 == 2 and snapshots.history(tdir) == [1, 2]
+
+
+def test_snapshot_sink_drains_and_survives_replay(spark, tmp_path, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming.snapshot_sink import (
+        drain_to_snapshots,
+        snapshot_append_sink,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = str(tmp_path / "src")
+    ev.write.parquet(src)
+    table_dir = str(tmp_path / "snaptbl")
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    drain_to_snapshots(stream, table_dir)
+    assert snapshots.read(spark, table_dir).count() == ev.count()
+    n = len(snapshots.history(table_dir))
+    assert n >= 1
+    # re-deliver batch 0: exactly-once means nothing changes
+    snapshot_append_sink(table_dir)(ev.limit(3), 0)
+    assert len(snapshots.history(table_dir)) == n
+    assert snapshots.read(spark, table_dir).count() == ev.count()
