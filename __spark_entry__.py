@@ -228,7 +228,6 @@ SWEEP_CHECKED = [
     "graph_pagerank_trade",
     "text_char_entropy",
     "text_lm_score",
-    "scd2_priority_intervals",
     "events_sketch_accuracy",
     # ROTATED IN r7: the eight tail rows registered late-r5 under the
     # documented exception that had NEVER had a driver-checked round
@@ -275,6 +274,9 @@ SWEEP_CHECKED = [
     # NEW r7: exactly-once streaming sink through the CAS snapshot layer
     # (tagged commits, replay no-op, batch parity in one hashed row)
     "events_snapshot_sink_parity",
+    # NEW r7: DSIR importance weighting (target-vs-corpus bigram LM
+    # log-likelihood ratio, add-one smoothed)
+    "curation_importance_weights",
     # The three r7 slots + eight never-checked + six q-row slots are
     # funded by demotions documented at the top of SWEEP_TAIL.
 ]
@@ -326,6 +328,10 @@ SWEEP_TAIL = [
     #    machinery stays checked via events_hourly_corr
     "events_user_set_ops",
     "events_user_trend",
+    #  * scd2_priority_intervals: demoted mid-r7 to fund the importance-
+    #    weights slot — 2 consecutive green rounds (r5+r6), pytest-
+    #    covered interval logic
+    "scd2_priority_intervals",
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",

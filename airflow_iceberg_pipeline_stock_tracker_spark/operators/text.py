@@ -838,3 +838,140 @@ WITH base AS (
 SELECT rank, doc_id, n_terms_matched, score_millibits
 FROM ranked WHERE rank <= {k} ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023: Data Selection via
+# Importance Resampling): w(doc) = log p_target(doc) - log p_raw(doc)
+# under two smoothed bigram models — raw trained on the whole corpus,
+# target on the high-quality slice (here: the target language's docs).
+# Documents the target model likes more than the raw model get positive
+# weights; importance resampling then upsamples them.
+# ---------------------------------------------------------------------------
+
+
+def importance_weights(docs: DataFrame, target_lang: str = "en") -> DataFrame:
+    """(doc_id, n_bigrams, importance_millibits): mean per-bigram
+    log-likelihood ratio between the target-slice LM and the full-corpus
+    LM, add-one smoothed (a scored bigram can be absent from the target
+    corpus, so both models use ``log2(c+1) - log2(ctx + V)`` with V the
+    model's distinct-bigram count — defined everywhere, and the shift
+    cancels in the ratio's ranking).
+
+    Plan: ONE tokenize+explode of the corpus feeds both models (the
+    target slice is a filter of it); each model is two count
+    aggregations; scoring is left joins + a broadcast 1-row V scalar;
+    the per-doc sum folds in pinned (bigram, value) order and quantizes
+    to millibits — the lm_score contract.
+    """
+    toks = tokens(F.lower(F.col("text")))
+    n = F.size("t")
+    base = docs.select("doc_id", "lang", toks.alias("t"))
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(F.col("t"), 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    ex = base.select("doc_id", "lang", F.explode(bigrams).alias("b"))
+    ex_t = ex.where(F.col("lang") == target_lang)
+
+    cbg_r = ex.groupBy("b").agg(F.count(F.lit(1)).alias("cb_r"))
+    cw_r = (
+        ex.select(F.substring_index("b", " ", 1).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw_r"))
+    )
+    cbg_t = ex_t.groupBy("b").agg(F.count(F.lit(1)).alias("cb_t"))
+    cw_t = (
+        ex_t.select(F.substring_index("b", " ", 1).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cw_t"))
+    )
+    vs = cbg_r.agg(F.count(F.lit(1)).alias("v_r")).crossJoin(
+        cbg_t.agg(F.count(F.lit(1)).alias("v_t"))
+    )
+
+    w_key = F.substring_index(F.col("b"), " ", 1)
+    scored = (
+        ex.select("doc_id", "b")
+        .join(cbg_r, "b")
+        .join(cw_r, w_key == cw_r.w)
+        .drop("w")
+        .join(cbg_t, "b", "left")
+        .join(cw_t, w_key == cw_t.w, "left")
+        .crossJoin(F.broadcast(vs))
+    )
+    lp_r = F.log2(F.col("cb_r") + F.lit(1.0)) - F.log2(
+        F.col("cw_r") + F.col("v_r").cast("double")
+    )
+    lp_t = F.log2(F.coalesce(F.col("cb_t"), F.lit(0)) + F.lit(1.0)) - F.log2(
+        F.coalesce(F.col("cw_t"), F.lit(0)) + F.col("v_t").cast("double")
+    )
+    diffs = scored.select("doc_id", "b", (lp_t - lp_r).alias("d"))
+    agg = diffs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sort_array(F.collect_list(F.struct("b", "d"))).alias("terms"),
+    )
+    total = F.aggregate(F.col("terms"), F.lit(0.0), lambda acc, x: acc + x["d"])
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.round(total / F.col("n_bigrams") * 1000, 0)
+            .cast("bigint")
+            .alias("importance_millibits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+IMPORTANCE_SQL = """
+WITH toked AS (
+  SELECT doc_id, lang, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents
+),
+ex AS (
+  SELECT doc_id, lang, unnest(list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i + 1])) AS b
+  FROM toked
+),
+cbg_r AS (SELECT b, COUNT(*) AS cb_r FROM ex GROUP BY b),
+cw_r AS (
+  SELECT split_part(b, ' ', 1) AS w, COUNT(*) AS cw_r FROM ex GROUP BY 1
+),
+cbg_t AS (SELECT b, COUNT(*) AS cb_t FROM ex WHERE lang = 'en' GROUP BY b),
+cw_t AS (
+  SELECT split_part(b, ' ', 1) AS w, COUNT(*) AS cw_t
+  FROM ex WHERE lang = 'en' GROUP BY 1
+),
+vs AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM cbg_r) AS v_r,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM cbg_t) AS v_t
+),
+scored AS (
+  SELECT e.doc_id, e.b,
+         (log2(COALESCE(t.cb_t, 0) + 1.0)
+            - log2(COALESCE(wt.cw_t, 0) + CAST(v_t AS DOUBLE)))
+         - (log2(r.cb_r + 1.0)
+            - log2(wr.cw_r + CAST(v_r AS DOUBLE))) AS d
+  FROM ex e
+  JOIN cbg_r r USING (b)
+  JOIN cw_r wr ON split_part(e.b, ' ', 1) = wr.w
+  LEFT JOIN cbg_t t USING (b)
+  LEFT JOIN cw_t wt ON split_part(e.b, ' ', 1) = wt.w
+  CROSS JOIN vs
+),
+agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         list_aggregate(list(d ORDER BY b, d), 'sum') AS total
+  FROM scored GROUP BY doc_id
+)
+SELECT t.doc_id,
+       COALESCE(a.n_bigrams, 0) AS n_bigrams,
+       CAST(ROUND(a.total / a.n_bigrams * 1000) AS BIGINT)
+         AS importance_millibits
+FROM toked t LEFT JOIN agg a ON t.doc_id = a.doc_id
+ORDER BY t.doc_id
+"""

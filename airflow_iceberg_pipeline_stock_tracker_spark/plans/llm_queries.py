@@ -459,5 +459,11 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         lambda spark, sf: dedup.graph_stats(_mined_pairs("minhash", spark, sf)),
         dedup.GRAPH_STATS_SQL,
     ),
+    # DSIR importance weighting (new r7): log-likelihood ratio between a
+    # target-slice bigram LM and the full-corpus LM, add-one smoothed
+    "curation_importance_weights": (
+        _docs(text.importance_weights),
+        text.IMPORTANCE_SQL,
+    ),
     "multimodal_audio_chunks": (_media_audio_chunks, MEDIA_AUDIO_SQL),
 }

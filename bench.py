@@ -155,6 +155,7 @@ HEADLINE = [
     "text_bpe_tokenize",
     "dedup_graph_stats",
     "events_snapshot_sink_parity",
+    "curation_importance_weights",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -66,6 +66,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         "text_bpe_tokenize",
         "dedup_graph_stats",
         "events_snapshot_sink_parity",
+        "curation_importance_weights",
         # never-driver-checked tail rows getting their first real round
         "events_sketch_reagg",
         "events_json_props",

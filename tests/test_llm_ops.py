@@ -837,3 +837,18 @@ def test_graph_stats_counts_each_triangle_once(spark):
     r = dedup.graph_stats(pairs).collect()[0]
     assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
     assert r.closure_millionths == 1000000
+
+
+def test_importance_weights_favor_target_distribution(spark, sf_dir):
+    """DSIR sanity on the real fixtures: the mean importance of target-
+    language (en) docs must exceed the mean of non-en docs — the whole
+    point of the likelihood-ratio weight."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = {r.doc_id: r.importance_millibits
+         for r in text.importance_weights(docs).collect()
+         if r.importance_millibits is not None}
+    langs = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    en = [v for k, v in w.items() if langs[k] == "en"]
+    other = [v for k, v in w.items() if langs[k] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)

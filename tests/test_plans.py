@@ -85,6 +85,8 @@ _BROADCAST_NLJ_ALLOWED = frozenset(
         "similarity_cosine_topk",  # broadcast query set (exact baseline)
         "similarity_ivf_topk",  # broadcast centroids + nprobe cells
         "text_bm25_search",  # broadcast 1-row corpus scalars (N, sum dl)
+        "dedup_graph_stats",  # broadcast 1-row census scalars
+        "curation_importance_weights",  # broadcast 1-row V scalars
     }
 )
 
@@ -547,3 +549,20 @@ def test_quantile_histogram_is_mergeable(spark, sf_dir):
         for r in half.groupBy("event_type", "bin").agg(F.count("*").alias("cnt")).collect():
             merged[(r.event_type, r.bin)] = merged.get((r.event_type, r.bin), 0) + r.cnt
     assert merged == whole
+
+
+def test_bm25_topk_is_take_ordered(spark, sf_dir):
+    """BM25's top-k must be TakeOrderedAndProject (distributed partial
+    top-k), never an unpartitioned global rank window over all matched
+    docs."""
+    plan = _llm_plan(spark, sf_dir, "text_bm25_search")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bpe_tokenize_vocab_join_broadcasts(spark, sf_dir):
+    """The word->token-count map is vocabulary-bounded and must
+    broadcast into the corpus scan — a shuffle join here would move the
+    whole corpus by word at 100 TB."""
+    plan = _llm_plan(spark, sf_dir, "text_bpe_tokenize")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
