@@ -220,6 +220,12 @@ SCALE_TREND = {
     "events_sessionize": "events",
     "events_transitions": "events",
     "events_heavy_hitters": "events",
+    "events_ewma": "events",
+    # LLM tier: documents replicas keep the same closed vocabulary, so
+    # LM training tables stay vocab-bounded while scoring input grows
+    # 10x — exactly the at-scale shape claim these ops make
+    "text_bm25_search": "documents",
+    "text_lm_score": "documents",
 }
 SCALE_FACTOR = 10
 
@@ -249,10 +255,11 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
     if os.path.exists(done_marker):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
+    replicated = ("events.parquet", "lineitem.parquet", "documents.parquet")
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)
         link = os.path.join(out_dir, name)
-        if name not in ("events.parquet", "lineitem.parquet"):
+        if name not in replicated:
             if not os.path.exists(link):
                 os.symlink(p, link)
     reps = spark.range(SCALE_FACTOR).withColumnRenamed("id", "rep")
@@ -273,6 +280,14 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "lineitem.parquet"))
     )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10**9))
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "documents.parquet"))
+    )
     with open(done_marker, "w") as f:
         f.write(f"replicas={SCALE_FACTOR}\n")
     return out_dir
@@ -284,7 +299,7 @@ def _scale_trend(spark, sf_dir: str, queries, base_timings: dict) -> dict:
 
     big_dir = _build_scale_dir(spark, sf_dir)
     fact_rows = {}
-    for tbl in ("events", "lineitem"):
+    for tbl in sorted(set(SCALE_TREND.values())):
         import pyarrow.parquet as pq
 
         fact_rows[(tbl, "1x")] = pq.ParquetFile(
