@@ -748,6 +748,12 @@ def bm25_search(
         .where(F.col("term").isin(terms_list))
         .groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        # materialize the postings once: both the scoring branch and the
+        # df aggregation consume tf, and without this cut Catalyst plans
+        # TWO full corpus scans (measured 3.2x trend ratio at 10x input
+        # vs ~1x after). The postings table is O(matched docs x |query|)
+        # — tiny next to the corpus it summarizes.
+        .localCheckpoint(eager=True)
     )
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     j = tf.join(F.broadcast(df_rel), "term").crossJoin(F.broadcast(scalars))
