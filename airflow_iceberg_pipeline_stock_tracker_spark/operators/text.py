@@ -741,18 +741,36 @@ def bm25_search(
     scalars = base.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
     )
+    # Per-row tf via JVM higher-order filter/size — O(tokens x |query|)
+    # comparisons inside one codegen projection. The naive alternative
+    # (explode every token, then filter to the query terms, then a
+    # (doc, term) groupBy) materializes and shuffles the ENTIRE token
+    # stream to count 3 terms — measured 3.1x wall growth at 10x input
+    # vs ~1.3x for this shape. The explode below fans out at most
+    # |query| matched entries per doc, never the token stream.
+    term_tfs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("term"),
+                F.size(
+                    F.filter(F.col("toks"), lambda x: x == F.lit(t))
+                ).cast("double").alias("tf"),
+            )
+            for t in terms_list
+        ]
+    )
     tf = (
         base.select(
-            "doc_id", "dl", F.explode("toks").alias("term")
+            "doc_id",
+            "dl",
+            F.explode(
+                F.filter(term_tfs, lambda s: s["tf"] > 0)
+            ).alias("p"),
         )
-        .where(F.col("term").isin(terms_list))
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
         # materialize the postings once: both the scoring branch and the
-        # df aggregation consume tf, and without this cut Catalyst plans
-        # TWO full corpus scans (measured 3.2x trend ratio at 10x input
-        # vs ~1x after). The postings table is O(matched docs x |query|)
-        # — tiny next to the corpus it summarizes.
+        # df aggregation consume tf; without the cut Catalyst would run
+        # the corpus projection twice. O(matched docs x |query|) rows.
         .localCheckpoint(eager=True)
     )
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
