@@ -248,7 +248,6 @@ SWEEP_CHECKED = [
     "events_cube",
     "dedup_repeated_spans",
     "similarity_ivfpq_topk",
-    "similarity_semantic_dedup",
     "text_chunk_documents",
     "layout_bucketed_join",
     # NEW r7 (first round checked per policy): REAL image decode (PPM
@@ -277,6 +276,9 @@ SWEEP_CHECKED = [
     # NEW r7: DSIR importance weighting (target-vs-corpus bigram LM
     # log-likelihood ratio, add-one smoothed)
     "curation_importance_weights",
+    # NEW r7: MMR diversified reranking (per-query greedy inside
+    # applyInPandas; oracle unrolls the k greedy steps)
+    "similarity_mmr_rerank",
     # The three r7 slots + eight never-checked + six q-row slots are
     # funded by demotions documented at the top of SWEEP_TAIL.
 ]
@@ -332,6 +334,10 @@ SWEEP_TAIL = [
     #    weights slot — 2 consecutive green rounds (r5+r6), pytest-
     #    covered interval logic
     "scd2_priority_intervals",
+    #  * similarity_semantic_dedup: demoted mid-r7 to fund the MMR slot
+    #    — 2 consecutive green rounds (r5+r6); the family keeps ivfpq +
+    #    mmr checked and the k-means/cell machinery is pytest-covered
+    "similarity_semantic_dedup",
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",

@@ -964,3 +964,204 @@ ORDER BY src, rk
 
 
 KNN_GRAPH_SQL = knn_graph_sql()
+
+
+# ---------------------------------------------------------------------------
+# MMR diversified reranking (Carbonell & Goldstein 1998: Maximal Marginal
+# Relevance) — the standard retrieval post-step that trades raw
+# relevance for diversity, and for training-data pipelines the way a
+# retrieved context set is de-duplicated before packing.
+# ---------------------------------------------------------------------------
+
+MMR_LAMBDA = 0.5  # exactly representable: lam and (1-lam) scale exactly
+MMR_QUERIES = 3
+MMR_CANDS = 20
+MMR_K = 8
+
+
+def mmr_rerank(
+    emb_raw: DataFrame,
+    n_queries: int = MMR_QUERIES,
+    n_cands: int = MMR_CANDS,
+    k: int = MMR_K,
+) -> DataFrame:
+    """(query_id, mmr_rank, vec_id, relevance, mmr_score): greedily
+    select ``k`` of each query's top-``n_cands`` cosine candidates,
+    maximizing ``lam*rel - (1-lam)*max_sim_to_selected`` each step.
+
+    Scale shape: candidate mining is the exact cosine top-k (broadcast
+    queries, WindowGroupLimit); the pairwise candidate-candidate sims
+    are an O(n_cands^2)-per-query self-join computed JVM-side; the
+    inherently-sequential greedy runs per query group inside an
+    Arrow-batched ``applyInPandas`` — queries parallelize across the
+    cluster, and each group's work is a bounded n_cands x n_cands
+    matrix, never a driver loop.
+
+    Determinism: cosines use the pinned sequential fold (bit-identical
+    to DuckDB's list_dot_product — the contract the cosine rows have
+    hash-proven since r2); lam = 0.5 scales exactly; the greedy's
+    comparisons and maxes select among identical doubles with ties
+    broken on vec_id, so both engines pick identical chains. The oracle
+    unrolls the same k greedy steps as MATERIALIZED CTEs.
+    """
+    import pandas as pd
+
+    emb = with_norm(emb_raw)
+    queries = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cands_all = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    rel = _dot(_as_double(F.col("q_emb")), _as_double(F.col("c_emb"))) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.col("cand_id"))
+    cand = (
+        F.broadcast(queries)
+        .crossJoin(cands_all)
+        .where(F.col("query_id") != F.col("cand_id"))
+        .withColumn("rel", rel)
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= n_cands)
+        .select("query_id", "cand_id", "rel", "c_emb", "c_norm")
+    )
+    a = cand.select(
+        "query_id",
+        F.col("cand_id").alias("a"),
+        F.col("rel").alias("rel_a"),
+        F.col("c_emb").alias("emb_a"),
+        F.col("c_norm").alias("norm_a"),
+    )
+    b = cand.select(
+        "query_id",
+        F.col("cand_id").alias("b"),
+        F.col("c_emb").alias("emb_b"),
+        F.col("c_norm").alias("norm_b"),
+    )
+    sim = _dot(_as_double(F.col("emb_a")), _as_double(F.col("emb_b"))) / (
+        F.col("norm_a") * F.col("norm_b")
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .select("query_id", "a", "b", "rel_a", sim.alias("sim"))
+    )
+
+    lam = MMR_LAMBDA
+
+    def greedy(pdf: pd.DataFrame):
+        qid = int(pdf["query_id"].iloc[0])
+        rel_map: dict[int, float] = {}
+        sim_map: dict[tuple[int, int], float] = {}
+        for row in pdf.itertuples(index=False):
+            rel_map[int(row.a)] = float(row.rel_a)
+            sim_map[(int(row.a), int(row.b))] = float(row.sim)
+        ids = sorted(rel_map)
+        chosen: list[int] = []
+        out = []
+        for rank in range(1, min(k, len(ids)) + 1):
+            best_id, best_score = None, None
+            for c in ids:  # ascending id order = deterministic tie-break
+                if c in chosen:
+                    continue
+                penal = max((sim_map[(c, s)] for s in chosen), default=0.0)
+                score = lam * rel_map[c] - (1.0 - lam) * penal
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            chosen.append(best_id)
+            out.append((qid, rank, best_id, rel_map[best_id], best_score))
+        return pd.DataFrame(
+            out,
+            columns=["query_id", "mmr_rank", "vec_id", "relevance", "mmr_score"],
+        )
+
+    return (
+        pairs.groupBy("query_id")
+        .applyInPandas(
+            greedy,
+            schema="query_id long, mmr_rank int, vec_id long, "
+            "relevance double, mmr_score double",
+        )
+        .orderBy("query_id", "mmr_rank")
+    )
+
+
+def mmr_oracle_sql(
+    n_queries: int = MMR_QUERIES, n_cands: int = MMR_CANDS, k: int = MMR_K
+) -> str:
+    """DuckDB twin: same candidate mining, then the k greedy steps
+    unrolled (per-query argmax via ROW_NUMBER = 1 each step)."""
+    lam = MMR_LAMBDA
+    ctes = [
+        f"""normed AS MATERIALIZED (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+), cand AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+           list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (q.norm * c.norm) AS rel,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.embedding::DOUBLE[],
+                                       c.embedding::DOUBLE[])
+                      / (q.norm * c.norm) DESC, c.vec_id) AS rk
+    FROM normed q JOIN normed c
+      ON q.vec_id < {n_queries} AND q.vec_id != c.vec_id
+  ) WHERE rk <= {n_cands}
+), sims AS MATERIALIZED (
+  SELECT x.query_id, x.cand_id AS a, y.cand_id AS b,
+         list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+           / (ea.norm * eb.norm) AS sim
+  FROM cand x
+  JOIN cand y ON x.query_id = y.query_id
+  JOIN normed ea ON ea.vec_id = x.cand_id
+  JOIN normed eb ON eb.vec_id = y.cand_id
+), sel0 AS MATERIALIZED (
+  SELECT query_id, CAST(NULL AS BIGINT) AS vec_id,
+         CAST(NULL AS INTEGER) AS mmr_rank,
+         CAST(NULL AS DOUBLE) AS relevance, CAST(NULL AS DOUBLE) AS mmr_score
+  FROM cand WHERE FALSE
+)"""
+    ]
+    for r in range(1, k + 1):
+        ctes.append(f"""scored{r} AS MATERIALIZED (
+  SELECT c.query_id, c.cand_id, c.rel,
+         {lam!r} * c.rel - {1.0 - lam!r} * COALESCE((
+           SELECT MAX(s.sim) FROM sims s
+           JOIN sel{r - 1} p ON p.query_id = s.query_id AND p.vec_id = s.b
+           WHERE s.query_id = c.query_id AND s.a = c.cand_id
+         ), 0.0) AS score
+  FROM cand c
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sel{r - 1} p
+    WHERE p.query_id = c.query_id AND p.vec_id = c.cand_id
+  )
+), pick{r} AS MATERIALIZED (
+  SELECT query_id, cand_id AS vec_id, {r} AS mmr_rank, rel AS relevance,
+         score AS mmr_score
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, cand_id) AS rn
+    FROM scored{r}
+  ) WHERE rn = 1
+), sel{r} AS MATERIALIZED (
+  SELECT query_id, vec_id, mmr_rank, relevance, mmr_score FROM sel{r - 1}
+  UNION ALL
+  SELECT query_id, vec_id, mmr_rank, relevance, mmr_score FROM pick{r}
+)""")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id, CAST(mmr_rank AS INTEGER) AS mmr_rank, vec_id,
+       relevance, mmr_score
+FROM sel{k}
+ORDER BY query_id, mmr_rank
+"""
+    )

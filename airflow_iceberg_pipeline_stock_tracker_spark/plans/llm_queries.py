@@ -465,5 +465,14 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(text.importance_weights),
         text.IMPORTANCE_SQL,
     ),
+    # MMR diversified reranking (new r7): cosine top-20 candidates ->
+    # per-query greedy selection inside applyInPandas; oracle unrolls
+    # the same k greedy steps
+    "similarity_mmr_rerank": (
+        lambda spark, sf: similarity.mmr_rerank(
+            load_table(spark, sf, "embeddings")
+        ),
+        similarity.mmr_oracle_sql(),
+    ),
     "multimodal_audio_chunks": (_media_audio_chunks, MEDIA_AUDIO_SQL),
 }

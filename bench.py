@@ -156,6 +156,7 @@ HEADLINE = [
     "dedup_graph_stats",
     "events_snapshot_sink_parity",
     "curation_importance_weights",
+    "similarity_mmr_rerank",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -852,3 +852,29 @@ def test_importance_weights_favor_target_distribution(spark, sf_dir):
     other = [v for k, v in w.items() if langs[k] != "en"]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """Planted geometry: candidates A and B are near-duplicates with the
+    highest relevance; C is distinct with slightly lower relevance. Pure
+    relevance ranks A, B; MMR must rank A then C (B's redundancy penalty
+    sinks it)."""
+    import math
+
+    q = [1.0, 0.0, 0.0, 0.0]
+    a = [0.99, 0.14, 0.0, 0.0]          # rel ~0.990
+    b = [0.99, 0.141, 0.001, 0.0]       # near-dup of a, rel ~0.990
+    c = [0.7, 0.0, 0.71, 0.0]           # diverse, rel ~0.70
+    rows = [(0, q, 0), (10, a, 0), (11, b, 0), (12, c, 0)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"]).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    out = similarity.mmr_rerank(emb, n_queries=1, n_cands=3, k=3).collect()
+    order = [r.vec_id for r in sorted(out, key=lambda r: r.mmr_rank)]
+    assert order[0] == 10          # best relevance first
+    assert order[1] == 12          # diversity beats the near-duplicate
+    assert order[2] == 11
+    # scores are non-increasing never guaranteed for MMR, but rank-1
+    # score must be lam*rel and all rows carry real relevance
+    r1 = next(r for r in out if r.mmr_rank == 1)
+    assert math.isclose(r1.mmr_score, 0.5 * r1.relevance, rel_tol=1e-12)

@@ -87,6 +87,7 @@ _BROADCAST_NLJ_ALLOWED = frozenset(
         "text_bm25_search",  # broadcast 1-row corpus scalars (N, sum dl)
         "dedup_graph_stats",  # broadcast 1-row census scalars
         "curation_importance_weights",  # broadcast 1-row V scalars
+        "similarity_mmr_rerank",  # broadcast n_queries-row probe set
     }
 )
 
