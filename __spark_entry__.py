@@ -246,7 +246,6 @@ SWEEP_CHECKED = [
     "events_time_range_window",
     "events_rolling_distinct",
     "events_cube",
-    "dedup_repeated_spans",
     "similarity_ivfpq_topk",
     "text_chunk_documents",
     "layout_bucketed_join",
@@ -279,6 +278,9 @@ SWEEP_CHECKED = [
     # NEW r7: MMR diversified reranking (per-query greedy inside
     # applyInPandas; oracle unrolls the k greedy steps)
     "similarity_mmr_rerank",
+    # NEW r7: contrastive hard-negative mining (cross-label top-k +
+    # margin vs best positive)
+    "similarity_hard_negatives",
     # The three r7 slots + eight never-checked + six q-row slots are
     # funded by demotions documented at the top of SWEEP_TAIL.
 ]
@@ -338,6 +340,11 @@ SWEEP_TAIL = [
     #    — 2 consecutive green rounds (r5+r6); the family keeps ivfpq +
     #    mmr checked and the k-means/cell machinery is pytest-covered
     "similarity_semantic_dedup",
+    #  * dedup_repeated_spans: demoted mid-r7 to fund the hard-negatives
+    #    slot — 2 green driver rounds (r5 checked-green, r6 checked-
+    #    green), property-pytest-covered span semantics; the dedup
+    #    family keeps graph_stats checked
+    "dedup_repeated_spans",
     "events_ohlc_bars",  # recomputed inside the checked ohlc_daily proof
     "text_corpus_stats",
     "curation_source_overlap",

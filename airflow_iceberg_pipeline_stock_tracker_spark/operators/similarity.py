@@ -1165,3 +1165,114 @@ FROM sel{k}
 ORDER BY query_id, mmr_rank
 """
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — contrastive-training data prep: for each anchor,
+# the most similar vectors with a DIFFERENT label are the hard negatives
+# (the pairs that actually move an embedding model), plus the in-label
+# positive ceiling for margin bookkeeping.
+# ---------------------------------------------------------------------------
+
+HARDNEG_QUERIES = 5
+HARDNEG_K = 5
+
+
+def hard_negatives(
+    emb_raw: DataFrame,
+    n_queries: int = HARDNEG_QUERIES,
+    k: int = HARDNEG_K,
+) -> DataFrame:
+    """(anchor_id, anchor_label, rank, negative_id, negative_label,
+    cosine, margin_to_best_positive): per anchor, the top-k most similar
+    cross-label vectors, with the margin against the anchor's best
+    same-label neighbor (negative cosine minus best-positive cosine —
+    a hard negative has margin near or above 0).
+
+    Plan: one broadcast of the anchor set against the corpus computes
+    every (anchor, candidate) cosine once; a label-mismatch filter +
+    WindowGroupLimit keeps k negatives, a same-label max supplies the
+    positive ceiling, and the margin is a broadcast join of the two tiny
+    results. Scale: identical shape to the exact cosine top-k — the
+    corpus streams once, nothing quadratic materializes.
+    """
+    emb = with_norm(emb_raw)
+    anchors = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cands = emb.select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("cand_label"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = _dot(_as_double(F.col("q_emb")), _as_double(F.col("c_emb"))) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    scored = (
+        F.broadcast(anchors)
+        .crossJoin(cands)
+        .where(F.col("anchor_id") != F.col("cand_id"))
+        .withColumn("cosine", cos)
+        .select("anchor_id", "anchor_label", "cand_id", "cand_label", "cosine")
+    )
+    best_pos = (
+        scored.where(F.col("cand_label") == F.col("anchor_label"))
+        .groupBy("anchor_id")
+        .agg(F.max("cosine").alias("best_pos"))
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.desc("cosine"), F.col("cand_id")
+    )
+    negs = (
+        scored.where(F.col("cand_label") != F.col("anchor_label"))
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+    )
+    return (
+        negs.join(F.broadcast(best_pos), "anchor_id", "left")
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "rank",
+            F.col("cand_id").alias("negative_id"),
+            F.col("cand_label").alias("negative_label"),
+            "cosine",
+            (F.col("cosine") - F.col("best_pos")).alias(
+                "margin_to_best_positive"
+            ),
+        )
+        .orderBy("anchor_id", "rank")
+    )
+
+
+HARD_NEGATIVES_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, label, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+), scored AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         c.vec_id AS cand_id, c.label AS cand_label,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (q.norm * c.norm) AS cosine
+  FROM normed q JOIN normed c
+    ON q.vec_id < {HARDNEG_QUERIES} AND q.vec_id != c.vec_id
+), best_pos AS (
+  SELECT anchor_id, MAX(cosine) AS best_pos
+  FROM scored WHERE cand_label = anchor_label GROUP BY anchor_id
+), negs AS (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY anchor_id
+              ORDER BY cosine DESC, cand_id) AS INTEGER) AS rank
+  FROM scored WHERE cand_label != anchor_label
+)
+SELECT n.anchor_id, n.anchor_label, n.rank,
+       n.cand_id AS negative_id, n.cand_label AS negative_label,
+       n.cosine, n.cosine - b.best_pos AS margin_to_best_positive
+FROM negs n LEFT JOIN best_pos b USING (anchor_id)
+WHERE n.rank <= {HARDNEG_K}
+ORDER BY n.anchor_id, n.rank
+"""

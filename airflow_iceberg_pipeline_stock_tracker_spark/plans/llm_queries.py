@@ -474,5 +474,13 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         ),
         similarity.mmr_oracle_sql(),
     ),
+    # contrastive hard-negative mining (new r7): top-k cross-label
+    # neighbors per anchor + margin against the best same-label neighbor
+    "similarity_hard_negatives": (
+        lambda spark, sf: similarity.hard_negatives(
+            load_table(spark, sf, "embeddings")
+        ),
+        similarity.HARD_NEGATIVES_SQL,
+    ),
     "multimodal_audio_chunks": (_media_audio_chunks, MEDIA_AUDIO_SQL),
 }

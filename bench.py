@@ -157,6 +157,7 @@ HEADLINE = [
     "events_snapshot_sink_parity",
     "curation_importance_weights",
     "similarity_mmr_rerank",
+    "similarity_hard_negatives",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

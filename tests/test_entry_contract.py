@@ -68,6 +68,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         "events_snapshot_sink_parity",
         "curation_importance_weights",
         "similarity_mmr_rerank",
+        "similarity_hard_negatives",
         # never-driver-checked tail rows getting their first real round
         "events_sketch_reagg",
         "events_json_props",

@@ -878,3 +878,27 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     # score must be lam*rel and all rows carry real relevance
     r1 = next(r for r in out if r.mmr_rank == 1)
     assert math.isclose(r1.mmr_score, 0.5 * r1.relevance, rel_tol=1e-12)
+
+
+def test_hard_negatives_are_cross_label_with_margin(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    rows = similarity.hard_negatives(emb).collect()
+    assert rows
+    for r in rows:
+        assert r.anchor_label == labels[r.anchor_id]
+        assert r.negative_label != r.anchor_label   # strictly cross-label
+        assert -1.0001 <= r.cosine <= 1.0001
+        # margin = cosine - best same-label cosine, so it must be
+        # consistent within an anchor (same offset for every rank)
+    by_anchor: dict = {}
+    for r in rows:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    for rs in by_anchor.values():
+        offs = {round(r.cosine - r.margin_to_best_positive, 9) for r in rs}
+        assert len(offs) == 1
+        # ranks dense from 1, cosine non-increasing
+        rs = sorted(rs, key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r.cosine for r in rs]
+        assert cosines == sorted(cosines, reverse=True)

@@ -88,6 +88,7 @@ _BROADCAST_NLJ_ALLOWED = frozenset(
         "dedup_graph_stats",  # broadcast 1-row census scalars
         "curation_importance_weights",  # broadcast 1-row V scalars
         "similarity_mmr_rerank",  # broadcast n_queries-row probe set
+        "similarity_hard_negatives",  # broadcast anchor set
     }
 )
 
