@@ -63,7 +63,27 @@ def rate_tumbling_throughput(
         .start()
     )
     try:
-        time.sleep(run_sec)
+        # run_sec is the MINIMUM measurement span; on a cold JVM the
+        # first triggers pay codegen and a fixed sleep can end with too
+        # few batches to judge kept_up, so keep the stream alive (up to
+        # 4x run_sec) until >= 4 non-empty batches completed — the
+        # warm-up drop below then still leaves 3 measured batches
+        t0 = time.time()
+        deadline = t0 + max(run_sec * 4, 20.0)
+        import json as _json
+
+        def _rows(p) -> int:
+            if hasattr(p, "asDict"):
+                p = p.asDict()
+            if isinstance(p, str):
+                p = _json.loads(p)
+            return int(p.get("numInputRows", 0))
+
+        while time.time() < deadline:
+            time.sleep(0.5)
+            done = sum(1 for p in q.recentProgress if _rows(p) > 0)
+            if done >= 4 and time.time() - t0 >= run_sec:
+                break
     finally:
         q.stop()
     progress = [p.asDict() if hasattr(p, "asDict") else p for p in q.recentProgress]
@@ -124,6 +144,12 @@ def capacity_knee(
     best: dict | None = None
     for _ in range(max_steps):
         r = rate_tumbling_throughput(spark, rows_per_sec=rate, run_sec=run_sec)
+        if r["kept_up"] is None:
+            # too few measured batches to judge (bigger batches at high
+            # rates) — retry once with a doubled window before giving up
+            r = rate_tumbling_throughput(
+                spark, rows_per_sec=rate, run_sec=run_sec * 2
+            )
         steps.append(r)
         if r["kept_up"]:
             best = r
