@@ -759,9 +759,13 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     events_sketch_reagg HLL row).
 
     The sketch answer is the upper edge of the first bin whose cumulative
-    count reaches the target rank, so exact <= sketch < exact + bin_width
-    ALWAYS holds — surfaced as within_one_bin so the driver hash pins the
-    sketch's error contract, not just its values.
+    count reaches the target rank — by construction that is exactly the
+    bin CONTAINING the exact quantile, so within_one_bin is defined as
+    the integer comparison ``sketch_bin == bin(exact_value)`` (always
+    true; hashed so the driver pins the error contract, not just the
+    values). A float formulation (``sketch - exact <= width``) would be
+    ulp-fragile: ``(lo + w) - lo`` can exceed ``w`` when |lo| >> w —
+    found by the hypothesis sweep in tests/test_properties.py.
 
     Determinism: bin edges derive from global min/max (exact doubles);
     width = span/128 (division by a power of two is exact); bin index and
@@ -773,8 +777,14 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     w = (F.col("hi") - F.col("lo")) / F.lit(128.0)
-    binc = F.least(
-        F.floor((F.col("value") - F.col("lo")) / w).cast("int"), F.lit(127)
+    # degenerate span (every value identical): width is 0 and the bin
+    # division would raise under ANSI — all mass sits in bin 0 (a
+    # hypothesis-found edge case, tests/test_properties.py)
+    binc = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / w).cast("int"),
+            F.lit(127),
+        )
     )
     hist = (
         ev.crossJoin(F.broadcast(edges))
@@ -811,7 +821,7 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("lo")
                 + (F.col("sketch_bin") + F.lit(1)).cast("double")
                 * ((F.col("hi") - F.col("lo")) / F.lit(128.0))
-            ).alias("sketch_value"),
+            ).alias("sketch_value"),  # zero-width span: lo + k*0 = lo, exact
         )
     )
     rn = F.row_number().over(
@@ -831,7 +841,15 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("q2").alias("q_pct"), F.col("value").alias("exact_value")
         )
     )
-    bin_w = (F.col("hi") - F.col("lo")) / F.lit(128.0)
+    exact_bin = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(
+                (F.col("exact_value") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / F.lit(128.0))
+            ).cast("int"),
+            F.lit(127),
+        )
+    )
     return (
         picked.join(exact, ["event_type", "q_pct"])
         .crossJoin(F.broadcast(edges))
@@ -842,10 +860,7 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_value",
             "sketch_value",
             "sketch_bin",
-            (
-                (F.col("sketch_value") >= F.col("exact_value"))
-                & (F.col("sketch_value") - F.col("exact_value") <= bin_w)
-            ).alias("within_one_bin"),
+            (F.col("sketch_bin") == exact_bin).alias("within_one_bin"),
         )
         .orderBy("event_type", "q_pct")
     )
@@ -856,8 +871,9 @@ WITH edges AS (
   SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
 ), binned AS (
   SELECT event_type,
-         LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 128.0)) AS INTEGER),
-               127) AS bin
+         CASE WHEN hi = lo THEN 0
+              ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 128.0))
+                              AS INTEGER), 127) END AS bin
   FROM events CROSS JOIN edges
 ), hist AS (
   SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -895,9 +911,10 @@ WITH edges AS (
 )
 SELECT s.event_type, s.q_pct, s.n, e.exact_value, s.sketch_value,
        s.sketch_bin,
-       (s.sketch_value >= e.exact_value
-        AND s.sketch_value - e.exact_value <= (hi - lo) / 128.0)
-         AS within_one_bin
+       (s.sketch_bin = CASE WHEN hi = lo THEN 0
+                            ELSE LEAST(CAST(FLOOR((e.exact_value - lo)
+                                    / ((hi - lo) / 128.0)) AS INTEGER), 127)
+                       END) AS within_one_bin
 FROM sketch s
 JOIN exact e ON s.event_type = e.event_type AND s.q_pct = e.q_pct
 CROSS JOIN edges

@@ -518,8 +518,11 @@ def test_events_quantile_sketch_error_contract(spark, sf_dir):
     rows = events_quantile_sketch(spark, sf_dir).collect()
     assert rows and {r.q_pct for r in rows} == {50, 95}
     for r in rows:
-        assert r.within_one_bin
-        assert r.sketch_value >= r.exact_value
+        assert r.within_one_bin  # sketch bin == bin containing the exact
+        # upper-edge answer sits at or above the exact value (up to the
+        # ulp of the reconstructed edge — the hashed invariant is the
+        # exact integer bin equality above, not this float comparison)
+        assert r.sketch_value >= r.exact_value - 1e-9 * max(1.0, abs(r.exact_value))
         assert 0 <= r.sketch_bin <= 127
 
 

@@ -236,3 +236,137 @@ def test_results_invariant_under_partition_count(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     for n, (a, b) in results.items():
         assert a == b, f"{n} changed under re-partitioning"
+
+
+# ---------------------------------------------------------------------------
+# round-7 operators
+# ---------------------------------------------------------------------------
+
+_ppm_dims = st.tuples(st.integers(1, 9), st.integers(1, 7))
+
+
+@given(dims=_ppm_dims, data=st.data())
+@_prop_settings
+def test_ppm_codec_roundtrip_random(dims, data):
+    # pure-Python codec: no Spark job, so crank the raster randomness
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import multimodal
+
+    w, h = dims
+    raster = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+            )
+        )
+    )
+    payload = multimodal.encode_ppm(w, h, raster)
+    assert multimodal.decode_ppm(payload) == (w, h, raster)
+
+
+_words = st.dictionaries(
+    st.text(alphabet="abcd", min_size=1, max_size=6),
+    st.integers(1, 9),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(corpus=_words)
+@_prop_settings
+def test_bpe_matches_python_reference_random(spark, corpus):
+    """Random tiny corpora (alphabet {a-d} forces heavy pair ties and
+    aaa-style overlap chains): Spark trainer == pure-Python reference."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import bpe
+
+    rows = [
+        (i, " ".join([w] * c)) for i, (w, c) in enumerate(sorted(corpus.items()))
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r.merge_rank, r.left, r.right, r.merged, r.pair_count)
+        for r in bpe.bpe_train(docs, n_merges=4).collect()
+    ]
+    assert got == bpe.bpe_train_reference(corpus, n_merges=4)
+
+
+_values = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(vals=_values)
+@_prop_settings
+def test_quantile_sketch_bound_random(spark, vals, tmp_path_factory):
+    """Random value sets: the histogram answer must sit within one bin
+    width above the exact discrete quantile, always."""
+    import datetime as _dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_quantile_sketch,
+    )
+
+    d = tmp_path_factory.mktemp("qsk")
+    rows = [
+        (i, _BASE + _dt.timedelta(seconds=i), i, "t", float(v), None)
+        for i, v in enumerate(vals)
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    out = events_quantile_sketch(spark, str(d)).collect()
+    assert out
+    lo, hi = min(vals), max(vals)
+    width = (hi - lo) / 128.0
+    for r in out:
+        # the hashed invariant: the picked bin contains the exact value
+        assert r.within_one_bin
+        # and the reconstructed upper edge sits within one width of the
+        # exact value up to reconstruction ulps (the original strict
+        # float bound was the bug this sweep found)
+        tol = 1e-9 * max(1.0, abs(r.exact_value))
+        assert r.exact_value - tol <= r.sketch_value <= r.exact_value + width + tol
+
+
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=0,
+        max_size=20,
+    )
+)
+@_prop_settings
+def test_graph_stats_triangles_match_bruteforce(spark, edges):
+    import itertools
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+
+    if not edges:
+        return
+    pairs = spark.createDataFrame(sorted(edges), ["doc_a", "doc_b"])
+    r = dedup.graph_stats(pairs).collect()[0]
+    es = set(edges)
+    nodes = {v for e in es for v in e}
+    tris = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    deg: dict[int, int] = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    wedges = sum(d * (d - 1) // 2 for d in deg.values())
+    assert (r.n_nodes, r.n_edges, r.n_triangles, r.n_wedges) == (
+        len(nodes),
+        len(es),
+        tris,
+        wedges,
+    )
