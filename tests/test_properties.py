@@ -370,3 +370,75 @@ def test_graph_stats_triangles_match_bruteforce(spark, edges):
         tris,
         wedges,
     )
+
+
+_vec = st.lists(
+    st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+    min_size=4,
+    max_size=4,
+).filter(lambda v: sum(x * x for x in v) > 1e-6)
+
+_vecsets = st.lists(_vec, min_size=4, max_size=9)
+
+
+@given(vecs=_vecsets)
+@_prop_settings
+def test_mmr_matches_python_reference(spark, vecs):
+    """Random small embedding sets: the distributed MMR (cosine mining +
+    applyInPandas greedy) must equal a from-scratch Python MMR. The
+    reference's arithmetic mirrors the JVM fold exactly (sequential
+    left-fold dot products, correctly-rounded sqrt), so the comparison
+    is bit-exact — no tolerance."""
+    from pyspark.sql import functions as F
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import similarity
+
+    n_queries, n_cands, k = 2, 4, 3
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in enumerate(vecs)], ["vec_id", "embedding", "label"]
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    got = [
+        (r.query_id, r.mmr_rank, r.vec_id)
+        for r in similarity.mmr_rerank(
+            emb, n_queries=n_queries, n_cands=n_cands, k=k
+        ).collect()
+    ]
+
+    # reference — float32-cast inputs, sequential-fold dots, greedy
+    import math
+
+    f32 = [[float(__import__("numpy").float32(x)) for x in v] for v in vecs]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    norms = [math.sqrt(dot(v, v)) for v in f32]
+
+    def cos(i, j):
+        return dot(f32[i], f32[j]) / (norms[i] * norms[j])
+
+    expect = []
+    for q in range(min(n_queries, len(f32))):
+        scored = sorted(
+            ((cos(q, c), c) for c in range(len(f32)) if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:n_cands]
+        rel = {c: s for s, c in scored}
+        chosen: list[int] = []
+        for rank in range(1, min(k, len(rel)) + 1):
+            best_id, best_score = None, None
+            for c in sorted(rel):
+                if c in chosen:
+                    continue
+                penal = max((cos(c, s) for s in chosen), default=0.0)
+                score = 0.5 * rel[c] - 0.5 * penal
+                if best_score is None or score > best_score:
+                    best_id, best_score = c, score
+            chosen.append(best_id)
+            expect.append((q, rank, best_id))
+    assert sorted(got) == sorted(expect)
