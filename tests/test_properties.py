@@ -442,3 +442,97 @@ def test_mmr_matches_python_reference(spark, vecs):
             chosen.append(best_id)
             expect.append((q, rank, best_id))
     assert sorted(got) == sorted(expect)
+
+
+_ewma_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),          # user
+        st.integers(0, 300),        # seconds offset (collisions likely)
+        st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_ewma_events)
+@_prop_settings
+def test_ewma_matches_python_fold(spark, rows, tmp_path_factory):
+    """Random per-user series with timestamp collisions: the JVM array
+    fold must equal the sequential Python recursion bit-for-bit (halving
+    is exact; order pinned by (ts, event_id))."""
+    import datetime as _dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import events_ewma
+
+    d = tmp_path_factory.mktemp("ewma")
+    data = [
+        (i, _BASE + _dt.timedelta(seconds=sec), u, "t", float(v), None)
+        for i, (u, sec, v) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {r.user_id: (r.n_events, r.ewma_value)
+           for r in events_ewma(spark, str(d)).collect()}
+
+    expect: dict[int, tuple[int, float]] = {}
+    per_user: dict[int, list] = {}
+    for i, (u, sec, v) in enumerate(rows):
+        per_user.setdefault(u, []).append((sec, i, float(v)))
+    for u, evs in per_user.items():
+        acc = None
+        for _sec, _i, v in sorted(evs):
+            acc = v if acc is None else (v + acc) / 2.0
+        expect[u] = (len(evs), acc)
+    assert got == expect
+
+
+@given(vecs=_vecsets)
+@_prop_settings
+def test_hard_negatives_match_bruteforce(spark, vecs):
+    from pyspark.sql import functions as F
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import similarity
+
+    import math
+
+    import numpy as np
+
+    labels = [i % 2 for i in range(len(vecs))]
+    n_queries, k = 2, 3
+    emb = spark.createDataFrame(
+        [(i, v, labels[i]) for i, v in enumerate(vecs)],
+        ["vec_id", "embedding", "label"],
+    ).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding"), "label"
+    )
+    got = [
+        (r.anchor_id, r.rank, r.negative_id, r.negative_label)
+        for r in similarity.hard_negatives(emb, n_queries=n_queries, k=k).collect()
+    ]
+
+    f32 = [[float(np.float32(x)) for x in v] for v in vecs]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    norms = [math.sqrt(dot(v, v)) for v in f32]
+    expect = []
+    for q in range(min(n_queries, len(f32))):
+        negs = sorted(
+            (
+                (dot(f32[q], f32[c]) / (norms[q] * norms[c]), c)
+                for c in range(len(f32))
+                if c != q and labels[c] != labels[q]
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )[:k]
+        for rank, (_s, c) in enumerate(negs, 1):
+            expect.append((q, rank, c, labels[c]))
+    assert sorted(got) == sorted(expect)
