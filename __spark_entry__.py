@@ -153,6 +153,21 @@ def _q_prices_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_prices_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the snapshot layer
+    (pipeline.snapshot_incremental_demo): three append commits, each
+    folded into a running aggregate by reading ONLY its delta via
+    snapshots.read_incremental — Iceberg's incremental append scan."""
+    import os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    return pipeline.snapshot_incremental_demo(
+        spark, os.path.join(wh, "entry_snapshot_incr")
+    )
+
+
 def _q_pipeline_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end (pipeline.run_evolution_demo):
     backfill 2 days -> ALTER TABLE ADD COLUMNS -> old-writer day 3
@@ -201,6 +216,8 @@ SWEEP_CHECKED = [
     # r6-new rows on their second checked round (2-round bar)
     "pipeline_schema_evolution",
     "prices_snapshot_time_travel",
+    # NEW r7: incremental append scan + per-commit view maintenance
+    "prices_snapshot_incremental",
     "pipeline_micro_batch_parity",
     # streaming family — 8 checked rows re-proving the watermark/state/
     # join machinery every round
@@ -248,7 +265,6 @@ SWEEP_CHECKED = [
     "events_cube",
     "similarity_ivfpq_topk",
     "text_chunk_documents",
-    "layout_bucketed_join",
     # NEW r7 (first round checked per policy): REAL image decode (PPM
     # payload bytes parsed by the pure-Python codec, integer-sum oracle)
     "multimodal_decode_real",
@@ -340,6 +356,10 @@ SWEEP_TAIL = [
     #    — 2 consecutive green rounds (r5+r6); the family keeps ivfpq +
     #    mmr checked and the k-means/cell machinery is pytest-covered
     "similarity_semantic_dedup",
+    #  * layout_bucketed_join: demoted mid-r7 to fund the incremental-
+    #    scan slot — 2 consecutive green rounds (r5+r6); the bucketing
+    #    machinery is plan-pinned by tests/test_layout.py
+    "layout_bucketed_join",
     #  * dedup_repeated_spans: demoted mid-r7 to fund the hard-negatives
     #    slot — 2 green driver rounds (r5 checked-green, r6 checked-
     #    green), property-pytest-covered span semantics; the dedup
@@ -444,6 +464,7 @@ def queries() -> dict[str, QueryFn]:
         "pipeline_daily_run": _q_pipeline_daily_run,
         "pipeline_schema_evolution": _q_pipeline_schema_evolution,
         "prices_snapshot_time_travel": _q_prices_snapshot_time_travel,
+        "prices_snapshot_incremental": _q_prices_snapshot_incremental,
     }
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         pool[name] = fn
@@ -503,6 +524,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pipeline_schema_evolution": _pl.evolution_oracle_sql(),
         "prices_snapshot_time_travel": _pl.snapshot_oracle_sql(),
+        "prices_snapshot_incremental": _pl.snapshot_incremental_oracle_sql(),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

@@ -525,3 +525,81 @@ SELECT ticker, date,
          AS source
 FROM bars
 """
+
+
+def snapshot_incremental_demo(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Incremental view maintenance over the snapshot layer — Iceberg's
+    incremental append scan exercised end-to-end: three daily APPEND
+    commits, and after each one the consumer reads ONLY that commit's
+    delta (``snapshots.read_incremental``) and folds it into a running
+    per-ticker aggregate. The returned frame is the maintained aggregate
+    itself — its oracle recomputes the same totals from the regenerated
+    bars, so a hash match proves the increments were exactly the
+    appended rows (no loss, no double-count).
+
+    Surface: (ticker, n_commits, n_days, total_volume, total_close_cents)
+    — all exact integers.
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+    total: DataFrame | None = None
+    prev_v = 0
+    for ds in EVOLUTION_DATES:
+        df = bars_to_df(spark, fetch_bars(client, ds)).drop(
+            "insertion_timestamp"
+        )
+        v = snapshots.commit(df, table_dir, mode="append")
+        delta = snapshots.read_incremental(
+            spark, table_dir, after_version=prev_v
+        )
+        day_agg = delta.groupBy("ticker").agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("volume").alias("total_volume"),
+            F.sum(F.round(F.col("close") * 100).cast("bigint")).alias(
+                "total_close_cents"
+            ),
+        )
+        if total is None:
+            total = day_agg
+        else:
+            total = (
+                total.unionByName(day_agg)
+                .groupBy("ticker")
+                .agg(
+                    F.sum("n_days").alias("n_days"),
+                    F.sum("total_volume").alias("total_volume"),
+                    F.sum("total_close_cents").alias("total_close_cents"),
+                )
+            )
+        # the maintained state materializes once per commit — the whole
+        # point: per-step cost is O(delta), never O(table)
+        total = total.localCheckpoint(eager=True)
+        prev_v = v
+    n_commits = len(snapshots.history(table_dir))
+    return total.select(
+        "ticker",
+        F.lit(n_commits).cast("int").alias("n_commits"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("total_volume").cast("bigint").alias("total_volume"),
+        F.col("total_close_cents").cast("bigint").alias("total_close_cents"),
+    ).orderBy("ticker")
+
+
+def snapshot_incremental_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin: the same totals from the regenerated bars."""
+    return _bars_cte_sql(EVOLUTION_DATES, tickers) + """
+SELECT ticker,
+       3 AS n_commits,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(volume) AS BIGINT) AS total_volume,
+       CAST(SUM(CAST(ROUND(close * 100) AS BIGINT)) AS BIGINT)
+         AS total_close_cents
+FROM bars
+GROUP BY ticker
+ORDER BY ticker
+"""

@@ -239,3 +239,42 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
     raise RuntimeError(
         f"vacuum lost the manifest CAS {max_retries} times in {table_dir}"
     )
+
+
+def read_incremental(
+    spark: SparkSession, table_dir: str, after_version: int
+) -> DataFrame:
+    """Read ONLY the data appended after ``after_version`` — Iceberg's
+    incremental scan (`incremental append scan` in its API), the
+    primitive behind CDC-style consumers that fold each new commit into
+    a running aggregate instead of rescanning the table.
+
+    Defined for append lineage: every snapshot since ``after_version``
+    must contain its predecessor's directories (an intervening OVERWRITE
+    rewrites history, so "what was appended" is no longer well-defined —
+    raises ValueError, exactly as Iceberg's append scan refuses overwrite
+    snapshots). ``after_version=0`` returns the whole current snapshot.
+    """
+    man = _load_manifest(table_dir)
+    if not man["snapshots"]:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    by_id = {s["id"]: s for s in man["snapshots"]}
+    cur = man["current"]
+    if after_version == 0:
+        prev_dirs: list[str] = []
+    else:
+        if after_version not in by_id:
+            raise ValueError(f"snapshot {after_version} not in history")
+        prev_dirs = by_id[after_version]["dirs"]
+    cur_dirs = by_id[cur]["dirs"]
+    if not set(prev_dirs) <= set(cur_dirs):
+        raise ValueError(
+            f"snapshots {after_version}..{cur} are not append lineage "
+            "(an overwrite replaced history); incremental read undefined"
+        )
+    new_dirs = [d for d in cur_dirs if d not in set(prev_dirs)]
+    if not new_dirs:
+        return spark.read.parquet(
+            os.path.join(table_dir, cur_dirs[0])
+        ).limit(0)
+    return spark.read.parquet(*[os.path.join(table_dir, d) for d in new_dirs])

@@ -158,6 +158,7 @@ HEADLINE = [
     "curation_importance_weights",
     "similarity_mmr_rerank",
     "similarity_hard_negatives",
+    "prices_snapshot_incremental",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -177,6 +178,8 @@ PROOF_TIER = frozenset(
         "prices_snapshot_time_travel",
         # stream drain through tagged snapshot commits + parity diff
         "events_snapshot_sink_parity",
+        # 3 commits + 3 incremental folds; table lifecycle
+        "prices_snapshot_incremental",
     }
 )
 
@@ -197,6 +200,8 @@ RUN_ONCE = frozenset(
         "prices_snapshot_time_travel",
         # full stream drain + parity diff; one measured pass
         "events_snapshot_sink_parity",
+        # snapshot lifecycle + per-commit folds; one measured pass
+        "prices_snapshot_incremental",
     }
 )
 

@@ -69,6 +69,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         "curation_importance_weights",
         "similarity_mmr_rerank",
         "similarity_hard_negatives",
+        "prices_snapshot_incremental",
         # never-driver-checked tail rows getting their first real round
         "events_sketch_reagg",
         "events_json_props",

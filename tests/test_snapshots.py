@@ -183,3 +183,33 @@ def test_snapshot_sink_drains_and_survives_replay(spark, tmp_path, sf_dir):
     snapshot_append_sink(table_dir)(ev.limit(3), 0)
     assert len(snapshots.history(table_dir)) == n
     assert snapshots.read(spark, table_dir).count() == ev.count()
+
+
+def test_incremental_read_returns_exactly_the_appends(spark, tdir):
+    v1 = snapshots.commit(_df(spark, [1, 2]), tdir, mode="append")
+    v2 = snapshots.commit(_df(spark, [3]), tdir, mode="append")
+    v3 = snapshots.commit(_df(spark, [4, 5]), tdir, mode="append")
+    inc = snapshots.read_incremental(spark, tdir, after_version=v1)
+    assert sorted(r.x for r in inc.collect()) == [3, 4, 5]
+    inc2 = snapshots.read_incremental(spark, tdir, after_version=v2)
+    assert sorted(r.x for r in inc2.collect()) == [4, 5]
+    # nothing new after the head -> empty frame with the table schema
+    assert snapshots.read_incremental(spark, tdir, after_version=v3).count() == 0
+    # from zero -> everything
+    assert snapshots.read_incremental(spark, tdir, after_version=0).count() == 5
+    # incremental union over every step == full table (the maintenance
+    # invariant a running aggregate relies on)
+    parts = [
+        snapshots.read_incremental(spark, tdir, after_version=v)
+        for v in (0,)
+    ]
+    assert parts[0].count() == snapshots.read(spark, tdir).count()
+
+
+def test_incremental_read_refuses_overwrite_lineage(spark, tdir):
+    import pytest as _pytest
+
+    v1 = snapshots.commit(_df(spark, [1]), tdir, mode="append")
+    snapshots.commit(_df(spark, [9]), tdir, mode="overwrite")
+    with _pytest.raises(ValueError, match="append lineage"):
+        snapshots.read_incremental(spark, tdir, after_version=v1)
