@@ -536,3 +536,58 @@ def test_hard_negatives_match_bruteforce(spark, vecs):
         for rank, (_s, c) in enumerate(negs, 1):
             expect.append((q, rank, c, labels[c]))
     assert sorted(got) == sorted(expect)
+
+
+_snap_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=3)),
+        st.tuples(st.just("overwrite"), st.lists(st.integers(0, 99), min_size=1, max_size=3)),
+        st.tuples(st.just("vacuum"), st.integers(1, 3)),
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(ops=_snap_ops)
+@_prop_settings
+def test_snapshot_layer_matches_model(spark, ops, tmp_path_factory):
+    """Model-based sweep of the snapshot table: a random interleaving of
+    append / overwrite / vacuum must match a pure-Python model of
+    (history, per-version contents) — including time travel into every
+    retained version after every step."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources import snapshots
+
+    tdir = str(tmp_path_factory.mktemp("snapmodel") / "tbl")
+
+    def df_of(vals):
+        return spark.createDataFrame([(v,) for v in vals], ["x"])
+
+    # model: list of (snap_id, multiset-of-values)
+    model: list[tuple[int, list[int]]] = []
+    current_vals: list[int] = []
+    next_id = 1
+    for op, arg in ops:
+        if op == "append":
+            current_vals = current_vals + list(arg)
+            snapshots.commit(df_of(arg), tdir, mode="append")
+            model.append((next_id, list(current_vals)))
+            next_id += 1
+        elif op == "overwrite":
+            current_vals = list(arg)
+            snapshots.commit(df_of(arg), tdir, mode="overwrite")
+            model.append((next_id, list(current_vals)))
+            next_id += 1
+        else:  # vacuum keep_last=arg
+            if model:
+                snapshots.vacuum(tdir, keep_last=arg)
+                model = model[-arg:]
+        if not model:
+            continue
+        assert snapshots.history(tdir) == [sid for sid, _ in model]
+        # head read + time travel into every retained version
+        for sid, vals in model:
+            got = sorted(
+                r.x for r in snapshots.read(spark, tdir, version=sid).collect()
+            )
+            assert got == sorted(vals), (op, sid)
