@@ -46,7 +46,10 @@ def vwap_weekly(prices: DataFrame) -> DataFrame:
             F.count(F.lit(1)).over(w).alias("n_days"),
             pv.alias("pv_c"),
             v.alias("vol_sum"),
-            (pv / v).alias("vwap_c"),
+            # all-zero-volume window (halted ticker): no trades means no
+            # VWAP — NULL in both engines, not an ANSI crash (r8
+            # float-denominator sweep)
+            F.when(v != 0, pv / v).alias("vwap_c"),
         )
         .orderBy("ticker", "date")
     )
@@ -60,7 +63,7 @@ SELECT ticker, date,
        CAST(SUM(CAST(volume AS BIGINT)) OVER w AS BIGINT) AS vol_sum,
        CAST(SUM(CAST(ROUND(close * 100) AS BIGINT) * CAST(volume AS BIGINT))
             OVER w AS DOUBLE)
-         / SUM(CAST(volume AS BIGINT)) OVER w AS vwap_c
+         / NULLIF(SUM(CAST(volume AS BIGINT)) OVER w, 0) AS vwap_c
 FROM prices
 WINDOW w AS (PARTITION BY ticker ORDER BY date
              ROWS BETWEEN {ROLLING - 1} PRECEDING AND CURRENT ROW)
@@ -76,15 +79,23 @@ def drawdown(prices: DataFrame) -> DataFrame:
     close_c = cents("close")
     peak_c = F.max(close_c).over(run)
     prev_c = F.lag(close_c).over(w)
+    # r8 float-denominator sweep: a 0.00 close (delisted/bad tick) makes
+    # peak_c or prev_c zero — ANSI Spark raises DIVIDE_BY_ZERO where
+    # DuckDB diverges; NULL in both engines (F.when here, NULLIF in the
+    # oracle) is the defined behavior (tests/test_properties.py)
     return (
         prices.select(
             "ticker",
             "date",
             peak_c.alias("peak_c"),
             (close_c - peak_c).alias("drawdown_c"),
-            ((close_c - peak_c) / peak_c).alias("drawdown_pct"),
+            F.when(peak_c != 0, (close_c - peak_c) / peak_c).alias(
+                "drawdown_pct"
+            ),
             (close_c - prev_c).alias("change_c"),
-            ((close_c - prev_c) / prev_c).alias("daily_return"),
+            F.when(prev_c != 0, (close_c - prev_c) / prev_c).alias(
+                "daily_return"
+            ),
         )
         .orderBy("ticker", "date")
     )
@@ -100,10 +111,10 @@ SELECT ticker, date,
        MAX(close_c) OVER run AS peak_c,
        close_c - MAX(close_c) OVER run AS drawdown_c,
        CAST(close_c - MAX(close_c) OVER run AS DOUBLE)
-         / (MAX(close_c) OVER run) AS drawdown_pct,
+         / NULLIF(MAX(close_c) OVER run, 0) AS drawdown_pct,
        close_c - LAG(close_c) OVER w AS change_c,
        CAST(close_c - LAG(close_c) OVER w AS DOUBLE)
-         / LAG(close_c) OVER w AS daily_return
+         / NULLIF(LAG(close_c) OVER w, 0) AS daily_return
 FROM c
 WINDOW w AS (PARTITION BY ticker ORDER BY date),
        run AS (PARTITION BY ticker ORDER BY date

@@ -454,9 +454,19 @@ def ppm_decode_stats(media: DataFrame) -> DataFrame:
 
 def _ppm_features(payload: bytes) -> list[float]:
     """Real-decode features without PIL: parse the PPM raster and take
-    the mean of every 8th raster byte (8 interleaved strata) / 255."""
+    the mean of every 8th raster byte (8 interleaved strata) / 255.
+
+    A valid PPM with fewer than FEATURE_DIM raster bytes (under 3
+    pixels) would leave some strata empty — a 0/0 inside the executor.
+    Such payloads fail intelligibly instead (r8 advice fix; pytest
+    covers a 1x1 image)."""
     _, _, raster = decode_ppm(payload)
     n = len(raster)
+    if n < FEATURE_DIM:
+        raise ValueError(
+            f"image too small for {FEATURE_DIM}-stratum features: "
+            f"{n} raster bytes (need >= {FEATURE_DIM})"
+        )
     return [
         sum(raster[i::FEATURE_DIM]) / len(range(i, n, FEATURE_DIM)) / 255.0
         for i in range(FEATURE_DIM)

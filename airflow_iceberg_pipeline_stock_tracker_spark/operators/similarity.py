@@ -71,8 +71,18 @@ def _as_double(col: Column) -> Column:
 
 
 def with_norm(df: DataFrame, out: str = "norm") -> DataFrame:
+    """L2 norm column + the zero-vector guard for every cosine consumer.
+
+    A zero embedding has no direction, so cosine against it is 0/0 —
+    ANSI Spark raises DIVIDE_BY_ZERO while DuckDB emits NaN (crash vs
+    divergence). Dropping the row HERE (and `WHERE list_dot_product > 0`
+    in every SQL `normed` CTE) is the one place the guard covers all
+    nine call sites: brute-force/LSH/IVF candidates, centroids, kmeans
+    folds, MMR, and hard negatives. r8 float-denominator sweep
+    (tests/test_properties.py::test_cosine_zero_vector_guard).
+    """
     emb = _as_double(F.col("embedding"))
-    return df.withColumn(out, F.sqrt(_dot(emb, emb)))
+    return df.withColumn(out, F.sqrt(_dot(emb, emb))).where(F.col(out) > 0.0)
 
 
 def cosine_topk(
@@ -118,6 +128,7 @@ WITH normed AS (
   SELECT vec_id, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
@@ -203,6 +214,7 @@ WITH normed AS (
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
          ({_bucket_sql()}) AS bucket
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
          list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
@@ -371,6 +383,7 @@ WITH normed AS (
   SELECT vec_id, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), cents AS (
   SELECT vec_id AS cid, embedding AS c_emb, norm AS c_norm
   FROM normed WHERE vec_id < {IVF_K}
@@ -527,6 +540,7 @@ WITH normed AS (
   SELECT vec_id, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), keyed AS (
   {bands}
 )
@@ -842,6 +856,7 @@ normed AS (
   SELECT vec_id, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ),
 j AS (
   SELECT n.vec_id, a.cluster, n.embedding, n.norm
@@ -944,6 +959,7 @@ WITH normed AS (
   SELECT vec_id, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), keyed AS (
   {bands}
 ), cand AS (
@@ -1101,6 +1117,7 @@ def mmr_oracle_sql(
   SELECT vec_id, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), cand AS MATERIALIZED (
   SELECT * FROM (
     SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
@@ -1254,6 +1271,7 @@ WITH normed AS (
   SELECT vec_id, label, embedding,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
   FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
 ), scored AS (
   SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
          c.vec_id AS cand_id, c.label AS cand_label,

@@ -523,12 +523,12 @@ def events_snapshot_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.snapshot_sink import drain_to_snapshots, snapshot_append_sink
 
     table_dir = _tf.mkdtemp(prefix="graft_snapsink_")
-    drain_to_snapshots(_events_stream(spark, sf_dir), table_dir)
+    run_id = drain_to_snapshots(_events_stream(spark, sf_dir), table_dir)
     n_commits = len(snapshots.history(table_dir))
-    # simulate sink re-delivery of the first micro-batch: same tag, any
-    # payload — the tagged CAS loop must make it a no-op
+    # simulate sink re-delivery of the first micro-batch: same run_id +
+    # batch id = same tag — the tagged CAS loop must make it a no-op
     replay_df = load_table(spark, sf_dir, "events").limit(5)
-    snapshot_append_sink(table_dir)(replay_df, 0)
+    snapshot_append_sink(table_dir, run_id)(replay_df, 0)
     replay_added = len(snapshots.history(table_dir)) != n_commits
 
     snap_read = snapshots.read(spark, table_dir)

@@ -777,10 +777,13 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     w = (F.col("hi") - F.col("lo")) / F.lit(128.0)
-    # degenerate span (every value identical): width is 0 and the bin
-    # division would raise under ANSI — all mass sits in bin 0 (a
-    # hypothesis-found edge case, tests/test_properties.py)
-    binc = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+    # degenerate WIDTH (not just hi == lo): for subnormal spans such as
+    # [0.0, 5e-324] the division (hi - lo) / 128 underflows to exactly
+    # 0.0 while hi != lo, so the guard must test the width itself or the
+    # "guarded" branch still divides by zero under ANSI — both edge
+    # cases hypothesis-found (tests/test_properties.py, pinned
+    # @example). All mass sits in bin 0.
+    binc = F.when(w == F.lit(0.0), F.lit(0)).otherwise(
         F.least(
             F.floor((F.col("value") - F.col("lo")) / w).cast("int"),
             F.lit(127),
@@ -841,7 +844,9 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", F.col("q2").alias("q_pct"), F.col("value").alias("exact_value")
         )
     )
-    exact_bin = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+    exact_bin = F.when(
+        (F.col("hi") - F.col("lo")) / F.lit(128.0) == F.lit(0.0), F.lit(0)
+    ).otherwise(
         F.least(
             F.floor(
                 (F.col("exact_value") - F.col("lo"))
@@ -871,7 +876,7 @@ WITH edges AS (
   SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
 ), binned AS (
   SELECT event_type,
-         CASE WHEN hi = lo THEN 0
+         CASE WHEN (hi - lo) / 128.0 = 0.0 THEN 0
               ELSE LEAST(CAST(FLOOR((value - lo) / ((hi - lo) / 128.0))
                               AS INTEGER), 127) END AS bin
   FROM events CROSS JOIN edges
@@ -911,7 +916,7 @@ WITH edges AS (
 )
 SELECT s.event_type, s.q_pct, s.n, e.exact_value, s.sketch_value,
        s.sketch_bin,
-       (s.sketch_bin = CASE WHEN hi = lo THEN 0
+       (s.sketch_bin = CASE WHEN (hi - lo) / 128.0 = 0.0 THEN 0
                             ELSE LEAST(CAST(FLOOR((e.exact_value - lo)
                                     / ((hi - lo) / 128.0)) AS INTEGER), 127)
                        END) AS within_one_bin

@@ -72,15 +72,33 @@ def _manifest_path(table_dir: str, seq: int) -> str:
     return os.path.join(table_dir, f"{MANIFEST_PREFIX}{seq:06d}.json")
 
 
-def _load_manifest(table_dir: str) -> dict:
+_EMPTY_MANIFEST: dict = {"seq": 0, "current": 0, "snapshots": [], "tags": {}}
+
+
+def _load_manifest(table_dir: str, max_retries: int = 10) -> dict:
     """Resolve the highest committed manifest version (or the empty
     table state). A partially-created manifest can never be observed:
-    versions appear only via ``os.link`` of a fully-written temp."""
-    versions = _manifest_versions(table_dir)
-    if not versions:
-        return {"seq": 0, "current": 0, "snapshots": []}
-    with open(_manifest_path(table_dir, versions[-1])) as f:
-        return json.load(f)
+    versions appear only via ``os.link`` of a fully-written temp.
+
+    A concurrent ``vacuum`` may unlink the version we just listed
+    (vacuum publishes its trimmed manifest FIRST, then prunes), so a
+    FileNotFoundError here means a NEWER version already exists —
+    re-list and resolve that one instead of crashing (r8 advice fix;
+    covered by the cross-process vacuum-vs-commit race test)."""
+    for _ in range(max_retries):
+        versions = _manifest_versions(table_dir)
+        if not versions:
+            return dict(_EMPTY_MANIFEST, snapshots=[], tags={})
+        try:
+            with open(_manifest_path(table_dir, versions[-1])) as f:
+                man = json.load(f)
+        except FileNotFoundError:
+            continue  # pruned between list and open — a newer one exists
+        man.setdefault("tags", {})
+        return man
+    raise RuntimeError(
+        f"manifest resolution raced vacuum {max_retries} times in {table_dir}"
+    )
 
 
 def _publish_manifest(table_dir: str, manifest: dict) -> bool:
@@ -137,25 +155,47 @@ def commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
     os.makedirs(table_dir, exist_ok=True)
-
-    def _tagged(man: dict) -> int | None:
-        if tag is None:
-            return None
-        for s in man["snapshots"]:
-            if s.get("tag") == tag:
-                return s["id"]
-        return None
-
-    already = _tagged(_load_manifest(table_dir))
+    already = _tagged(_load_manifest(table_dir), tag)
     if already is not None:  # replay detected before any work
         return already
     # unique data directory: a crashed or racing writer can never block
     # or be clobbered by another commit's data files
     snap_dir = f"snap-{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap_dir))
+    return _commit_entry(table_dir, snap_dir, mode, max_retries, tag)
+
+
+def _tagged(man: dict, tag: str | None) -> int | None:
+    """Snapshot id a tag already committed, else None. Tags live in a
+    top-level manifest map that ``vacuum`` carries forward verbatim, so
+    a micro-batch replayed after retention trimmed its snapshot entry is
+    STILL recognized as a no-op (r8 advice fix) — the per-snapshot
+    ``tag`` field remains for history introspection only."""
+    if tag is None:
+        return None
+    hit = man.get("tags", {}).get(tag)
+    if hit is not None:
+        return hit
+    for s in man["snapshots"]:  # manifests written before the tags map
+        if s.get("tag") == tag:
+            return s["id"]
+    return None
+
+
+def _commit_entry(
+    table_dir: str,
+    snap_dir: str,
+    mode: str = "append",
+    max_retries: int = 16,
+    tag: str | None = None,
+) -> int:
+    """The manifest CAS loop — everything in ``commit`` after the data
+    write. Factored out so the cross-process concurrency tests drive the
+    EXACT production arbitration path (rebase-and-retry over
+    ``_publish_manifest``) without paying a Spark session per process."""
     for attempt in range(max_retries):
         man = _load_manifest(table_dir)
-        already = _tagged(man)
+        already = _tagged(man, tag)
         if already is not None:  # a racing replay won the CAS first
             return already
         snap_id = man["current"] + 1
@@ -169,6 +209,7 @@ def commit(
             "seq": man["seq"] + 1,
             "current": snap_id,
             "snapshots": man["snapshots"] + [entry],
+            "tags": dict(man.get("tags", {}), **({tag: snap_id} if tag else {})),
         }
         if _publish_manifest(table_dir, new_man):
             return snap_id
@@ -224,7 +265,15 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
             for d in s["dirs"]:
                 if d not in keep_dirs and d not in removed:
                     removed.append(d)
-        new_man = {"seq": man["seq"] + 1, "current": man["current"], "snapshots": kept}
+        # the tags map survives retention verbatim: a streaming batch
+        # replayed after its snapshot entry was trimmed must still be a
+        # no-op, or vacuum silently voids the exactly-once contract
+        new_man = {
+            "seq": man["seq"] + 1,
+            "current": man["current"],
+            "snapshots": kept,
+            "tags": man.get("tags", {}),
+        }
         # publish the trimmed manifest FIRST (through the same CAS as
         # commits) so a crash mid-delete can only leave orphan
         # directories, never a dangling manifest

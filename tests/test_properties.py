@@ -15,7 +15,7 @@ from __future__ import annotations
 
 import datetime as dt
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -299,6 +299,12 @@ _values = st.lists(
 
 
 @given(vals=_values)
+# pinned r7-judge falsifying input: the span (5e-324 - 0.0) is nonzero
+# but (hi - lo) / 128.0 underflows to exactly 0.0 — the guard must test
+# the WIDTH, not hi == lo, or the otherwise-branch divides by zero
+@example(vals=[0.0, 5e-324])
+# and the plain degenerate span (every value identical)
+@example(vals=[3.5, 3.5, 3.5])
 @_prop_settings
 def test_quantile_sketch_bound_random(spark, vals, tmp_path_factory):
     """Random value sets: the histogram answer must sit within one bin

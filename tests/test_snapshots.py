@@ -175,14 +175,56 @@ def test_snapshot_sink_drains_and_survives_replay(spark, tmp_path, sf_dir):
     ev.write.parquet(src)
     table_dir = str(tmp_path / "snaptbl")
     stream = spark.readStream.schema(ev.schema).parquet(src)
-    drain_to_snapshots(stream, table_dir)
+    run_id = drain_to_snapshots(stream, table_dir)
     assert snapshots.read(spark, table_dir).count() == ev.count()
     n = len(snapshots.history(table_dir))
     assert n >= 1
-    # re-deliver batch 0: exactly-once means nothing changes
-    snapshot_append_sink(table_dir)(ev.limit(3), 0)
+    # re-deliver batch 0 under the SAME run: exactly-once, nothing changes
+    snapshot_append_sink(table_dir, run_id)(ev.limit(3), 0)
     assert len(snapshots.history(table_dir)) == n
     assert snapshots.read(spark, table_dir).count() == ev.count()
+
+
+def test_second_drain_into_same_table_is_not_mistaken_for_replay(
+    spark, tmp_path, sf_dir
+):
+    """The r7 advice bug: batch ids restart at 0 per checkpoint, so two
+    drains into one table used to collide on tag batch-0 and the second
+    drain's data was silently dropped. run_id-namespaced tags fix it."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming.snapshot_sink import (
+        drain_to_snapshots,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(40)
+    src_a, src_b = str(tmp_path / "a"), str(tmp_path / "b")
+    ev.limit(10).write.parquet(src_a)
+    ev.limit(40).exceptAll(ev.limit(10)).write.parquet(src_b)
+    table_dir = str(tmp_path / "snaptbl")
+    run_a = drain_to_snapshots(
+        spark.readStream.schema(ev.schema).parquet(src_a), table_dir
+    )
+    run_b = drain_to_snapshots(
+        spark.readStream.schema(ev.schema).parquet(src_b), table_dir
+    )
+    assert run_a != run_b
+    # both drains' rows are present — the second was NOT dropped
+    assert snapshots.read(spark, table_dir).count() == 40
+
+
+def test_replay_after_vacuum_is_still_idempotent(spark, tdir):
+    """The r7 advice bug: vacuum used to drop idempotency tags with the
+    trimmed snapshot entries, so a post-retention replay double-appended.
+    The manifest-level tags map survives vacuum."""
+    snapshots.commit(_df(spark, [1]), tdir, mode="append", tag="r-batch-0")
+    snapshots.commit(_df(spark, [2]), tdir, mode="append", tag="r-batch-1")
+    snapshots.commit(_df(spark, [3]), tdir, mode="append", tag="r-batch-2")
+    snapshots.vacuum(tdir, keep_last=1)
+    assert snapshots.history(tdir) == [3]
+    # replay a batch whose snapshot entry retention trimmed away
+    v = snapshots.commit(_df(spark, [99]), tdir, mode="append", tag="r-batch-0")
+    assert v in (1, 2, 3)  # recognized, returns the original id
+    assert snapshots.history(tdir) == [3]  # no new snapshot
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [1, 2, 3]
 
 
 def test_incremental_read_returns_exactly_the_appends(spark, tdir):
