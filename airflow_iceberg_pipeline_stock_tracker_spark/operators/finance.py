@@ -47,8 +47,8 @@ def vwap_weekly(prices: DataFrame) -> DataFrame:
             pv.alias("pv_c"),
             v.alias("vol_sum"),
             # all-zero-volume window (halted ticker): no trades means no
-            # VWAP — NULL in both engines, not an ANSI crash (r8
-            # float-denominator sweep)
+            # VWAP — NULL in both engines, not an ANSI crash (r8 sweep;
+            # tests/test_properties.py::test_finance_zero_denominator_nulls)
             F.when(v != 0, pv / v).alias("vwap_c"),
         )
         .orderBy("ticker", "date")
@@ -82,7 +82,8 @@ def drawdown(prices: DataFrame) -> DataFrame:
     # r8 float-denominator sweep: a 0.00 close (delisted/bad tick) makes
     # peak_c or prev_c zero — ANSI Spark raises DIVIDE_BY_ZERO where
     # DuckDB diverges; NULL in both engines (F.when here, NULLIF in the
-    # oracle) is the defined behavior (tests/test_properties.py)
+    # oracle) is the defined behavior
+    # (tests/test_properties.py::test_finance_zero_denominator_nulls)
     return (
         prices.select(
             "ticker",

@@ -458,8 +458,9 @@ def _ppm_features(payload: bytes) -> list[float]:
 
     A valid PPM with fewer than FEATURE_DIM raster bytes (under 3
     pixels) would leave some strata empty — a 0/0 inside the executor.
-    Such payloads fail intelligibly instead (r8 advice fix; pytest
-    covers a 1x1 image)."""
+    Such payloads fail intelligibly instead (r8 advice fix;
+    tests/test_llm_ops.py::test_ppm_features_tiny_raster_fails_intelligibly
+    covers 1x1 and 2x1 images)."""
     _, _, raster = decode_ppm(payload)
     n = len(raster)
     if n < FEATURE_DIM:

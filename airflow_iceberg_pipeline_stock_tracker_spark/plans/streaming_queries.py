@@ -510,13 +510,13 @@ SELECT CAST(0 AS BIGINT) AS n_only_batch,
 
 def events_snapshot_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once THROUGH the snapshot layer: drain the events file
-    stream into a snapshot table via tagged CAS commits
+    stream into a snapshot table via transactional CAS commits
     (streaming/snapshot_sink.py), then prove three things in one hashed
     row: (1) the snapshot-read table aggregates identically to the batch
     table (n_only_* = 0); (2) at least one commit landed; (3) replaying
-    an already-committed batch tag adds NO new snapshot (the idempotent
-    exactly-once contract, exercised by literally re-delivering tag
-    batch-0)."""
+    an already-committed (run_id, batch_id) txn adds NO new snapshot
+    (the idempotent exactly-once contract, exercised by literally
+    re-delivering batch 0)."""
     import tempfile as _tf
 
     from ..sources import snapshots
@@ -525,8 +525,8 @@ def events_snapshot_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = _tf.mkdtemp(prefix="graft_snapsink_")
     run_id = drain_to_snapshots(_events_stream(spark, sf_dir), table_dir)
     n_commits = len(snapshots.history(table_dir))
-    # simulate sink re-delivery of the first micro-batch: same run_id +
-    # batch id = same tag — the tagged CAS loop must make it a no-op
+    # simulate sink re-delivery of the first micro-batch: batch 0 is at
+    # or below the run's high-water txn version — must be a no-op
     replay_df = load_table(spark, sf_dir, "events").limit(5)
     snapshot_append_sink(table_dir, run_id)(replay_df, 0)
     replay_added = len(snapshots.history(table_dir)) != n_commits

@@ -41,6 +41,7 @@ also prunes superseded manifest versions.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import time
@@ -72,7 +73,13 @@ def _manifest_path(table_dir: str, seq: int) -> str:
     return os.path.join(table_dir, f"{MANIFEST_PREFIX}{seq:06d}.json")
 
 
-_EMPTY_MANIFEST: dict = {"seq": 0, "current": 0, "snapshots": [], "tags": {}}
+_EMPTY_MANIFEST: dict = {
+    "seq": 0,
+    "current": 0,
+    "snapshots": [],
+    "tags": {},
+    "txns": {},
+}
 
 
 def _load_manifest(table_dir: str, max_retries: int = 10) -> dict:
@@ -88,13 +95,14 @@ def _load_manifest(table_dir: str, max_retries: int = 10) -> dict:
     for _ in range(max_retries):
         versions = _manifest_versions(table_dir)
         if not versions:
-            return dict(_EMPTY_MANIFEST, snapshots=[], tags={})
+            return dict(_EMPTY_MANIFEST, snapshots=[], tags={}, txns={})
         try:
             with open(_manifest_path(table_dir, versions[-1])) as f:
                 man = json.load(f)
         except FileNotFoundError:
             continue  # pruned between list and open — a newer one exists
         man.setdefault("tags", {})
+        man.setdefault("txns", {})
         return man
     raise RuntimeError(
         f"manifest resolution raced vacuum {max_retries} times in {table_dir}"
@@ -131,6 +139,7 @@ def commit(
     mode: str = "append",
     max_retries: int = 16,
     tag: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -145,6 +154,16 @@ def commit(
     a sink crash cannot double-append, because the tag check happens
     inside the same CAS loop that publishes the manifest.
 
+    ``txn=(app_id, version)`` is the SCALABLE form of the same contract
+    (Delta Lake's txnAppId/txnVersion): the manifest stores ONE
+    monotonic high-water version per app_id, and any commit with
+    ``version <= stored`` is a replay no-op (returns the then-current
+    snapshot id). A long-running stream's manifest stays O(runs), not
+    O(micro-batches) — the per-batch string-tag map grows one entry per
+    batch forever and every commit rewrites it (r8 advice). Requires the
+    producer to deliver versions monotonically per app_id, which is
+    exactly Structured Streaming's batch-id contract per checkpoint.
+
     The data write happens entirely BEFORE the manifest publish — a
     crash anywhere in between leaves the table at the previous snapshot
     with only an orphan (never-referenced, never-colliding) directory on
@@ -155,14 +174,15 @@ def commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unknown commit mode: {mode}")
     os.makedirs(table_dir, exist_ok=True)
-    already = _tagged(_load_manifest(table_dir), tag)
+    man = _load_manifest(table_dir)
+    already = _replayed(man, tag, txn)
     if already is not None:  # replay detected before any work
         return already
     # unique data directory: a crashed or racing writer can never block
     # or be clobbered by another commit's data files
     snap_dir = f"snap-{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap_dir))
-    return _commit_entry(table_dir, snap_dir, mode, max_retries, tag)
+    return _commit_entry(table_dir, snap_dir, mode, max_retries, tag, txn)
 
 
 def _tagged(man: dict, tag: str | None) -> int | None:
@@ -182,12 +202,37 @@ def _tagged(man: dict, tag: str | None) -> int | None:
     return None
 
 
+def _txn_replayed(man: dict, txn: tuple[str, int] | None) -> int | None:
+    """Current snapshot id if ``txn`` is at-or-below its app's committed
+    high-water version (Delta's txnAppId/txnVersion replay rule), else
+    None. Unlike string tags this cannot name the ORIGINAL snapshot a
+    replay first landed in — exactly-once needs only "don't apply
+    twice", and forgetting per-batch ids is what keeps the manifest
+    O(runs)."""
+    if txn is None:
+        return None
+    app_id, version = txn
+    if man.get("txns", {}).get(app_id, -1) >= version:
+        return man["current"]
+    return None
+
+
+def _replayed(
+    man: dict, tag: str | None, txn: tuple[str, int] | None
+) -> int | None:
+    hit = _tagged(man, tag)
+    if hit is not None:
+        return hit
+    return _txn_replayed(man, txn)
+
+
 def _commit_entry(
     table_dir: str,
     snap_dir: str,
     mode: str = "append",
     max_retries: int = 16,
     tag: str | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """The manifest CAS loop — everything in ``commit`` after the data
     write. Factored out so the cross-process concurrency tests drive the
@@ -195,7 +240,7 @@ def _commit_entry(
     ``_publish_manifest``) without paying a Spark session per process."""
     for attempt in range(max_retries):
         man = _load_manifest(table_dir)
-        already = _tagged(man, tag)
+        already = _replayed(man, tag, txn)
         if already is not None:  # a racing replay won the CAS first
             return already
         snap_id = man["current"] + 1
@@ -205,11 +250,16 @@ def _commit_entry(
         entry = {"id": snap_id, "dirs": prev_dirs + [snap_dir]}
         if tag is not None:
             entry["tag"] = tag
+        txns = man.get("txns", {})
+        if txn is not None:
+            app_id, version = txn
+            txns = dict(txns, **{app_id: max(version, txns.get(app_id, -1))})
         new_man = {
             "seq": man["seq"] + 1,
             "current": snap_id,
             "snapshots": man["snapshots"] + [entry],
             "tags": dict(man.get("tags", {}), **({tag: snap_id} if tag else {})),
+            "txns": txns,
         }
         if _publish_manifest(table_dir, new_man):
             return snap_id
@@ -265,14 +315,16 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
             for d in s["dirs"]:
                 if d not in keep_dirs and d not in removed:
                     removed.append(d)
-        # the tags map survives retention verbatim: a streaming batch
-        # replayed after its snapshot entry was trimmed must still be a
-        # no-op, or vacuum silently voids the exactly-once contract
+        # the tags + txns maps survive retention verbatim: a streaming
+        # batch replayed after its snapshot entry was trimmed must still
+        # be a no-op, or vacuum silently voids the exactly-once contract
+        # (txns is O(runs) by construction, so carrying it is ~free)
         new_man = {
             "seq": man["seq"] + 1,
             "current": man["current"],
             "snapshots": kept,
             "tags": man.get("tags", {}),
+            "txns": man.get("txns", {}),
         }
         # publish the trimmed manifest FIRST (through the same CAS as
         # commits) so a crash mid-delete can only leave orphan
@@ -282,7 +334,11 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
                 shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
             for seq in _manifest_versions(table_dir):
                 if seq < new_man["seq"]:
-                    os.unlink(_manifest_path(table_dir, seq))
+                    # two concurrent vacuums can race on the same stale
+                    # version; the loser finding it already gone IS
+                    # success (r8 advice fix)
+                    with contextlib.suppress(FileNotFoundError):
+                        os.unlink(_manifest_path(table_dir, seq))
             return removed
         time.sleep(0.001 * (attempt + 1))
     raise RuntimeError(

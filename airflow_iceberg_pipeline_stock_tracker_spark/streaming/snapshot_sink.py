@@ -10,15 +10,19 @@ the tag makes re-delivery a no-op *inside the same compare-and-swap
 loop that publishes the manifest*, so even a crash between the sink's
 data write and its commit cannot double-apply.
 
-Tag namespacing (Delta's txnAppId+txnVersion pattern): batch ids are
+Txn namespacing (Delta's txnAppId+txnVersion pattern): batch ids are
 only unique WITHIN one streaming query's checkpoint — they restart at 0
-for every fresh checkpoint. A bare ``batch-{id}`` tag would therefore
-make a SECOND drain into the same table silently drop all its
+for every fresh checkpoint. A bare ``batch-{id}`` idempotency key would
+therefore make a SECOND drain into the same table silently drop all its
 micro-batches as "replays" of the first drain's. Each sink carries a
-``run_id`` (defaulting to the checkpoint directory's basename, which is
-exactly as stable as the batch ids it qualifies): same checkpoint →
-same run_id → crash-replay stays a no-op; new checkpoint → new run_id →
-new data commits.
+``run_id`` — a hash of the checkpoint directory's FULL normalized path
+(exactly as stable as the batch ids it qualifies; a basename would
+collide for ``/jobA/checkpoint`` vs ``/jobB/checkpoint``, r8 advice):
+same checkpoint → same run_id → crash-replay stays a no-op; new
+checkpoint → new run_id → new data commits. The commit records
+``txn=(run_id, batch_id)``, so the manifest keeps ONE high-water batch
+id per run — O(runs), never O(micro-batches) — and any batch id at or
+below it is a replay.
 
 Scale notes: each micro-batch append is O(batch) data + one ~KB
 manifest publish; the snapshot table is readable (with time travel)
@@ -27,6 +31,7 @@ DURING ingestion because readers resolve a committed manifest first.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import tempfile
 from collections.abc import Callable
@@ -36,21 +41,29 @@ from pyspark.sql import DataFrame
 from ..sources import snapshots
 
 
+def run_id_for_checkpoint(checkpoint_dir: str) -> str:
+    """Stable stream identity: hash of the checkpoint's full normalized
+    absolute path. Two different checkpoints can never share a run_id
+    (the r8 basename bug), and the same checkpoint always reproduces
+    its run_id across restarts — the same lifetime as the batch ids the
+    run_id namespaces."""
+    canon = os.path.abspath(os.path.normpath(checkpoint_dir))
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()[:16]
+
+
 def snapshot_append_sink(
     table_dir: str, run_id: str = ""
 ) -> Callable[[DataFrame, int], None]:
-    """foreachBatch handler: append each micro-batch as one tagged
-    snapshot commit. Safe under Structured Streaming's replay contract:
-    (run_id, batch id) IS the idempotency tag — pass the run_id that
-    owns the stream's checkpoint (``drain_to_snapshots`` derives it from
-    the checkpoint path); an empty run_id reproduces the legacy
-    single-drain-per-table tag ``batch-{id}``."""
-
-    prefix = f"{run_id}-" if run_id else ""
+    """foreachBatch handler: append each micro-batch as one
+    transactional snapshot commit. Safe under Structured Streaming's
+    replay contract: ``txn=(run_id, batch_id)`` is the idempotency key
+    (batch ids are monotonic per checkpoint, which is the txn pattern's
+    one requirement) — pass the run_id that owns the stream's checkpoint
+    (``drain_to_snapshots`` derives it from the checkpoint path)."""
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         snapshots.commit(
-            batch_df, table_dir, mode="append", tag=f"{prefix}batch-{batch_id}"
+            batch_df, table_dir, mode="append", txn=(run_id, batch_id)
         )
 
     return handle
@@ -73,7 +86,7 @@ def drain_to_snapshots(
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="snap_sink_ckpt_")
     if run_id is None:
-        run_id = os.path.basename(os.path.normpath(checkpoint_dir))
+        run_id = run_id_for_checkpoint(checkpoint_dir)
     q = (
         stream_df.writeStream.foreachBatch(
             snapshot_append_sink(table_dir, run_id)

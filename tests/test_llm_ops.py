@@ -342,6 +342,22 @@ def test_ppm_codec_roundtrip_and_header_parsing():
             multimodal.decode_ppm(bad)
 
 
+def test_ppm_features_tiny_raster_fails_intelligibly():
+    """The r8 tiny-raster guard (multimodal._ppm_features): a VALID PPM
+    with fewer raster bytes than FEATURE_DIM (under 3 pixels) would
+    leave a stratum empty — a 0/0 inside the executor. It must raise a
+    clear ValueError instead; 3 pixels (9 bytes >= 8 strata) is the
+    smallest image that decodes to features."""
+    for w, h in ((1, 1), (2, 1)):  # 3 and 6 raster bytes, both < 8
+        payload = multimodal.encode_ppm(w, h, bytes(range(w * h * 3)))
+        with pytest.raises(ValueError, match="raster bytes"):
+            multimodal._ppm_features(payload)
+    ok = multimodal.encode_ppm(3, 1, bytes(range(9)))
+    feats = multimodal._ppm_features(ok)
+    assert len(feats) == multimodal.FEATURE_DIM
+    assert all(0.0 <= f <= 1.0 for f in feats)
+
+
 def test_ppm_real_decode_stats_match_fixture_pixels(spark, docs):
     """ppm_decode_stats must recover dims + exact channel sums from the
     BYTES alone — cross-checked against the fixture's pixel function."""

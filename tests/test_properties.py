@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -597,3 +598,108 @@ def test_snapshot_layer_matches_model(spark, ops, tmp_path_factory):
                 r.x for r in snapshots.read(spark, tdir, version=sid).collect()
             )
             assert got == sorted(vals), (op, sid)
+
+
+# embedding vectors with an adversarial density of all-zero rows: the
+# strategy draws each vector either zero or small-int components, so
+# most examples contain at least one zero-norm embedding
+_vecs_with_zeros = st.lists(
+    st.one_of(
+        st.just([0.0, 0.0, 0.0]),
+        st.lists(
+            st.integers(-3, 3).map(float), min_size=3, max_size=3
+        ),
+    ),
+    min_size=2,
+    max_size=12,
+)
+
+
+@given(vecs=_vecs_with_zeros)
+@example(vecs=[[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 2.0, 0.0]])
+@_prop_settings
+def test_cosine_zero_vector_guard(spark, vecs):
+    """The r8 zero-vector contract (operators/similarity.py with_norm):
+    zero-norm embeddings are DROPPED before any cosine — with_norm
+    keeps exactly the nonzero-norm rows, and cosine_topk_df never
+    raises DIVIDE_BY_ZERO nor emits a zero vector as query or
+    neighbor, whatever mix of zero and nonzero vectors it sees."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        cosine_topk_df,
+        with_norm,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id bigint, embedding array<double>",
+    )
+    zero_ids = {i for i, v in enumerate(vecs) if all(x == 0.0 for x in v)}
+
+    kept = {r.vec_id for r in with_norm(df).collect()}
+    assert kept == set(range(len(vecs))) - zero_ids
+
+    topk = cosine_topk_df(df, n_queries=len(vecs), k=3).collect()
+    seen = {r.query_id for r in topk} | {r.neighbor_id for r in topk}
+    assert not (seen & zero_ids)
+
+
+# (close_cents, volume) series for one ticker; zero closes (delisted /
+# bad tick) and zero volumes (halted) are drawn often enough that most
+# examples hit a zero denominator somewhere
+_price_rows = st.lists(
+    st.tuples(st.integers(0, 500), st.integers(0, 4)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_price_rows)
+@example(rows=[(0, 0)])                      # day one: peak 0, vol 0
+@example(rows=[(100, 0), (200, 0)])          # halted: every window vol 0
+@example(rows=[(0, 2), (150, 1), (0, 3)])    # zero closes mid-series
+@_prop_settings
+def test_finance_zero_denominator_nulls(spark, rows):
+    """The r8 finance NULL contract (operators/finance.py): a zero
+    denominator yields NULL, never an ANSI DIVIDE_BY_ZERO — vwap_c is
+    NULL exactly on all-zero-volume windows, drawdown_pct exactly on
+    zero running peaks, daily_return exactly on first rows / zero
+    previous closes; everything else matches an exact Python fold."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        ROLLING,
+        drawdown,
+        vwap_weekly,
+    )
+
+    base = dt.date(2024, 1, 1)
+    prices = spark.createDataFrame(
+        [
+            ("T", base + dt.timedelta(days=i), c / 100.0, float(v))
+            for i, (c, v) in enumerate(rows)
+        ],
+        "ticker string, date date, close double, volume double",
+    )
+
+    got_vwap = vwap_weekly(prices).orderBy("date").collect()
+    got_dd = drawdown(prices).orderBy("date").collect()
+    closes = [c for c, _ in rows]
+    vols = [v for _, v in rows]
+    for i, r in enumerate(got_vwap):
+        lo = max(0, i - (ROLLING - 1))
+        pv = sum(closes[j] * vols[j] for j in range(lo, i + 1))
+        v = sum(vols[lo : i + 1])
+        if v == 0:
+            assert r.vwap_c is None, f"row {i}: vol-0 window must be NULL"
+        else:
+            assert r.vwap_c == pytest.approx(pv / v), f"row {i}"
+    for i, r in enumerate(got_dd):
+        peak = max(closes[: i + 1])
+        if peak == 0:
+            assert r.drawdown_pct is None, f"row {i}: zero peak must be NULL"
+        else:
+            assert r.drawdown_pct == pytest.approx((closes[i] - peak) / peak)
+        if i == 0 or closes[i - 1] == 0:
+            assert r.daily_return is None, f"row {i}: no/zero prev close"
+        else:
+            assert r.daily_return == pytest.approx(
+                (closes[i] - closes[i - 1]) / closes[i - 1]
+            )

@@ -255,3 +255,96 @@ def test_incremental_read_refuses_overwrite_lineage(spark, tdir):
     snapshots.commit(_df(spark, [9]), tdir, mode="overwrite")
     with _pytest.raises(ValueError, match="append lineage"):
         snapshots.read_incremental(spark, tdir, after_version=v1)
+
+
+def test_txn_commit_high_water_replay_and_o_runs_manifest(spark, tdir):
+    """Delta's txnAppId/txnVersion pattern (r8 advice): the manifest
+    keeps ONE monotonic high-water version per app_id — O(runs), not
+    O(batches) — and any commit at or below it is a replay no-op."""
+    for b in range(4):
+        snapshots.commit(_df(spark, [b]), tdir, mode="append", txn=("runA", b))
+    assert snapshots.history(tdir) == [1, 2, 3, 4]
+    man = snapshots._load_manifest(tdir)
+    assert man["txns"] == {"runA": 3}        # one entry after 4 batches
+    assert man["tags"] == {}                 # txn path adds no tag rows
+    # replay ANY already-committed version (not just the latest): no-op
+    for b in (0, 2, 3):
+        snapshots.commit(_df(spark, [99]), tdir, mode="append", txn=("runA", b))
+    assert snapshots.history(tdir) == [1, 2, 3, 4]
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [0, 1, 2, 3]
+    # a NEW higher version commits; a second app_id is independent
+    snapshots.commit(_df(spark, [4]), tdir, mode="append", txn=("runA", 4))
+    snapshots.commit(_df(spark, [10]), tdir, mode="append", txn=("runB", 0))
+    man = snapshots._load_manifest(tdir)
+    assert man["txns"] == {"runA": 4, "runB": 0}
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [
+        0, 1, 2, 3, 4, 10,
+    ]
+
+
+def test_txn_replay_survives_vacuum(spark, tdir):
+    """vacuum carries the txns map verbatim, so a micro-batch replayed
+    after retention trimmed its snapshot entry is still a no-op."""
+    for b in range(3):
+        snapshots.commit(_df(spark, [b]), tdir, mode="append", txn=("r", b))
+    snapshots.vacuum(tdir, keep_last=1)
+    assert snapshots.history(tdir) == [3]
+    snapshots.commit(_df(spark, [99]), tdir, mode="append", txn=("r", 0))
+    assert snapshots.history(tdir) == [3]
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [0, 1, 2]
+
+
+def test_same_basename_checkpoints_do_not_collide(spark, tmp_path, sf_dir):
+    """The r8 advice bug: run_id used to be the checkpoint BASENAME, so
+    /jobA/checkpoint and /jobB/checkpoint draining into one table shared
+    a run_id and the second stream's batches were dropped as replays.
+    run_id is now a hash of the full normalized path."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming.snapshot_sink import (
+        drain_to_snapshots,
+        run_id_for_checkpoint,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").limit(40)
+    src_a, src_b = str(tmp_path / "srcA"), str(tmp_path / "srcB")
+    ev.limit(10).write.parquet(src_a)
+    ev.limit(40).exceptAll(ev.limit(10)).write.parquet(src_b)
+    ck_a = str(tmp_path / "jobA" / "checkpoint")
+    ck_b = str(tmp_path / "jobB" / "checkpoint")
+    assert run_id_for_checkpoint(ck_a) != run_id_for_checkpoint(ck_b)
+    # same path (even unnormalized) -> same run_id across restarts
+    assert run_id_for_checkpoint(ck_a) == run_id_for_checkpoint(ck_a + "/")
+    table_dir = str(tmp_path / "snaptbl")
+    drain_to_snapshots(
+        spark.readStream.schema(ev.schema).parquet(src_a), table_dir,
+        checkpoint_dir=ck_a,
+    )
+    drain_to_snapshots(
+        spark.readStream.schema(ev.schema).parquet(src_b), table_dir,
+        checkpoint_dir=ck_b,
+    )
+    # both drains' rows are present — the second was NOT dropped
+    assert snapshots.read(spark, table_dir).count() == 40
+
+
+def test_vacuum_tolerates_concurrently_pruned_manifest(spark, tdir, monkeypatch):
+    """Two concurrent vacuums can race on unlinking the same superseded
+    manifest version; the loser finding it already gone must be success,
+    not FileNotFoundError (r8 advice). Simulated deterministically by
+    feeding the prune loop a stale version list that includes a version
+    another vacuum already removed."""
+    for v in (1, 2, 3):
+        snapshots.commit(_df(spark, [v]), tdir, mode="append")
+    real = snapshots._manifest_versions
+
+    def stale(table_dir):
+        vs = real(table_dir)
+        # a phantom low version: listed by this vacuum, already unlinked
+        # by a concurrent one before our unlink runs
+        return ([vs[0] - 1] if vs else []) + vs
+
+    monkeypatch.setattr(snapshots, "_manifest_versions", stale)
+    removed = snapshots.vacuum(tdir, keep_last=1)   # must not raise
+    assert removed == []  # append lineage: head snapshot owns every dir
+    monkeypatch.undo()
+    assert snapshots.history(tdir) == [3]
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [1, 2, 3]
