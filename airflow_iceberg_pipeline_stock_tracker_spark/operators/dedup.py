@@ -522,6 +522,132 @@ def ngram_jaccard_pairs(
     return pairs.orderBy("doc_a", "doc_b")
 
 
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    max_df: int = 100,
+    shingles: DataFrame | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle-set containment |A ∩ B| / |A| (and
+    the mirror), flagging subset/superset relations Jaccard misses — a
+    short quote page inside a long article scores tiny Jaccard but
+    containment ~1 in one direction, which is exactly the
+    quotes/boilerplate/wrapper-page class a crawl dedup must catch
+    (Broder 1997 distinguishes resemblance from containment for this
+    reason).
+
+    Same inverted-index + posting-cap discipline as
+    ``ngram_jaccard_pairs`` (pairs meet only through shared grams;
+    grams with posting lists beyond ``max_df`` are dropped BEFORE the
+    self-join, so emitted containments are lower bounds — precision 1,
+    documented recall trade-off). Containments divide exact integer set
+    sizes, so both engines hash bit-identically.
+    """
+    from pyspark.sql import Window
+
+    owns_cache = shingles is None
+    sh = _shingle_hashes(docs).persist() if owns_cache else shingles
+    if owns_cache:
+        sh.count()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    kept = (
+        sh.withColumn("posting_n", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .where(F.col("posting_n") <= max_df)
+        .drop("posting_n")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    inter = (
+        a.hint("shuffle_hash")
+        .join(
+            b,
+            (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    c_ab = F.col("inter") / F.col("size_a")
+    c_ba = F.col("inter") / F.col("size_b")
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment_a_in_b", c_ab)
+        .withColumn("containment_b_in_a", c_ba)
+        .where(
+            (F.col("containment_a_in_b") >= threshold)
+            | (F.col("containment_b_in_a") >= threshold)
+        )
+        .withColumn(
+            "relation",
+            F.when(
+                (F.col("containment_a_in_b") >= threshold)
+                & (F.col("containment_b_in_a") >= threshold),
+                F.lit("mutual"),
+            )
+            .when(F.col("containment_a_in_b") >= threshold, F.lit("a_in_b"))
+            .otherwise(F.lit("b_in_a")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter",
+            "size_a",
+            "size_b",
+            "containment_a_in_b",
+            "containment_b_in_a",
+            "relation",
+        )
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    if owns_cache:
+        sh.unpersist()
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+CONTAINMENT_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS set_size FROM shingles GROUP BY doc_id
+),
+kept AS (
+  SELECT doc_id, h FROM (
+    SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS posting_n
+    FROM shingles
+  ) WHERE posting_n <= 100
+),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, inter,
+         sa.set_size AS size_a, sb.set_size AS size_b,
+         inter / sa.set_size AS containment_a_in_b,
+         inter / sb.set_size AS containment_b_in_a
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT doc_a, doc_b, inter, size_a, size_b,
+       containment_a_in_b, containment_b_in_a,
+       CASE WHEN containment_a_in_b >= 0.8 AND containment_b_in_a >= 0.8
+              THEN 'mutual'
+            WHEN containment_a_in_b >= 0.8 THEN 'a_in_b'
+            ELSE 'b_in_a' END AS relation
+FROM scored
+WHERE containment_a_in_b >= 0.8 OR containment_b_in_a >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
 # ---------------------------------------------------------------------------
 # duplicate clustering (connected components) + corpus keep-list
 # ---------------------------------------------------------------------------

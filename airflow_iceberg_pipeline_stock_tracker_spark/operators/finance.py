@@ -194,3 +194,84 @@ SELECT ticker, date, close_c, n_days, sum_c, sumsq_c,
 FROM m
 ORDER BY ticker, date
 """
+
+
+RSI_PERIOD = 14  # lookback rows for Cutler's RSI
+
+
+def rsi(prices: DataFrame, period: int = RSI_PERIOD) -> DataFrame:
+    """Per (ticker, date): Cutler's RSI — SMA-based relative strength,
+    100 * sum(gains) / (sum(gains) + sum(losses)) over the trailing
+    ``period`` rows. (Wilder's original smooths with an EMA; Cutler's
+    SMA variant is window-exact, which keeps every intermediate an
+    int64 cents sum with ONE closing division — the repo's exactness
+    discipline.)
+
+    NULL contract (same class as vwap/drawdown,
+    tests/test_properties.py::test_finance_zero_denominator_nulls
+    pattern): a window with no movement at all (sum gains + sum losses
+    = 0) has no defined RSI — NULL in both engines, never a
+    DIVIDE_BY_ZERO; the first row of a ticker (no previous close) is
+    excluded from both sums by NULL propagation.
+
+    Scale: one hash exchange on ticker, two stacked window passes over
+    sorted runs (lag, then rolling sums), no joins, no Python.
+    """
+    w = Window.partitionBy("ticker").orderBy("date")
+    roll = w.rowsBetween(-(period - 1), 0)
+    close_c = cents("close")
+    prev_c = F.lag(close_c).over(w)
+    diff = close_c - prev_c  # NULL on each ticker's first row
+    # EXPLICIT first-row NULL: greatest() swallows NULL args (returns
+    # the largest non-null) and engines have differed on that corner —
+    # the when() here and the CASE in the oracle pin "no previous close
+    # means no gain/loss row" identically on both sides
+    gains = prices.select(
+        "ticker",
+        "date",
+        F.when(diff.isNotNull(), F.greatest(diff, F.lit(0))).alias("gain_c"),
+        F.when(diff.isNotNull(), F.greatest(-diff, F.lit(0))).alias("loss_c"),
+    )
+    sg = F.sum("gain_c").over(roll)
+    sl = F.sum("loss_c").over(roll)
+    return (
+        gains.select(
+            "ticker",
+            "date",
+            F.coalesce(sg, F.lit(0)).alias("gain_sum_c"),
+            F.coalesce(sl, F.lit(0)).alias("loss_sum_c"),
+            F.when(
+                (sg + sl) != 0, (F.lit(100.0) * sg) / (sg + sl)
+            ).alias("rsi"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+RSI_SQL = f"""
+WITH c AS (
+  SELECT ticker, date, CAST(ROUND(close * 100) AS BIGINT) AS close_c
+  FROM prices
+), d AS (
+  SELECT ticker, date,
+         CASE WHEN LAG(close_c) OVER w IS NULL THEN NULL
+              ELSE greatest(close_c - LAG(close_c) OVER w, 0) END AS gain_c,
+         CASE WHEN LAG(close_c) OVER w IS NULL THEN NULL
+              ELSE greatest(LAG(close_c) OVER w - close_c, 0) END AS loss_c
+  FROM c
+  WINDOW w AS (PARTITION BY ticker ORDER BY date)
+), s AS (
+  SELECT ticker, date,
+         CAST(SUM(gain_c) OVER r AS BIGINT) AS sg,
+         CAST(SUM(loss_c) OVER r AS BIGINT) AS sl
+  FROM d
+  WINDOW r AS (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN {RSI_PERIOD - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, date,
+       COALESCE(sg, 0) AS gain_sum_c,
+       COALESCE(sl, 0) AS loss_sum_c,
+       CASE WHEN sg + sl != 0 THEN (100.0 * sg) / (sg + sl) END AS rsi
+FROM s
+ORDER BY ticker, date
+"""

@@ -485,3 +485,200 @@ def _ppm_resize(payload: bytes, width: int, height: int) -> bytes:
     cols = (np.arange(width) * w) // width
     out = px[rows][:, cols]
     return encode_ppm(width, height, out.tobytes())
+
+
+# ---------------------------------------------------------------------------
+# perceptual (average) hash + banded near-duplicate search over decoded
+# rasters — image dedup for a multimodal training-data pipeline
+# ---------------------------------------------------------------------------
+
+AHASH_BANDS = 4
+AHASH_BAND_BITS = 12  # 4 x 12 = 48 bits covers the largest 8x6 fixture
+AHASH_HAMMING_T = 3  # pairs within this distance count as near-dups
+AHASH_BUCKET_CAP = 200  # posting cap per (w, h, band) bucket
+
+
+def ppm_ahash(media: DataFrame) -> DataFrame:
+    """(media_id, width, height, ahash): average-hash from REAL decoded
+    PPM rasters. bit(r, c) = [gray * n_px > sum_gray] — the mean
+    comparison cross-multiplied so it stays exact integer arithmetic —
+    at position r*w + c; gray = r + g + b. Same Arrow-batched
+    mapInPandas shape as ppm_decode_stats: bytes stay in record
+    batches, output is 4 scalars per image."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"media_id": [], "width": [], "height": [], "ahash": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = decode_ppm(bytes(payload))
+                px = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                gray = px.sum(axis=2)
+                total = int(gray.sum())
+                bits = (gray * (w * h) > total).flatten()
+                hv = 0
+                for idx in np.nonzero(bits)[0]:
+                    hv |= 1 << int(idx)
+                out["media_id"].append(int(mid))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["ahash"].append(hv)
+            yield pd.DataFrame(out)
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("width", T.IntegerType(), False),
+            T.StructField("height", T.IntegerType(), False),
+            T.StructField("ahash", T.LongType(), False),
+        ]
+    )
+    return media.mapInPandas(batches, schema=schema)
+
+
+def ahash_near_dups(hashes: DataFrame) -> DataFrame:
+    """(media_id, width, height, ahash, n_near_dups): banded hamming
+    near-dup counts over the ahash table.
+
+    Simhash's banding discipline applied to image hashes: candidates
+    must share one exact 12-bit band within the same (width, height)
+    group — hamming <= 3 across 4 bands pigeonholes at least one equal
+    band, so recall is 1 for the threshold — and buckets beyond
+    AHASH_BUCKET_CAP postings are dropped whole (deterministic,
+    mirrored in the oracle) so a degenerate bucket (e.g. an all-zero
+    high band on small rasters) can never go quadratic. The exact
+    hamming check is bit_count(xor) on int64 — JVM-side, no Python.
+    """
+    from pyspark.sql import Window
+
+    bands = hashes.select(
+        "media_id",
+        "width",
+        "height",
+        "ahash",
+        F.posexplode(
+            F.array(
+                *[
+                    (
+                        F.shiftright(F.col("ahash"), AHASH_BAND_BITS * j)
+                        .bitwiseAND(F.lit((1 << AHASH_BAND_BITS) - 1))
+                    )
+                    for j in range(AHASH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_val"),
+    )
+    capped = (
+        bands.withColumn(
+            "posting_n",
+            F.count(F.lit(1)).over(
+                Window.partitionBy("width", "height", "band_idx", "band_val")
+            ),
+        )
+        .where(F.col("posting_n") <= AHASH_BUCKET_CAP)
+        .drop("posting_n")
+    )
+    a = capped.select(
+        F.col("media_id").alias("id_a"),
+        F.col("ahash").alias("ha"),
+        "width",
+        "height",
+        "band_idx",
+        "band_val",
+    )
+    b = capped.select(
+        F.col("media_id").alias("id_b"),
+        F.col("ahash").alias("hb"),
+        "width",
+        "height",
+        "band_idx",
+        "band_val",
+    )
+    close = (
+        a.join(b, ["width", "height", "band_idx", "band_val"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+        .distinct()
+        .where(
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= AHASH_HAMMING_T
+        )
+        .select("id_a", "id_b")
+    )
+    neigh = (
+        close.select(F.col("id_a").alias("media_id"))
+        .unionAll(close.select(F.col("id_b").alias("media_id")))
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        hashes.join(neigh, "media_id", "left")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "ahash",
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_near_dups"),
+        )
+        .orderBy("media_id")
+    )
+
+
+AHASH_NEARDUP_SQL = f"""
+WITH dims AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+), px AS (
+  SELECT media_id, w, h, r.range AS r, c.range AS c,
+         ((media_id * 31 + r.range * 7 + c.range * 3) % 256
+          + (media_id * 31 + r.range * 7 + c.range * 3 + 11) % 256
+          + (media_id * 31 + r.range * 7 + c.range * 3 + 22) % 256) AS gray
+  FROM dims, range(0, 8) r, range(0, 8) c
+  WHERE r.range < h AND c.range < w
+), tot AS (
+  SELECT media_id, w, h, SUM(gray) AS sum_gray, COUNT(*) AS n_px
+  FROM px GROUP BY 1, 2, 3
+), bits AS (
+  SELECT p.media_id, p.w, p.h,
+         CAST(SUM(CASE WHEN p.gray * t.n_px > t.sum_gray
+                       THEN CAST(1 AS BIGINT) << CAST(p.r * p.w + p.c AS INT)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM px p JOIN tot t USING (media_id)
+  GROUP BY 1, 2, 3
+), bands AS (
+  SELECT media_id, w, h, ahash, j.range AS band_idx,
+         (ahash >> CAST({AHASH_BAND_BITS} * j.range AS INT))
+           & {(1 << AHASH_BAND_BITS) - 1} AS band_val
+  FROM bits, range(0, {AHASH_BANDS}) j
+), capped AS (
+  SELECT media_id, w, h, ahash, band_idx, band_val FROM (
+    SELECT *, COUNT(*) OVER (PARTITION BY w, h, band_idx, band_val)
+              AS posting_n
+    FROM bands
+  ) WHERE posting_n <= {AHASH_BUCKET_CAP}
+), close AS (
+  SELECT DISTINCT id_a, id_b FROM (
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           a.ahash AS ha, b.ahash AS hb
+    FROM capped a
+    JOIN capped b ON a.w = b.w AND a.h = b.h
+                 AND a.band_idx = b.band_idx AND a.band_val = b.band_val
+                 AND a.media_id < b.media_id
+  ) WHERE bit_count(xor(ha, hb)) <= {AHASH_HAMMING_T}
+), neigh AS (
+  SELECT media_id, COUNT(*) AS n FROM (
+    SELECT id_a AS media_id FROM close
+    UNION ALL SELECT id_b FROM close
+  ) GROUP BY 1
+)
+SELECT b.media_id,
+       CAST(b.w AS INTEGER) AS width,
+       CAST(b.h AS INTEGER) AS height,
+       b.ahash,
+       CAST(COALESCE(n.n, 0) AS BIGINT) AS n_near_dups
+FROM bits b LEFT JOIN neigh n USING (media_id)
+ORDER BY b.media_id
+"""

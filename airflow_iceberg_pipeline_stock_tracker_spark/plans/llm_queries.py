@@ -329,6 +329,15 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     # exact-substring dedup signal: cross-doc repeated >=20-token spans,
     # shingle-decomposed + interval-merged (Lee et al. 2022 ExactSubstr)
+    # asymmetric containment near-dup (Broder resemblance-vs-containment):
+    # subset/superset pages Jaccard misses, same inverted-index shape
+    "dedup_containment": (
+        lambda spark, sf: dedup.containment_pairs(
+            load_table(spark, sf, "documents"),
+            shingles=_shingles(spark, sf),
+        ),
+        dedup.CONTAINMENT_SQL,
+    ),
     "dedup_repeated_spans": (
         lambda spark, sf: dedup.repeated_span_coverage(
             load_table(spark, sf, "documents")
@@ -356,6 +365,9 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         similarity.semantic_dedup,
         similarity.SEMANTIC_DEDUP_SQL,
     ),
+    # SQ8 scalar quantization: byte codes over the global range, exact
+    # int64 code scoring, float rerank of the quantized pool (faiss SQ)
+    "similarity_sq_topk": (similarity.sq_topk, similarity.SQ_TOPK_SQL),
     # the full IVFADC composition: coarse cells + PQ over residuals,
     # nprobe-bounded candidate scan — index build AND query hash-checked
     "similarity_ivfpq_topk": (ivfpq.ivfpq_topk, ivfpq.IVFPQ_TOPK_SQL),
@@ -376,6 +388,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # corpus-bigram LM scoring (CCNet-style statistical quality filter),
     # exact-count probabilities, pinned-order fold, millibit surface
     "text_lm_score": (_docs(text.lm_score), text.LM_SCORE_SQL),
+    # Gopher rule battery (Rae et al. 2021 A.1.1): the standard
+    # document-level pretraining quality gates, exact-integer ratios
+    "text_gopher_rules": (_docs(text.gopher_rules), text.GOPHER_RULES_SQL),
+    # per-doc TF-IDF keywords: the one legitimate full-token-stream
+    # shuffle (wordcount shape), millibit-quantized ranking
+    "text_tfidf_keywords": (_docs(text.tfidf_keywords), text.TFIDF_KEYWORDS_SQL),
     # corpus curation: decontamination, sampling, split, scrubbing
     "curation_contamination": (
         lambda spark, sf: _contamination(spark, sf),
@@ -431,6 +449,19 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # integer-exact oracle (new r7 — closes the "no registered query
     # ever decodes real bytes" gap)
     "multimodal_decode_real": (_media_decode_real, MEDIA_DECODE_REAL_SQL),
+    # image near-dup via average-hash + banded hamming search (new r9):
+    # REAL raster decode feeds the hash; the oracle recomputes hashes
+    # closed-form from the fixture pixel function and replays the same
+    # banded join, so the whole bytes->hash->candidates->counts path is
+    # value-hashed
+    "multimodal_phash_neardup": (
+        lambda spark, sf: multimodal.ahash_near_dups(
+            multimodal.ppm_ahash(
+                multimodal.docs_as_ppm_media(load_table(spark, sf, "documents"))
+            )
+        ),
+        multimodal.AHASH_NEARDUP_SQL,
+    ),
     # BM25 keyword retrieval over the corpus (new r7): explode-filter to
     # query postings, broadcast df + corpus scalars, pinned-order fold,
     # millibit-quantized ranking

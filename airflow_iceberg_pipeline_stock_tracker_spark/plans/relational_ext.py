@@ -1033,6 +1033,62 @@ ORDER BY c_custkey
 """
 
 
+# ---------------------------------------------------------------------------
+# market-basket co-occurrence: frequent part pairs within orders
+# ---------------------------------------------------------------------------
+def orders_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 co-purchased part pairs (market-basket support counts).
+
+    Shape: DISTINCT (orderkey, partkey) -> equi-self-join on orderkey
+    with ``part_a < part_b`` -> support groupBy -> top-k.
+
+    Scale: the self-join key is the order, and basket sizes are bounded
+    (TPC-H lineitem has <= 7 lines/order), so the fan-out is at most
+    C(7,2) = 21 pairs per order — LINEAR in orders, never quadratic in
+    parts. Both join sides are the same pruned 2-column projection
+    co-partitioned on orderkey (one exchange each), the support
+    aggregation combines map-side, and the final top-20 is
+    TakeOrderedAndProject (per-task local k, driver merge), not a
+    global sort. At 100 TB: the same plan, with AQE handling any hot
+    promotional part via skew-join splitting.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    )
+    return (
+        pairs.groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+MARKET_BASKET_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS support
+FROM items a
+JOIN items b
+  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+ORDER BY support DESC, part_a, part_b
+LIMIT 20
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -1051,4 +1107,5 @@ RELATIONAL_EXT_QUERIES = {
     "parts_hierarchy_rollup": (parts_hierarchy_rollup, PARTS_HIERARCHY_SQL),
     "parts_name_linkage": (parts_name_linkage, PARTS_LINKAGE_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
+    "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
 }

@@ -699,6 +699,78 @@ ORDER BY from_type, to_type
 """
 
 
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern detection per user: regex
+    over each user's (ts, event_id)-ordered event-type INITIAL string.
+
+    Counts CONSECUTIVE patterns the bigram/funnel operators can't see:
+    the strict view->click->purchase run (``vcp`` — adjacency, unlike
+    events_funnel's gappy subsequence) and error bursts (``ee+``, runs
+    of 2+ consecutive errors). Event-type initials are distinct
+    (c/e/p/s/v), so the sequence string is a faithful encoding.
+
+    Determinism: the per-user string is built from an array_sort over
+    (ts, event_id, initial) structs — (ts, event_id) is a total order,
+    so both engines fold the identical string; both regex engines count
+    non-overlapping left-to-right greedy matches identically for these
+    patterns (a literal and a maximal-run).
+
+    Scale: one shuffle on user_id; per-user state is the user's own
+    event string (the operator's intrinsic requirement, same class as
+    sessionize/ewma); the regex work is a narrow projection after the
+    aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"),
+                F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            )
+        )
+    )
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.array_join(
+                F.transform(arr, lambda x: x["c"]), ""
+            ).alias("seq"),
+        )
+    )
+    n_vcp = F.size(F.regexp_extract_all("seq", F.lit("vcp"), 0))
+    n_bursts = F.size(F.regexp_extract_all("seq", F.lit("ee+"), 0))
+    return (
+        per_user.select(
+            "user_id",
+            "n_events",
+            n_vcp.alias("n_view_click_purchase"),
+            n_bursts.alias("n_error_bursts"),
+            (n_vcp > 0).alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_PATTERN_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events
+  GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(seq, 'vcp')) AS INT)
+         AS n_view_click_purchase,
+       CAST(len(regexp_extract_all(seq, 'ee+')) AS INT) AS n_error_bursts,
+       len(regexp_extract_all(seq, 'vcp')) > 0 AS converted
+FROM seqs
+ORDER BY user_id
+"""
+
+
 def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(user_id, n_events, ewma_value): exponentially-weighted moving
     average of each user's event values, alpha = 1/2, in event order —
@@ -940,6 +1012,7 @@ TIMESERIES_QUERIES = {
     "events_hourly_anomaly": (events_hourly_anomaly, EVENTS_ANOMALY_SQL),
     "events_skew_profile": (events_skew_profile, EVENTS_SKEW_SQL),
     "events_transitions": (events_transitions, EVENTS_TRANSITIONS_SQL),
+    "events_pattern_match": (events_pattern_match, EVENTS_PATTERN_SQL),
     "events_ewma": (events_ewma, EVENTS_EWMA_SQL),
     "events_quantile_sketch": (
         events_quantile_sketch,

@@ -250,6 +250,10 @@ def _commit_entry(
         entry = {"id": snap_id, "dirs": prev_dirs + [snap_dir]}
         if tag is not None:
             entry["tag"] = tag
+        if txn is not None:
+            # history introspection only (Delta's setTransaction action);
+            # replay detection reads the O(runs) txns map, never this
+            entry["txn"] = [txn[0], txn[1]]
         txns = man.get("txns", {})
         if txn is not None:
             app_id, version = txn

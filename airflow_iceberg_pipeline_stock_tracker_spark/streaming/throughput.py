@@ -143,12 +143,22 @@ def capacity_knee(
     rate = start_rows_per_sec
     best: dict | None = None
     for _ in range(max_steps):
-        r = rate_tumbling_throughput(spark, rows_per_sec=rate, run_sec=run_sec)
+        # scale source partitions with the offer so row GENERATION never
+        # caps the measurement before the query does — at 8 partitions a
+        # 50M rows/s offer bottlenecks on the source and the knee would
+        # report the source's limit as the pipeline's
+        nparts = min(32, max(8, rate // 2_000_000))
+        r = rate_tumbling_throughput(
+            spark, rows_per_sec=rate, run_sec=run_sec, num_partitions=nparts
+        )
         if r["kept_up"] is None:
             # too few measured batches to judge (bigger batches at high
             # rates) — retry once with a doubled window before giving up
             r = rate_tumbling_throughput(
-                spark, rows_per_sec=rate, run_sec=run_sec * 2
+                spark,
+                rows_per_sec=rate,
+                run_sec=run_sec * 2,
+                num_partitions=nparts,
             )
         steps.append(r)
         if r["kept_up"]:

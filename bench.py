@@ -159,6 +159,15 @@ HEADLINE = [
     "similarity_mmr_rerank",
     "similarity_hard_negatives",
     "prices_snapshot_incremental",
+    # --- added in round 9 ---
+    "prices_rsi",
+    "orders_market_basket",
+    "events_pattern_match",
+    "dedup_containment",
+    "similarity_sq_topk",
+    "text_gopher_rules",
+    "text_tfidf_keywords",
+    "multimodal_phash_neardup",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -233,8 +242,41 @@ SCALE_TREND = {
     # 10x — exactly the at-scale shape claim these ops make
     "text_bm25_search": "documents",
     "text_lm_score": "documents",
+    # dedup tier (r8 ask): replicas are EXACT duplicates of the base
+    # docs, so a 10x corpus has 10-member duplicate groups — realistic
+    # crawl-scale shape. dedup_exact stays linear (hash groupBy);
+    # minhash-LSH's banded buckets grow to 10 members, so its CANDIDATE
+    # PAIR output grows ~45x while input grows 10x — time is read
+    # against out_rows for these, not input rows
+    "dedup_exact": "documents",
+    "dedup_minhash_lsh": "documents",
+    # ANN tier (r8 ask): brute-force top-k is linear in corpus size by
+    # construction; IVF probes a fixed fraction of cells and should
+    # grow sublinearly in wall time at fixed query count
+    "similarity_cosine_topk": "embeddings",
+    "similarity_ivf_topk": "embeddings",
 }
 SCALE_FACTOR = 10
+
+# reading guide for trend rows whose time_ratio needs context beyond
+# input_ratio — printed into BENCH_DETAIL.json verbatim
+SCALE_TREND_NOTES = {
+    "similarity_ivf_topk": (
+        "linear term is the ASSIGNMENT pass (nlist=16 dots/vector), which "
+        "at n_queries=10 exceeds brute-force's 10 query dots/vector; IVF "
+        "amortizes once queries >> nlist — per-query candidate work is "
+        "nprobe/nlist = 1/4 of the corpus vs brute-force's full scan"
+    ),
+    "similarity_cosine_topk": (
+        "brute-force baseline: by construction linear in corpus at fixed "
+        "query count (10 dots/vector); the number to beat for ANN rows"
+    ),
+    "dedup_minhash_lsh": (
+        "replicas are exact duplicates, so CANDIDATE PAIR output grows "
+        "~C(10,2)x per duplicate group while input grows 10x — read "
+        "time against out_ratio, not input_ratio"
+    ),
+}
 
 
 def _build_scale_dir(spark, sf_dir: str) -> str:
@@ -259,10 +301,25 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
         f"{base}-x{SCALE_FACTOR}",
     )
     done_marker = os.path.join(out_dir, "_BUILT")
+    marker_want = f"replicas={SCALE_FACTOR} v2-embeddings\n"
     if os.path.exists(done_marker):
-        return out_dir
+        with open(done_marker) as f:
+            if f.read() == marker_want:
+                return out_dir
+    if os.path.isdir(out_dir):
+        # stale layout from an older build recipe: remove it wholesale so
+        # no write can ever go THROUGH a leftover symlink into the
+        # read-only testdata tree
+        import shutil
+
+        shutil.rmtree(out_dir)
     os.makedirs(out_dir, exist_ok=True)
-    replicated = ("events.parquet", "lineitem.parquet", "documents.parquet")
+    replicated = (
+        "events.parquet",
+        "lineitem.parquet",
+        "documents.parquet",
+        "embeddings.parquet",
+    )
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)
         link = os.path.join(out_dir, name)
@@ -295,13 +352,34 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "documents.parquet"))
     )
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    (
+        emb.crossJoin(F.broadcast(reps))
+        .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(10**9))
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "embeddings.parquet"))
+    )
     with open(done_marker, "w") as f:
-        f.write(f"replicas={SCALE_FACTOR}\n")
+        f.write(marker_want)
     return out_dir
 
 
 def _scale_trend(spark, sf_dir: str, queries, base_timings: dict) -> dict:
-    """Time the SCALE_TREND queries at 1x and 10x; report sec-per-Mrow."""
+    """Time the SCALE_TREND queries at 1x and 10x input.
+
+    The HEADLINE number per query is ``time_ratio`` read against
+    ``input_ratio`` (r8 advice): raw sec-per-Mrow at these sizes is
+    dominated by per-query fixed overhead (scheduling, codegen, plan
+    setup) and reads as a misleading 3-12x "speedup" at 10x. The
+    fixed-overhead-free rate is ``marginal_sec_per_mrow`` — the slope
+    (t_10x - t_1x) / (rows_10x - rows_1x), i.e. the cost of each ADDED
+    million rows, which is the number that extrapolates to 100 TB.
+    ``out_rows`` at both scales is recorded because dedup-style
+    operators legitimately produce superlinear OUTPUT on duplicate-heavy
+    corpora (10-member duplicate groups emit ~45x the pairs); their time
+    must be read against output growth, not input growth.
+    """
     import time as _time
 
     big_dir = _build_scale_dir(spark, sf_dir)
@@ -318,31 +396,43 @@ def _scale_trend(spark, sf_dir: str, queries, base_timings: dict) -> dict:
                 os.path.join(big_dir, f"{tbl}.parquet", "*.parquet")
             )
         )
+
+    def _timed(fn, d):
+        """min-of-2 wall time + output rows, same protocol both scales."""
+        best, n = None, None
+        for _ in range(2):
+            t0 = _time.time()
+            n = fn(spark, d).count()
+            t = round(_time.time() - t0, 3)
+            best = t if best is None else min(best, t)
+        return best, n
+
     trend = {}
     for name, tbl in SCALE_TREND.items():
         fn = queries[name]
-        t_small = base_timings.get(name)
-        if t_small is None:
-            t0 = _time.time()
-            fn(spark, sf_dir).count()
-            t_small = round(_time.time() - t0, 3)
-        t_big = None
-        for _ in range(2):  # min-of-2, same protocol as the main loop
-            t0 = _time.time()
-            fn(spark, big_dir).count()
-            t = round(_time.time() - t0, 3)
-            t_big = t if t_big is None else min(t_big, t)
+        t_small, n_small = _timed(fn, sf_dir)
+        t_big, n_big = _timed(fn, big_dir)
         r_small = fact_rows[(tbl, "1x")]
         r_big = fact_rows[(tbl, "10x")]
+        time_ratio = round(t_big / t_small, 2) if t_small else None
+        marginal = (
+            round((t_big - t_small) / ((r_big - r_small) / 1e6), 3)
+            if r_big > r_small
+            else None
+        )
         trend[name] = {
             "fact_table": tbl,
+            **({"note": SCALE_TREND_NOTES[name]} if name in SCALE_TREND_NOTES else {}),
+            "input_ratio": round(r_big / r_small, 2),
+            "time_ratio": time_ratio,
+            "out_ratio": round(n_big / n_small, 2) if n_small else None,
+            "marginal_sec_per_mrow": marginal,
             "rows_1x": r_small,
             "rows_10x": r_big,
+            "out_rows_1x": n_small,
+            "out_rows_10x": n_big,
             "sec_1x": t_small,
             "sec_10x": t_big,
-            "sec_per_mrow_1x": round(t_small / (r_small / 1e6), 3),
-            "sec_per_mrow_10x": round(t_big / (r_big / 1e6), 3),
-            "time_ratio": round(t_big / t_small, 2) if t_small else None,
         }
     return trend
 
@@ -400,8 +490,12 @@ def main() -> None:
             capacity_knee,
         )
 
+        # start near the highest rate every prior round absorbed (6.4M
+        # was still kept_up in r7/r8) and ladder far enough that the
+        # first non-sustained offer is actually OBSERVED — a ladder that
+        # stops at an absorbed rate states a floor, not capacity
         knee = capacity_knee(
-            spark, start_rows_per_sec=200_000, run_sec=6.0, max_steps=6
+            spark, start_rows_per_sec=1_600_000, run_sec=6.0, max_steps=9
         )
         print(f"# streaming capacity knee: {knee}", file=sys.stderr)
         scale_trend = _scale_trend(spark, sf_dir, queries, timings)
@@ -460,6 +554,15 @@ def main() -> None:
                 "max_sustained_stream_rows_per_sec": knee[
                     "max_sustained_rows_per_sec"
                 ],
+                "first_failed_offer": knee["first_failed_offer"],
+                "scale_trend_max_time_ratio": max(
+                    (
+                        e["time_ratio"]
+                        for e in scale_trend.values()
+                        if e["time_ratio"] is not None
+                    ),
+                    default=None,
+                ),
                 "sf": sf,
             }
         )

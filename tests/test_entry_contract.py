@@ -51,41 +51,37 @@ def test_every_query_is_oracle_paired_or_documented_rows_only():
 
 def test_new_operators_are_inside_the_checked_prefix():
     # the r4 lesson: new operators must not ship driver-unchecked.
-    # Pins the CURRENT round's first-round-checked set: the three r7-new
-    # operators plus the eight never-driver-checked tail rows and six
-    # one-round q-rows rotated in per the r6 judge's top ask (funded by
-    # demoting the 2-round-green r5/r6 rows and, on the judge's explicit
-    # direction, the one-round finance/anomaly/rfm/transitions rows).
+    # Pins the CURRENT round's must-be-checked set: the eight r9-new
+    # operators, the three r9 code-changed rows (txn snapshot sink,
+    # single-pass BM25, replanned IVF), and the twelve rows rotated
+    # back for the second green round the r8 verdict asked for.
     promoted = {
-        # r7-new, first round
-        "multimodal_decode_real",
-        "text_bm25_search",
-        "events_ewma",
-        "text_bpe_train",
-        "events_quantile_sketch",
-        "text_bpe_tokenize",
-        "dedup_graph_stats",
+        # r9-new, first round
+        "prices_rsi",
+        "orders_market_basket",
+        "events_pattern_match",
+        "dedup_containment",
+        "similarity_sq_topk",
+        "text_gopher_rules",
+        "text_tfidf_keywords",
+        "multimodal_phash_neardup",
+        # r9 code-changed
         "events_snapshot_sink_parity",
-        "curation_importance_weights",
-        "similarity_mmr_rerank",
-        "similarity_hard_negatives",
-        "prices_snapshot_incremental",
-        # never-driver-checked tail rows getting their first real round
-        "events_sketch_reagg",
-        "events_json_props",
-        "curation_mixture_sample",
-        "similarity_knn_graph",
-        "events_hourly_corr",
-        "parts_hierarchy_rollup",
-        "events_heavy_hitters",
-        "parts_name_linkage",
-        # one-green-round q-rows getting their second
-        "q8_market_share",
-        "q9_product_profit",
-        "q10_returned_items",
-        "q12_late_lines",
-        "q17_small_qty_revenue",
-        "q19_disjunctive_preds",
+        "text_bm25_search",
+        "similarity_ivf_topk",
+        # second-round dozen (r8 verdict: one green round each so far)
+        "prices_vwap",
+        "prices_drawdown",
+        "prices_bollinger",
+        "events_hourly_anomaly",
+        "events_skew_profile",
+        "customer_rfm",
+        "events_transitions",
+        "q4_order_priority",
+        "q7_nation_volume",
+        "q13_customer_distribution",
+        "q15_top_supplier",
+        "q16_supplier_cnt",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)
 

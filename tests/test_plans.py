@@ -89,6 +89,8 @@ _BROADCAST_NLJ_ALLOWED = frozenset(
         "curation_importance_weights",  # broadcast 1-row V scalars
         "similarity_mmr_rerank",  # broadcast n_queries-row probe set
         "similarity_hard_negatives",  # broadcast anchor set
+        "similarity_sq_topk",  # broadcast query-code set (n_queries rows)
+        "text_tfidf_keywords",  # broadcast 1-row corpus scalar (N)
     }
 )
 

@@ -127,3 +127,58 @@ def test_vacuum_vs_commit_race_keeps_readers_and_tags_alive(tmp_path):
         )
         assert got <= 1 + _N_PER_WRITER, f"tag {tag} re-committed as {got}"
     assert snapshots._load_manifest(table_dir)["current"] == 1 + _N_PER_WRITER
+
+
+def _txn_writer(table_dir: str, wid: int, barrier, out_q) -> None:
+    """Race the SAME (run, version) txn sequence from two processes —
+    a speculative retry / zombie-executor replay of one stream."""
+    try:
+        results = []
+        for i in range(_N_PER_WRITER):
+            snap_dir = f"snap-t{wid}-{i:03d}"
+            os.makedirs(os.path.join(table_dir, snap_dir), exist_ok=True)
+            if i == 0:
+                barrier.wait(timeout=30)
+            results.append(
+                snapshots._commit_entry(
+                    table_dir, snap_dir, "append", 200, None, ("run", i)
+                )
+            )
+        out_q.put(("ok", wid, results))
+    except BaseException as e:
+        out_q.put(("err", wid, repr(e)))
+
+
+def test_two_process_same_txn_stream_commits_each_version_once(tmp_path):
+    """Exactly-once under the txn (Delta txnAppId/txnVersion) pattern
+    across real process boundaries: two processes claim the SAME
+    ("run", 0..19) versions concurrently; a version may land AT MOST
+    once (losers see the high-water and no-op), versions recorded in
+    history are strictly increasing, and the high-water equals the
+    max version either process committed."""
+    table_dir = str(tmp_path / "tbl")
+    os.makedirs(table_dir)
+    ctx = _fork()
+    q = ctx.Queue()
+    barrier = ctx.Barrier(2)
+    ps = [
+        ctx.Process(target=_txn_writer, args=(table_dir, wid, barrier, q))
+        for wid in (1, 2)
+    ]
+    for p in ps:
+        p.start()
+    results = [q.get(timeout=120) for _ in ps]
+    for p in ps:
+        p.join(timeout=30)
+    assert all(r[0] == "ok" for r in results), results
+    man = snapshots._load_manifest(table_dir)
+    committed_versions = [
+        s["txn"][1] for s in man["snapshots"] if "txn" in s
+    ]
+    # no version double-committed, and history preserved commit order
+    assert len(committed_versions) == len(set(committed_versions))
+    assert committed_versions == sorted(committed_versions)
+    assert man["txns"] == {"run": max(committed_versions)}
+    # both processes ran all versions; at least one commit happened per
+    # process run-through overall (the interleaving decides how many)
+    assert 1 <= len(committed_versions) <= 2 * _N_PER_WRITER
