@@ -703,3 +703,114 @@ def test_finance_zero_denominator_nulls(spark, rows):
             assert r.daily_return == pytest.approx(
                 (closes[i] - closes[i - 1]) / closes[i - 1]
             )
+
+
+# random small token-documents: short docs (the <3-token one-gram edge),
+# shared vocabulary (real overlaps), and duplicated prefixes (real
+# containment structure)
+_tok_docs = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=12),
+    min_size=2,
+    max_size=8,
+)
+
+
+def _shingle_set(toks: list[str]) -> set[str]:
+    """Python twin of dedup._shingle_hashes' gram rule: word 3-grams,
+    <3-token docs yield one gram of all tokens."""
+    if len(toks) < 3:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+
+
+@given(docs=_tok_docs)
+@example(docs=[["a", "b", "c", "d", "e"], ["a", "b", "c"]])  # strict subset
+@example(docs=[["a"], ["a"], ["b"]])  # one-gram edge + exact dup
+@_prop_settings
+def test_containment_matches_bruteforce(spark, docs):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        ["doc_id", "text"],
+    )
+    # max_df high enough that the posting cap never bites: the property
+    # is the exact containment math, the cap has its own tests
+    got = {
+        (r.doc_a, r.doc_b): (
+            r.inter,
+            r.size_a,
+            r.size_b,
+            r.containment_a_in_b,
+            r.containment_b_in_a,
+            r.relation,
+        )
+        for r in containment_pairs(frame, threshold=0.8, max_df=10**6).collect()
+    }
+    sets = [_shingle_set(t) for t in docs]
+    want = {}
+    for a in range(len(docs)):
+        for b in range(a + 1, len(docs)):
+            inter = len(sets[a] & sets[b])
+            if inter == 0:
+                continue
+            c_ab = inter / len(sets[a])
+            c_ba = inter / len(sets[b])
+            if max(c_ab, c_ba) < 0.8:
+                continue
+            rel = (
+                "mutual"
+                if c_ab >= 0.8 and c_ba >= 0.8
+                else ("a_in_b" if c_ab >= 0.8 else "b_in_a")
+            )
+            want[(a, b)] = (inter, len(sets[a]), len(sets[b]), c_ab, c_ba, rel)
+    assert got == want
+
+
+_user_seqs = st.lists(
+    st.lists(
+        st.sampled_from(["view", "click", "purchase", "signup", "error"]),
+        min_size=1,
+        max_size=15,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(seqs=_user_seqs)
+@example(seqs=[["view", "click", "purchase", "view", "click", "purchase"]])
+@example(seqs=[["error", "error", "error", "view", "error", "error"]])
+@_prop_settings
+def test_pattern_match_matches_python_regex(spark, seqs, tmp_path_factory):
+    import re as _re
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for uid, types in enumerate(seqs):
+        for t in types:
+            rows.append((eid, base + dt.timedelta(seconds=eid), uid, t, 0.0, "{}"))
+            eid += 1
+    tdir = tmp_path_factory.mktemp("patt")
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    )
+    ev.write.mode("overwrite").parquet(str(tdir / "events.parquet"))
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_pattern_match,
+    )
+
+    got = {
+        r.user_id: r for r in events_pattern_match(spark, str(tdir)).collect()
+    }
+    for uid, types in enumerate(seqs):
+        s = "".join(t[0] for t in types)
+        assert got[uid].n_events == len(types)
+        assert got[uid].n_view_click_purchase == len(_re.findall("vcp", s))
+        assert got[uid].n_error_bursts == len(_re.findall("ee+", s))
+        assert got[uid].converted == ("vcp" in s)
