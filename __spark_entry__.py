@@ -267,8 +267,8 @@ SWEEP_CHECKED = [
     "text_gopher_rules",       # Gopher quality-gate battery
     "text_tfidf_keywords",     # per-doc TF-IDF keyword extraction
     "multimodal_phash_neardup",  # image ahash + banded hamming dedup
+    "streaming_pattern_match",   # O(1)-state sequence matcher (stream)
     # r6/r7 rows kept warm (newest operator families)
-    "graph_pagerank_trade",
     "text_char_entropy",
     "text_lm_score",
     "events_sketch_accuracy",
@@ -313,6 +313,10 @@ SWEEP_TAIL = [
     # 3 consecutive green rounds (r6-r8), semi-join machinery also
     # plan-pinned by pytest and re-proven by the checked q-rows
     "lineitem_bloom_semi_join",
+    # 3 consecutive green rounds (r6-r8); the iterative-fixpoint class
+    # stays pytest-pinned (tests/test_pagerank.py) and dedup_components'
+    # distributed pointer-doubling shares the machinery
+    "graph_pagerank_trade",
     # demoted r7 (the finance trio / anomaly / skew / rfm / transitions
     # rows that sat here with one round of evidence rotated BACK into
     # the checked prefix in r9 for their second round — see above).

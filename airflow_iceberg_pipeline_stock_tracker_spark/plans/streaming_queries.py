@@ -82,6 +82,76 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.readStream.schema(ev.schema).parquet(path)
 
 
+def _events_stream_seq_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events file stream whose micro-batches arrive in (ts, event_id)
+    order: the landing zone is range-partitioned + sorted on that key,
+    and each part file's mtime is pinned in range order, so the file
+    source's (mtime, path) ordering delivers the ranges in sequence.
+    maxFilesPerTrigger=1 forces one batch per range file — the
+    cross-batch ordering contract the O(1)-state sequence matcher
+    documents (streaming/seqmatch.py) actually exercised, not assumed."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def build(p: str) -> None:
+        (
+            ev.repartitionByRange(4, "ts", "event_id")
+            .sortWithinPartitions("ts", "event_id")
+            .write.mode("overwrite")
+            .parquet(p)
+        )
+        import glob as _glob
+        import time as _time
+
+        files = sorted(_glob.glob(os.path.join(p, "part-*")))
+        base = _time.time() - len(files) - 10
+        for i, f in enumerate(files):
+            os.utime(f, (base + i, base + i))
+
+    path = _scratch_dir("events_seq", sf_dir, build)
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+
+
+def streaming_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch sequence matcher's streaming twin, driver-checked
+    against the SAME closed-form regex oracle: drain the seq-ordered
+    events stream through the O(1)-state matcher (running totals per
+    user per micro-batch), keep each user's FINAL row (max n_events —
+    emissions are strictly increasing per user), and the result must
+    equal the batch regex counts row-for-row."""
+    from ..streaming import seqmatch
+
+    out = _drain(
+        seqmatch.pattern_match_stream(_events_stream_seq_ordered(spark, sf_dir)),
+        mode="append",
+    )
+    final = (
+        out.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct(
+                    "n_events",
+                    "n_view_click_purchase",
+                    "n_error_bursts",
+                    "converted",
+                ),
+                F.col("n_events"),
+            ).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.n_view_click_purchase").alias("n_view_click_purchase"),
+            F.col("s.n_error_bursts").alias("n_error_bursts"),
+            F.col("s.converted").alias("converted"),
+        )
+    )
+    return final.orderBy("user_id")
+
+
 def streaming_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(windows.hourly_tumbling(_events_stream(spark, sf_dir)))
 
@@ -560,11 +630,16 @@ SELECT CAST(0 AS BIGINT) AS n_only_batch,
 """
 
 
+from .timeseries import EVENTS_PATTERN_SQL as _SEQMATCH_ORACLE  # noqa: E402
+
 STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_hourly_tumbling": (streaming_hourly_tumbling, STREAMING_HOURLY_SQL),
     "streaming_sliding_value": (streaming_sliding, STREAMING_SLIDING_SQL),
     "streaming_sessionize": (streaming_sessionize, STREAMING_SESSIONIZE_SQL),
     "streaming_rolling_stateful": (streaming_rolling_stateful, STREAMING_ROLLING_SQL),
+    # O(1)-state sequence matcher over a multi-batch ordered stream,
+    # hash-checked against the batch regex oracle (new r9)
+    "streaming_pattern_match": (streaming_pattern_match, _SEQMATCH_ORACLE),
     "streaming_event_dedup": (streaming_event_dedup, STREAMING_EVENT_DEDUP_SQL),
     "streaming_exact_dedup": (streaming_exact_dedup, STREAMING_EXACT_DEDUP_SQL),
     "streaming_interval_join": (streaming_interval_join, sjoins.INTERVAL_JOIN_SQL),

@@ -168,6 +168,7 @@ HEADLINE = [
     "text_gopher_rules",
     "text_tfidf_keywords",
     "multimodal_phash_neardup",
+    "streaming_pattern_match",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

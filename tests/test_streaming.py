@@ -487,3 +487,60 @@ def test_rate_tumbling_throughput_probe(spark):
     assert r["kept_up"] is not False
     if r["batches_measured"] >= 3:
         assert r["kept_up"] is True
+
+
+def test_streaming_pattern_match_equals_batch_regex(spark, sf_dir):
+    """The O(1)-state sequence matcher drained over the multi-batch
+    ordered stream must equal the batch regex operator row-for-row —
+    including across micro-batch boundaries (the landing zone forces 4
+    single-file triggers, so vcp runs and error bursts DO straddle
+    batches at this fixture size)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.streaming_queries import (
+        streaming_pattern_match,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_pattern_match,
+    )
+
+    got = streaming_pattern_match(spark, sf_dir)
+    want = events_pattern_match(spark, sf_dir)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == want.count() > 0
+
+
+def test_seqmatch_state_drops_replayed_rows(spark):
+    """Replay safety: feeding the SAME batch twice through the stateful
+    fn must not double-count (the (ts, event_id) high-water drop)."""
+    import pandas as pd
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import seqmatch
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    pdf = pd.DataFrame(
+        {
+            "ts": pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 00:00:01",
+                                  "2024-01-01 00:00:02"]),
+            "event_id": [1, 2, 3],
+            "user_id": [7, 7, 7],
+            "event_type": ["view", "click", "purchase"],
+        }
+    )
+    state = FakeState()
+    out1 = list(seqmatch._seq_fn((7,), iter([pdf]), state))[0]
+    assert out1.iloc[0].n_view_click_purchase == 1
+    out2 = list(seqmatch._seq_fn((7,), iter([pdf]), state))[0]  # replay
+    assert out2.iloc[0].n_events == 3  # unchanged
+    assert out2.iloc[0].n_view_click_purchase == 1  # NOT double-counted
