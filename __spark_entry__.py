@@ -268,10 +268,10 @@ SWEEP_CHECKED = [
     "text_tfidf_keywords",     # per-doc TF-IDF keyword extraction
     "multimodal_phash_neardup",  # image ahash + banded hamming dedup
     "streaming_pattern_match",   # O(1)-state sequence matcher (stream)
+    "orders_basket_rules",       # confidence/lift over the pair topology
     # r6/r7 rows kept warm (newest operator families)
     "text_char_entropy",
     "text_lm_score",
-    "events_sketch_accuracy",
     "multimodal_decode_real",
     "events_ewma",
     "text_bpe_train",
@@ -317,6 +317,10 @@ SWEEP_TAIL = [
     # stays pytest-pinned (tests/test_pagerank.py) and dedup_components'
     # distributed pointer-doubling shares the machinery
     "graph_pagerank_trade",
+    # 3 consecutive green rounds (r6-r8); the sketch error contract is
+    # pytest-pinned and the reagg twin rides the same machinery in the
+    # per-CI tail gate
+    "events_sketch_accuracy",
     # demoted r7 (the finance trio / anomaly / skew / rfm / transitions
     # rows that sat here with one round of evidence rotated BACK into
     # the checked prefix in r9 for their second round — see above).

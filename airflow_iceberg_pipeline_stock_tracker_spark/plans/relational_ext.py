@@ -1089,6 +1089,103 @@ LIMIT 20
 """
 
 
+def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the co-occurrence pairs: for the top-20
+    supported pairs, directional confidence and lift — the actionable
+    market-basket surface (which part PREDICTS which).
+
+      confidence(a->b) = support(a,b) / support(a)
+      lift(a->b)       = confidence(a->b) * n_baskets / support(b)
+
+    All counts are exact int64; the three ratios are single divisions
+    of exact integers written identically in both engines. Shape: the
+    pair topology reuses the bounded basket self-join
+    (orders_market_basket); item supports are one map-combinable
+    groupBy; both attach by broadcast (20 pairs / |parts| rows vs the
+    pair fact), so no new large shuffle beyond the pair count itself.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets = li.select("l_orderkey").distinct().count()  # one scalar
+    item = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("item_support")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .orderBy(F.desc("support"), "part_a", "part_b")
+        .limit(20)
+    )
+    sa = item.select(
+        F.col("part").alias("part_a"), F.col("item_support").alias("support_a")
+    )
+    sb = item.select(
+        F.col("part").alias("part_b"), F.col("item_support").alias("support_b")
+    )
+    conf_ab = F.col("support") / F.col("support_a")
+    conf_ba = F.col("support") / F.col("support_b")
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "support",
+            "support_a",
+            "support_b",
+            conf_ab.alias("conf_a_to_b"),
+            conf_ba.alias("conf_b_to_a"),
+            ((F.col("support") * F.lit(n_baskets)) / (
+                F.col("support_a") * F.col("support_b")
+            )).alias("lift"),
+        )
+        .orderBy(F.desc("support"), "part_a", "part_b")
+    )
+
+
+BASKET_RULES_SQL = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), n AS (
+  SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items
+), item_support AS (
+  SELECT l_partkey AS part, COUNT(*) AS item_support FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         COUNT(*) AS support
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  ORDER BY support DESC, part_a, part_b
+  LIMIT 20
+)
+SELECT part_a, part_b, support,
+       sa.item_support AS support_a,
+       sb.item_support AS support_b,
+       CAST(support AS DOUBLE) / sa.item_support AS conf_a_to_b,
+       CAST(support AS DOUBLE) / sb.item_support AS conf_b_to_a,
+       CAST(support * n.n_baskets AS DOUBLE)
+         / (sa.item_support * sb.item_support) AS lift
+FROM pairs
+JOIN item_support sa ON sa.part = part_a
+JOIN item_support sb ON sb.part = part_b
+CROSS JOIN n
+ORDER BY support DESC, part_a, part_b
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -1108,4 +1205,5 @@ RELATIONAL_EXT_QUERIES = {
     "parts_name_linkage": (parts_name_linkage, PARTS_LINKAGE_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
+    "orders_basket_rules": (orders_basket_rules, BASKET_RULES_SQL),
 }

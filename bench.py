@@ -169,6 +169,7 @@ HEADLINE = [
     "text_tfidf_keywords",
     "multimodal_phash_neardup",
     "streaming_pattern_match",
+    "orders_basket_rules",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -215,3 +215,28 @@ def test_ahash_identical_images_are_near_dups(spark):
     # the inverted raster flips every mean-threshold bit
     n_bits = w * h
     assert got[1].ahash ^ got[3].ahash == (1 << n_bits) - 1
+
+
+def test_basket_rules_math_is_exact(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        orders_basket_rules,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    out = orders_basket_rules(spark, sf_dir).collect()
+    assert 0 < len(out) <= 20
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_baskets = li.select("l_orderkey").distinct().count()
+    for r in out:
+        assert r.conf_a_to_b == pytest.approx(r.support / r.support_a)
+        assert r.conf_b_to_a == pytest.approx(r.support / r.support_b)
+        assert r.lift == pytest.approx(
+            r.support * n_baskets / (r.support_a * r.support_b)
+        )
+        assert 0 < r.conf_a_to_b <= 1 and 0 < r.conf_b_to_a <= 1
