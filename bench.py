@@ -439,6 +439,61 @@ def _scale_trend(spark, sf_dir: str, queries, base_timings: dict) -> dict:
     return trend
 
 
+DEEP_FACTOR = 100
+DEEP_QUERIES = ("text_bm25_search", "text_lm_score")
+
+
+def _deep_docs_point(spark, sf_dir: str, queries) -> dict:
+    """100x-documents point for the corpus-scaling text ops (r7 ask: one
+    decade can't separate amortized fixed overhead from a genuine
+    superlinear term — two decades can). documents-only replica dir,
+    same key-shift construction as the 10x build; min-of-2 timings."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scale_trend",
+        f"{base}-docs-x{DEEP_FACTOR}",
+    )
+    marker = os.path.join(out_dir, "_BUILT")
+    want = f"docs={DEEP_FACTOR}\n"
+    built = os.path.exists(marker) and open(marker).read() == want
+    if not built:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        for pth in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            name = os.path.basename(pth)
+            if name != "documents.parquet":
+                os.symlink(pth, os.path.join(out_dir, name))
+        reps = spark.range(DEEP_FACTOR).withColumnRenamed("id", "rep")
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        (
+            docs.crossJoin(F.broadcast(reps))
+            .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10**9))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "documents.parquet"))
+        )
+        with open(marker, "w") as f:
+            f.write(want)
+    out = {}
+    for name in DEEP_QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = _time.time()
+            queries[name](spark, out_dir).count()
+            t = round(_time.time() - t0, 3)
+            best = t if best is None else min(best, t)
+        out[name] = best
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -502,6 +557,15 @@ def main() -> None:
         print(f"# streaming capacity knee: {knee}", file=sys.stderr)
         scale_trend = _scale_trend(spark, sf_dir, queries, timings)
         print(f"# scale trend: {scale_trend}", file=sys.stderr)
+        deep = _deep_docs_point(spark, sf_dir, queries)
+        for name, sec in deep.items():
+            e = scale_trend.get(name)
+            if e:
+                e["sec_100x"] = sec
+                e["time_ratio_100x_vs_10x"] = (
+                    round(sec / e["sec_10x"], 2) if e["sec_10x"] else None
+                )
+        print(f"# 100x documents point: {deep}", file=sys.stderr)
     finally:
         # the ONE-JSON-line stdout contract must survive any mid-bench
         # exception — restore stdout unconditionally
