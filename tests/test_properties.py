@@ -814,3 +814,104 @@ def test_pattern_match_matches_python_regex(spark, seqs, tmp_path_factory):
         assert got[uid].n_view_click_purchase == len(_re.findall("vcp", s))
         assert got[uid].n_error_bursts == len(_re.findall("ee+", s))
         assert got[uid].converted == ("vcp" in s)
+
+
+_rule_texts = st.lists(
+    st.text(
+        alphabet="ab z.#3 the of and",  # letters, digits, '#', '.', spaces
+        min_size=0,
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_rule_texts)
+@example(texts=["", "   ", "### ... ...", "the of and that have with a b c"])
+@_prop_settings
+def test_gopher_rules_match_python_reference(spark, texts):
+    import math
+    import re as _re
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        GOPHER_STOPWORDS,
+        gopher_rules,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in gopher_rules(docs).collect()}
+    for i, t in enumerate(texts):
+        toks = _re.split(r"\s+", t.strip().lower())
+        n = len(toks)
+        n_eff = max(n, 1)
+        mean_wl = sum(len(x) for x in toks) / n_eff
+        n_hash = t.count("#")
+        n_ell = (len(t) - len(t.replace("...", ""))) / 3
+        sym = (n_hash + n_ell) / n_eff
+        alpha = sum(1 for x in toks if _re.search("[a-z]", x)) / n_eff
+        stops = sum(1 for s in GOPHER_STOPWORDS if s in toks)
+        r = got[i]
+        assert r.n_tokens == n
+        assert math.isclose(r.mean_word_len, mean_wl)
+        assert math.isclose(r.symbol_ratio, sym)
+        assert math.isclose(r.alpha_word_ratio, alpha)
+        assert r.n_stop_hits == stops
+        assert r.rule_symbols == (r.symbol_ratio <= 0.1)
+        assert r.rule_stops == (stops >= 2)
+        assert r.pass_gopher == all(
+            [r.rule_n_tokens, r.rule_word_len, r.rule_symbols,
+             r.rule_alpha, r.rule_stops]
+        )
+
+
+_kw_docs = st.lists(
+    st.lists(st.sampled_from(["x", "y", "z", "w", "v"]), min_size=1, max_size=10),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(docs=_kw_docs)
+@example(docs=[["x", "x", "y"], ["x"], ["y", "z"]])
+@_prop_settings
+def test_tfidf_keywords_match_python_reference(spark, docs):
+    import math
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        tfidf_keywords,
+    )
+
+    frame = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got = [
+        (r.doc_id, r.rank, r.term, r.score_millibits)
+        for r in tfidf_keywords(frame, k=3).collect()
+    ]
+    n_docs = len(docs)
+    df: dict[str, int] = {}
+    for t in docs:
+        for term in set(t):
+            df[term] = df.get(term, 0) + 1
+    want = []
+    for i, t in enumerate(docs):
+        tf: dict[str, int] = {}
+        for term in t:
+            tf[term] = tf.get(term, 0) + 1
+        scored = sorted(
+            (
+                (
+                    int(math.floor(tf[term] * math.log(1.0 + n_docs / df[term])
+                                   * 1000 + 0.5)),
+                    term,
+                )
+                for term in tf
+            ),
+            key=lambda p: (-p[0], p[1]),
+        )
+        for rank, (mb, term) in enumerate(scored[:3], start=1):
+            want.append((i, rank, term, mb))
+    assert sorted(got) == sorted(want)
