@@ -257,6 +257,10 @@ SCALE_TREND = {
     # grow sublinearly in wall time at fixed query count
     "similarity_cosine_topk": "embeddings",
     "similarity_ivf_topk": "embeddings",
+    # r9 rows: the wordcount-shaped keyword extractor (the one text op
+    # that shuffles the token stream) and the per-user sequence matcher
+    "text_tfidf_keywords": "documents",
+    "events_pattern_match": "events",
 }
 SCALE_FACTOR = 10
 
