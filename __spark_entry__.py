@@ -174,6 +174,14 @@ def _q_prices_snapshot_incremental(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def _q_prices_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
+
+    return _pl.snapshot_wap_demo(spark, tempfile.mkdtemp(prefix="graft_wap_"))
+
+
 def _q_pipeline_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end (pipeline.run_evolution_demo):
     backfill 2 days -> ALTER TABLE ADD COLUMNS -> old-writer day 3
@@ -222,6 +230,9 @@ SWEEP_CHECKED = [
     "pipeline_schema_evolution",
     "prices_snapshot_time_travel",
     "prices_snapshot_incremental",
+    # NEW r9: write-audit-publish through snapshot BRANCHES (the
+    # reference's staging->DQ->promote lifecycle as Iceberg refs)
+    "prices_snapshot_wap",
     "pipeline_micro_batch_parity",
     # streaming family — the watermark/state/join machinery re-proven
     # every round
@@ -270,7 +281,6 @@ SWEEP_CHECKED = [
     "streaming_pattern_match",   # O(1)-state sequence matcher (stream)
     "orders_basket_rules",       # confidence/lift over the pair topology
     # r6/r7 rows kept warm (newest operator families)
-    "text_char_entropy",
     "text_lm_score",
     "multimodal_decode_real",
     "events_ewma",
@@ -321,6 +331,9 @@ SWEEP_TAIL = [
     # pytest-pinned and the reagg twin rides the same machinery in the
     # per-CI tail gate
     "events_sketch_accuracy",
+    # 3 consecutive green rounds (r6-r8); the pinned-fold/millibit
+    # discipline stays checked via text_lm_score and the BPE rows
+    "text_char_entropy",
     # demoted r7 (the finance trio / anomaly / skew / rfm / transitions
     # rows that sat here with one round of evidence rotated BACK into
     # the checked prefix in r9 for their second round — see above).
@@ -467,6 +480,7 @@ def queries() -> dict[str, QueryFn]:
         "pipeline_schema_evolution": _q_pipeline_schema_evolution,
         "prices_snapshot_time_travel": _q_prices_snapshot_time_travel,
         "prices_snapshot_incremental": _q_prices_snapshot_incremental,
+        "prices_snapshot_wap": _q_prices_snapshot_wap,
     }
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         pool[name] = fn
@@ -529,6 +543,7 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_schema_evolution": _pl.evolution_oracle_sql(),
         "prices_snapshot_time_travel": _pl.snapshot_oracle_sql(),
         "prices_snapshot_incremental": _pl.snapshot_incremental_oracle_sql(),
+        "prices_snapshot_wap": _pl.snapshot_wap_oracle_sql(),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

@@ -449,6 +449,91 @@ def snapshot_time_travel_demo(spark: SparkSession, table_dir: str) -> DataFrame:
     return out
 
 
+def snapshot_wap_demo(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Write-audit-publish exercised end-to-end on the snapshot layer's
+    BRANCHES (sources/snapshots.py create_branch/fast_forward — the
+    Iceberg WAP pattern, which is exactly the reference's staging->DQ->
+    promote lifecycle, dag.py:146-203, restated as refs instead of a
+    staging table):
+
+      1. day-1 bars land on main;
+      2. a candidate day-2 load — polluted with corrupted rows
+         (negated volumes) — is committed to an ``audit`` BRANCH: main
+         readers never see it;
+      3. the DQ gate runs against the branch head; it fails, so the
+         branch is dropped — publish never happens;
+      4. the cleaned candidate commits to a fresh branch, audits clean,
+         and ``fast_forward`` publishes it atomically to main.
+
+    Surface: final main rows + the audit evidence (bad-row count the
+    gate caught, and that the publish happened) — all deterministic
+    from the bar client, so the oracle regenerates it closed-form.
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+    d1 = bars_to_df(spark, fetch_bars(client, EVOLUTION_DATES[0])).drop(
+        "insertion_timestamp"
+    )
+    d2 = bars_to_df(spark, fetch_bars(client, EVOLUTION_DATES[1])).drop(
+        "insertion_timestamp"
+    )
+    snapshots.commit(d1, table_dir, mode="overwrite")
+
+    corrupted = d2.withColumn("volume", -F.col("volume"))
+    candidate = d2.unionAll(corrupted)
+    snapshots.create_branch(table_dir, "audit")
+    snapshots.commit(candidate, table_dir, mode="append", branch="audit")
+    # the DQ gate (reference check 4: non-positive volume) runs on the
+    # BRANCH head; main is still day-1 only
+    staged = snapshots.read(spark, table_dir, ref="audit")
+    first_audit_bad = staged.where(F.col("volume") <= 0).count()
+    assert snapshots.read(spark, table_dir).count() == d1.count()
+    if first_audit_bad:  # audit failed -> no publish, drop the branch
+        snapshots.drop_branch(table_dir, "audit")
+
+    snapshots.create_branch(table_dir, "audit")
+    snapshots.commit(d2, table_dir, mode="append", branch="audit")
+    clean = snapshots.read(spark, table_dir, ref="audit")
+    second_audit_bad = clean.where(F.col("volume") <= 0).count()
+    published = False
+    if second_audit_bad == 0:
+        snapshots.fast_forward(table_dir, "audit")
+        published = True
+
+    return (
+        snapshots.read(spark, table_dir)
+        .select(
+            "ticker",
+            "date",
+            F.col("close").cast("double").alias("close"),
+            "volume",
+            F.lit(first_audit_bad).cast("bigint").alias("first_audit_bad_rows"),
+            F.lit(published).alias("published"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+def snapshot_wap_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`snapshot_wap_demo`: the published main is
+    days 1-2 exactly (the corrupted candidate never lands), the failed
+    audit caught one bad row per corrupted day-2 bar."""
+    return _bars_cte_sql(EVOLUTION_DATES[:2], tickers) + f"""
+SELECT ticker, date,
+       CAST(close AS DOUBLE) AS close, volume,
+       (SELECT COUNT(*) FROM bars WHERE date = DATE '{EVOLUTION_DATES[1]}')
+         AS first_audit_bad_rows,
+       TRUE AS published
+FROM bars
+ORDER BY ticker, date
+"""
+
+
 def snapshot_oracle_sql(tickers: list[str] | None = None) -> str:
     """DuckDB twin of :func:`snapshot_time_travel_demo`: v1 sees days
     1-2, v2 sees all three — regenerated from the deterministic bars."""

@@ -79,6 +79,7 @@ _EMPTY_MANIFEST: dict = {
     "snapshots": [],
     "tags": {},
     "txns": {},
+    "refs": {},
 }
 
 
@@ -103,6 +104,7 @@ def _load_manifest(table_dir: str, max_retries: int = 10) -> dict:
             continue  # pruned between list and open — a newer one exists
         man.setdefault("tags", {})
         man.setdefault("txns", {})
+        man.setdefault("refs", {})
         return man
     raise RuntimeError(
         f"manifest resolution raced vacuum {max_retries} times in {table_dir}"
@@ -140,6 +142,7 @@ def commit(
     max_retries: int = 16,
     tag: str | None = None,
     txn: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -182,7 +185,7 @@ def commit(
     # or be clobbered by another commit's data files
     snap_dir = f"snap-{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap_dir))
-    return _commit_entry(table_dir, snap_dir, mode, max_retries, tag, txn)
+    return _commit_entry(table_dir, snap_dir, mode, max_retries, tag, txn, branch)
 
 
 def _tagged(man: dict, tag: str | None) -> int | None:
@@ -226,6 +229,22 @@ def _replayed(
     return _txn_replayed(man, txn)
 
 
+def _max_id(man: dict) -> int:
+    """Global snapshot-id high-water across ALL refs — ids must be
+    unique table-wide, not per-branch."""
+    return max((s["id"] for s in man["snapshots"]), default=0)
+
+
+def _dirs_of(man: dict, version: int) -> list[str]:
+    for snap in man["snapshots"]:
+        if snap["id"] == version:
+            return snap["dirs"]
+    raise ValueError(
+        f"snapshot {version} not in history "
+        f"(have {[s['id'] for s in man['snapshots']]})"
+    )
+
+
 def _commit_entry(
     table_dir: str,
     snap_dir: str,
@@ -233,6 +252,7 @@ def _commit_entry(
     max_retries: int = 16,
     tag: str | None = None,
     txn: tuple[str, int] | None = None,
+    branch: str | None = None,
 ) -> int:
     """The manifest CAS loop — everything in ``commit`` after the data
     write. Factored out so the cross-process concurrency tests drive the
@@ -243,11 +263,21 @@ def _commit_entry(
         already = _replayed(man, tag, txn)
         if already is not None:  # a racing replay won the CAS first
             return already
-        snap_id = man["current"] + 1
+        if branch is not None and branch not in man["refs"]:
+            raise ValueError(
+                f"branch {branch!r} does not exist in {table_dir} "
+                f"(create_branch first; have {sorted(man['refs'])})"
+            )
+        # ids are allocated off the global high-water, NOT off the main
+        # head: a branch commit must never collide with a later main id
+        snap_id = _max_id(man) + 1
         prev_dirs: list[str] = []
-        if mode == "append" and man["snapshots"]:
-            prev_dirs = man["snapshots"][-1]["dirs"]
+        if mode == "append":
+            head = man["refs"][branch] if branch is not None else man["current"]
+            prev_dirs = list(_dirs_of(man, head)) if head else []
         entry = {"id": snap_id, "dirs": prev_dirs + [snap_dir]}
+        if branch is not None:
+            entry["branch"] = branch
         if tag is not None:
             entry["tag"] = tag
         if txn is not None:
@@ -258,12 +288,16 @@ def _commit_entry(
         if txn is not None:
             app_id, version = txn
             txns = dict(txns, **{app_id: max(version, txns.get(app_id, -1))})
+        refs = dict(man["refs"])
+        if branch is not None:
+            refs[branch] = snap_id
         new_man = {
             "seq": man["seq"] + 1,
-            "current": snap_id,
+            "current": man["current"] if branch is not None else snap_id,
             "snapshots": man["snapshots"] + [entry],
             "tags": dict(man.get("tags", {}), **({tag: snap_id} if tag else {})),
             "txns": txns,
+            "refs": refs,
         }
         if _publish_manifest(table_dir, new_man):
             return snap_id
@@ -274,16 +308,30 @@ def _commit_entry(
     )
 
 
-def read(spark: SparkSession, table_dir: str, version: int | None = None) -> DataFrame:
-    """Read the table at ``version`` (default: current snapshot).
+def read(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    ref: str | None = None,
+) -> DataFrame:
+    """Read the table at ``version``, at a named ``ref`` (branch head),
+    or at the current main snapshot.
 
     Resolves the manifest FIRST and plans over exactly the directories it
     lists — concurrent commits after this call do not change what this
     DataFrame reads (snapshot isolation).
     """
+    if version is not None and ref is not None:
+        raise ValueError("pass version OR ref, not both")
     man = _load_manifest(table_dir)
     if not man["snapshots"]:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if ref is not None:
+        if ref not in man["refs"]:
+            raise ValueError(
+                f"no ref {ref!r} in {table_dir} (have {sorted(man['refs'])})"
+            )
+        version = man["refs"][ref]
     if version is None:
         version = man["current"]
     for snap in man["snapshots"]:
@@ -294,6 +342,79 @@ def read(spark: SparkSession, table_dir: str, version: int | None = None) -> Dat
         f"snapshot {version} not in history "
         f"(have {[s['id'] for s in man['snapshots']]})"
     )
+
+
+def create_branch(
+    table_dir: str,
+    name: str,
+    from_version: int | None = None,
+    max_retries: int = 16,
+) -> int:
+    """Create a named branch pointing at ``from_version`` (default: the
+    current main snapshot) — Iceberg's branch ref, the staging half of
+    write-audit-publish. Published through the same manifest CAS as
+    commits; returns the branch's starting snapshot id."""
+    for attempt in range(max_retries):
+        man = _load_manifest(table_dir)
+        if name in man["refs"]:
+            raise ValueError(f"branch {name!r} already exists in {table_dir}")
+        start = man["current"] if from_version is None else from_version
+        if start != 0:
+            _dirs_of(man, start)  # must name a real snapshot
+        new_man = dict(
+            man,
+            seq=man["seq"] + 1,
+            refs=dict(man["refs"], **{name: start}),
+        )
+        if _publish_manifest(table_dir, new_man):
+            return start
+        time.sleep(0.001 * (attempt + 1))
+    raise RuntimeError(f"create_branch lost the CAS {max_retries} times")
+
+
+def drop_branch(table_dir: str, name: str, max_retries: int = 16) -> None:
+    """Remove a branch ref. Its snapshots stay in history until vacuum
+    (exactly Iceberg: dropping a ref never deletes data)."""
+    for attempt in range(max_retries):
+        man = _load_manifest(table_dir)
+        if name not in man["refs"]:
+            raise ValueError(f"no branch {name!r} in {table_dir}")
+        refs = {k: v for k, v in man["refs"].items() if k != name}
+        new_man = dict(man, seq=man["seq"] + 1, refs=refs)
+        if _publish_manifest(table_dir, new_man):
+            return
+        time.sleep(0.001 * (attempt + 1))
+    raise RuntimeError(f"drop_branch lost the CAS {max_retries} times")
+
+
+def fast_forward(table_dir: str, branch: str, max_retries: int = 16) -> int:
+    """PUBLISH a branch: move main's pointer to the branch head —
+    Iceberg's fast_forward, the atomic publish half of
+    write-audit-publish. Refuses unless main's data is a subset of the
+    branch head's directory list (i.e. the branch genuinely extends
+    main), so a publish can never silently drop committed main data.
+    Returns the new main snapshot id."""
+    for attempt in range(max_retries):
+        man = _load_manifest(table_dir)
+        if branch not in man["refs"]:
+            raise ValueError(f"no branch {branch!r} in {table_dir}")
+        head = man["refs"][branch]
+        if head == 0:
+            raise ValueError(f"branch {branch!r} has no commits to publish")
+        head_dirs = set(_dirs_of(man, head))
+        if man["current"] != 0:
+            cur_dirs = set(_dirs_of(man, man["current"]))
+            if not cur_dirs <= head_dirs:
+                raise ValueError(
+                    f"branch {branch!r} does not extend main "
+                    f"(main owns {sorted(cur_dirs - head_dirs)} the branch "
+                    "head lacks) — publish would lose committed data"
+                )
+        new_man = dict(man, seq=man["seq"] + 1, current=head)
+        if _publish_manifest(table_dir, new_man):
+            return head
+        time.sleep(0.001 * (attempt + 1))
+    raise RuntimeError(f"fast_forward lost the CAS {max_retries} times")
 
 
 def history(table_dir: str) -> list[int]:
@@ -312,7 +433,17 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
         man = _load_manifest(table_dir)
         if len(man["snapshots"]) <= keep_last:
             return []
-        kept = man["snapshots"][-keep_last:]
+        # retention keeps the last keep_last entries PLUS main's current
+        # snapshot and every branch head: a ref must never dangle and a
+        # branch's staged-but-unpublished data must survive retention
+        pinned = {man["current"]} | set(man["refs"].values())
+        kept = [
+            snap
+            for i, snap in enumerate(man["snapshots"])
+            if i >= len(man["snapshots"]) - keep_last or snap["id"] in pinned
+        ]
+        if len(kept) == len(man["snapshots"]):
+            return []
         keep_dirs = {d for s in kept for d in s["dirs"]}
         removed = []
         for s in man["snapshots"][:-keep_last]:
@@ -329,6 +460,7 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
             "snapshots": kept,
             "tags": man.get("tags", {}),
             "txns": man.get("txns", {}),
+            "refs": man.get("refs", {}),
         }
         # publish the trimmed manifest FIRST (through the same CAS as
         # commits) so a crash mid-delete can only leave orphan

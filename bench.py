@@ -170,6 +170,7 @@ HEADLINE = [
     "multimodal_phash_neardup",
     "streaming_pattern_match",
     "orders_basket_rules",
+    "prices_snapshot_wap",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -191,6 +192,8 @@ PROOF_TIER = frozenset(
         "events_snapshot_sink_parity",
         # 3 commits + 3 incremental folds; table lifecycle
         "prices_snapshot_incremental",
+        # branch create/commit/audit/publish lifecycle; same class
+        "prices_snapshot_wap",
     }
 )
 
@@ -213,6 +216,8 @@ RUN_ONCE = frozenset(
         "events_snapshot_sink_parity",
         # snapshot lifecycle + per-commit folds; one measured pass
         "prices_snapshot_incremental",
+        # branch lifecycle proof; one measured pass
+        "prices_snapshot_wap",
     }
 )
 

@@ -67,6 +67,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         "multimodal_phash_neardup",
         "streaming_pattern_match",
         "orders_basket_rules",
+        "prices_snapshot_wap",
         # r9 code-changed
         "events_snapshot_sink_parity",
         "text_bm25_search",

@@ -348,3 +348,77 @@ def test_vacuum_tolerates_concurrently_pruned_manifest(spark, tdir, monkeypatch)
     monkeypatch.undo()
     assert snapshots.history(tdir) == [3]
     assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [1, 2, 3]
+
+
+def test_branch_commits_do_not_move_main(spark, tdir):
+    snapshots.commit(_df(spark, [1, 2]), tdir, mode="append")
+    snapshots.create_branch(tdir, "audit")
+    b = snapshots.commit(_df(spark, [3]), tdir, mode="append", branch="audit")
+    # main is untouched; the branch head sees base + staged rows
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [1, 2]
+    assert sorted(
+        r.x for r in snapshots.read(spark, tdir, ref="audit").collect()
+    ) == [1, 2, 3]
+    # ids are globally unique: the branch commit got a fresh id
+    assert b == 2 and snapshots.history(tdir) == [1, 2]
+    # committing to a nonexistent branch is an error, not a silent main write
+    with pytest.raises(ValueError, match="does not exist"):
+        snapshots.commit(_df(spark, [9]), tdir, mode="append", branch="nope")
+
+
+def test_fast_forward_publishes_and_guards_lineage(spark, tdir):
+    snapshots.commit(_df(spark, [1]), tdir, mode="append")
+    snapshots.create_branch(tdir, "wap")
+    snapshots.commit(_df(spark, [2]), tdir, mode="append", branch="wap")
+    new_main = snapshots.fast_forward(tdir, "wap")
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [1, 2]
+    assert snapshots._load_manifest(tdir)["current"] == new_main
+    # main advances past the branch -> the branch no longer extends main
+    snapshots.commit(_df(spark, [3]), tdir, mode="append")
+    with pytest.raises(ValueError, match="does not extend main"):
+        snapshots.fast_forward(tdir, "wap")
+
+
+def test_vacuum_keeps_branch_heads_alive(spark, tdir):
+    snapshots.commit(_df(spark, [1]), tdir, mode="append")
+    snapshots.create_branch(tdir, "stage")
+    snapshots.commit(_df(spark, [2]), tdir, mode="append", branch="stage")
+    # two more main commits push the branch entry out of the last-1 window
+    snapshots.commit(_df(spark, [3]), tdir, mode="append")
+    snapshots.commit(_df(spark, [4]), tdir, mode="append")
+    snapshots.vacuum(tdir, keep_last=1)
+    # the branch head must still read back intact after retention
+    assert sorted(
+        r.x for r in snapshots.read(spark, tdir, ref="stage").collect()
+    ) == [1, 2]
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [
+        1, 3, 4,
+    ]
+
+
+def test_drop_branch_removes_ref_only(spark, tdir):
+    snapshots.commit(_df(spark, [1]), tdir, mode="append")
+    snapshots.create_branch(tdir, "tmp")
+    bid = snapshots.commit(_df(spark, [2]), tdir, mode="append", branch="tmp")
+    snapshots.drop_branch(tdir, "tmp")
+    with pytest.raises(ValueError, match="no ref"):
+        snapshots.read(spark, tdir, ref="tmp")
+    # history still reaches the branch snapshot until vacuum
+    assert sorted(
+        r.x for r in snapshots.read(spark, tdir, version=bid).collect()
+    ) == [1, 2]
+
+
+def test_wap_demo_audits_and_publishes(spark, tmp_path):
+    """End-to-end write-audit-publish: the corrupted candidate never
+    reaches main, the gate counts its bad rows, and the clean retry
+    publishes atomically via fast_forward."""
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as pl
+
+    out = pl.snapshot_wap_demo(spark, str(tmp_path / "wap")).collect()
+    assert all(r.published for r in out)
+    assert all(r.volume > 0 for r in out)  # no corrupted row ever published
+    days = {r.date.isoformat() for r in out}
+    assert days == set(pl.EVOLUTION_DATES[:2])
+    n_day2 = sum(1 for r in out if r.date.isoformat() == pl.EVOLUTION_DATES[1])
+    assert out[0].first_audit_bad_rows == n_day2  # one bad copy per bar
