@@ -354,6 +354,10 @@ def create_branch(
     current main snapshot) — Iceberg's branch ref, the staging half of
     write-audit-publish. Published through the same manifest CAS as
     commits; returns the branch's starting snapshot id."""
+    # branching an empty, never-committed table is legal (stage-first
+    # workflows create the audit branch before any main data exists) —
+    # the hypothesis branch-model sweep caught the missing makedirs
+    os.makedirs(table_dir, exist_ok=True)
     for attempt in range(max_retries):
         man = _load_manifest(table_dir)
         if name in man["refs"]:

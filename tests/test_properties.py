@@ -915,3 +915,113 @@ def test_tfidf_keywords_match_python_reference(spark, docs):
         for rank, (mb, term) in enumerate(scored[:3], start=1):
             want.append((i, rank, term, mb))
     assert sorted(got) == sorted(want)
+
+
+# branch-model ops: weighted toward branch activity; branch names from a
+# 2-name pool so create-on-existing and publish-unknown paths get hit
+_branch_ops = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.lists(st.integers(0, 99), min_size=1, max_size=2)),
+        st.tuples(st.just("branch_create"), st.sampled_from(["b1", "b2"])),
+        st.tuples(
+            st.just("branch_append"),
+            st.tuples(
+                st.sampled_from(["b1", "b2"]),
+                st.lists(st.integers(0, 99), min_size=1, max_size=2),
+            ),
+        ),
+        st.tuples(st.just("publish"), st.sampled_from(["b1", "b2"])),
+        st.tuples(st.just("branch_drop"), st.sampled_from(["b1", "b2"])),
+        st.tuples(st.just("vacuum"), st.integers(1, 2)),
+    ),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(ops=_branch_ops)
+@example(ops=[("append", [1]), ("branch_create", "b1"),
+              ("branch_append", ("b1", [2])), ("append", [3]),
+              ("publish", "b1")])  # diverged branch: publish must refuse
+@example(ops=[("append", [1]), ("branch_create", "b1"),
+              ("branch_append", ("b1", [2])), ("vacuum", 1),
+              ("publish", "b1")])  # branch head must survive vacuum
+@_prop_settings
+def test_snapshot_branches_match_model(spark, ops, tmp_path_factory):
+    """Model-based sweep of the BRANCH layer: a random interleaving of
+    main appends, branch create/append/drop, fast_forward, and vacuum
+    must match a pure-Python model tracking per-ref (token-set, values).
+    fast_forward must succeed exactly when main's token set is a subset
+    of the branch head's (the no-data-loss guard), and branch heads must
+    read back intact after any vacuum."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources import snapshots
+
+    tdir = str(tmp_path_factory.mktemp("branchmodel") / "tbl")
+
+    def df_of(vals):
+        return spark.createDataFrame([(v,) for v in vals], ["x"])
+
+    tok = 0
+    # per-ref model state: (frozenset tokens, list values); "" = main
+    model: dict[str, tuple[frozenset, list]] = {"": (frozenset(), [])}
+
+    for op, arg in ops:
+        if op == "append":
+            toks, vals = model[""]
+            tok += 1
+            model[""] = (toks | {tok}, vals + list(arg))
+            snapshots.commit(df_of(arg), tdir, mode="append")
+        elif op == "branch_create":
+            if arg in model:
+                with pytest.raises(ValueError, match="already exists"):
+                    snapshots.create_branch(tdir, arg)
+            else:
+                snapshots.create_branch(tdir, arg)
+                model[arg] = model[""]
+        elif op == "branch_append":
+            name, vals_new = arg
+            if name not in model:
+                with pytest.raises(ValueError, match="does not exist"):
+                    snapshots.commit(
+                        df_of(vals_new), tdir, mode="append", branch=name
+                    )
+            else:
+                toks, vals = model[name]
+                tok += 1
+                model[name] = (toks | {tok}, vals + list(vals_new))
+                snapshots.commit(df_of(vals_new), tdir, mode="append", branch=name)
+        elif op == "publish":
+            if arg not in model:
+                with pytest.raises(ValueError, match="no branch"):
+                    snapshots.fast_forward(tdir, arg)
+            elif not model[arg][0]:
+                with pytest.raises(ValueError, match="no commits"):
+                    snapshots.fast_forward(tdir, arg)
+            elif model[""][0] <= model[arg][0]:
+                snapshots.fast_forward(tdir, arg)
+                model[""] = model[arg]
+            else:
+                with pytest.raises(ValueError, match="does not extend main"):
+                    snapshots.fast_forward(tdir, arg)
+        elif op == "branch_drop":
+            if arg not in model:
+                with pytest.raises(ValueError, match="no branch"):
+                    snapshots.drop_branch(tdir, arg)
+            else:
+                snapshots.drop_branch(tdir, arg)
+                del model[arg]
+        else:  # vacuum
+            if model[""][0]:
+                snapshots.vacuum(tdir, keep_last=arg)
+
+        # after every step: main and every live branch read back exactly
+        for name, (toks, vals) in model.items():
+            if not toks:
+                continue  # ref points at the empty snapshot 0
+            got = sorted(
+                r.x
+                for r in snapshots.read(
+                    spark, tdir, ref=name or None
+                ).collect()
+            )
+            assert got == sorted(vals), (op, name)
