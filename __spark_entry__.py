@@ -100,6 +100,20 @@ def _q_prices_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsi(prices_standin(spark, sf_dir))
 
 
+def _q_prices_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import atr
+
+    return atr(prices_standin(spark, sf_dir))
+
+
+def _q_prices_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        stochastic,
+    )
+
+    return stochastic(prices_standin(spark, sf_dir))
+
+
 def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full daily pipeline (ingest->DQ->promote->cumulate), 3-day backfill.
 
@@ -280,12 +294,13 @@ SWEEP_CHECKED = [
     "multimodal_phash_neardup",  # image ahash + banded hamming dedup
     "streaming_pattern_match",   # O(1)-state sequence matcher (stream)
     "orders_basket_rules",       # confidence/lift over the pair topology
+    # NEW this session (first round checked per policy):
+    "prices_atr",              # True Range + rolling SMA, int64 cents
+    "prices_stochastic",       # %K/%D, exact extrema, pinned 3-lag %D
+    "parts_triangle_count",    # degree-oriented triangle census
+    "events_decay_topk",       # time-decayed leaderboard, 2^k weights
+    "orders_abc_analysis",     # Pareto classes, integer boundaries
     # r6/r7 rows kept warm (newest operator families)
-    "text_lm_score",
-    "multimodal_decode_real",
-    "events_ewma",
-    "text_bpe_train",
-    "events_quantile_sketch",
     "text_bpe_tokenize",
     "dedup_graph_stats",
     "curation_importance_weights",
@@ -300,6 +315,14 @@ SWEEP_TAIL = [
     # the ivf promotion. Evidence per row: 2 consecutive green driver
     # rounds (r7+r8, CORRECTNESS_r0{7,8}.json) + pytest coverage; all
     # re-diffed per CI by tests/test_tail_oracle.py
+    # demoted later in r9 to fund the five second-wave ops (ATR,
+    # stochastic, triangles, decay-topk, ABC): same 2-consecutive-green
+    # evidence (r7+r8) + pytest coverage, tail-oracle-diffed per CI
+    "text_lm_score",
+    "multimodal_decode_real",
+    "events_ewma",
+    "text_bpe_train",
+    "events_quantile_sketch",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -473,6 +496,8 @@ def queries() -> dict[str, QueryFn]:
         "prices_drawdown": _q_prices_drawdown,
         "prices_bollinger": _q_prices_bollinger,
         "prices_rsi": _q_prices_rsi,
+        "prices_atr": _q_prices_atr,
+        "prices_stochastic": _q_prices_stochastic,
         "dq_checks": _q_dq_checks,
         "cumulate_rolling": _q_cumulate_rolling,
         "cumulate_day": _q_cumulate_day,
@@ -522,9 +547,11 @@ def oracle_sql() -> dict[str, str]:
     from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
 
     from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        ATR_SQL,
         BOLLINGER_SQL,
         DRAWDOWN_SQL,
         RSI_SQL,
+        STOCH_SQL,
         VWAP_SQL,
     )
 
@@ -534,6 +561,9 @@ def oracle_sql() -> dict[str, str]:
         "prices_bollinger": prices_cte
         + BOLLINGER_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_rsi": prices_cte + RSI_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_atr": prices_cte + ATR_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_stochastic": prices_cte
+        + STOCH_SQL.replace("WITH c AS", ", c AS", 1),
         # full backfill, hash-checked end-to-end: the deterministic bar
         # client is a pure sha256 function of (ticker, ds), so the SQL
         # twin regenerates the bars and replays ingest->promote->cumulate

@@ -275,3 +275,159 @@ SELECT ticker, date,
 FROM s
 ORDER BY ticker, date
 """
+
+ATR_PERIOD = 14  # lookback rows for the Average True Range
+
+
+def atr(prices: DataFrame, period: int = ATR_PERIOD) -> DataFrame:
+    """Per (ticker, date): True Range and its rolling SMA (Wilder's ATR
+    in the SMA formulation, same Cutler-style choice as :func:`rsi` —
+    the EMA recursion would force a sequential fold, the SMA keeps the
+    whole operator window-exact).
+
+      TR_c  = greatest(high-low, |high-prev_close|, |low-prev_close|)
+      ATR_c = avg(TR_c) over the trailing ``period`` rows
+
+    Every intermediate is int64 cents: high/low/close are scaled
+    per-row, the three candidate ranges are integer subtractions, the
+    rolling mean is an int64 sum with ONE closing division. First row
+    of a ticker (no previous close) uses the conventional TR =
+    high - low, pinned with an explicit CASE in both engines rather
+    than relying on greatest()'s NULL-swallowing (which engines have
+    disagreed on — see :func:`rsi`).
+
+    Scale: one hash exchange on ticker, a lag pass then a rolling-sum
+    pass over sorted runs, no joins, no Python
+    (tests/test_properties.py::test_atr_stochastic_reference).
+    """
+    w = Window.partitionBy("ticker").orderBy("date")
+    roll = w.rowsBetween(-(period - 1), 0)
+    hi_c, lo_c, cl_c = cents("high"), cents("low"), cents("close")
+    prev_c = F.lag(cl_c).over(w)
+    tr = F.when(prev_c.isNull(), hi_c - lo_c).otherwise(
+        F.greatest(
+            hi_c - lo_c,
+            F.abs(hi_c - prev_c),
+            F.abs(lo_c - prev_c),
+        )
+    )
+    base = prices.select("ticker", "date", tr.alias("tr_c"))
+    n = F.count(F.lit(1)).over(roll)
+    s = F.sum("tr_c").over(roll)
+    return (
+        base.select(
+            "ticker",
+            "date",
+            "tr_c",
+            n.alias("n_days"),
+            s.alias("tr_sum_c"),
+            (s / n).alias("atr_c"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+ATR_SQL = f"""
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(high * 100) AS BIGINT) AS hi_c,
+         CAST(ROUND(low * 100) AS BIGINT) AS lo_c,
+         CAST(ROUND(close * 100) AS BIGINT) AS cl_c
+  FROM prices
+), t AS (
+  SELECT ticker, date,
+         CASE WHEN LAG(cl_c) OVER w IS NULL THEN hi_c - lo_c
+              ELSE greatest(hi_c - lo_c,
+                            abs(hi_c - LAG(cl_c) OVER w),
+                            abs(lo_c - LAG(cl_c) OVER w)) END AS tr_c
+  FROM c
+  WINDOW w AS (PARTITION BY ticker ORDER BY date)
+)
+SELECT ticker, date, tr_c,
+       CAST(COUNT(*) OVER r AS BIGINT) AS n_days,
+       CAST(SUM(tr_c) OVER r AS BIGINT) AS tr_sum_c,
+       CAST(SUM(tr_c) OVER r AS DOUBLE) / (COUNT(*) OVER r) AS atr_c
+FROM t
+WINDOW r AS (PARTITION BY ticker ORDER BY date
+             ROWS BETWEEN {ATR_PERIOD - 1} PRECEDING AND CURRENT ROW)
+ORDER BY ticker, date
+"""
+
+
+STOCH_PERIOD = 14  # %K lookback rows
+
+
+def stochastic(prices: DataFrame, period: int = STOCH_PERIOD) -> DataFrame:
+    """Per (ticker, date): the stochastic oscillator.
+
+      %K = 100 * (close - min(low))/(max(high) - min(low))  over ``period`` rows
+      %D = (%K + lag(%K) + lag(%K, 2)) / 3                  (SMA-3 of %K)
+
+    Exactness: the window extrema are int64 cents, so %K is ONE
+    division of exact integers; a flat window (max high == min low —
+    a halted ticker) has no defined %K — NULL in both engines, never a
+    DIVIDE_BY_ZERO (the vwap/drawdown/rsi NULL contract,
+    tests/test_properties.py::test_finance_zero_denominator_nulls
+    class). %D is written as an EXPLICIT three-lag left-associated sum
+    — not AVG over a frame — so both engines run the identical IEEE
+    sequence on the identical doubles; the first two rows of a ticker
+    have no %D (NULL propagation from the missing lags), and any NULL
+    %K inside the triple nulls %D in both engines the same way
+    (tests/test_properties.py::test_atr_stochastic_reference).
+
+    Scale: same shape as :func:`rsi` — one exchange on ticker, two
+    stacked window passes, no joins, no Python.
+    """
+    w = Window.partitionBy("ticker").orderBy("date")
+    roll = w.rowsBetween(-(period - 1), 0)
+    hi_c, lo_c, cl_c = cents("high"), cents("low"), cents("close")
+    hh = F.max(hi_c).over(roll)
+    ll = F.min(lo_c).over(roll)
+    k = F.when(hh != ll, (F.lit(100.0) * (cl_c - ll)) / (hh - ll))
+    base = prices.select(
+        "ticker",
+        "date",
+        hh.alias("hh_c"),
+        ll.alias("ll_c"),
+        k.alias("pct_k"),
+    )
+    k0 = F.col("pct_k")
+    k1 = F.lag("pct_k").over(w)
+    k2 = F.lag("pct_k", 2).over(w)
+    return (
+        base.select(
+            "ticker",
+            "date",
+            "hh_c",
+            "ll_c",
+            "pct_k",
+            ((k0 + k1 + k2) / F.lit(3.0)).alias("pct_d"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+STOCH_SQL = f"""
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(high * 100) AS BIGINT) AS hi_c,
+         CAST(ROUND(low * 100) AS BIGINT) AS lo_c,
+         CAST(ROUND(close * 100) AS BIGINT) AS cl_c
+  FROM prices
+), k AS (
+  SELECT ticker, date,
+         MAX(hi_c) OVER r AS hh_c,
+         MIN(lo_c) OVER r AS ll_c,
+         CASE WHEN MAX(hi_c) OVER r != MIN(lo_c) OVER r
+              THEN (100.0 * (cl_c - MIN(lo_c) OVER r))
+                   / (MAX(hi_c) OVER r - MIN(lo_c) OVER r) END AS pct_k
+  FROM c
+  WINDOW r AS (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN {STOCH_PERIOD - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, date, hh_c, ll_c, pct_k,
+       ((pct_k + LAG(pct_k) OVER w) + LAG(pct_k, 2) OVER w) / 3.0 AS pct_d
+FROM k
+WINDOW w AS (PARTITION BY ticker ORDER BY date)
+ORDER BY ticker, date
+"""

@@ -855,3 +855,9 @@ RELATIONAL_QUERIES.update(TPCH_SUITE_QUERIES)
 from .timeseries import TIMESERIES_QUERIES  # noqa: E402
 
 RELATIONAL_QUERIES.update(TIMESERIES_QUERIES)
+
+# triangle census of the brand-scoped co-purchase graph via degree
+# orientation (operators/graphlets.py)
+from ..operators.graphlets import TRIANGLE_SQL, parts_triangle_count  # noqa: E402
+
+RELATIONAL_QUERIES["parts_triangle_count"] = (parts_triangle_count, TRIANGLE_SQL)

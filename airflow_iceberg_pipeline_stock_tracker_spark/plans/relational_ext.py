@@ -1186,6 +1186,96 @@ ORDER BY support DESC, part_a, part_b
 """
 
 
+def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: rank every part
+    by lineitem revenue, take the running share of total, and label the
+    classic inventory classes — A while the cumulative share is <= 80%,
+    B while <= 95%, C after.
+
+    Exactness: revenue is per-row cents (int64) summed exactly; the
+    running total and grand total are int64; the CLASS BOUNDARIES are
+    integer cross-multiplications (cum*5 <= total*4, cum*20 <= total*19)
+    so no float ever decides a label (at extremes where total_c*19 would
+    exceed int64 — ~5e17 cents of revenue — widen the two comparisons to
+    DECIMAL(38,0); the doubles surfaced for share/cum_share stay ONE
+    closing division each). Rank ties are impossible: (revenue desc,
+    part) is a total order.
+
+    Scale: the groupBy is map-combinable and its output is |parts| —
+    dimension-scale, orders of magnitude below the fact input. The
+    ordered running sum is a global window, acceptable at that
+    cardinality; the fully distributed form is the textbook two-pass
+    prefix sum (range-repartition by the sort key, per-partition
+    partials, broadcast the partition offsets) which this plan
+    deliberately trades away for the one-exchange window while the
+    aggregated surface fits a partition
+    (tests/test_properties.py::test_abc_analysis_reference).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(cents("l_extendedprice")).alias("revenue_c")
+    )
+    w = Window.orderBy(F.desc("revenue_c"), "part")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    cum = F.sum("revenue_c").over(run)
+    total = F.sum("revenue_c").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        rev.select(
+            "part",
+            "revenue_c",
+            F.row_number().over(w).alias("rank"),
+            cum.alias("cum_revenue_c"),
+            total.alias("total_c"),
+        )
+        .select(
+            "part",
+            "revenue_c",
+            "rank",
+            "cum_revenue_c",
+            (F.col("revenue_c") / F.col("total_c") * 100).alias("share_pct"),
+            (F.col("cum_revenue_c") / F.col("total_c") * 100).alias(
+                "cum_share_pct"
+            ),
+            F.when(
+                F.col("cum_revenue_c") * 5 <= F.col("total_c") * 4, "A"
+            )
+            .when(F.col("cum_revenue_c") * 20 <= F.col("total_c") * 19, "B")
+            .otherwise("C")
+            .alias("abc_class"),
+        )
+        .orderBy("rank")
+    )
+
+
+ABC_ANALYSIS_SQL = """
+WITH rev AS (
+  SELECT l_partkey AS part,
+         CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_c
+  FROM lineitem GROUP BY 1
+), ranked AS (
+  SELECT part, revenue_c,
+         CAST(ROW_NUMBER() OVER w AS INT) AS rank,
+         CAST(SUM(revenue_c) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT)
+           AS cum_revenue_c,
+         CAST(SUM(revenue_c) OVER () AS BIGINT) AS total_c
+  FROM rev
+  WINDOW w AS (ORDER BY revenue_c DESC, part)
+)
+SELECT part, revenue_c, rank, cum_revenue_c,
+       CAST(revenue_c AS DOUBLE) / total_c * 100 AS share_pct,
+       CAST(cum_revenue_c AS DOUBLE) / total_c * 100 AS cum_share_pct,
+       CASE WHEN cum_revenue_c * 5 <= total_c * 4 THEN 'A'
+            WHEN cum_revenue_c * 20 <= total_c * 19 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM ranked
+ORDER BY rank
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -1205,5 +1295,6 @@ RELATIONAL_EXT_QUERIES = {
     "parts_name_linkage": (parts_name_linkage, PARTS_LINKAGE_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
+    "orders_abc_analysis": (orders_abc_analysis, ABC_ANALYSIS_SQL),
     "orders_basket_rules": (orders_basket_rules, BASKET_RULES_SQL),
 }

@@ -999,6 +999,106 @@ ORDER BY s.event_type, s.q_pct
 """
 
 
+DECAY_HORIZON = 30  # days; weight 2^(H-1-delta) for delta < H, else 0
+
+
+def events_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 users per event type by exponentially TIME-DECAYED
+    engagement (half-life = 1 day) — the freshness-weighted leaderboard
+    behind trending/ranking surfaces, where yesterday's click counts
+    half of today's.
+
+    Exactness: the decay weight is the INTEGER 2^(H-1-delta_days)
+    (delta measured in whole days back from the corpus max date;
+    contributions older than H = 30 days are defined as zero — a
+    documented truncation that also bounds the shift for any data).
+    Per-user scores are exact int64 sums of powers of two — no libm
+    pow, no order dependence — and the surfaced double is ONE closing
+    division by the constant 2^(H-1). With the 1e12-scale raw weights
+    involved, int64 stays exact where a double fold would round.
+
+    Scale: the reference-day scalar is a 1-row aggregate broadcast into
+    the scan; the score aggregate is map-combinable on (type, user);
+    the top-10 is a rank window inside each type partition — state
+    O(types x users) aggregated, never a global sort. Weights depend
+    only on the row's own day, so the same plan reaggregates
+    incrementally: tomorrow's refresh HALVES yesterday's stored raw
+    score (integer shift) and adds the new day's partials
+    (tests/test_properties.py::test_decay_topk_reference).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ref = ev.agg(F.max(F.to_date("ts")).alias("ref_day"))
+    delta = F.datediff(F.col("ref_day"), F.to_date("ts"))
+    h1 = DECAY_HORIZON - 1
+    w_int = F.when(
+        delta < DECAY_HORIZON,
+        F.expr(
+            f"shiftleft(cast(1 as bigint), "
+            f"cast({h1} - datediff(ref_day, to_date(ts)) as int))"
+        ),
+    ).otherwise(F.lit(0).cast("bigint"))
+    scored = (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(delta < DECAY_HORIZON, 1).otherwise(0)).alias(
+                "n_recent"
+            ),
+            F.sum(w_int).alias("decayed_raw"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc("decayed_raw"), "user_id"
+        )
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .where(F.col("rank") <= 10)
+        .select(
+            "event_type",
+            "rank",
+            "user_id",
+            "n_events",
+            "n_recent",
+            "decayed_raw",
+            (F.col("decayed_raw") / F.lit(float(2 ** h1))).alias("score"),
+        )
+        .orderBy("event_type", "rank")
+    )
+
+
+EVENTS_DECAY_TOPK_SQL = f"""
+WITH ref AS (
+  SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events
+), scored AS (
+  SELECT event_type, user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(SUM(CASE WHEN date_diff('day', CAST(ts AS DATE), ref_day)
+                            < {DECAY_HORIZON} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_recent,
+         CAST(SUM(CASE WHEN date_diff('day', CAST(ts AS DATE), ref_day)
+                            < {DECAY_HORIZON}
+                  THEN CAST(1 AS BIGINT)
+                       << ({DECAY_HORIZON - 1}
+                           - date_diff('day', CAST(ts AS DATE), ref_day))
+                  ELSE 0 END) AS BIGINT) AS decayed_raw
+  FROM events CROSS JOIN ref
+  GROUP BY event_type, user_id
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY decayed_raw DESC, user_id) AS rank
+  FROM scored
+)
+SELECT event_type, CAST(rank AS INT) AS rank, user_id, n_events, n_recent,
+       decayed_raw,
+       CAST(decayed_raw AS DOUBLE) / {float(2 ** (DECAY_HORIZON - 1))} AS score
+FROM ranked WHERE rank <= 10
+ORDER BY event_type, rank
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -1018,4 +1118,5 @@ TIMESERIES_QUERIES = {
         events_quantile_sketch,
         EVENTS_QUANTILE_SKETCH_SQL,
     ),
+    "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
 }

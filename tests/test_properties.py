@@ -1025,3 +1025,273 @@ def test_snapshot_branches_match_model(spark, ops, tmp_path_factory):
                 ).collect()
             )
             assert got == sorted(vals), (op, name)
+
+
+# ---------------------------------------------------------------------------
+# ATR / stochastic oscillator vs pure-Python integer windows
+# ---------------------------------------------------------------------------
+# bars as integer cents (hi >= lo, lo <= close <= hi by construction);
+# small per-ticker series force the short-window edges (first row's TR,
+# missing %D lags) and flat windows (hh == ll -> NULL %K)
+_bars = st.lists(
+    st.tuples(
+        st.integers(0, 1),            # ticker
+        st.integers(0, 3),            # lo cents (tiny range -> flat windows)
+        st.integers(0, 3),            # hi - lo
+        st.integers(0, 100),          # close position numerator (percent)
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@given(bars=_bars)
+@_prop_settings
+def test_atr_stochastic_reference(spark, bars):
+    """Random OHLC bars vs sequential Python: TR/ATR and %K/%D must
+    match exactly — including the first-row TR convention, NULL %K on
+    flat windows, and NULL %D while a lag is missing or any K in the
+    triple is NULL."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        atr,
+        stochastic,
+    )
+
+    rows = []
+    per_ticker: dict[int, list] = {}
+    for i, (tkr, lo, span, cpos) in enumerate(bars):
+        hi = lo + span
+        close = lo + span * cpos // 100
+        day = len(per_ticker.setdefault(tkr, []))
+        per_ticker[tkr].append((hi, lo, close))
+        rows.append(
+            (
+                str(tkr),
+                dt.date(2024, 1, 1) + dt.timedelta(days=day),
+                float(lo) / 100,
+                float(hi) / 100,
+                float(lo) / 100,
+                float(close) / 100,
+                1,
+            )
+        )
+    prices = spark.createDataFrame(
+        rows,
+        "ticker string, date date, open double, high double, low double, "
+        "close double, volume long",
+    )
+
+    got_atr = {
+        (r.ticker, r.date): (r.tr_c, r.n_days, r.tr_sum_c, r.atr_c)
+        for r in atr(prices).collect()
+    }
+    got_st = {
+        (r.ticker, r.date): (r.hh_c, r.ll_c, r.pct_k, r.pct_d)
+        for r in stochastic(prices).collect()
+    }
+
+    for tkr, series in per_ticker.items():
+        trs: list[int] = []
+        ks: list = []
+        for i, (hi, lo, close) in enumerate(series):
+            date = dt.date(2024, 1, 1) + dt.timedelta(days=i)
+            if i == 0:
+                tr = hi - lo
+            else:
+                pc = series[i - 1][2]
+                tr = max(hi - lo, abs(hi - pc), abs(lo - pc))
+            trs.append(tr)
+            wtr = trs[max(0, i - 13): i + 1]
+            assert got_atr[(str(tkr), date)] == (
+                tr,
+                len(wtr),
+                sum(wtr),
+                sum(wtr) / len(wtr),
+            )
+            win = series[max(0, i - 13): i + 1]
+            hh = max(h for h, _l, _c in win)
+            ll = min(l for _h, l, _c in win)
+            k = None if hh == ll else (100.0 * (close - ll)) / (hh - ll)
+            ks.append(k)
+            if i < 2 or any(v is None for v in ks[i - 2: i + 1]):
+                d = None
+            else:
+                d = ((ks[i] + ks[i - 1]) + ks[i - 2]) / 3.0
+            assert got_st[(str(tkr), date)] == (hh, ll, k, d)
+
+
+# ---------------------------------------------------------------------------
+# degree-oriented triangle census vs brute force
+# ---------------------------------------------------------------------------
+@given(
+    edges=st.sets(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@_prop_settings
+def test_triangle_census_reference(spark, edges):
+    """The oriented two-join census must count every node's triangles
+    exactly (per-node participation, not just the global total that
+    test_graph_stats_triangles_match_bruteforce pins), with clustering
+    2t/(d(d-1)) and NULL for degree-1 nodes."""
+    import itertools
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.graphlets import (
+        triangle_census,
+    )
+
+    df = spark.createDataFrame(sorted(edges), ["u", "v"])
+    got = {
+        r.part: (r.degree, r.tri_count, r.clustering)
+        for r in triangle_census(df, k=100).collect()
+    }
+
+    es = set(edges)
+    nodes = sorted({v for e in es for v in e})
+    deg = {n: 0 for n in nodes}
+    for a, b in es:
+        deg[a] += 1
+        deg[b] += 1
+    tri = {n: 0 for n in nodes}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if (a, b) in es and (b, c) in es and (a, c) in es:
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    expect = {
+        n: (
+            deg[n],
+            tri[n],
+            None
+            if deg[n] < 2
+            else 2 * tri[n] / (deg[n] * (deg[n] - 1)),
+        )
+        for n in nodes
+    }
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# time-decayed leaderboard vs Python integer weights
+# ---------------------------------------------------------------------------
+_decay_events = st.lists(
+    st.tuples(
+        st.integers(0, 4),    # user
+        st.integers(0, 40),   # days back-ish (crosses the 30-day horizon)
+        st.integers(0, 1),    # type
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_decay_events)
+@_prop_settings
+def test_decay_topk_reference(spark, rows, tmp_path_factory):
+    """Random event days spanning past the 30-day horizon: the integer
+    2^(29-delta) weights, the horizon truncation to zero, and the
+    (raw desc, user) ranking must match the Python fold exactly."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        DECAY_HORIZON,
+        events_decay_topk,
+    )
+
+    d = tmp_path_factory.mktemp("decay")
+    data = [
+        (i, _BASE + dt.timedelta(days=day, hours=u), u, f"t{t}", 1.0, None)
+        for i, (u, day, t) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = [
+        (r.event_type, r.rank, r.user_id, r.n_events, r.n_recent,
+         r.decayed_raw, r.score)
+        for r in events_decay_topk(spark, str(d)).collect()
+    ]
+
+    ref_day = max(day for _u, day, _t in rows)
+    agg: dict[tuple, list] = {}
+    for u, day, t in rows:
+        delta = ref_day - day
+        key = (f"t{t}", u)
+        cell = agg.setdefault(key, [0, 0, 0])
+        cell[0] += 1
+        if delta < DECAY_HORIZON:
+            cell[1] += 1
+            cell[2] += 1 << (DECAY_HORIZON - 1 - delta)
+    expect = []
+    for etype in sorted({k[0] for k in agg}):
+        users = sorted(
+            ((k[1], v) for k, v in agg.items() if k[0] == etype),
+            key=lambda kv: (-kv[1][2], kv[0]),
+        )
+        for rank, (u, (n, nr, raw)) in enumerate(users[:10], start=1):
+            expect.append(
+                (etype, rank, u, n, nr, raw, raw / float(2 ** 29))
+            )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# ABC / Pareto classification vs Python integer boundaries
+# ---------------------------------------------------------------------------
+_abc_lines = st.lists(
+    st.tuples(st.integers(0, 6), st.integers(1, 10_000)),  # part, cents
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(lines=_abc_lines)
+@_prop_settings
+def test_abc_analysis_reference(spark, lines, tmp_path_factory):
+    """Random revenue distributions: ranks, exact cumulative cents, and
+    the integer cross-multiplied 80/95 class boundaries must match the
+    Python reference (including the all-revenue-in-one-part corner where
+    the first row already exceeds 80%)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        orders_abc_analysis,
+    )
+
+    d = tmp_path_factory.mktemp("abc")
+    data = [
+        (i, int(part), 1, 1, 1.0, float(cts) / 100, 0.0, 0.0, "N", "O",
+         _BASE)
+        for i, (part, cts) in enumerate(lines)
+    ]
+    spark.createDataFrame(
+        data,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    got = [
+        (r.part, r.revenue_c, r.rank, r.cum_revenue_c, r.abc_class)
+        for r in orders_abc_analysis(spark, str(d)).collect()
+    ]
+
+    rev: dict[int, int] = {}
+    for part, cts in lines:
+        rev[part] = rev.get(part, 0) + cts
+    total = sum(rev.values())
+    ordered = sorted(rev.items(), key=lambda kv: (-kv[1], kv[0]))
+    expect = []
+    cum = 0
+    for rank, (part, r_c) in enumerate(ordered, start=1):
+        cum += r_c
+        if cum * 5 <= total * 4:
+            cls = "A"
+        elif cum * 20 <= total * 19:
+            cls = "B"
+        else:
+            cls = "C"
+        expect.append((part, r_c, rank, cum, cls))
+    assert got == expect
