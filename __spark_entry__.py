@@ -300,11 +300,11 @@ SWEEP_CHECKED = [
     "parts_triangle_count",    # degree-oriented triangle census
     "events_decay_topk",       # time-decayed leaderboard, 2^k weights
     "orders_abc_analysis",     # Pareto classes, integer boundaries
-    # r6/r7 rows kept warm (newest operator families)
-    "text_bpe_tokenize",
-    "dedup_graph_stats",
-    "curation_importance_weights",
-    "similarity_mmr_rerank",
+    "events_decay_incremental",  # day-chunked state-ring fold == batch
+    "events_holt_forecast",    # level+trend struct fold, recursive oracle
+    "events_attribution",      # last-touch TTL credit over as-of
+    "orders_cohort_ltv",       # first-order cohorts, exact month ages
+    # r6/r7 row kept warm (newest operator family)
     "similarity_hard_negatives",
 ]
 
@@ -323,6 +323,10 @@ SWEEP_TAIL = [
     "events_ewma",
     "text_bpe_train",
     "events_quantile_sketch",
+    "text_bpe_tokenize",
+    "dedup_graph_stats",
+    "curation_importance_weights",
+    "similarity_mmr_rerank",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

@@ -751,6 +751,108 @@ ORDER BY o_orderpriority
 """
 
 
+ATTRIBUTION_TTL_MIN = 60  # last-touch lookback window, minutes
+
+
+def events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent view-or-click within a 60-minute lookback,
+    or to the 'none' channel (direct conversion) when no touch is
+    recent enough — the standard channel-credit rollup a growth team
+    runs, and a composition the as-of machinery makes one-shuffle
+    cheap (operators/asof.py: union + running carry-forward, no range
+    explosion; the TTL is a post-filter on the attached touch, not a
+    join predicate).
+
+    Exactness: touches are deduplicated per (user, ts) with
+    max_by(channel, event_id) — event_id is unique, so "the" touch at
+    an instant is deterministic in both engines; revenue is int64
+    cents; the touch-to-purchase latency is exact integer microseconds
+    (unix_micros / epoch_us), summed in int64 with ONE closing
+    division for the average; a purchase whose only touch is older
+    than the TTL credits 'none' with NULL latency in both engines.
+
+    Scale: same as the as-of join it wraps — one hash exchange on
+    user_id for the carry-forward window, then a 3-row channel
+    aggregate; no joins besides the union, no Python
+    (tests/test_properties.py::test_attribution_reference).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", cents("value").alias("purchase_cents")
+    )
+    touches = (
+        ev.where(F.col("event_type").isin("view", "click"))
+        .groupBy("user_id", F.col("ts").alias("touch_ts"))
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
+    )
+    joined = asof_join(
+        purchases, touches, on="user_id", left_time="ts", right_time="touch_ts"
+    )
+    lat_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))
+    in_ttl = F.col("touch_ts").isNotNull() & (
+        lat_us <= F.lit(ATTRIBUTION_TTL_MIN * 60 * 1_000_000)
+    )
+    credited = joined.select(
+        F.when(in_ttl, F.col("touch_type")).otherwise(F.lit("none")).alias(
+            "channel"
+        ),
+        "user_id",
+        "purchase_cents",
+        F.when(in_ttl, lat_us).alias("latency_us"),
+    )
+    n = F.count(F.lit(1))
+    lat_sum = F.sum("latency_us")
+    return (
+        credited.groupBy("channel")
+        .agg(
+            n.alias("n_conversions"),
+            F.countDistinct("user_id").alias("n_users"),
+            (F.sum("purchase_cents") / 100.0).alias("revenue"),
+            lat_sum.alias("latency_sum_us"),
+            F.when(lat_sum.isNotNull(), lat_sum / n).alias("avg_latency_us"),
+        )
+        .orderBy("channel")
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH purchases AS (
+  SELECT event_id, user_id, ts,
+         CAST(ROUND(value * 100) AS BIGINT) AS purchase_cents
+  FROM events WHERE event_type = 'purchase'
+), touches AS (
+  SELECT user_id, ts AS touch_ts,
+         max_by(event_type, event_id) AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+  GROUP BY user_id, ts
+), credited AS (
+  SELECT CASE WHEN t.touch_ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(t.touch_ts)
+                       <= {ATTRIBUTION_TTL_MIN * 60 * 1000000}
+              THEN t.touch_type ELSE 'none' END AS channel,
+         p.user_id, p.purchase_cents,
+         CASE WHEN t.touch_ts IS NOT NULL
+                   AND epoch_us(p.ts) - epoch_us(t.touch_ts)
+                       <= {ATTRIBUTION_TTL_MIN * 60 * 1000000}
+              THEN epoch_us(p.ts) - epoch_us(t.touch_ts) END AS latency_us
+  FROM purchases p ASOF LEFT JOIN touches t
+    ON p.user_id = t.user_id AND p.ts >= t.touch_ts
+)
+SELECT channel,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(purchase_cents) AS BIGINT) / 100.0 AS revenue,
+       CAST(SUM(latency_us) AS BIGINT) AS latency_sum_us,
+       CASE WHEN SUM(latency_us) IS NOT NULL
+            THEN CAST(SUM(latency_us) AS DOUBLE) / COUNT(*) END
+         AS avg_latency_us
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -762,6 +864,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_SQL),
+    "events_attribution": (events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_ohlc_bars": (
         lambda spark, sf: analytics.ohlc_bars(load_table(spark, sf, "events")),
         analytics.OHLC_BARS_SQL,

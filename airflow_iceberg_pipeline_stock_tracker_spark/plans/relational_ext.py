@@ -1276,6 +1276,106 @@ ORDER BY rank
 """
 
 
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value triangle: customers grouped by the month
+    of their FIRST order (the acquisition cohort), revenue rolled up by
+    cohort x months-since-acquisition — the retention/LTV surface every
+    subscription and commerce dashboard draws, and the orders-table
+    sibling of events_retention's event cohorts.
+
+    Exactness: the cohort key is min(o_orderdate) per customer via a
+    window (one shuffle on custkey, NO join against a firsts table);
+    age is pure integer month arithmetic (y*12+m deltas, no
+    months_between float); revenue is int64 cents with one closing
+    division. Cumulative LTV per cohort is a second window over the
+    dimension-sized rollup, running-summed in exact cents
+    (tests/test_properties.py::test_cohort_ltv_reference).
+
+    Scale: fact scan -> per-customer window (map-side combinable? no —
+    but the window is the intrinsic first-touch requirement, same
+    exchange the groupBy would pay) -> (cohort, age) rollup whose
+    output is |months|^2 / 2 cells — tiny; the cumulative window runs
+    per cohort partition on that rollup.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderdate",
+        cents("o_totalprice").alias("rev_c"),
+    )
+    w = Window.partitionBy("o_custkey")
+    mkey = F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1
+    first_m = F.min(mkey).over(w)
+    cells = (
+        orders.select(
+            "o_custkey",
+            "rev_c",
+            first_m.alias("cohort_m"),
+            (mkey - first_m).alias("age_months"),
+        )
+        .groupBy("cohort_m", "age_months")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("rev_c").alias("rev_c"),
+        )
+    )
+    cum = F.sum("rev_c").over(
+        Window.partitionBy("cohort_m")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.select(
+            F.concat_ws(
+                "-",
+                # explicit FLOOR division: DuckDB's int/int is float
+                # division and CAST rounds (1995.5 -> 1996) where
+                # Spark's cast truncates — found by the sf0.001 diff
+                F.format_string(
+                    "%04d", F.floor(F.col("cohort_m") / 12).cast("int")
+                ),
+                F.format_string(
+                    "%02d", (F.col("cohort_m") % 12 + 1).cast("int")
+                ),
+            ).alias("cohort_month"),
+            "age_months",
+            "n_customers",
+            "n_orders",
+            (F.col("rev_c") / 100.0).alias("revenue"),
+            (cum / 100.0).alias("cum_revenue"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )
+
+
+COHORT_LTV_SQL = """
+WITH keyed AS (
+  SELECT o_custkey,
+         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS rev_c,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mkey,
+         MIN(year(o_orderdate) * 12 + month(o_orderdate) - 1)
+           OVER (PARTITION BY o_custkey) AS cohort_m
+  FROM orders
+), cells AS (
+  SELECT cohort_m, mkey - cohort_m AS age_months,
+         CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         CAST(SUM(rev_c) AS BIGINT) AS rev_c
+  FROM keyed GROUP BY 1, 2
+)
+SELECT printf('%04d-%02d', CAST(cohort_m // 12 AS INT),
+              CAST(cohort_m % 12 + 1 AS INT)) AS cohort_month,
+       CAST(age_months AS BIGINT) AS age_months,
+       n_customers, n_orders,
+       rev_c / 100.0 AS revenue,
+       CAST(SUM(rev_c) OVER (PARTITION BY cohort_m ORDER BY age_months
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) / 100.0 AS cum_revenue
+FROM cells
+ORDER BY cohort_month, age_months
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -1296,5 +1396,6 @@ RELATIONAL_EXT_QUERIES = {
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
     "orders_abc_analysis": (orders_abc_analysis, ABC_ANALYSIS_SQL),
+    "orders_cohort_ltv": (orders_cohort_ltv, COHORT_LTV_SQL),
     "orders_basket_rules": (orders_basket_rules, BASKET_RULES_SQL),
 }

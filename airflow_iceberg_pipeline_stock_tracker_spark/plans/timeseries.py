@@ -1069,19 +1069,20 @@ def events_decay_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-EVENTS_DECAY_TOPK_SQL = f"""
+def _decay_topk_sql(horizon: int) -> str:
+    return f"""
 WITH ref AS (
   SELECT MAX(CAST(ts AS DATE)) AS ref_day FROM events
 ), scored AS (
   SELECT event_type, user_id,
          CAST(COUNT(*) AS BIGINT) AS n_events,
          CAST(SUM(CASE WHEN date_diff('day', CAST(ts AS DATE), ref_day)
-                            < {DECAY_HORIZON} THEN 1 ELSE 0 END) AS BIGINT)
+                            < {horizon} THEN 1 ELSE 0 END) AS BIGINT)
            AS n_recent,
          CAST(SUM(CASE WHEN date_diff('day', CAST(ts AS DATE), ref_day)
-                            < {DECAY_HORIZON}
+                            < {horizon}
                   THEN CAST(1 AS BIGINT)
-                       << ({DECAY_HORIZON - 1}
+                       << ({horizon - 1}
                            - date_diff('day', CAST(ts AS DATE), ref_day))
                   ELSE 0 END) AS BIGINT) AS decayed_raw
   FROM events CROSS JOIN ref
@@ -1093,10 +1094,197 @@ WITH ref AS (
 )
 SELECT event_type, CAST(rank AS INT) AS rank, user_id, n_events, n_recent,
        decayed_raw,
-       CAST(decayed_raw AS DOUBLE) / {float(2 ** (DECAY_HORIZON - 1))} AS score
+       CAST(decayed_raw AS DOUBLE) / {float(2 ** (horizon - 1))} AS score
 FROM ranked WHERE rank <= 10
 ORDER BY event_type, rank
 """
+
+
+EVENTS_DECAY_TOPK_SQL = _decay_topk_sql(DECAY_HORIZON)
+
+def events_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear (double-exponential) smoothing per user, alpha =
+    beta = 1/2, plus 1- and 3-step-ahead forecasts — the simplest
+    trend-aware forecaster (capacity planning, engagement projection),
+    one rung above events_ewma's level-only smoother:
+
+      level_i = (x_i + (level + trend)) / 2
+      trend_i = ((level_i - level) + trend) / 2        (seed: x_0, 0)
+      forecast_h = level + trend * h
+
+    Determinism: the same pinned-(ts, event_id) array fold as
+    events_ewma, now with a STRUCT accumulator (level, trend). Both
+    recursions only add, subtract, and halve — every op exact-rounded
+    and the sequence written identically in both engines, so the
+    doubles are bit-equal with no rounding and no libm. The oracle is
+    a recursive CTE, NOT a DuckDB list_reduce struct fold: DuckDB
+    evaluates struct-literal fields sequentially against an in-place
+    accumulator (acc.level inside the trend expression already sees
+    the new level), which silently computes a DIFFERENT recursion —
+    found while building this operator's oracle, pinned by
+    tests/test_properties.py::test_holt_matches_python_fold.
+
+    Scale: identical to events_ewma — one shuffle on user_id, state
+    O(user's events) which is the recursion's intrinsic need, JVM-only.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("ordered"),
+    )
+    vals = F.transform(F.col("ordered"), lambda x: x["value"])
+    zero = F.struct(
+        F.lit(None).cast("double").alias("l"),
+        F.lit(None).cast("double").alias("t"),
+    )
+
+    def step(acc, x):
+        l_new = (x + (acc["l"] + acc["t"])) / F.lit(2.0)
+        t_new = ((l_new - acc["l"]) + acc["t"]) / F.lit(2.0)
+        return F.when(
+            acc["l"].isNull(),
+            F.struct(x.alias("l"), F.lit(0.0).alias("t")),
+        ).otherwise(F.struct(l_new.alias("l"), t_new.alias("t")))
+
+    acc = F.aggregate(vals, zero, step)
+    return per_user.select(
+        "user_id",
+        "n_events",
+        acc["l"].alias("level"),
+        acc["t"].alias("trend"),
+        (acc["l"] + acc["t"]).alias("forecast_1"),
+        (acc["l"] + acc["t"] * F.lit(3.0)).alias("forecast_3"),
+    ).orderBy("user_id")
+
+
+EVENTS_HOLT_SQL = """
+WITH RECURSIVE per_user AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         list(value ORDER BY ts, event_id) AS vals
+  FROM events GROUP BY user_id
+), holt AS (
+  SELECT user_id, n_events, vals, 1 AS i,
+         vals[1] AS l, CAST(0.0 AS DOUBLE) AS t
+  FROM per_user
+  UNION ALL
+  SELECT user_id, n_events, vals, i + 1,
+         (vals[i + 1] + (l + t)) / 2,
+         (((vals[i + 1] + (l + t)) / 2 - l) + t) / 2
+  FROM holt WHERE i < len(vals)
+)
+SELECT user_id, n_events, l AS level, t AS trend,
+       l + t AS forecast_1, l + t * 3.0 AS forecast_3
+FROM holt WHERE i = len(vals)
+ORDER BY user_id
+"""
+
+
+INCR_HORIZON = 14     # days kept in the incremental ring (expiry exercised)
+INCR_COMMITS = 5      # day-chunked refresh commits in the fold
+
+
+def events_decay_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the decayed leaderboard: the daily
+    refresh a deployment would run instead of rescanning the fact table
+    — fold the events stream day-chunk by day-chunk into a bounded
+    STATE RING of per-(type, user, day) counts, expiring days older
+    than the horizon at every commit, then render the leaderboard from
+    STATE ONLY. The oracle recomputes from raw events, so a hash match
+    proves fold == batch, including expiry.
+
+    The horizon here is 14 days against the fixture's ~30-day span, so
+    the expiry branch actually fires mid-fold (a 30-day horizon would
+    never drop a row at this data — a vacuous proof). Exactness is
+    inherited from events_decay_topk: ring counts are int64, render
+    weights are integer 2^k, ONE closing division by a constant.
+
+    Scale: state is O(types x users x horizon) — the classic
+    continuous-aggregate trade (same class as events_ohlc_incremental's
+    partial-state table); each commit touches one day-chunk of input
+    plus the ring, never history. Expiry is a partition predicate
+    (day > ref - horizon) — at 100 TB a day-partitioned state table
+    drops whole partitions, the reference's partition-scoped DELETE
+    restated as retention. The day list collected to plan the chunks is
+    bounded by the calendar, not the data
+    (tests/test_properties.py::test_decay_incremental_matches_batch).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "user_id"
+    )
+    days = sorted(
+        r.day for r in ev.select("day").distinct().collect()
+    )  # calendar-bounded: one row per day present
+    n = max(1, (len(days) + INCR_COMMITS - 1) // INCR_COMMITS)
+    chunks = [days[i: i + n] for i in range(0, len(days), n)]
+
+    ring = None   # (event_type, user_id, day, cnt) — live horizon only
+    totals = None  # (event_type, user_id, n_events) — all-time counter
+    for chunk in chunks:
+        lo, hi = chunk[0], chunk[-1]
+        delta = (
+            ev.where((F.col("day") >= F.lit(lo)) & (F.col("day") <= F.lit(hi)))
+            .groupBy("event_type", "user_id", "day")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        ring = delta if ring is None else ring.unionByName(delta)
+        # expiry: the commit's ref day advances monotonically, so a day
+        # dropped here could never contribute to any later render
+        ring = ring.where(
+            F.datediff(F.lit(hi), F.col("day")) < INCR_HORIZON
+        ).localCheckpoint(eager=True)
+        t = delta.groupBy("event_type", "user_id").agg(
+            F.sum("cnt").alias("n_events")
+        )
+        totals = (
+            t
+            if totals is None
+            else totals.unionByName(t)
+            .groupBy("event_type", "user_id")
+            .agg(F.sum("n_events").alias("n_events"))
+        ).localCheckpoint(eager=True)
+
+    ref_day = days[-1]
+    h1 = INCR_HORIZON - 1
+    w_int = F.expr(
+        f"shiftleft(cast(1 as bigint), "
+        f"cast({h1} - datediff(date'{ref_day}', day) as int))"
+    )
+    live = ring.groupBy("event_type", "user_id").agg(
+        F.sum("cnt").alias("n_recent"),
+        F.sum(F.col("cnt") * w_int).alias("decayed_raw"),
+    )
+    # LEFT from totals: a user whose every event expired still ranks
+    # (decayed_raw = 0), exactly as the batch recompute ranks them
+    scored = totals.join(live, ["event_type", "user_id"], "left").select(
+        "event_type",
+        "user_id",
+        "n_events",
+        F.coalesce("n_recent", F.lit(0).cast("bigint")).alias("n_recent"),
+        F.coalesce("decayed_raw", F.lit(0).cast("bigint")).alias(
+            "decayed_raw"
+        ),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(
+            F.desc("decayed_raw"), "user_id"
+        )
+    )
+    return (
+        scored.withColumn("rank", rk)
+        .where(F.col("rank") <= 10)
+        .select(
+            "event_type",
+            "rank",
+            "user_id",
+            "n_events",
+            "n_recent",
+            "decayed_raw",
+            (F.col("decayed_raw") / F.lit(float(2 ** h1))).alias("score"),
+        )
+        .orderBy("event_type", "rank")
+    )
 
 
 TIMESERIES_QUERIES = {
@@ -1119,4 +1307,12 @@ TIMESERIES_QUERIES = {
         EVENTS_QUANTILE_SKETCH_SQL,
     ),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
+    "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
+    # oracle recomputes from raw events at the INCREMENTAL horizon:
+    # hash equality proves the day-chunked state fold (with expiry)
+    # equals the batch recompute
+    "events_decay_incremental": (
+        events_decay_incremental,
+        _decay_topk_sql(INCR_HORIZON),
+    ),
 }

@@ -171,6 +171,20 @@ HEADLINE = [
     "streaming_pattern_match",
     "orders_basket_rules",
     "prices_snapshot_wap",
+    # registered earlier in r9 but missed by this list (found diffing
+    # BENCH_DETAIL coverage against the registry — keep them in sync)
+    "curation_repetition",
+    "curation_source_overlap",
+    # r9 second wave
+    "prices_atr",
+    "prices_stochastic",
+    "parts_triangle_count",
+    "events_decay_topk",
+    "orders_abc_analysis",
+    "events_decay_incremental",
+    "events_holt_forecast",
+    "events_attribution",
+    "orders_cohort_ltv",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -194,6 +208,8 @@ PROOF_TIER = frozenset(
         "prices_snapshot_incremental",
         # branch create/commit/audit/publish lifecycle; same class
         "prices_snapshot_wap",
+        # 5-commit day-chunked state-ring fold; table-lifecycle class
+        "events_decay_incremental",
     }
 )
 
@@ -218,6 +234,8 @@ RUN_ONCE = frozenset(
         "prices_snapshot_incremental",
         # branch lifecycle proof; one measured pass
         "prices_snapshot_wap",
+        # 5-commit fold with per-commit checkpoints; one measured pass
+        "events_decay_incremental",
     }
 )
 
@@ -266,6 +284,16 @@ SCALE_TREND = {
     # that shuffles the token stream) and the per-user sequence matcher
     "text_tfidf_keywords": "documents",
     "events_pattern_match": "events",
+    # r9 second wave: decayed leaderboard (map-combinable agg whose 2^k
+    # weights need no rescan), last-touch attribution (as-of union
+    # window, linear per key), Holt fold (replica users keep series
+    # length constant — state per key flat while keys grow 10x), and
+    # ABC (fact input 10x against a CONSTANT part dimension, so the
+    # global-window stage runs on an unchanged |parts| rollup)
+    "events_decay_topk": "events",
+    "events_attribution": "events",
+    "events_holt_forecast": "events",
+    "orders_abc_analysis": "lineitem",
 }
 SCALE_FACTOR = 10
 

@@ -1295,3 +1295,258 @@ def test_abc_analysis_reference(spark, lines, tmp_path_factory):
             cls = "C"
         expect.append((part, r_c, rank, cum, cls))
     assert got == expect
+
+
+@given(rows=_decay_events)
+@_prop_settings
+def test_decay_incremental_matches_batch(spark, rows, tmp_path_factory):
+    """The day-chunked state fold (14-day ring with expiry firing
+    mid-fold, separate all-time counter, left-join render so fully
+    expired users still rank at raw 0) must equal the batch Python
+    reference at the same horizon."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        INCR_HORIZON,
+        events_decay_incremental,
+    )
+
+    d = tmp_path_factory.mktemp("decay_incr")
+    data = [
+        (i, _BASE + dt.timedelta(days=day, hours=u), u, f"t{t}", 1.0, None)
+        for i, (u, day, t) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = [
+        (r.event_type, r.rank, r.user_id, r.n_events, r.n_recent,
+         r.decayed_raw, r.score)
+        for r in events_decay_incremental(spark, str(d)).collect()
+    ]
+
+    h = INCR_HORIZON
+    ref_day = max(day for _u, day, _t in rows)
+    agg: dict[tuple, list] = {}
+    for u, day, t in rows:
+        delta = ref_day - day
+        cell = agg.setdefault((f"t{t}", u), [0, 0, 0])
+        cell[0] += 1
+        if delta < h:
+            cell[1] += 1
+            cell[2] += 1 << (h - 1 - delta)
+    expect = []
+    for etype in sorted({k[0] for k in agg}):
+        users = sorted(
+            ((k[1], v) for k, v in agg.items() if k[0] == etype),
+            key=lambda kv: (-kv[1][2], kv[0]),
+        )
+        for rank, (u, (n, nr, raw)) in enumerate(users[:10], start=1):
+            expect.append(
+                (etype, rank, u, n, nr, raw, raw / float(2 ** (h - 1)))
+            )
+    assert got == expect
+
+
+@given(rows=_ewma_events)
+@_prop_settings
+def test_holt_matches_python_fold(spark, rows, tmp_path_factory):
+    """Random per-user series with timestamp collisions: the struct-
+    accumulator Holt fold (level AND trend) must equal the sequential
+    Python recursion bit-for-bit — the two-state analogue of the ewma
+    pin, and the regression guard for the DuckDB in-place struct-fold
+    trap documented on events_holt_forecast."""
+    import datetime as _dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_holt_forecast,
+    )
+
+    d = tmp_path_factory.mktemp("holt")
+    data = [
+        (i, _BASE + _dt.timedelta(seconds=sec), u, "t", float(v), None)
+        for i, (u, sec, v) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        r.user_id: (r.n_events, r.level, r.trend, r.forecast_1, r.forecast_3)
+        for r in events_holt_forecast(spark, str(d)).collect()
+    }
+
+    per_user: dict[int, list] = {}
+    for i, (u, sec, v) in enumerate(rows):
+        per_user.setdefault(u, []).append((sec, i, float(v)))
+    expect: dict[int, tuple] = {}
+    for u, evs in per_user.items():
+        l = t = None
+        for _sec, _i, v in sorted(evs):
+            if l is None:
+                l, t = v, 0.0
+            else:
+                nl = (v + (l + t)) / 2.0
+                t = ((nl - l) + t) / 2.0
+                l = nl
+        expect[u] = (len(evs), l, t, l + t, l + t * 3.0)
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# last-touch attribution vs Python reference
+# ---------------------------------------------------------------------------
+_attr_events = st.lists(
+    st.tuples(
+        st.integers(0, 2),        # user
+        st.integers(0, 7200),     # seconds (TTL boundary at 3600 reachable)
+        st.integers(0, 2),        # 0=view 1=click 2=purchase
+        st.integers(0, 500),      # value cents
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(rows=_attr_events)
+@_prop_settings
+def test_attribution_reference(spark, rows, tmp_path_factory):
+    """Random interleaved touches and purchases with ts collisions: the
+    as-of + TTL channel rollup must match the Python reference — the
+    inclusive <= at both the as-of instant and the exact TTL boundary,
+    max_by(event_id) tie-breaks at one instant, and 'none' credit with
+    NULL latency when the only touch is stale."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
+        ATTRIBUTION_TTL_MIN,
+        events_attribution,
+    )
+
+    types = ["view", "click", "purchase"]
+    d = tmp_path_factory.mktemp("attr")
+    data = [
+        (i, _BASE + dt.timedelta(seconds=sec), u, types[t],
+         float(c) / 100, None)
+        for i, (u, sec, t, c) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = [
+        (r.channel, r.n_conversions, r.n_users, r.revenue,
+         r.latency_sum_us, r.avg_latency_us)
+        for r in events_attribution(spark, str(d)).collect()
+    ]
+    if not any(t == 2 for _u, _s, t, _c in rows):
+        assert got == []
+        return
+
+    ttl_us = ATTRIBUTION_TTL_MIN * 60 * 1_000_000
+    touches: dict[tuple, int] = {}  # (user, sec) -> winning event_id
+    for i, (u, sec, t, _c) in enumerate(rows):
+        if t != 2 and touches.get((u, sec), -1) < i:
+            touches[(u, sec)] = i
+    per_chan: dict[str, list] = {}
+    for i, (u, sec, t, c) in enumerate(rows):
+        if t != 2:
+            continue
+        cand = [(s, eid) for (tu, s), eid in touches.items()
+                if tu == u and s <= sec]
+        chan, lat = "none", None
+        if cand:
+            s, eid = max(cand)
+            lat_us = (sec - s) * 1_000_000
+            if lat_us <= ttl_us:
+                chan, lat = types[rows[eid][2]], lat_us
+        per_chan.setdefault(chan, []).append((u, c, lat))
+    expect = []
+    for chan in sorted(per_chan):
+        cs = per_chan[chan]
+        lat_sum = (
+            sum(l for _u, _c, l in cs) if any(l is not None for *_x, l in cs)
+            else None
+        )
+        expect.append(
+            (
+                chan,
+                len(cs),
+                len({u for u, _c, _l in cs}),
+                sum(c for _u, c, _l in cs) / 100.0,
+                lat_sum,
+                None if lat_sum is None else lat_sum / len(cs),
+            )
+        )
+    assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# cohort LTV triangle vs Python reference
+# ---------------------------------------------------------------------------
+_cohort_orders = st.lists(
+    st.tuples(
+        st.integers(0, 4),      # customer
+        st.integers(0, 14),     # month offset from 1995-07 (crosses a year)
+        st.integers(1, 9999),   # totalprice cents
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(lines=_cohort_orders)
+@_prop_settings
+def test_cohort_ltv_reference(spark, lines, tmp_path_factory):
+    """Random order histories: first-order cohort assignment, integer
+    month ages, exact cents, and the per-cohort cumulative sum must
+    match the Python reference (including the year-boundary month
+    formatting that the floor-division fix pinned)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        orders_cohort_ltv,
+    )
+
+    d = tmp_path_factory.mktemp("cohort")
+    data = [
+        (
+            i,
+            int(cust),
+            "O",
+            float(cts) / 100,
+            dt.datetime(1995 + (6 + m) // 12, (6 + m) % 12 + 1, 5),
+            "1-URGENT",
+        )
+        for i, (cust, m, cts) in enumerate(lines)
+    ]
+    spark.createDataFrame(
+        data,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    got = [
+        (r.cohort_month, r.age_months, r.n_customers, r.n_orders,
+         r.revenue, r.cum_revenue)
+        for r in orders_cohort_ltv(spark, str(d)).collect()
+    ]
+
+    first: dict[int, int] = {}
+    for cust, m, _c in lines:
+        first[cust] = min(first.get(cust, 99), m)
+    cells: dict[tuple, list] = {}
+    for cust, m, cts in lines:
+        key = (first[cust], m - first[cust])
+        cell = cells.setdefault(key, [set(), 0, 0])
+        cell[0].add(cust)
+        cell[1] += 1
+        cell[2] += cts
+    expect = []
+    for cohort in sorted({k[0] for k in cells}):
+        label = f"{1995 + (6 + cohort) // 12:04d}-{(6 + cohort) % 12 + 1:02d}"
+        cum = 0
+        for age in sorted(k[1] for k in cells if k[0] == cohort):
+            users, n, rev = cells[(cohort, age)]
+            cum += rev
+            expect.append(
+                (label, age, len(users), n, rev / 100.0, cum / 100.0)
+            )
+    assert got == expect
