@@ -304,8 +304,7 @@ SWEEP_CHECKED = [
     "events_holt_forecast",    # level+trend struct fold, recursive oracle
     "events_attribution",      # last-touch TTL credit over as-of
     "orders_cohort_ltv",       # first-order cohorts, exact month ages
-    # r6/r7 row kept warm (newest operator family)
-    "similarity_hard_negatives",
+    "text_collocations",       # lift-ranked bigram phrases, no libm
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -327,6 +326,12 @@ SWEEP_TAIL = [
     "dedup_graph_stats",
     "curation_importance_weights",
     "similarity_mmr_rerank",
+    "similarity_hard_negatives",
+    # tail-FIRST registration (checked budget full this round): listed
+    # in tests/test_tail_oracle._NEVER_DRIVER_CHECKED, so it runs at
+    # the driver SF per CI until a future rotation gives it a real
+    # driver round
+    "multimodal_patch_grid",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

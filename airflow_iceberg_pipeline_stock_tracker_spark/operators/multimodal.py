@@ -682,3 +682,65 @@ SELECT b.media_id,
 FROM bits b LEFT JOIN neigh n USING (media_id)
 ORDER BY b.media_id
 """
+
+
+PATCH = 2  # ViT-style patch edge (pixels); ragged edges keep partial patches
+
+
+def ppm_patch_grid(media: DataFrame) -> DataFrame:
+    """(media_id, pr, pc, n_px, sum_r, sum_g, sum_b): the ViT
+    patch-embedding precursor — each REAL decoded PPM raster split into
+    a PATCH x PATCH pixel grid (ragged right/bottom edges keep their
+    partial patches), reduced to exact integer per-channel sums per
+    patch. A linear projection of these patch vectors IS the ViT input
+    sequence; keeping the surface at integer sums makes it closed-form
+    oracle-checkable like ppm_decode_stats.
+
+    Scale: the same Arrow-batched mapInPandas contract as every other
+    real-decode op — payload bytes never leave the record batch, numpy
+    does one reshape-pad-reduce per image, and the output is
+    O(patches) scalars per image regardless of payload size
+    (tests/test_llm_ops.py::test_patch_grid_matches_bruteforce).
+    """
+    import numpy as np
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("pr", T.IntegerType(), False),
+            T.StructField("pc", T.IntegerType(), False),
+            T.StructField("n_px", T.LongType(), False),
+            T.StructField("sum_r", T.LongType(), False),
+            T.StructField("sum_g", T.LongType(), False),
+            T.StructField("sum_b", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in
+                   ("media_id", "pr", "pc", "n_px", "sum_r", "sum_g", "sum_b")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, raster = decode_ppm(bytes(payload))
+                px = (
+                    np.frombuffer(raster, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                for pr in range((h + PATCH - 1) // PATCH):
+                    for pc in range((w + PATCH - 1) // PATCH):
+                        blk = px[
+                            pr * PATCH: (pr + 1) * PATCH,
+                            pc * PATCH: (pc + 1) * PATCH,
+                        ]
+                        sums = blk.sum(axis=(0, 1))
+                        out["media_id"].append(int(mid))
+                        out["pr"].append(pr)
+                        out["pc"].append(pc)
+                        out["n_px"].append(blk.shape[0] * blk.shape[1])
+                        out["sum_r"].append(int(sums[0]))
+                        out["sum_g"].append(int(sums[1]))
+                        out["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(batches, schema=schema)

@@ -1211,3 +1211,117 @@ SELECT doc_id, rank, term, score_millibits
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 ORDER BY doc_id, rank
 """
+
+
+COLLOC_MIN_SUPPORT = 5   # bigram count floor before lift is meaningful
+COLLOC_TOP_K = 20
+
+
+def collocations(docs: DataFrame, k: int = COLLOC_TOP_K) -> DataFrame:
+    """Top-k corpus collocations (fixed phrases) by LIFT — the bigram
+    association surface behind phrase detection and tokenizer vocab
+    curation (word2vec-style phrase merging mines exactly this).
+
+    lift(w1, w2) = P(w1 w2) / (P(w1) * P(w2)); PMI is its log, and log
+    is monotone, so ranking by lift IS ranking by PMI — with NO libm
+    call to ulp-diverge between engines (the BM25/TF-IDF rows need
+    millibit quantization for exactly that reason; this ranking stays
+    exact). All counts are int64; the single expression
+    ((pair_n * N_uni / n_w1) * N_uni / n_w2) / N_bi is written with
+    identical association in both engines, so the doubles — and
+    therefore the ordering — are bit-equal. Support floor >= 5 keeps
+    the rare-pair lift explosion out of the surface; ties break on the
+    pair itself (tests/test_properties.py::test_collocations_reference).
+
+    Shape: one wordcount-class shuffle for bigram counts (map-side
+    partial agg collapses each partition's stream first), unigram
+    counts and the two scalars broadcast back, TakeOrderedAndProject
+    for the top-k — no global sort, no Python.
+    """
+    toks = tokens(F.lower(F.col("text")))
+    base = docs.select("doc_id", toks.alias("toks"))
+    w1s = F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0)))
+    w2s = F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0)))
+    bigrams = base.select(
+        F.explode(F.arrays_zip(w1s.alias("w1"), w2s.alias("w2"))).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pair = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_n"))
+    uni = (
+        base.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    scalars = base.agg(
+        F.sum(F.greatest(F.size("toks") - 1, F.lit(0)))
+        .cast("bigint")
+        .alias("n_bi"),
+        F.sum(F.size("toks")).cast("bigint").alias("n_uni"),
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("n").alias("n_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("n").alias("n_w2"))
+    lift = (
+        (
+            (F.col("pair_n").cast("double") * F.col("n_uni") / F.col("n_w1"))
+            * F.col("n_uni")
+            / F.col("n_w2")
+        )
+        / F.col("n_bi")
+    )
+    scored = (
+        pair.where(F.col("pair_n") >= COLLOC_MIN_SUPPORT)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(scalars))
+        .select("w1", "w2", "pair_n", "n_w1", "n_w2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(Window.orderBy(F.desc("lift"), "w1", "w2"))
+    return scored.select(
+        rk.cast("int").alias("rank"),
+        "w1",
+        "w2",
+        "pair_n",
+        "n_w1",
+        "n_w2",
+        "lift",
+    ).orderBy("rank")
+
+
+COLLOCATIONS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+  FROM documents
+), bigrams AS (
+  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+  FROM base, LATERAL (SELECT unnest(range(len(toks) - 1)) AS i)
+), pair AS (
+  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS pair_n
+  FROM bigrams GROUP BY 1, 2
+  HAVING COUNT(*) >= {COLLOC_MIN_SUPPORT}
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+  FROM base, LATERAL (SELECT unnest(toks) AS w)
+  GROUP BY 1
+), scalars AS (
+  SELECT CAST(SUM(greatest(len(toks) - 1, 0)) AS BIGINT) AS n_bi,
+         CAST(SUM(len(toks)) AS BIGINT) AS n_uni
+  FROM base
+), scored AS (
+  SELECT w1, w2, pair_n, u1.n AS n_w1, u2.n AS n_w2,
+         ((CAST(pair_n AS DOUBLE) * n_uni / u1.n) * n_uni / u2.n) / n_bi
+           AS lift
+  FROM pair
+  JOIN uni u1 ON u1.w = pair.w1
+  JOIN uni u2 ON u2.w = pair.w2
+  CROSS JOIN scalars
+  ORDER BY lift DESC, w1, w2
+  LIMIT {COLLOC_TOP_K}
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS INT) AS rank,
+       w1, w2, pair_n, n_w1, n_w2, lift
+FROM scored
+ORDER BY rank
+"""

@@ -297,6 +297,38 @@ GROUP BY media_id, w, h
 ORDER BY media_id
 """
 
+def _media_patch_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT patch grid over REAL decoded PPM rasters (2x2 patches with
+    ragged edges); pure integer per-patch channel sums so the oracle
+    recomputes them closed-form from the fixture pixel function —
+    agreement proves the byte parsing AND the patch geometry."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.docs_as_ppm_media(docs)
+    return multimodal.ppm_patch_grid(media).orderBy("media_id", "pr", "pc")
+
+
+MEDIA_PATCH_GRID_SQL = """
+WITH dims AS (
+  SELECT doc_id AS media_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h
+  FROM documents
+), px AS (
+  SELECT media_id, r.range AS r, c.range AS c
+  FROM dims, range(0, 8) r, range(0, 8) c
+  WHERE r.range < h AND c.range < w
+)
+SELECT media_id,
+       CAST(r // 2 AS INTEGER) AS pr,
+       CAST(c // 2 AS INTEGER) AS pc,
+       CAST(COUNT(*) AS BIGINT) AS n_px,
+       CAST(SUM((media_id * 31 + r * 7 + c * 3) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((media_id * 31 + r * 7 + c * 3 + 11) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((media_id * 31 + r * 7 + c * 3 + 22) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY media_id, r // 2, c // 2
+ORDER BY media_id, pr, pc
+"""
+
+
 LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "dedup_exact": (_docs(dedup.exact_dedup), dedup.EXACT_DEDUP_SQL),
     "dedup_minhash_lsh": (
@@ -394,6 +426,7 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # per-doc TF-IDF keywords: the one legitimate full-token-stream
     # shuffle (wordcount shape), millibit-quantized ranking
     "text_tfidf_keywords": (_docs(text.tfidf_keywords), text.TFIDF_KEYWORDS_SQL),
+    "text_collocations": (_docs(text.collocations), text.COLLOCATIONS_SQL),
     # corpus curation: decontamination, sampling, split, scrubbing
     "curation_contamination": (
         lambda spark, sf: _contamination(spark, sf),
@@ -449,6 +482,7 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # integer-exact oracle (new r7 — closes the "no registered query
     # ever decodes real bytes" gap)
     "multimodal_decode_real": (_media_decode_real, MEDIA_DECODE_REAL_SQL),
+    "multimodal_patch_grid": (_media_patch_grid, MEDIA_PATCH_GRID_SQL),
     # image near-dup via average-hash + banded hamming search (new r9):
     # REAL raster decode feeds the hash; the oracle recomputes hashes
     # closed-form from the fixture pixel function and replays the same

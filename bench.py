@@ -185,6 +185,8 @@ HEADLINE = [
     "events_holt_forecast",
     "events_attribution",
     "orders_cohort_ltv",
+    "text_collocations",
+    "multimodal_patch_grid",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

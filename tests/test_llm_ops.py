@@ -918,3 +918,35 @@ def test_hard_negatives_are_cross_label_with_margin(spark, sf_dir):
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
         cosines = [r.cosine for r in rs]
         assert cosines == sorted(cosines, reverse=True)
+
+
+def test_patch_grid_matches_bruteforce(spark, docs):
+    """ppm_patch_grid must reproduce the per-patch integer channel sums
+    a brute-force loop over the fixture pixels computes — including the
+    ragged right/bottom partial patches (fixture widths 4-8 and heights
+    3-6 hit odd sizes in both axes)."""
+    media = multimodal.docs_as_ppm_media(docs.limit(25))
+    got = {
+        (r.media_id, r.pr, r.pc): (r.n_px, r.sum_r, r.sum_g, r.sum_b)
+        for r in multimodal.ppm_patch_grid(media).collect()
+    }
+    P = multimodal.PATCH
+    expect = {}
+    for mid in range(25):
+        w, h = 4 + mid % 5, 3 + mid % 4
+        for pr in range((h + P - 1) // P):
+            for pc in range((w + P - 1) // P):
+                rows = range(pr * P, min((pr + 1) * P, h))
+                cols = range(pc * P, min((pc + 1) * P, w))
+                sums = [
+                    sum(
+                        (mid * 31 + rr * 7 + cc * 3 + k) % 256
+                        for rr in rows
+                        for cc in cols
+                    )
+                    for k in (0, 11, 22)
+                ]
+                expect[(mid, pr, pc)] = (
+                    len(rows) * len(cols), *sums
+                )
+    assert got == expect

@@ -1550,3 +1550,70 @@ def test_cohort_ltv_reference(spark, lines, tmp_path_factory):
                 (label, age, len(users), n, rev / 100.0, cum / 100.0)
             )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# lift-ranked collocations vs Python reference
+# ---------------------------------------------------------------------------
+_colloc_docs = st.lists(
+    st.lists(st.integers(0, 3), min_size=1, max_size=10),  # word ids
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(word_docs=_colloc_docs)
+@_prop_settings
+def test_collocations_reference(spark, word_docs, tmp_path_factory):
+    """Random tiny-vocabulary corpora (repetition forces pairs over the
+    support floor): bigram/unigram counts, the support filter, the
+    identically-associated lift expression, and the (lift desc, pair)
+    ranking must match the Python reference."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        COLLOC_MIN_SUPPORT,
+        collocations,
+    )
+
+    texts = [" ".join(f"w{t}" for t in doc) for doc in word_docs]
+    d = tmp_path_factory.mktemp("colloc")
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    got = [
+        (r.rank, r.w1, r.w2, r.pair_n, r.n_w1, r.n_w2, r.lift)
+        for r in collocations(load_table(spark, str(d), "documents")).collect()
+    ]
+
+    pair: dict[tuple, int] = {}
+    uni: dict[str, int] = {}
+    n_bi = n_uni = 0
+    for doc in word_docs:
+        ws = [f"w{t}" for t in doc]
+        n_uni += len(ws)
+        n_bi += max(len(ws) - 1, 0)
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            pair[(a, b)] = pair.get((a, b), 0) + 1
+    scored = [
+        (
+            w1,
+            w2,
+            n,
+            uni[w1],
+            uni[w2],
+            ((float(n) * n_uni / uni[w1]) * n_uni / uni[w2]) / n_bi,
+        )
+        for (w1, w2), n in pair.items()
+        if n >= COLLOC_MIN_SUPPORT
+    ]
+    scored.sort(key=lambda x: (-x[5], x[0], x[1]))
+    expect = [
+        (rank, *row) for rank, row in enumerate(scored[:20], start=1)
+    ]
+    assert got == expect

@@ -40,7 +40,11 @@ _ESCALATION_SF_DIR = "/root/testdata/sf0.01"
 # r7: the eight late-r5 exception rows all rotated into SWEEP_CHECKED
 # for a real driver round, so the list is currently empty — any FUTURE
 # tail-first registration must be added here until its first rotation.
-_NEVER_DRIVER_CHECKED: list[str] = []
+_NEVER_DRIVER_CHECKED: list[str] = [
+    # r9 tail-first registrations (checked budget full): sf0.01 gate
+    # here until their first driver-checked round
+    "multimodal_patch_grid",
+]
 
 
 def test_never_driver_checked_rows_match_at_driver_sf(spark):
