@@ -573,3 +573,55 @@ def test_bpe_tokenize_vocab_join_broadcasts(spark, sf_dir):
     plan = _llm_plan(spark, sf_dir, "text_bpe_tokenize")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_triangle_brand_scope_pushed_and_broadcast(spark, sf_dir):
+    """The graphlet census must push the brand scope INTO the part scan
+    (a quarter-TB of part metadata at 100 TB otherwise) and broadcast
+    the scoped dimension into the lineitem probe. The registered query
+    checkpoints the edge list (its plan therefore starts at the
+    checkpoint), so the scan-side assertions target the edge-building
+    stage the checkpoint materializes."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.graphlets import (
+        copurchase_edges,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    edges = copurchase_edges(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "StringStartsWith(p_brand,Brand#1)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the census over the materialized edges must stay equi-join-only
+    census = _plan(spark, sf_dir, "parts_triangle_count")
+    assert "CartesianProduct" not in census
+    assert "BroadcastNestedLoopJoin" not in census
+
+
+def test_abc_analysis_scan_pruned_to_two_columns(spark, sf_dir):
+    """ABC reads a 16-column fact for a 2-column aggregate — the scan
+    must prune to (l_partkey, l_extendedprice)."""
+    plan = _plan(spark, sf_dir, "orders_abc_analysis")
+    assert "ReadSchema: struct<l_partkey:bigint,l_extendedprice:double>" in plan
+
+
+def test_attribution_pushes_type_filters(spark, sf_dir):
+    """Both attribution scans are type-filtered slices of events; the
+    IN/EQ predicates must reach the parquet readers."""
+    plan = _plan(spark, sf_dir, "events_attribution")
+    assert "EqualTo(event_type,purchase)" in plan
+    assert "In(event_type, [click,view])" in plan or (
+        "In(event_type, [view,click])" in plan
+    )
+
+
+def test_decay_topk_ranks_inside_type_partitions(spark, sf_dir):
+    """The leaderboard's rank<=10 must run as a WindowGroupLimit inside
+    each type partition (partial top-k before the final sort), never a
+    global sort of every (type, user) score."""
+    plan = _plan(spark, sf_dir, "events_decay_topk")
+    assert plan.count("WindowGroupLimit") >= 1
