@@ -91,6 +91,7 @@ _BROADCAST_NLJ_ALLOWED = frozenset(
         "similarity_hard_negatives",  # broadcast anchor set
         "similarity_sq_topk",  # broadcast query-code set (n_queries rows)
         "text_tfidf_keywords",  # broadcast 1-row corpus scalar (N)
+        "text_collocations",  # broadcast 1-row corpus scalars (n_bi, n_uni)
     }
 )
 
