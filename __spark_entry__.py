@@ -332,6 +332,7 @@ SWEEP_TAIL = [
     # the driver SF per CI until a future rotation gives it a real
     # driver round
     "multimodal_patch_grid",
+    "events_conversion_lag",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

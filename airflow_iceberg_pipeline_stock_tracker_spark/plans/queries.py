@@ -853,6 +853,106 @@ ORDER BY channel
 """
 
 
+def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: for every user whose FIRST view is
+    followed by a purchase, the lag from that first view to the first
+    purchase AFTER it — summarized as exact integer-second order
+    statistics (n, min, p50, p90, max). The funnel row counts WHO
+    converts; this measures HOW FAST, the metric a growth team tracks
+    weekly.
+
+    Exactness: lags are integer microsecond differences collapsed to
+    whole seconds by integer division; the quantiles are EXACT discrete
+    order statistics — the value at rank ceil(q*n) of the sorted lags
+    (the events_quantile_sketch convention), never an interpolated
+    float. First-view and first-purchase-after are min() aggregates
+    over a deterministic total order (ts, event_id).
+
+    Scale: two filtered slices of one fact scan, each aggregated
+    per-user (map-combinable) and joined on user_id (co-partitioned
+    one-exchange join); the final order statistics sort only the
+    converter lags — one value per converting user, dimension-scale
+    (tests/test_properties.py::test_conversion_lag_reference).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    lags = (
+        views.join(purchases, "user_id")
+        .where(F.col("p_ts") >= F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_p"))
+        .join(views, "user_id")
+        .select(
+            (
+                (F.unix_micros("first_p") - F.unix_micros("view_ts"))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("lag_s")
+        )
+    )
+    w = Window.orderBy("lag_s")
+    ranked = lags.select(
+        "lag_s", F.row_number().over(w).alias("rk"), F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n")
+    )
+    pick = lambda q: F.max(  # noqa: E731
+        F.when(
+            F.col("rk") == F.greatest(F.ceil(F.lit(q) * F.col("n")), F.lit(1)),
+            F.col("lag_s"),
+        )
+    )
+    # no converters at all: the aggregate runs over an empty frame and
+    # MAX(n) is NULL in both engines — pin the count to 0 (hypothesis-
+    # found corner; the order statistics stay NULL, which is correct)
+    return ranked.agg(
+        F.coalesce(F.max("n"), F.lit(0).cast("bigint")).alias("n_converters"),
+        F.min("lag_s").alias("min_lag_s"),
+        pick(0.5).alias("p50_lag_s"),
+        pick(0.9).alias("p90_lag_s"),
+        F.max("lag_s").alias("max_lag_s"),
+    )
+
+
+EVENTS_CONVERSION_LAG_SQL = """
+WITH views AS (
+  SELECT user_id, MIN(ts) AS view_ts
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), firstp AS (
+  SELECT v.user_id, MIN(p.ts) AS first_p, ANY_VALUE(v.view_ts) AS view_ts
+  FROM views v JOIN events p
+    ON p.user_id = v.user_id AND p.event_type = 'purchase'
+       AND p.ts >= v.view_ts
+  GROUP BY v.user_id
+), lags AS (
+  SELECT CAST((epoch_us(first_p) - epoch_us(view_ts)) // 1000000 AS BIGINT)
+           AS lag_s
+  FROM firstp
+), ranked AS (
+  SELECT lag_s,
+         ROW_NUMBER() OVER (ORDER BY lag_s) AS rk,
+         COUNT(*) OVER () AS n
+  FROM lags
+)
+SELECT CAST(COALESCE(MAX(n), 0) AS BIGINT) AS n_converters,
+       MIN(lag_s) AS min_lag_s,
+       MAX(CASE WHEN rk = greatest(CAST(ceil(0.5 * n) AS BIGINT), 1)
+                THEN lag_s END) AS p50_lag_s,
+       MAX(CASE WHEN rk = greatest(CAST(ceil(0.9 * n) AS BIGINT), 1)
+                THEN lag_s END) AS p90_lag_s,
+       MAX(lag_s) AS max_lag_s
+FROM ranked
+"""
+
+
 RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
     "q3_top_orders": (q3_top_orders, Q3_SQL),
@@ -865,6 +965,10 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_SQL),
     "events_attribution": (events_attribution, EVENTS_ATTRIBUTION_SQL),
+    "events_conversion_lag": (
+        events_conversion_lag,
+        EVENTS_CONVERSION_LAG_SQL,
+    ),
     "events_ohlc_bars": (
         lambda spark, sf: analytics.ohlc_bars(load_table(spark, sf, "events")),
         analytics.OHLC_BARS_SQL,

@@ -187,6 +187,7 @@ HEADLINE = [
     "orders_cohort_ltv",
     "text_collocations",
     "multimodal_patch_grid",
+    "events_conversion_lag",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

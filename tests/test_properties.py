@@ -1617,3 +1617,50 @@ def test_collocations_reference(spark, word_docs, tmp_path_factory):
         (rank, *row) for rank, row in enumerate(scored[:20], start=1)
     ]
     assert got == expect
+
+
+@given(rows=_attr_events)
+@_prop_settings
+def test_conversion_lag_reference(spark, rows, tmp_path_factory):
+    """Random view/purchase interleavings: first-view selection, the
+    purchase-at-or-after filter, integer-second lag floor, and the
+    exact discrete p50/p90 ranks must match the Python reference
+    (including n=1 where every quantile is the single lag, and the
+    empty-converters frame yielding one all-NULL row with n 0)."""
+    import math
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
+        events_conversion_lag,
+    )
+
+    types = ["view", "click", "purchase"]
+    d = tmp_path_factory.mktemp("convlag")
+    data = [
+        (i, _BASE + dt.timedelta(seconds=sec), u, types[t],
+         float(c) / 100, None)
+        for i, (u, sec, t, c) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = events_conversion_lag(spark, str(d)).collect()[0]
+    got = (r.n_converters, r.min_lag_s, r.p50_lag_s, r.p90_lag_s, r.max_lag_s)
+
+    first_view: dict[int, int] = {}
+    for u, sec, t, _c in rows:
+        if t == 0 and (u not in first_view or sec < first_view[u]):
+            first_view[u] = sec
+    lags = []
+    for u, v_sec in first_view.items():
+        ps = [sec for uu, sec, t, _c in rows if uu == u and t == 2 and sec >= v_sec]
+        if ps:
+            lags.append(min(ps) - v_sec)
+    if not lags:
+        assert got == (0, None, None, None, None)
+        return
+    lags.sort()
+    n = len(lags)
+    pick = lambda q: lags[max(math.ceil(q * n), 1) - 1]  # noqa: E731
+    assert got == (n, lags[0], pick(0.5), pick(0.9), lags[-1])

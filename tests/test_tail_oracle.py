@@ -44,6 +44,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     # r9 tail-first registrations (checked budget full): sf0.01 gate
     # here until their first driver-checked round
     "multimodal_patch_grid",
+    "events_conversion_lag",
 ]
 
 
