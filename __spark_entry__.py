@@ -233,7 +233,11 @@ CHECKED_BUDGET = 50  # the driver hashes exactly this many leading rows
 # Rotation policy: a query is safe to demote to SWEEP_TAIL only after
 # >=2 consecutive green rounds AND pytest coverage; every NEW operator
 # must spend its first round inside the checked prefix (the r4 lesson:
-# six new operators shipped driver-unchecked for a full round).
+# six new operators shipped driver-unchecked for a full round). When a
+# round's demotion supply is exhausted, a new operator may register
+# tail-FIRST only by ALSO entering tests/test_tail_oracle.py::
+# _NEVER_DRIVER_CHECKED, which oracle-diffs it at the driver's own SF
+# every CI run until a later rotation gives it a real driver round.
 SWEEP_CHECKED = [
     # reference-parity core (SURVEY §2) + both parity proofs up front:
     # if the driver truncates a run, the victims must be already-proven
