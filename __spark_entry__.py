@@ -196,6 +196,19 @@ def _q_prices_snapshot_wap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pl.snapshot_wap_demo(spark, tempfile.mkdtemp(prefix="graft_wap_"))
 
 
+def _q_prices_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read row-level deletes end-to-end
+    (pipeline.snapshot_mor_demo): positional delete file + equality
+    delete file + sequence-scoped re-append + delete-aware compaction,
+    all on the manifest snapshot layer — none of it rewrites a data
+    file until the explicit rewrite_data_files step."""
+    import tempfile
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
+
+    return _pl.snapshot_mor_demo(spark, tempfile.mkdtemp(prefix="graft_mor_"))
+
+
 def _q_pipeline_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end (pipeline.run_evolution_demo):
     backfill 2 days -> ALTER TABLE ADD COLUMNS -> old-writer day 3
@@ -337,6 +350,8 @@ SWEEP_TAIL = [
     # driver round
     "multimodal_patch_grid",
     "events_conversion_lag",
+    "prices_mor_deletes",
+    "dedup_incremental_lsh",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -520,6 +535,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_snapshot_time_travel": _q_prices_snapshot_time_travel,
         "prices_snapshot_incremental": _q_prices_snapshot_incremental,
         "prices_snapshot_wap": _q_prices_snapshot_wap,
+        "prices_mor_deletes": _q_prices_mor_deletes,
     }
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         pool[name] = fn
@@ -588,6 +604,7 @@ def oracle_sql() -> dict[str, str]:
         "prices_snapshot_time_travel": _pl.snapshot_oracle_sql(),
         "prices_snapshot_incremental": _pl.snapshot_incremental_oracle_sql(),
         "prices_snapshot_wap": _pl.snapshot_wap_oracle_sql(),
+        "prices_mor_deletes": _pl.snapshot_mor_oracle_sql(),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

@@ -1116,3 +1116,178 @@ SELECT n_nodes, n_edges, n_wedges, n_triangles,
        END AS closure_millionths
 FROM base, ecnt, tri
 """
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: a new batch against an already-indexed corpus.
+# ---------------------------------------------------------------------------
+
+INCR_BATCH_MOD = 10
+INCR_BATCH_REM = 7
+
+
+def incremental_lsh_flags(
+    docs: DataFrame,
+    batch_mod: int = INCR_BATCH_MOD,
+    batch_rem: int = INCR_BATCH_REM,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Flag each NEW document against the existing corpus — the actual
+    100 TB dedup workflow, where data arrives in batches and the corpus
+    is already minhash-indexed. One row per new doc:
+
+      (doc_id, dup_of, match_kind)   match_kind in ('corpus','batch','new')
+
+    ``dup_of`` is the smallest corpus doc_id sharing an LSH band
+    (match_kind='corpus'), else the smallest EARLIER new doc_id sharing
+    a band (='batch', dup-within-the-delivery), else NULL (='new').
+    The batch is carved deterministically as doc_id % batch_mod ==
+    batch_rem so the DuckDB oracle regenerates the same split.
+
+    Scale design — the whole point of the incremental variant:
+      * NOTHING corpus x corpus. The corpus side contributes only band
+        rows whose (band, band_key) also occurs in the new batch — a
+        broadcast semi-join of the tiny new-side key set prunes the
+        corpus band index BEFORE any shuffle, so cost is
+        O(batch + corpus rows sharing a batch band key), not O(corpus).
+        In production the corpus band index is a persisted table
+        (bucketed by band_key); here it is recomputed from the same
+        signature pipeline the index build would run.
+      * per-side bucket caps (the minhash_lsh_pairs discipline) bound
+        the within-bucket expansion; one window pass computes both
+        sides' bucket sizes, partitioned by (band, band_key, is_new).
+      * the outputs are min-aggregates per new doc — no pair
+        materialization beyond the capped candidate join.
+    """
+    from pyspark.sql import Window
+
+    sig = minhash_signatures(docs)
+    stack_args = ", ".join(
+        f"{b}, concat_ws(',', m{b * LSH_ROWS}, m{b * LSH_ROWS + 1}, "
+        f"m{b * LSH_ROWS + 2}, m{b * LSH_ROWS + 3})"
+        for b in range(LSH_BANDS)
+    )
+    bands = sig.selectExpr(
+        "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band, band_key)"
+    ).withColumn(
+        "is_new", F.col("doc_id") % batch_mod == F.lit(batch_rem)
+    )
+    w = Window.partitionBy("band", "band_key", "is_new")
+    kept = (
+        bands.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("bucket_n") <= max_bucket)
+        .drop("bucket_n")
+        .persist()
+    )
+    kept.count()  # eager: both join sides must read the cache
+    new_b = kept.where("is_new").drop("is_new")
+    corpus_b = kept.where("NOT is_new").drop("is_new")
+    # the incremental pruning step: corpus band rows not touching a
+    # batch band key never leave the scan
+    batch_keys = new_b.select("band", "band_key").distinct()
+    corpus_hits = corpus_b.join(
+        F.broadcast(batch_keys), ["band", "band_key"], "leftsemi"
+    )
+    corpus_match = (
+        new_b.alias("n")
+        .join(corpus_hits.alias("c"), ["band", "band_key"])
+        .groupBy(F.col("n.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("c.doc_id")).alias("corpus_dup_of"))
+    )
+    batch_match = (
+        new_b.alias("a")
+        .join(
+            new_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(F.min(F.col("b.doc_id")).alias("batch_dup_of"))
+    )
+    new_docs = docs.where(
+        F.col("doc_id") % batch_mod == F.lit(batch_rem)
+    ).select("doc_id").distinct()
+    out = (
+        new_docs.join(corpus_match, "doc_id", "left")
+        .join(batch_match, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("corpus_dup_of", "batch_dup_of").alias("dup_of"),
+            F.when(F.col("corpus_dup_of").isNotNull(), F.lit("corpus"))
+            .when(F.col("batch_dup_of").isNotNull(), F.lit("batch"))
+            .otherwise(F.lit("new"))
+            .alias("match_kind"),
+        )
+        .orderBy("doc_id")
+    )
+    out = out.localCheckpoint(eager=True)
+    kept.unpersist()
+    return out
+
+
+def _incremental_lsh_sql() -> str:
+    mins = ",\n         ".join(
+        f"{minhash_sql(j)} AS m{j}" for j in range(MINHASH_K)
+    )
+    bands = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"concat_ws(',', m{b * LSH_ROWS}, m{b * LSH_ROWS + 1}, "
+        f"m{b * LSH_ROWS + 2}, m{b * LSH_ROWS + 3}) AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    mod, rem = INCR_BATCH_MOD, INCR_BATCH_REM
+    return f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM shingles
+  GROUP BY doc_id
+),
+bands AS MATERIALIZED (
+  {bands}
+),
+flagged AS (
+  SELECT doc_id, band, band_key, (doc_id % {mod} = {rem}) AS is_new
+  FROM bands
+),
+sized AS (
+  SELECT band, band_key, is_new, COUNT(*) AS bucket_n
+  FROM flagged GROUP BY band, band_key, is_new
+),
+kept AS MATERIALIZED (
+  SELECT f.* FROM flagged f JOIN sized s
+    USING (band, band_key, is_new)
+  WHERE s.bucket_n <= 50
+),
+corpus_match AS (
+  SELECT n.doc_id, MIN(c.doc_id) AS corpus_dup_of
+  FROM kept n JOIN kept c
+    ON n.band = c.band AND n.band_key = c.band_key
+   AND n.is_new AND NOT c.is_new
+  GROUP BY n.doc_id
+),
+batch_match AS (
+  SELECT a.doc_id, MIN(b.doc_id) AS batch_dup_of
+  FROM kept a JOIN kept b
+    ON a.band = b.band AND a.band_key = b.band_key
+   AND a.is_new AND b.is_new AND b.doc_id < a.doc_id
+  GROUP BY a.doc_id
+),
+newdocs AS (
+  SELECT DISTINCT doc_id FROM documents WHERE doc_id % {mod} = {rem}
+)
+SELECT d.doc_id,
+       COALESCE(cm.corpus_dup_of, bm.batch_dup_of) AS dup_of,
+       CASE WHEN cm.corpus_dup_of IS NOT NULL THEN 'corpus'
+            WHEN bm.batch_dup_of IS NOT NULL THEN 'batch'
+            ELSE 'new' END AS match_kind
+FROM newdocs d
+LEFT JOIN corpus_match cm ON d.doc_id = cm.doc_id
+LEFT JOIN batch_match bm ON d.doc_id = bm.doc_id
+ORDER BY d.doc_id
+"""
+
+
+INCREMENTAL_LSH_SQL = _incremental_lsh_sql()

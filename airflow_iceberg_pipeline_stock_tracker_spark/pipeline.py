@@ -534,6 +534,93 @@ ORDER BY ticker, date
 """
 
 
+MOR_DATES = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+
+
+def snapshot_mor_demo(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Iceberg v2 merge-on-read row-level deletes exercised end-to-end
+    on the snapshot layer (sources/snapshots.py delete_where /
+    delete_matching / rewrite_data_files — the v2 half of the
+    reference's ``USING ICEBERG`` choice, dag.py:145, which this
+    sandbox cannot run natively):
+
+      1. days 1-2 land (overwrite), day 3 appends — two data commits;
+      2. ``delete_where("volume % 2 = 1")`` writes a POSITIONAL delete
+         file: odd-volume bars vanish, zero data files rewritten;
+      3. ``delete_matching(ticker='AAPL')`` writes an EQUALITY delete
+         file: every remaining AAPL bar vanishes;
+      4. day 4 appends — INCLUDING AAPL, which must survive the step-3
+         delete because equality deletes are sequence-scoped to data
+         committed before them (the Iceberg v2 contract);
+      5. ``rewrite_data_files`` compacts; the read before and after
+         must be row-identical (``compact_equal``).
+
+    Surface: per-ticker (n_rows, sum_volume, min/max date) over the
+    final table + the compaction-parity bit — all deterministic from
+    the bar client, so the oracle regenerates it closed-form.
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+
+    def day(ds: str) -> DataFrame:
+        return bars_to_df(spark, fetch_bars(client, ds)).drop(
+            "insertion_timestamp"
+        )
+
+    snapshots.commit(
+        day(MOR_DATES[0]).unionAll(day(MOR_DATES[1])), table_dir, mode="overwrite"
+    )
+    snapshots.commit(day(MOR_DATES[2]), table_dir, mode="append")
+    snapshots.delete_where(spark, table_dir, "volume % 2 = 1")
+    snapshots.delete_matching(
+        spark, table_dir, spark.createDataFrame([("AAPL",)], ["ticker"]),
+        ["ticker"],
+    )
+    snapshots.commit(day(MOR_DATES[3]), table_dir, mode="append")
+
+    pre = snapshots.read(spark, table_dir)
+    snapshots.rewrite_data_files(spark, table_dir)
+    post = snapshots.read(spark, table_dir)
+    compact_equal = (
+        pre.exceptAll(post).isEmpty() and post.exceptAll(pre).isEmpty()
+    )
+    return (
+        post.groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("volume").alias("sum_volume"),
+            F.min("date").alias("min_date"),
+            F.max("date").alias("max_date"),
+        )
+        .withColumn("compact_equal", F.lit(compact_equal))
+        .orderBy("ticker")
+    )
+
+
+def snapshot_mor_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`snapshot_mor_demo`: the final table is
+    days 1-3 minus odd volumes minus AAPL, plus ALL of day 4 (the
+    re-append lands after the equality delete's sequence number)."""
+    return _bars_cte_sql(MOR_DATES, tickers) + f"""
+SELECT ticker,
+       COUNT(*) AS n_rows,
+       CAST(SUM(volume) AS BIGINT) AS sum_volume,
+       MIN(date) AS min_date,
+       MAX(date) AS max_date,
+       TRUE AS compact_equal
+FROM bars
+WHERE date = DATE '{MOR_DATES[3]}'
+   OR (volume % 2 = 0 AND ticker <> 'AAPL')
+GROUP BY ticker
+ORDER BY ticker
+"""
+
+
 def snapshot_oracle_sql(tickers: list[str] | None = None) -> str:
     """DuckDB twin of :func:`snapshot_time_travel_demo`: v1 sees days
     1-2, v2 sees all three — regenerated from the deterministic bars."""

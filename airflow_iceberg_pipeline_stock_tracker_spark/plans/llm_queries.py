@@ -376,6 +376,16 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         ),
         dedup.REPEATED_SPANS_SQL,
     ),
+    # incremental dedup: a deterministic 10% "new batch" flagged against
+    # the already-indexed 90% corpus — broadcast band-key semi-join
+    # prunes the corpus side before any shuffle (the production shape
+    # where the corpus band index is a persisted table)
+    "dedup_incremental_lsh": (
+        lambda spark, sf: dedup.incremental_lsh_flags(
+            load_table(spark, sf, "documents")
+        ),
+        dedup.INCREMENTAL_LSH_SQL,
+    ),
     "similarity_knn_graph": (
         lambda spark, sf_dir: similarity.knn_graph_df(
             load_table(spark, sf_dir, "embeddings")

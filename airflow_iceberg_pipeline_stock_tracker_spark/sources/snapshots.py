@@ -31,6 +31,15 @@ a data rewrite):
     operation, as in Iceberg's expire_snapshots).
   * Every manifest retains the full snapshot history, so any historical
     version can be read back — time travel by snapshot id.
+  * Row-level deletes are MERGE-ON-READ (Iceberg v2): ``delete_where``
+    writes a POSITIONAL delete file (file_path, row_index) and
+    ``delete_matching`` an EQUALITY delete file (key tuples); neither
+    rewrites a single data file. Readers apply them as broadcast
+    anti-joins; equality deletes are sequence-scoped exactly as Iceberg
+    scopes them (they hit only data files committed strictly BEFORE the
+    delete), so rows re-appended after the delete survive.
+    ``rewrite_data_files`` is the compaction that folds deletes back
+    into data (copy-on-write catch-up).
 
 Scale: a commit's cost is the data write itself plus one ~KB JSON link;
 reads plan directly over the listed parquet directories, so partition
@@ -48,6 +57,7 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 MANIFEST_PREFIX = "_manifest-"
 # legacy alias kept for external readers of the module surface
@@ -80,6 +90,7 @@ _EMPTY_MANIFEST: dict = {
     "tags": {},
     "txns": {},
     "refs": {},
+    "dir_seq": {},
 }
 
 
@@ -96,7 +107,9 @@ def _load_manifest(table_dir: str, max_retries: int = 10) -> dict:
     for _ in range(max_retries):
         versions = _manifest_versions(table_dir)
         if not versions:
-            return dict(_EMPTY_MANIFEST, snapshots=[], tags={}, txns={})
+            return dict(
+                _EMPTY_MANIFEST, snapshots=[], tags={}, txns={}, dir_seq={}
+            )
         try:
             with open(_manifest_path(table_dir, versions[-1])) as f:
                 man = json.load(f)
@@ -105,6 +118,7 @@ def _load_manifest(table_dir: str, max_retries: int = 10) -> dict:
         man.setdefault("tags", {})
         man.setdefault("txns", {})
         man.setdefault("refs", {})
+        man.setdefault("dir_seq", {})
         return man
     raise RuntimeError(
         f"manifest resolution raced vacuum {max_retries} times in {table_dir}"
@@ -245,6 +259,17 @@ def _dirs_of(man: dict, version: int) -> list[str]:
     )
 
 
+def _deletes_of(man: dict, version: int) -> list[dict]:
+    """Merge-on-read delete-file entries of a snapshot (possibly [])."""
+    for snap in man["snapshots"]:
+        if snap["id"] == version:
+            return snap.get("deletes", [])
+    raise ValueError(
+        f"snapshot {version} not in history "
+        f"(have {[s['id'] for s in man['snapshots']]})"
+    )
+
+
 def _commit_entry(
     table_dir: str,
     snap_dir: str,
@@ -272,10 +297,17 @@ def _commit_entry(
         # head: a branch commit must never collide with a later main id
         snap_id = _max_id(man) + 1
         prev_dirs: list[str] = []
+        prev_dels: list[dict] = []
         if mode == "append":
             head = man["refs"][branch] if branch is not None else man["current"]
             prev_dirs = list(_dirs_of(man, head)) if head else []
+            # an append INHERITS the head's merge-on-read delete files —
+            # the new data dir gets a HIGHER dir_seq than any existing
+            # equality delete, so inherited eq deletes can never touch it
+            prev_dels = list(_deletes_of(man, head)) if head else []
         entry = {"id": snap_id, "dirs": prev_dirs + [snap_dir]}
+        if prev_dels:
+            entry["deletes"] = prev_dels
         if branch is not None:
             entry["branch"] = branch
         if tag is not None:
@@ -298,6 +330,10 @@ def _commit_entry(
             "tags": dict(man.get("tags", {}), **({tag: snap_id} if tag else {})),
             "txns": txns,
             "refs": refs,
+            # dir -> snapshot id that ADDED it: the sequence numbers that
+            # scope equality deletes (a dir missing from the map reads as
+            # seq 0, i.e. pre-delete data — the conservative legacy rule)
+            "dir_seq": dict(man.get("dir_seq", {}), **{snap_dir: snap_id}),
         }
         if _publish_manifest(table_dir, new_man):
             return snap_id
@@ -336,11 +372,297 @@ def read(
         version = man["current"]
     for snap in man["snapshots"]:
         if snap["id"] == version:
-            paths = [os.path.join(table_dir, d) for d in snap["dirs"]]
-            return spark.read.parquet(*paths)
+            return _plan_snapshot(spark, table_dir, man, snap)
     raise ValueError(
         f"snapshot {version} not in history "
         f"(have {[s['id'] for s in man['snapshots']]})"
+    )
+
+
+def _plan_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    man: dict,
+    snap: dict,
+    with_position: bool = False,
+) -> DataFrame:
+    """Plan one snapshot: parquet scan over its data dirs, then the
+    merge-on-read delete application (Iceberg v2 read path).
+
+    A snapshot with no delete files returns the bare multi-path scan —
+    bit-identical plan to the pre-MoR layer, so partition pruning and
+    projection pushdown are untouched for the common case. With deletes:
+
+      * positional delete files anti-join on (_metadata.file_path,
+        _metadata.row_index) — file-scoped by construction, since every
+        data dir is uuid-unique a position can never alias a later file;
+      * equality delete files anti-join on their key columns, gated on
+        the SOURCE dir's sequence number (``dir_seq``) being strictly
+        below the delete's — Iceberg's rule that an equality delete hits
+        only data files committed before it, so re-appends survive.
+
+    Delete files are tiny next to the table (that's why MoR exists), so
+    every anti-join build side is broadcast — at 100 TB the scan stays
+    the only big thing in the plan and no shuffle is introduced.
+
+    ``with_position=True`` keeps the (_sg_file, _sg_pos) provenance
+    columns on the result — ``_metadata`` resolves only on the scan
+    relation itself, so ``delete_where`` on an already-deleted-from
+    table must get positions from here, not re-select them downstream.
+    """
+    from functools import reduce
+
+    paths = [os.path.join(table_dir, d) for d in snap["dirs"]]
+    dels = snap.get("deletes", [])
+    if not dels and not with_position:
+        return spark.read.parquet(*paths)
+    base = spark.read.parquet(*paths)
+    data_cols = base.columns
+    df = base.select(
+        *data_cols,
+        F.col("_metadata.file_path").alias("_sg_file"),
+        F.col("_metadata.row_index").alias("_sg_pos"),
+    )
+    pos = [d for d in dels if d["kind"] == "pos"]
+    eq = [d for d in dels if d["kind"] == "eq"]
+    if pos:
+        pdel = spark.read.parquet(
+            *[os.path.join(table_dir, d["dir"]) for d in pos]
+        )
+        df = df.join(
+            F.broadcast(pdel),
+            (df["_sg_file"] == pdel["_del_file"])
+            & (df["_sg_pos"] == pdel["_del_pos"]),
+            "left_anti",
+        )
+    if eq:
+        dir_seq = man.get("dir_seq", {})
+        seq_map = F.create_map(
+            *[F.lit(x) for d in snap["dirs"] for x in (d, dir_seq.get(d, 0))]
+        )
+        df = df.withColumn(
+            "_sg_seq",
+            F.coalesce(
+                seq_map[F.element_at(F.split("_sg_file", "/"), -2)], F.lit(0)
+            ),
+        )
+        for d in eq:
+            kdf = spark.read.parquet(os.path.join(table_dir, d["dir"]))
+            cond = reduce(
+                lambda a, b: a & b,
+                [df[c].eqNullSafe(kdf[c]) for c in d["cols"]],
+            ) & (df["_sg_seq"] < F.lit(d["seq"]))
+            df = df.join(F.broadcast(kdf), cond, "left_anti")
+    if with_position:
+        return df.select(*data_cols, "_sg_file", "_sg_pos")
+    return df.select(*data_cols)
+
+
+class CommitConflict(RuntimeError):
+    """A concurrent commit invalidated this operation's snapshot basis
+    (Iceberg's validation failure on conflicting concurrent writes)."""
+
+
+def delete_where(
+    spark: SparkSession,
+    table_dir: str,
+    predicate: str,
+    max_retries: int = 16,
+) -> int:
+    """Row-level DELETE as a merge-on-read POSITIONAL delete file
+    (Iceberg v2 position deletes) — no data file is rewritten.
+
+    Scans the current snapshot for rows matching ``predicate`` (a SQL
+    boolean over the table's columns), records their (file_path,
+    row_index) pairs in a ``del-*`` parquet file, and commits a new
+    snapshot whose data dirs are UNCHANGED. Readers subtract the
+    positions via a broadcast anti-join (`_plan_snapshot`). At 100 TB
+    the cost is one predicate scan + a tiny delete-file write — against
+    copy-on-write's full rewrite of every touched file.
+
+    A no-match predicate commits nothing and returns the current id.
+    If a concurrent OVERWRITE/compaction replaces the files the delete
+    positions were computed against, the CAS loop raises
+    :class:`CommitConflict` instead of publishing deletes aimed at
+    files the head no longer owns (file paths are uuid-unique, so a
+    position can never silently re-target new data). Concurrent APPENDs
+    rebase fine: a positional delete is file-scoped by construction.
+
+    History semantics match Iceberg: time travel to a pre-delete
+    snapshot still shows the rows; ``vacuum`` keeps every delete file a
+    retained snapshot references.
+    """
+    man = _load_manifest(table_dir)
+    if not man["snapshots"]:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    cur_id = man["current"]
+    snap = next(s for s in man["snapshots"] if s["id"] == cur_id)
+    matched = (
+        _plan_snapshot(spark, table_dir, man, snap, with_position=True)
+        .where(F.expr(predicate))
+        .select(
+            F.col("_sg_file").alias("_del_file"),
+            F.col("_sg_pos").alias("_del_pos"),
+        )
+    )
+    del_dir = f"del-{uuid.uuid4().hex[:12]}"
+    del_path = os.path.join(table_dir, del_dir)
+    matched.write.mode("errorifexists").parquet(del_path)
+    back = spark.read.parquet(del_path)
+    if back.isEmpty():
+        import shutil
+
+        shutil.rmtree(del_path, ignore_errors=True)
+        return cur_id
+    # dirs the delete positions live in — the conflict-validation set
+    ref_dirs = {
+        r[0]
+        for r in back.select(
+            F.element_at(F.split("_del_file", "/"), -2)
+        ).distinct().collect()
+    }
+    return _delete_commit_entry(
+        table_dir, {"dir": del_dir, "kind": "pos"}, ref_dirs, max_retries
+    )
+
+
+def delete_matching(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    cols: list[str],
+    max_retries: int = 16,
+) -> int:
+    """Row-level DELETE as a merge-on-read EQUALITY delete file
+    (Iceberg v2 equality deletes — the CDC-writer primitive).
+
+    Writes ``keys``' distinct ``cols`` tuples as a ``del-*`` file; a
+    reader drops any row whose key columns null-safe-equal a tuple AND
+    whose source data file was committed strictly BEFORE this delete
+    (sequence scoping via ``dir_seq``) — so the same key re-appended
+    afterwards is visible again, exactly Iceberg's contract. Unlike
+    positional deletes this never scans the table at delete time: cost
+    is the tiny key-file write + one manifest publish, which is why
+    streaming upsert writers emit equality deletes.
+
+    Returns the new snapshot id (or the current one if ``keys`` is
+    empty). Concurrent appends rebase safely: whoever commits earlier
+    gets the lower sequence number, and the delete applies only below
+    its own.
+    """
+    man = _load_manifest(table_dir)
+    if not man["snapshots"]:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    del_dir = f"del-{uuid.uuid4().hex[:12]}"
+    del_path = os.path.join(table_dir, del_dir)
+    keys.select(*cols).distinct().write.mode("errorifexists").parquet(del_path)
+    if spark.read.parquet(del_path).isEmpty():
+        import shutil
+
+        shutil.rmtree(del_path, ignore_errors=True)
+        return man["current"]
+    return _delete_commit_entry(
+        table_dir,
+        {"dir": del_dir, "kind": "eq", "cols": list(cols)},
+        None,
+        max_retries,
+    )
+
+
+def _delete_commit_entry(
+    table_dir: str,
+    delete: dict,
+    ref_dirs: set[str] | None,
+    max_retries: int = 16,
+) -> int:
+    """CAS-publish a delete-file commit: same dirs as the head, the new
+    delete appended to the head's delete list. ``ref_dirs`` (positional
+    deletes only) must still be owned by the head on every rebase, else
+    :class:`CommitConflict` — the delete was computed against files a
+    concurrent overwrite removed. Equality deletes capture their
+    sequence number HERE (the allocated snapshot id), so scoping stays
+    correct however many writers raced in between."""
+    for attempt in range(max_retries):
+        man = _load_manifest(table_dir)
+        head = man["current"]
+        head_dirs = list(_dirs_of(man, head)) if head else []
+        if ref_dirs is not None and not ref_dirs <= set(head_dirs):
+            raise CommitConflict(
+                f"positional delete targets {sorted(ref_dirs - set(head_dirs))} "
+                f"which snapshot {head} no longer owns (concurrent overwrite)"
+            )
+        snap_id = _max_id(man) + 1
+        entry_del = dict(delete)
+        if entry_del["kind"] == "eq":
+            entry_del["seq"] = snap_id
+        entry = {
+            "id": snap_id,
+            "dirs": head_dirs,
+            "deletes": (list(_deletes_of(man, head)) if head else [])
+            + [entry_del],
+        }
+        new_man = {
+            "seq": man["seq"] + 1,
+            "current": snap_id,
+            "snapshots": man["snapshots"] + [entry],
+            "tags": man.get("tags", {}),
+            "txns": man.get("txns", {}),
+            "refs": man.get("refs", {}),
+            "dir_seq": man.get("dir_seq", {}),
+        }
+        if _publish_manifest(table_dir, new_man):
+            return snap_id
+        time.sleep(0.001 * (attempt + 1))
+    raise RuntimeError(
+        f"delete commit lost the manifest CAS {max_retries} times in {table_dir}"
+    )
+
+
+def rewrite_data_files(
+    spark: SparkSession, table_dir: str, max_retries: int = 16
+) -> int:
+    """Compaction: materialize the current snapshot WITH its deletes
+    applied into fresh data files and commit it as an overwrite — the
+    delete list comes back empty, positions/keys are folded in (Iceberg
+    ``rewrite_data_files`` + ``rewrite_position_delete_files`` in one
+    step; MoR's deferred cost paid once, off the read path).
+
+    Validates optimistically: if any OTHER commit lands between the
+    read and the publish, raises :class:`CommitConflict` rather than
+    clobbering it with a stale materialization (run compaction
+    exclusively or retry on conflict, as Iceberg's rewrite action does).
+    """
+    man = _load_manifest(table_dir)
+    if not man["snapshots"]:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    basis = man["current"]
+    snap = next(s for s in man["snapshots"] if s["id"] == basis)
+    df = _plan_snapshot(spark, table_dir, man, snap)
+    snap_dir = f"snap-{uuid.uuid4().hex[:12]}"
+    df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap_dir))
+    for attempt in range(max_retries):
+        man = _load_manifest(table_dir)
+        if man["current"] != basis:
+            raise CommitConflict(
+                f"compaction read snapshot {basis} but head moved to "
+                f"{man['current']} — rerun against the new head"
+            )
+        snap_id = _max_id(man) + 1
+        entry = {"id": snap_id, "dirs": [snap_dir]}
+        new_man = {
+            "seq": man["seq"] + 1,
+            "current": snap_id,
+            "snapshots": man["snapshots"] + [entry],
+            "tags": man.get("tags", {}),
+            "txns": man.get("txns", {}),
+            "refs": man.get("refs", {}),
+            "dir_seq": dict(man.get("dir_seq", {}), **{snap_dir: snap_id}),
+        }
+        if _publish_manifest(table_dir, new_man):
+            return snap_id
+        time.sleep(0.001 * (attempt + 1))
+    raise RuntimeError(
+        f"compaction lost the manifest CAS {max_retries} times in {table_dir}"
     )
 
 
@@ -448,10 +770,15 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
         ]
         if len(kept) == len(man["snapshots"]):
             return []
-        keep_dirs = {d for s in kept for d in s["dirs"]}
+        # a retained snapshot's merge-on-read delete files are as
+        # load-bearing as its data dirs — expiring one would resurrect
+        # deleted rows in a snapshot readers can still resolve
+        keep_dirs = {d for s in kept for d in s["dirs"]} | {
+            dl["dir"] for s in kept for dl in s.get("deletes", [])
+        }
         removed = []
         for s in man["snapshots"][:-keep_last]:
-            for d in s["dirs"]:
+            for d in s["dirs"] + [dl["dir"] for dl in s.get("deletes", [])]:
                 if d not in keep_dirs and d not in removed:
                     removed.append(d)
         # the tags + txns maps survive retention verbatim: a streaming
@@ -465,6 +792,12 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
             "tags": man.get("tags", {}),
             "txns": man.get("txns", {}),
             "refs": man.get("refs", {}),
+            # sequence numbers travel with the dirs that survive
+            "dir_seq": {
+                d: q
+                for d, q in man.get("dir_seq", {}).items()
+                if d in keep_dirs
+            },
         }
         # publish the trimmed manifest FIRST (through the same CAS as
         # commits) so a crash mid-delete can only leave orphan
@@ -516,6 +849,16 @@ def read_incremental(
         raise ValueError(
             f"snapshots {after_version}..{cur} are not append lineage "
             "(an overwrite replaced history); incremental read undefined"
+        )
+    # a merge-on-read delete in the range rewrites VISIBLE history the
+    # same way an overwrite rewrites physical history — "what was
+    # appended" is no longer the whole delta, so refuse (Iceberg's
+    # incremental append scan rejects delete snapshots identically)
+    prev_dels = [] if after_version == 0 else by_id[after_version].get("deletes", [])
+    if by_id[cur].get("deletes", []) != prev_dels:
+        raise ValueError(
+            f"snapshots {after_version}..{cur} contain row-level deletes; "
+            "incremental append scan undefined over delete snapshots"
         )
     new_dirs = [d for d in cur_dirs if d not in set(prev_dirs)]
     if not new_dirs:

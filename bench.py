@@ -188,6 +188,8 @@ HEADLINE = [
     "text_collocations",
     "multimodal_patch_grid",
     "events_conversion_lag",
+    "prices_mor_deletes",
+    "dedup_incremental_lsh",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -211,6 +213,9 @@ PROOF_TIER = frozenset(
         "prices_snapshot_incremental",
         # branch create/commit/audit/publish lifecycle; same class
         "prices_snapshot_wap",
+        # positional/equality delete commits + delete-aware compaction;
+        # table-lifecycle class
+        "prices_mor_deletes",
         # 5-commit day-chunked state-ring fold; table-lifecycle class
         "events_decay_incremental",
     }

@@ -950,3 +950,54 @@ def test_patch_grid_matches_bruteforce(spark, docs):
                     len(rows) * len(cols), *sums
                 )
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# incremental LSH dedup (new batch vs indexed corpus)
+# ---------------------------------------------------------------------------
+
+def test_incremental_lsh_flags_planted_matches(spark):
+    """Deterministic synthetic corpus: an exact duplicate shares every
+    band, so a batch doc copying a corpus text MUST flag 'corpus' with
+    the corpus doc_id, a batch doc copying an EARLIER batch doc flags
+    'batch', and a unique batch doc flags 'new'. Corpus-only dups never
+    appear (the incremental contract: only the new batch is reported)."""
+    texts = {
+        3: "alpha beta gamma delta epsilon zeta",
+        4: "shared corpus duplicate text one two",
+        5: "shared corpus duplicate text one two",   # corpus-internal dup
+        6: "completely different corpus text here",
+        7: "batch internal duplicate foo bar baz",   # batch (id%10==7)
+        17: "batch internal duplicate foo bar baz",  # dup of 7
+        27: "alpha beta gamma delta epsilon zeta",   # dup of corpus 3
+        37: "a genuinely novel document with fresh words",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    out = {r.doc_id: r for r in dedup.incremental_lsh_flags(docs).collect()}
+    assert set(out) == {7, 17, 27, 37}  # exactly the new batch
+    assert out[27].match_kind == "corpus" and out[27].dup_of == 3
+    assert out[17].match_kind == "batch" and out[17].dup_of == 7
+    assert out[7].match_kind == "new" and out[7].dup_of is None
+    assert out[37].match_kind == "new" and out[37].dup_of is None
+
+
+def test_incremental_lsh_invariants_on_fixture(spark, docs):
+    """Structural contract on the real fixture corpus: one row per new
+    doc; dup_of always points at a smaller id; 'corpus' targets live
+    outside the batch residue class, 'batch' targets inside it."""
+    out = dedup.incremental_lsh_flags(docs).collect()
+    n_new = docs.where(
+        F.col("doc_id") % dedup.INCR_BATCH_MOD == dedup.INCR_BATCH_REM
+    ).count()
+    assert len(out) == n_new
+    for r in out:
+        if r.match_kind == "new":
+            assert r.dup_of is None
+        elif r.match_kind == "corpus":
+            assert r.dup_of % dedup.INCR_BATCH_MOD != dedup.INCR_BATCH_REM
+        else:
+            assert r.match_kind == "batch"
+            assert r.dup_of % dedup.INCR_BATCH_MOD == dedup.INCR_BATCH_REM
+            assert r.dup_of < r.doc_id

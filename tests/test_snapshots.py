@@ -422,3 +422,143 @@ def test_wap_demo_audits_and_publishes(spark, tmp_path):
     assert days == set(pl.EVOLUTION_DATES[:2])
     n_day2 = sum(1 for r in out if r.date.isoformat() == pl.EVOLUTION_DATES[1])
     assert out[0].first_audit_bad_rows == n_day2  # one bad copy per bar
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read row-level deletes (Iceberg v2: positional + equality)
+# ---------------------------------------------------------------------------
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, ["id", "k"])
+
+
+def test_positional_delete_rewrites_no_data_file(spark, tdir):
+    """delete_where drops rows via a del-* file; every snap-* data dir
+    of the prior snapshot is untouched, and time travel to the
+    pre-delete snapshot still shows the rows."""
+    snapshots.commit(_kv(spark, [(i, i % 3) for i in range(10)]), tdir,
+                     mode="overwrite")
+    dirs_before = _snap_dirs(tdir)
+    v = snapshots.delete_where(spark, tdir, "id % 2 = 1")
+    assert _snap_dirs(tdir) == dirs_before  # zero data files rewritten
+    assert any(d.startswith("del-") for d in os.listdir(tdir))
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == [
+        0, 2, 4, 6, 8,
+    ]
+    # history before the delete is intact (MoR deletes are snapshots too)
+    assert sorted(
+        r.id for r in snapshots.read(spark, tdir, version=v - 1).collect()
+    ) == list(range(10))
+
+
+def test_equality_delete_is_sequence_scoped(spark, tdir):
+    """An equality delete hits only data committed BEFORE it: the same
+    key re-appended afterwards is visible (the Iceberg v2 contract that
+    makes CDC upsert writers correct)."""
+    snapshots.commit(_kv(spark, [(1, 0), (2, 1)]), tdir, mode="overwrite")
+    snapshots.delete_matching(
+        spark, tdir, spark.createDataFrame([(0,)], ["k"]), ["k"]
+    )
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == [2]
+    snapshots.commit(_kv(spark, [(3, 0)]), tdir, mode="append")
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == [2, 3]
+
+
+def test_chained_deletes_compaction_and_noop(spark, tdir):
+    """Deletes stack (a delete over an already-deleted-from table reads
+    positions through the prior delete); rewrite_data_files folds them
+    into fresh files with identical rows and an empty delete list; a
+    no-match delete commits nothing."""
+    snapshots.commit(_kv(spark, [(i, i % 2) for i in range(8)]), tdir,
+                     mode="overwrite")
+    snapshots.delete_where(spark, tdir, "id < 2")
+    snapshots.delete_matching(
+        spark, tdir, spark.createDataFrame([(1,)], ["k"]), ["k"]
+    )
+    expect = [2, 4, 6]
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == expect
+    cur = snapshots.history(tdir)[-1]
+    assert snapshots.delete_where(spark, tdir, "id = -1") == cur  # no-op
+    v = snapshots.rewrite_data_files(spark, tdir)
+    man = snapshots._load_manifest(tdir)
+    entry = next(s for s in man["snapshots"] if s["id"] == v)
+    assert entry.get("deletes", []) == [] and len(entry["dirs"]) == 1
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == expect
+    # chained delete works on the compacted table too
+    snapshots.delete_where(spark, tdir, "id = 4")
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == [2, 6]
+
+
+def test_vacuum_keeps_live_delete_files_drops_dead_ones(spark, tdir):
+    """A delete file referenced by a retained snapshot survives vacuum
+    (expiring it would resurrect rows); once compaction supersedes it
+    and retention passes, it is removed like any dead data dir."""
+    snapshots.commit(_kv(spark, [(i, 0) for i in range(6)]), tdir,
+                     mode="overwrite")
+    snapshots.delete_where(spark, tdir, "id >= 4")
+    snapshots.vacuum(tdir, keep_last=1)
+    assert any(d.startswith("del-") for d in os.listdir(tdir))
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == [
+        0, 1, 2, 3,
+    ]
+    snapshots.rewrite_data_files(spark, tdir)
+    snapshots.vacuum(tdir, keep_last=1)
+    assert not any(d.startswith("del-") for d in os.listdir(tdir))
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == [
+        0, 1, 2, 3,
+    ]
+
+
+def test_incremental_scan_refuses_delete_snapshots(spark, tdir):
+    """read_incremental over a range containing a row-level delete is
+    undefined (the delta is not purely appended rows) — must raise,
+    exactly as Iceberg's incremental append scan does."""
+    v1 = snapshots.commit(_kv(spark, [(1, 0)]), tdir, mode="overwrite")
+    snapshots.delete_where(spark, tdir, "id = 1")
+    snapshots.commit(_kv(spark, [(2, 0)]), tdir, mode="append")
+    with pytest.raises(ValueError, match="delete"):
+        snapshots.read_incremental(spark, tdir, v1)
+
+
+def test_positional_delete_conflicts_with_concurrent_overwrite(spark, tdir):
+    """The delete-commit CAS refuses to publish positions aimed at data
+    dirs the head no longer owns (a concurrent overwrite/compaction
+    replaced them) — Iceberg's conflict validation, not a silent
+    mis-target."""
+    snapshots.commit(_kv(spark, [(1, 0)]), tdir, mode="overwrite")
+    with pytest.raises(snapshots.CommitConflict):
+        snapshots._delete_commit_entry(
+            tdir, {"dir": "del-xxxx", "kind": "pos"}, {"snap-gone"}
+        )
+
+
+def test_compaction_conflicts_with_concurrent_commit(spark, tdir, monkeypatch):
+    """rewrite_data_files validates its snapshot basis: a commit landing
+    between the compaction read and its publish raises CommitConflict
+    instead of silently clobbering the interleaved write."""
+    snapshots.commit(_kv(spark, [(1, 0)]), tdir, mode="overwrite")
+    real_plan = snapshots._plan_snapshot
+
+    def plan_then_interleave(spark_, table_dir_, man_, snap_, **kw):
+        df = real_plan(spark_, table_dir_, man_, snap_, **kw)
+        monkeypatch.setattr(snapshots, "_plan_snapshot", real_plan)
+        snapshots.commit(_kv(spark_, [(9, 9)]), tdir, mode="append")
+        return df
+
+    monkeypatch.setattr(snapshots, "_plan_snapshot", plan_then_interleave)
+    with pytest.raises(snapshots.CommitConflict):
+        snapshots.rewrite_data_files(spark, tdir)
+    # the interleaved commit is intact
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == [1, 9]
+
+
+def test_mor_demo_matches_expected_shape(spark, tmp_path):
+    """End-to-end MoR demo: AAPL present only via the post-delete day-4
+    re-append; no odd day-1..3 volume survives; compaction parity bit
+    set."""
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as pl
+
+    out = pl.snapshot_mor_demo(spark, str(tmp_path / "mor")).collect()
+    assert all(r.compact_equal for r in out)
+    aapl = next(r for r in out if r.ticker == "AAPL")
+    assert aapl.n_rows == 1 and aapl.min_date.isoformat() == pl.MOR_DATES[3]

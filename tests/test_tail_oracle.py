@@ -45,6 +45,8 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     # here until their first driver-checked round
     "multimodal_patch_grid",
     "events_conversion_lag",
+    "prices_mor_deletes",
+    "dedup_incremental_lsh",
 ]
 
 
