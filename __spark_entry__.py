@@ -114,6 +114,17 @@ def _q_prices_stochastic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stochastic(prices_standin(spark, sf_dir))
 
 
+def _q_prices_pair_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlation of daily close changes —
+    exact-integer 2x-average-ranks, int64 moment sums, one closing
+    sqrt/division (IEEE-exact)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        spearman_pairs,
+    )
+
+    return spearman_pairs(prices_standin(spark, sf_dir))
+
+
 def _q_pipeline_daily_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full daily pipeline (ingest->DQ->promote->cumulate), 3-day backfill.
 
@@ -352,6 +363,7 @@ SWEEP_TAIL = [
     "events_conversion_lag",
     "prices_mor_deletes",
     "dedup_incremental_lsh",
+    "prices_pair_corr",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -536,6 +548,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_snapshot_incremental": _q_prices_snapshot_incremental,
         "prices_snapshot_wap": _q_prices_snapshot_wap,
         "prices_mor_deletes": _q_prices_mor_deletes,
+        "prices_pair_corr": _q_prices_pair_corr,
     }
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         pool[name] = fn
@@ -580,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         ATR_SQL,
         BOLLINGER_SQL,
         DRAWDOWN_SQL,
+        PAIR_CORR_SQL,
         RSI_SQL,
         STOCH_SQL,
         VWAP_SQL,
@@ -594,6 +608,8 @@ def oracle_sql() -> dict[str, str]:
         "prices_atr": prices_cte + ATR_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_stochastic": prices_cte
         + STOCH_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_pair_corr": prices_cte
+        + PAIR_CORR_SQL.replace("WITH c AS", ", c AS", 1),
         # full backfill, hash-checked end-to-end: the deterministic bar
         # client is a pure sha256 function of (ticker, ds), so the SQL
         # twin regenerates the bars and replays ingest->promote->cumulate

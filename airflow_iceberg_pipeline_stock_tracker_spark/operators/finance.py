@@ -431,3 +431,142 @@ FROM k
 WINDOW w AS (PARTITION BY ticker ORDER BY date)
 ORDER BY ticker, date
 """
+
+
+def spearman_pairs(prices: DataFrame) -> DataFrame:
+    """Pairwise Spearman rank correlation of daily close changes.
+
+    The reference tracks a fixed small ticker universe
+    (``/root/reference/dags/dag.py:61``); cross-ticker co-movement is the
+    canonical next question a tracker answers. Pearson on float returns
+    is cross-engine-hostile (order-dependent double sums, libm-tainted
+    variance), so this computes SPEARMAN via the exactness discipline:
+
+      1. daily change in cents (int64 lag difference) per ticker,
+      2. inner self-join on date with ``t1 < t2`` (each pair once, only
+         dates where both tickers traded),
+      3. 2x-average-rank per pair side: ``2*rank + ties - 1`` — an exact
+         INTEGER even under ties (average rank itself is k.5 on even tie
+         runs), identical in both engines by construction,
+      4. Pearson on the integer ranks from pure int64 sums; the one
+         closing step is ``num / (sqrt(den_x) * sqrt(den_y))`` — IEEE
+         sqrt is correctly rounded (unlike exp/log), so the double
+         result is deterministic cross-engine.
+
+    Constant-change series (den 0) yield NULL rho, never a crash
+    (tests/test_properties.py::test_spearman_degenerate_nulls).
+
+    Scale: the join is keyed on date across a BOUNDED ticker universe
+    (6 stand-in tickers, ~k^2/2 = 15 pairs); per-pair row count is
+    bounded by trading days, so the rank windows sort at most ~2.5k rows
+    per (t1, t2) partition and the final aggregate is 15 rows. At 100 TB
+    the only full-data pass is the prices aggregation upstream; rank
+    sums are associative int64, safe under AQE re-partitioning.
+    """
+    w = Window.partitionBy("ticker").orderBy("date")
+    close_c = cents("close")
+    chg = (
+        prices.select("ticker", "date", close_c.alias("close_c"))
+        .withColumn(
+            "change_c", F.col("close_c") - F.lag("close_c").over(w)
+        )
+        .where(F.col("change_c").isNotNull())
+    )
+    a = chg.select(
+        F.col("ticker").alias("t1"), "date", F.col("change_c").alias("x")
+    )
+    b = chg.select(
+        F.col("ticker").alias("t2"), "date", F.col("change_c").alias("y")
+    )
+    pairs = a.join(b, "date").where(F.col("t1") < F.col("t2"))
+    # 2x average rank: 2*rank(min) + (#ties - 1); exact bigint both sides
+    rx = (
+        2 * F.rank().over(Window.partitionBy("t1", "t2").orderBy("x"))
+        + F.count(F.lit(1)).over(Window.partitionBy("t1", "t2", "x"))
+        - 1
+    ).cast("bigint")
+    ry = (
+        2 * F.rank().over(Window.partitionBy("t1", "t2").orderBy("y"))
+        + F.count(F.lit(1)).over(Window.partitionBy("t1", "t2", "y"))
+        - 1
+    ).cast("bigint")
+    ranked = pairs.select("t1", "t2", rx.alias("rx"), ry.alias("ry"))
+    sums = ranked.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den_x = F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        sums.select(
+            "t1",
+            "t2",
+            "n_days",
+            num.alias("num"),
+            den_x.alias("den_x"),
+            den_y.alias("den_y"),
+            F.when(
+                (den_x > 0) & (den_y > 0),
+                num
+                / (
+                    F.sqrt(den_x.cast("double"))
+                    * F.sqrt(den_y.cast("double"))
+                ),
+            ).alias("rho"),
+        )
+        .orderBy("t1", "t2")
+    )
+
+
+PAIR_CORR_SQL = """
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(close * 100) AS BIGINT) AS close_c
+  FROM prices
+), chg AS (
+  SELECT ticker, date,
+         close_c - LAG(close_c)
+           OVER (PARTITION BY ticker ORDER BY date) AS change_c
+  FROM c
+  QUALIFY change_c IS NOT NULL
+), pairs AS (
+  SELECT a.ticker AS t1, b.ticker AS t2,
+         a.change_c AS x, b.change_c AS y
+  FROM chg a JOIN chg b USING (date)
+  WHERE a.ticker < b.ticker
+), ranked AS (
+  SELECT t1, t2,
+         CAST(2 * RANK() OVER (PARTITION BY t1, t2 ORDER BY x)
+              + COUNT(*) OVER (PARTITION BY t1, t2, x) - 1 AS BIGINT) AS rx,
+         CAST(2 * RANK() OVER (PARTITION BY t1, t2 ORDER BY y)
+              + COUNT(*) OVER (PARTITION BY t1, t2, y) - 1 AS BIGINT) AS ry
+  FROM pairs
+), sums AS (
+  SELECT t1, t2,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(rx) AS BIGINT) AS sx,
+         CAST(SUM(ry) AS BIGINT) AS sy,
+         CAST(SUM(rx * ry) AS BIGINT) AS sxy,
+         CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+         CAST(SUM(ry * ry) AS BIGINT) AS syy
+  FROM ranked
+  GROUP BY t1, t2
+)
+SELECT t1, t2, n_days,
+       n_days * sxy - sx * sy AS num,
+       n_days * sxx - sx * sx AS den_x,
+       n_days * syy - sy * sy AS den_y,
+       CASE WHEN n_days * sxx - sx * sx > 0
+             AND n_days * syy - sy * sy > 0
+            THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+                 / (SQRT(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                    * SQRT(CAST(n_days * syy - sy * sy AS DOUBLE)))
+       END AS rho
+FROM sums
+ORDER BY t1, t2
+"""

@@ -190,6 +190,7 @@ HEADLINE = [
     "events_conversion_lag",
     "prices_mor_deletes",
     "dedup_incremental_lsh",
+    "prices_pair_corr",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

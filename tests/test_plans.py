@@ -626,3 +626,29 @@ def test_decay_topk_ranks_inside_type_partitions(spark, sf_dir):
     global sort of every (type, user) score."""
     plan = _plan(spark, sf_dir, "events_decay_topk")
     assert plan.count("WindowGroupLimit") >= 1
+
+
+def test_pair_corr_broadcasts_date_join_single_pair_exchange(spark, sf_dir):
+    """The pair self-join keys on date over the BOUNDED tickers-x-days
+    frame — it must broadcast (never shuffle two full change frames for
+    a 15-row answer), and the four rank/tie windows must share ONE
+    (t1, t2) exchange: hash partitioning on (t1, t2) already co-locates
+    the (t1, t2, x) tie-count partitions, so any extra exchange between
+    the windows is a planner regression."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        spearman_pairs,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.prices import (
+        prices_standin,
+    )
+
+    df = spearman_pairs(prices_standin(spark, sf_dir))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    post_join = plan.split("BroadcastHashJoin")[0]
+    assert post_join.count("Exchange") <= 2, (
+        "windows + final agg should reuse the (t1,t2) partitioning: "
+        "one pair exchange plus the 15-row ordered output exchange"
+    )

@@ -1664,3 +1664,84 @@ def test_conversion_lag_reference(spark, rows, tmp_path_factory):
     n = len(lags)
     pick = lambda q: lags[max(math.ceil(q * n), 1) - 1]  # noqa: E731
     assert got == (n, lags[0], pick(0.5), pick(0.9), lags[-1])
+
+
+# two aligned close-cents series (tickers A and B over the same dates);
+# constant runs are drawn often enough that degenerate den_x/den_y = 0
+# (all-tied ranks) shows up regularly
+_pair_rows = st.lists(
+    st.tuples(st.integers(0, 300), st.integers(0, 300)),
+    min_size=1,
+    max_size=16,
+)
+
+
+def _spearman_py(xs: list[int], ys: list[int]):
+    """Python twin of finance.spearman_pairs' exact construction:
+    2x-average ranks (2*min_rank + ties - 1), int64 moment sums, one
+    closing num / (sqrt(den_x) * sqrt(den_y)) in IEEE doubles."""
+    import math
+
+    n = len(xs)
+
+    def r2(vals: list[int]) -> list[int]:
+        return [
+            2 * (1 + sum(1 for u in vals if u < v))
+            + sum(1 for u in vals if u == v)
+            - 1
+            for v in vals
+        ]
+
+    rx, ry = r2(xs), r2(ys)
+    sx, sy = sum(rx), sum(ry)
+    sxy = sum(a * b for a, b in zip(rx, ry))
+    sxx = sum(a * a for a in rx)
+    syy = sum(b * b for b in ry)
+    num = n * sxy - sx * sy
+    dx = n * sxx - sx * sx
+    dy = n * syy - sy * sy
+    rho = (
+        num / (math.sqrt(dx) * math.sqrt(dy)) if dx > 0 and dy > 0 else None
+    )
+    return n, num, dx, dy, rho
+
+
+@given(rows=_pair_rows)
+@example(rows=[(100, 100)])                      # single day: no changes
+@example(rows=[(100, 200), (100, 200)])          # constant: all-tied ranks
+@example(rows=[(0, 300), (100, 200), (200, 100)])  # perfectly anti-moving
+@example(rows=[(10, 10), (20, 20), (20, 20), (30, 30)])  # tie runs
+@_prop_settings
+def test_spearman_degenerate_nulls(spark, rows):
+    """finance.spearman_pairs: constant-change series (den 0) yield NULL
+    rho, never a crash; everything else matches the exact Python twin
+    bit-for-bit (the whole pipeline is integer until one IEEE-exact
+    sqrt/division)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        spearman_pairs,
+    )
+
+    base = dt.date(2024, 1, 1)
+    prices = spark.createDataFrame(
+        [
+            (t, base + dt.timedelta(days=i), c / 100.0)
+            for i, (a, b) in enumerate(rows)
+            for t, c in (("A", a), ("B", b))
+        ],
+        "ticker string, date date, close double",
+    )
+    got = spearman_pairs(prices).collect()
+
+    xs = [rows[i][0] - rows[i - 1][0] for i in range(1, len(rows))]
+    ys = [rows[i][1] - rows[i - 1][1] for i in range(1, len(rows))]
+    if not xs:
+        assert got == []
+        return
+    assert len(got) == 1 and (got[0].t1, got[0].t2) == ("A", "B")
+    n, num, dx, dy, rho = _spearman_py(xs, ys)
+    r = got[0]
+    assert (r.n_days, r.num, r.den_x, r.den_y) == (n, num, dx, dy)
+    if rho is None:
+        assert r.rho is None, "degenerate pair must be NULL, not a crash"
+    else:
+        assert r.rho == rho, "closing division must be bit-exact"

@@ -47,6 +47,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "events_conversion_lag",
     "prices_mor_deletes",
     "dedup_incremental_lsh",
+    "prices_pair_corr",
 ]
 
 
