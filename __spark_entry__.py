@@ -220,6 +220,18 @@ def _q_prices_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pl.snapshot_mor_demo(spark, tempfile.mkdtemp(prefix="graft_mor_"))
 
 
+def _q_prices_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-style $snapshots metadata relation over a scripted
+    5-commit history (pipeline.snapshot_metadata_demo): operation /
+    branch / dir + delete-file counts / visible record_count / ref
+    heads, all manifest-derived and closed-form in the oracle."""
+    import tempfile
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
+
+    return _pl.snapshot_metadata_demo(spark, tempfile.mkdtemp(prefix="graft_meta_"))
+
+
 def _q_pipeline_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end (pipeline.run_evolution_demo):
     backfill 2 days -> ALTER TABLE ADD COLUMNS -> old-writer day 3
@@ -364,6 +376,7 @@ SWEEP_TAIL = [
     "prices_mor_deletes",
     "dedup_incremental_lsh",
     "prices_pair_corr",
+    "prices_snapshot_metadata",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -549,6 +562,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_snapshot_wap": _q_prices_snapshot_wap,
         "prices_mor_deletes": _q_prices_mor_deletes,
         "prices_pair_corr": _q_prices_pair_corr,
+        "prices_snapshot_metadata": _q_prices_snapshot_metadata,
     }
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         pool[name] = fn
@@ -621,6 +635,7 @@ def oracle_sql() -> dict[str, str]:
         "prices_snapshot_incremental": _pl.snapshot_incremental_oracle_sql(),
         "prices_snapshot_wap": _pl.snapshot_wap_oracle_sql(),
         "prices_mor_deletes": _pl.snapshot_mor_oracle_sql(),
+        "prices_snapshot_metadata": _pl.snapshot_metadata_oracle_sql(),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

@@ -621,6 +621,85 @@ ORDER BY ticker
 """
 
 
+def snapshot_metadata_demo(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The ``$snapshots`` metadata relation exercised over a scripted
+    five-commit history (sources/snapshots.py snapshots_metadata — the
+    emulated twin of Iceberg's ``SELECT * FROM tbl$snapshots`` /
+    ``$refs`` metadata tables, the introspection surface the
+    reference's ``USING ICEBERG`` tables carry, dag.py:145):
+
+      1. day-1 bars land (overwrite)            -> snap 1
+      2. day-2 bars append                      -> snap 2
+      3. positional delete of odd-volume bars   -> snap 3 (MoR)
+      4. ``audit`` branch from snap 3; day-3 bars staged on it -> snap 4
+      5. ``rewrite_data_files`` compacts main   -> snap 5 (replace)
+
+    Every column of the relation — operation, branch, dir/delete-file
+    counts, per-snapshot visible record_count, ref heads — is
+    deterministic from the script and the bar client, so the oracle
+    regenerates all five rows closed-form.
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+
+    def day(ds: str) -> DataFrame:
+        return bars_to_df(spark, fetch_bars(client, ds)).drop(
+            "insertion_timestamp"
+        )
+
+    snapshots.commit(day(EVOLUTION_DATES[0]), table_dir, mode="overwrite")
+    snapshots.commit(day(EVOLUTION_DATES[1]), table_dir, mode="append")
+    snapshots.delete_where(spark, table_dir, "volume % 2 = 1")
+    snapshots.create_branch(table_dir, "audit")
+    snapshots.commit(
+        day(EVOLUTION_DATES[2]), table_dir, mode="append", branch="audit"
+    )
+    snapshots.rewrite_data_files(spark, table_dir)
+    return snapshots.snapshots_metadata(spark, table_dir).orderBy("snapshot_id")
+
+
+def snapshot_metadata_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`snapshot_metadata_demo`: the five metadata
+    rows written closed-form, with record counts recomputed from the
+    regenerated bars (the positional delete removes odd volumes from
+    days 1-2 only; the audit append sees them plus ALL of day 3; the
+    compaction folds the delete file in at identical visible rows)."""
+    d1, d2, d3 = EVOLUTION_DATES
+    return _bars_cte_sql(EVOLUTION_DATES, tickers) + f"""
+, n AS (
+  SELECT
+    (SELECT COUNT(*) FROM bars WHERE date = DATE '{d1}') AS n1,
+    (SELECT COUNT(*) FROM bars WHERE date <= DATE '{d2}') AS n12,
+    (SELECT COUNT(*) FROM bars
+      WHERE date <= DATE '{d2}' AND volume % 2 = 0) AS n12_even,
+    (SELECT COUNT(*) FROM bars
+      WHERE (date <= DATE '{d2}' AND volume % 2 = 0)
+         OR date = DATE '{d3}') AS n_audit
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS snapshot_id, 'overwrite' AS operation,
+         'main' AS branch, CAST(1 AS INTEGER) AS n_data_dirs,
+         CAST(0 AS INTEGER) AS n_delete_files,
+         CAST(n1 AS BIGINT) AS record_count,
+         CAST(NULL AS VARCHAR) AS refs, FALSE AS is_current FROM n
+  UNION ALL
+  SELECT 2, 'append', 'main', 2, 0, n12, NULL, FALSE FROM n
+  UNION ALL
+  SELECT 3, 'delete', 'main', 2, 1, n12_even, NULL, FALSE FROM n
+  UNION ALL
+  SELECT 4, 'append', 'audit', 3, 1, n_audit, 'audit', FALSE FROM n
+  UNION ALL
+  SELECT 5, 'replace', 'main', 1, 0, n12_even, 'main', TRUE FROM n
+)
+ORDER BY snapshot_id
+"""
+
+
 def snapshot_oracle_sql(tickers: list[str] | None = None) -> str:
     """DuckDB twin of :func:`snapshot_time_travel_demo`: v1 sees days
     1-2, v2 sees all three — regenerated from the deterministic bars."""

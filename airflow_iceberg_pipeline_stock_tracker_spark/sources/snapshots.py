@@ -305,7 +305,7 @@ def _commit_entry(
             # the new data dir gets a HIGHER dir_seq than any existing
             # equality delete, so inherited eq deletes can never touch it
             prev_dels = list(_deletes_of(man, head)) if head else []
-        entry = {"id": snap_id, "dirs": prev_dirs + [snap_dir]}
+        entry = {"id": snap_id, "dirs": prev_dirs + [snap_dir], "op": mode}
         if prev_dels:
             entry["deletes"] = prev_dels
         if branch is not None:
@@ -598,6 +598,7 @@ def _delete_commit_entry(
         entry = {
             "id": snap_id,
             "dirs": head_dirs,
+            "op": "delete",
             "deletes": (list(_deletes_of(man, head)) if head else [])
             + [entry_del],
         }
@@ -648,7 +649,7 @@ def rewrite_data_files(
                 f"{man['current']} — rerun against the new head"
             )
         snap_id = _max_id(man) + 1
-        entry = {"id": snap_id, "dirs": [snap_dir]}
+        entry = {"id": snap_id, "dirs": [snap_dir], "op": "replace"}
         new_man = {
             "seq": man["seq"] + 1,
             "current": snap_id,
@@ -746,6 +747,67 @@ def fast_forward(table_dir: str, branch: str, max_retries: int = 16) -> int:
 def history(table_dir: str) -> list[int]:
     """Committed snapshot ids, oldest first."""
     return [s["id"] for s in _load_manifest(table_dir)["snapshots"]]
+
+
+def snapshots_metadata(
+    spark: SparkSession, table_dir: str, with_counts: bool = True
+) -> DataFrame:
+    """The table's ``$snapshots`` metadata relation — Iceberg exposes
+    per-table ``snapshots``/``refs`` metadata tables (``SELECT * FROM
+    tbl$snapshots``); this is the emulated layer's equivalent, derived
+    purely from the manifest:
+
+      snapshot_id     committed id, oldest first
+      operation       Iceberg snapshot summary operation: append /
+                      overwrite / delete (MoR delete-file commit) /
+                      replace (compaction rewrite)
+      branch          the ref the commit targeted ('main' for head
+                      commits, the branch name for staged ones)
+      n_data_dirs     data directories the snapshot references
+      n_delete_files  merge-on-read delete files still unapplied
+      record_count    rows visible at the snapshot (deletes applied) —
+                      a per-snapshot scan-plan count, skip with
+                      ``with_counts=False`` on deep histories
+      refs            comma-joined ref names whose head is this
+                      snapshot ('main' = the current table head)
+      is_current      whether this is main's head
+
+    Manifests written before the ``op`` field surface operation=NULL
+    (additive evolution, same contract as the schema layer).
+    """
+    man = _load_manifest(table_dir)
+    if not man["snapshots"]:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    rows = []
+    for snap in man["snapshots"]:
+        names = sorted(
+            name for name, head in man["refs"].items() if head == snap["id"]
+        )
+        if snap["id"] == man["current"]:
+            names = ["main"] + names
+        count = (
+            _plan_snapshot(spark, table_dir, man, snap).count()
+            if with_counts
+            else None
+        )
+        rows.append(
+            (
+                snap["id"],
+                snap.get("op"),
+                snap.get("branch", "main"),
+                len(snap["dirs"]),
+                len(snap.get("deletes", [])),
+                count,
+                ",".join(names) if names else None,
+                snap["id"] == man["current"],
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "snapshot_id bigint, operation string, branch string, "
+        "n_data_dirs int, n_delete_files int, record_count bigint, "
+        "refs string, is_current boolean",
+    )
 
 
 def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[str]:

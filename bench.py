@@ -191,6 +191,7 @@ HEADLINE = [
     "prices_mor_deletes",
     "dedup_incremental_lsh",
     "prices_pair_corr",
+    "prices_snapshot_metadata",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -217,6 +218,8 @@ PROOF_TIER = frozenset(
         # positional/equality delete commits + delete-aware compaction;
         # table-lifecycle class
         "prices_mor_deletes",
+        # 5-commit scripted history + per-snapshot metadata counts
+        "prices_snapshot_metadata",
         # 5-commit day-chunked state-ring fold; table-lifecycle class
         "events_decay_incremental",
     }

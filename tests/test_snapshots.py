@@ -562,3 +562,62 @@ def test_mor_demo_matches_expected_shape(spark, tmp_path):
     assert all(r.compact_equal for r in out)
     aapl = next(r for r in out if r.ticker == "AAPL")
     assert aapl.n_rows == 1 and aapl.min_date.isoformat() == pl.MOR_DATES[3]
+
+
+def test_snapshots_metadata_relation(spark, tdir):
+    """$snapshots metadata: operation/branch/counts/refs per commit,
+    pre-op-field manifests surface NULL operation, with_counts=False
+    skips the scan plans, and an empty table raises like read()."""
+    with pytest.raises(FileNotFoundError):
+        snapshots.snapshots_metadata(spark, tdir)
+
+    snapshots.commit(_df(spark, [1, 2]), tdir, mode="overwrite")
+    snapshots.commit(_df(spark, [3]), tdir, mode="append")
+    snapshots.delete_where(spark, tdir, "x = 2")
+    snapshots.create_branch(tdir, "wip")
+    snapshots.commit(_df(spark, [7]), tdir, mode="append", branch="wip")
+
+    rows = {
+        r.snapshot_id: r
+        for r in snapshots.snapshots_metadata(spark, tdir).collect()
+    }
+    assert set(rows) == {1, 2, 3, 4}
+    assert (rows[1].operation, rows[1].n_data_dirs, rows[1].record_count) == (
+        "overwrite", 1, 2,
+    )
+    assert (rows[2].operation, rows[2].record_count) == ("append", 3)
+    # the MoR delete commit: same dirs, one delete file, row hidden
+    assert (
+        rows[3].operation,
+        rows[3].n_data_dirs,
+        rows[3].n_delete_files,
+        rows[3].record_count,
+    ) == ("delete", 2, 1, 2)
+    # main's head is the delete commit; the branch head is the staged one
+    assert rows[3].refs == "main" and rows[3].is_current
+    assert (rows[4].branch, rows[4].refs, rows[4].is_current) == (
+        "wip", "wip", False,
+    )
+    assert rows[4].record_count == 3  # inherits the x=2 delete, adds 7
+
+    # dropping the branch clears its ref column but keeps the snapshot
+    snapshots.drop_branch(tdir, "wip")
+    rows = {
+        r.snapshot_id: r
+        for r in snapshots.snapshots_metadata(
+            spark, tdir, with_counts=False
+        ).collect()
+    }
+    assert rows[4].refs is None and rows[4].record_count is None
+
+    # additive evolution: manifests written before the op field exist
+    # in the wild — strip it and the column must surface NULL, not crash
+    man = snapshots._load_manifest(tdir)
+    for s in man["snapshots"]:
+        s.pop("op", None)
+    assert snapshots._publish_manifest(tdir, dict(man, seq=man["seq"] + 1))
+    ops = {
+        r.snapshot_id: r.operation
+        for r in snapshots.snapshots_metadata(spark, tdir).collect()
+    }
+    assert ops == {1: None, 2: None, 3: None, 4: None}

@@ -48,6 +48,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "prices_mor_deletes",
     "dedup_incremental_lsh",
     "prices_pair_corr",
+    "prices_snapshot_metadata",
 ]
 
 
