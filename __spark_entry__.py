@@ -232,6 +232,20 @@ def _q_prices_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pl.snapshot_metadata_demo(spark, tempfile.mkdtemp(prefix="graft_meta_"))
 
 
+def _q_prices_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats scan planning (pipeline.snapshot_pruned_scan_demo):
+    per-dir [min,max] date stats committed with each load; a day-bounded
+    read plans ONE of three dirs, the others never open, MoR deletes
+    ride the pruned plan, parity vs the full filtered read proven."""
+    import tempfile
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
+
+    return _pl.snapshot_pruned_scan_demo(
+        spark, tempfile.mkdtemp(prefix="graft_prune_")
+    )
+
+
 def _q_pipeline_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution end-to-end (pipeline.run_evolution_demo):
     backfill 2 days -> ALTER TABLE ADD COLUMNS -> old-writer day 3
@@ -377,6 +391,7 @@ SWEEP_TAIL = [
     "dedup_incremental_lsh",
     "prices_pair_corr",
     "prices_snapshot_metadata",
+    "prices_pruned_scan",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -563,6 +578,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_mor_deletes": _q_prices_mor_deletes,
         "prices_pair_corr": _q_prices_pair_corr,
         "prices_snapshot_metadata": _q_prices_snapshot_metadata,
+        "prices_pruned_scan": _q_prices_pruned_scan,
     }
     for name, (fn, _sql) in RELATIONAL_QUERIES.items():
         pool[name] = fn
@@ -636,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
         "prices_snapshot_wap": _pl.snapshot_wap_oracle_sql(),
         "prices_mor_deletes": _pl.snapshot_mor_oracle_sql(),
         "prices_snapshot_metadata": _pl.snapshot_metadata_oracle_sql(),
+        "prices_pruned_scan": _pl.snapshot_pruned_scan_oracle_sql(),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

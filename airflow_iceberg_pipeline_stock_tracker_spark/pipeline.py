@@ -700,6 +700,82 @@ ORDER BY snapshot_id
 """
 
 
+def snapshot_pruned_scan_demo(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Manifest-stats scan planning exercised end-to-end
+    (sources/snapshots.py read_pruned — Iceberg's metadata-based file
+    skipping, the mechanism that makes a date-bounded query on the
+    reference's date-partitioned tables, dag.py:129-148, cost the
+    matching files instead of the table):
+
+      1. three daily bar loads land as separate appends, each
+         committing per-directory [min, max] date stats;
+      2. ``delete_where`` hides odd-volume bars (MoR rides the pruned
+         plan);
+      3. a day-2 read plans ONE directory from the manifest — the other
+         two never open — and must equal the full read filtered the
+         ordinary way (``prune_parity``).
+
+    Surface: per-ticker day-2 aggregates + the planner evidence
+    (dirs_scanned / dirs_skipped / prune_parity), all deterministic.
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+    for i, ds in enumerate(EVOLUTION_DATES):
+        day = bars_to_df(spark, fetch_bars(client, ds)).drop(
+            "insertion_timestamp"
+        )
+        snapshots.commit(
+            day,
+            table_dir,
+            mode="overwrite" if i == 0 else "append",
+            stats_cols=["date"],
+        )
+    snapshots.delete_where(spark, table_dir, "volume % 2 = 1")
+
+    d2 = EVOLUTION_DATES[1]
+    pruned, n_scan, n_skip = snapshots.read_pruned(
+        spark, table_dir, "date", lo=d2, hi=d2
+    )
+    full = snapshots.read(spark, table_dir).where(F.col("date") == d2)
+    parity = (
+        pruned.exceptAll(full).isEmpty() and full.exceptAll(pruned).isEmpty()
+    )
+    return (
+        pruned.groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("volume").alias("sum_volume"),
+        )
+        .withColumn("dirs_scanned", F.lit(n_scan))
+        .withColumn("dirs_skipped", F.lit(n_skip))
+        .withColumn("prune_parity", F.lit(parity))
+        .orderBy("ticker")
+    )
+
+
+def snapshot_pruned_scan_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`snapshot_pruned_scan_demo`: day-2
+    even-volume bars per ticker; the planner scanned exactly the day-2
+    directory and skipped the other two."""
+    return _bars_cte_sql(EVOLUTION_DATES, tickers) + f"""
+SELECT ticker,
+       COUNT(*) AS n_rows,
+       CAST(SUM(volume) AS BIGINT) AS sum_volume,
+       CAST(1 AS INTEGER) AS dirs_scanned,
+       CAST(2 AS INTEGER) AS dirs_skipped,
+       TRUE AS prune_parity
+FROM bars
+WHERE date = DATE '{EVOLUTION_DATES[1]}' AND volume % 2 = 0
+GROUP BY ticker
+ORDER BY ticker
+"""
+
+
 def snapshot_oracle_sql(tickers: list[str] | None = None) -> str:
     """DuckDB twin of :func:`snapshot_time_travel_demo`: v1 sees days
     1-2, v2 sees all three — regenerated from the deterministic bars."""

@@ -157,12 +157,24 @@ def commit(
     tag: str | None = None,
     txn: tuple[str, int] | None = None,
     branch: str | None = None,
+    stats_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as a new snapshot; returns the new snapshot id.
 
     mode="append"   : new snapshot = previous directories + the new one.
     mode="overwrite": new snapshot = the new directory only (REPLACE
                       semantics; history still reaches the old data).
+
+    ``stats_cols`` records per-directory [min, max] bounds for the named
+    columns in the manifest (Iceberg's per-file column stats) — one
+    bounded aggregate job before the write. ``read_pruned`` then skips
+    whole directories from the SCAN PLAN when their range cannot match,
+    which is the metadata-based file skipping that keeps a 100 TB scan
+    proportional to the matching data, not the table. Bounds are stored
+    natively for int/float/str/bool and as their canonical string form
+    otherwise (dates/timestamps are order-preserving strings; types
+    whose str() does not order, e.g. negative-exponent decimals, should
+    not be stats columns).
 
     ``tag`` makes the commit IDEMPOTENT per tag: if any snapshot in the
     manifest already carries it, the commit is a no-op returning that
@@ -198,8 +210,31 @@ def commit(
     # unique data directory: a crashed or racing writer can never block
     # or be clobbered by another commit's data files
     snap_dir = f"snap-{uuid.uuid4().hex[:12]}"
+    stats = _column_stats(df, stats_cols) if stats_cols else None
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap_dir))
-    return _commit_entry(table_dir, snap_dir, mode, max_retries, tag, txn, branch)
+    return _commit_entry(
+        table_dir, snap_dir, mode, max_retries, tag, txn, branch, stats
+    )
+
+
+def _stat_val(v):
+    """JSON-safe, order-preserving manifest form of a stats bound."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    return str(v)
+
+
+def _column_stats(df: DataFrame, cols: list[str]) -> dict:
+    """One aggregate job: {col: [min, max]} over ``df`` (NULL-only
+    columns store [None, None] and are never pruned on)."""
+    row = df.agg(
+        *[F.min(c).alias(f"_lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"_hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    return {
+        c: [_stat_val(row[f"_lo_{i}"]), _stat_val(row[f"_hi_{i}"])]
+        for i, c in enumerate(cols)
+    }
 
 
 def _tagged(man: dict, tag: str | None) -> int | None:
@@ -278,6 +313,7 @@ def _commit_entry(
     tag: str | None = None,
     txn: tuple[str, int] | None = None,
     branch: str | None = None,
+    stats: dict | None = None,
 ) -> int:
     """The manifest CAS loop — everything in ``commit`` after the data
     write. Factored out so the cross-process concurrency tests drive the
@@ -335,6 +371,13 @@ def _commit_entry(
             # seq 0, i.e. pre-delete data — the conservative legacy rule)
             "dir_seq": dict(man.get("dir_seq", {}), **{snap_dir: snap_id}),
         }
+        # dir -> {col: [min, max]}: scan-planning column stats; a dir
+        # absent from the map is always scanned (conservative)
+        dir_stats = man.get("dir_stats", {})
+        if stats is not None:
+            dir_stats = dict(dir_stats, **{snap_dir: stats})
+        if dir_stats:
+            new_man["dir_stats"] = dir_stats
         if _publish_manifest(table_dir, new_man):
             return snap_id
         # lost the CAS — back off briefly and rebase on the winner
@@ -377,6 +420,71 @@ def read(
         f"snapshot {version} not in history "
         f"(have {[s['id'] for s in man['snapshots']]})"
     )
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+    ref: str | None = None,
+) -> tuple[DataFrame, int, int]:
+    """Read rows with ``lo <= col <= hi`` (either bound optional),
+    planning the scan from the manifest's per-directory column stats —
+    Iceberg's metadata-based scan planning: a directory whose [min, max]
+    range cannot intersect the bound is DROPPED FROM THE PLAN, never
+    opened, so the scan cost is proportional to the matching data, not
+    the table. Directories without stats for ``col`` are scanned
+    (conservative). Returns (df, dirs_scanned, dirs_skipped).
+
+    Merge-on-read deletes still apply on the scanned subset — a delete
+    file targeting a skipped directory simply has nothing to hit. The
+    residual predicate is always applied to the scanned rows (stats
+    prune directories, not rows), so the result equals
+    ``read(...).where(lo <= col <= hi)`` by construction.
+    """
+    if lo is None and hi is None:
+        raise ValueError("read_pruned needs at least one bound")
+    man = _load_manifest(table_dir)
+    if not man["snapshots"]:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if ref is not None:
+        version = man["refs"].get(ref)
+        if version is None:
+            raise ValueError(f"no ref {ref!r} in {table_dir}")
+    if version is None:
+        version = man["current"]
+    snap = next(s for s in man["snapshots"] if s["id"] == version)
+    stats = man.get("dir_stats", {})
+    q_lo, q_hi = _stat_val(lo), _stat_val(hi)
+    scanned: list[str] = []
+    skipped = 0
+    for d in snap["dirs"]:
+        bounds = stats.get(d, {}).get(col)
+        if bounds is not None and bounds[0] is not None:
+            d_lo, d_hi = bounds
+            if (q_hi is not None and d_lo > q_hi) or (
+                q_lo is not None and d_hi < q_lo
+            ):
+                skipped += 1
+                continue
+        scanned.append(d)
+    residual = None
+    if lo is not None:
+        residual = F.col(col) >= F.lit(lo)
+    if hi is not None:
+        c = F.col(col) <= F.lit(hi)
+        residual = c if residual is None else residual & c
+    if not scanned:
+        # nothing can match: plan one dir for the schema, keep zero rows
+        probe = dict(snap, dirs=snap["dirs"][:1], deletes=[])
+        df = _plan_snapshot(spark, table_dir, man, probe).where(F.lit(False))
+        return df, 0, skipped
+    pruned = dict(snap, dirs=scanned)
+    df = _plan_snapshot(spark, table_dir, man, pruned).where(residual)
+    return df, len(scanned), skipped
 
 
 def _plan_snapshot(
@@ -611,6 +719,8 @@ def _delete_commit_entry(
             "refs": man.get("refs", {}),
             "dir_seq": man.get("dir_seq", {}),
         }
+        if man.get("dir_stats"):
+            new_man["dir_stats"] = man["dir_stats"]
         if _publish_manifest(table_dir, new_man):
             return snap_id
         time.sleep(0.001 * (attempt + 1))
@@ -659,6 +769,9 @@ def rewrite_data_files(
             "refs": man.get("refs", {}),
             "dir_seq": dict(man.get("dir_seq", {}), **{snap_dir: snap_id}),
         }
+        if man.get("dir_stats"):
+            # the compacted dir itself has no stats (conservative scan)
+            new_man["dir_stats"] = man["dir_stats"]
         if _publish_manifest(table_dir, new_man):
             return snap_id
         time.sleep(0.001 * (attempt + 1))
@@ -861,6 +974,13 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
                 if d in keep_dirs
             },
         }
+        kept_stats = {
+            d: s
+            for d, s in man.get("dir_stats", {}).items()
+            if d in keep_dirs
+        }
+        if kept_stats:
+            new_man["dir_stats"] = kept_stats
         # publish the trimmed manifest FIRST (through the same CAS as
         # commits) so a crash mid-delete can only leave orphan
         # directories, never a dangling manifest

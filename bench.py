@@ -192,6 +192,7 @@ HEADLINE = [
     "dedup_incremental_lsh",
     "prices_pair_corr",
     "prices_snapshot_metadata",
+    "prices_pruned_scan",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -220,6 +221,8 @@ PROOF_TIER = frozenset(
         "prices_mor_deletes",
         # 5-commit scripted history + per-snapshot metadata counts
         "prices_snapshot_metadata",
+        # 4-commit lifecycle + pruned-vs-full parity diff
+        "prices_pruned_scan",
         # 5-commit day-chunked state-ring fold; table-lifecycle class
         "events_decay_incremental",
     }

@@ -621,3 +621,87 @@ def test_snapshots_metadata_relation(spark, tdir):
         for r in snapshots.snapshots_metadata(spark, tdir).collect()
     }
     assert ops == {1: None, 2: None, 3: None, 4: None}
+
+
+def test_read_pruned_skips_non_matching_dirs(spark, tdir):
+    """Manifest column stats prune whole directories from the scan
+    plan; dirs without stats are scanned (conservative); the residual
+    predicate still filters rows inside scanned dirs."""
+    snapshots.commit(_df(spark, [1, 2]), tdir, mode="overwrite", stats_cols=["x"])
+    snapshots.commit(_df(spark, [5, 6]), tdir, mode="append", stats_cols=["x"])
+    snapshots.commit(_df(spark, [9, 10]), tdir, mode="append", stats_cols=["x"])
+
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=5, hi=6)
+    assert (scanned, skipped) == (1, 2)
+    assert sorted(r.x for r in df.collect()) == [5, 6]
+
+    # residual filter inside a scanned dir: [5, 5] still scans 1 dir
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=5, hi=5)
+    assert (scanned, skipped) == (1, 2)
+    assert [r.x for r in df.collect()] == [5]
+
+    # open-ended bounds
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=9)
+    assert (scanned, skipped) == (1, 2)
+    assert sorted(r.x for r in df.collect()) == [9, 10]
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", hi=2)
+    assert (scanned, skipped) == (1, 2)
+    assert sorted(r.x for r in df.collect()) == [1, 2]
+
+    # nothing can match: ZERO dirs planned, schema still intact
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=1000)
+    assert (scanned, skipped) == (0, 3)
+    assert df.columns == ["x"] and df.count() == 0
+
+    # a stats-less dir is always scanned, never wrongly skipped
+    snapshots.commit(_df(spark, [100]), tdir, mode="append")
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=5, hi=6)
+    assert (scanned, skipped) == (2, 2)
+    assert sorted(r.x for r in df.collect()) == [5, 6]
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=1000)
+    assert (scanned, skipped) == (1, 3)
+    assert df.count() == 0
+
+
+def test_read_pruned_never_opens_skipped_dirs(spark, tdir):
+    """The scale claim made observable: physically destroy the files of
+    the dirs the stats exclude — the pruned read must still answer
+    (it never plans them), while a full read now cannot."""
+    import shutil
+
+    snapshots.commit(_df(spark, [1, 2]), tdir, mode="overwrite", stats_cols=["x"])
+    snapshots.commit(_df(spark, [5, 6]), tdir, mode="append", stats_cols=["x"])
+    man = snapshots._load_manifest(tdir)
+    dirs = man["snapshots"][-1]["dirs"]
+    first_dir = dirs[0]  # holds [1, 2]
+    shutil.rmtree(os.path.join(tdir, first_dir))
+
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=5, hi=6)
+    assert (scanned, skipped) == (1, 1)
+    assert sorted(r.x for r in df.collect()) == [5, 6]
+    with pytest.raises(Exception):
+        snapshots.read(spark, tdir).collect()
+
+
+def test_read_pruned_applies_mor_deletes(spark, tdir):
+    """Deletes ride the pruned plan: a positional delete inside the
+    scanned dir hides its row; one targeting a skipped dir is a no-op."""
+    snapshots.commit(_df(spark, [1, 2]), tdir, mode="overwrite", stats_cols=["x"])
+    snapshots.commit(_df(spark, [5, 6]), tdir, mode="append", stats_cols=["x"])
+    snapshots.delete_where(spark, tdir, "x IN (1, 5)")
+
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=5, hi=6)
+    assert (scanned, skipped) == (1, 1)
+    assert sorted(r.x for r in df.collect()) == [6]
+
+
+def test_vacuum_carries_stats_for_kept_dirs(spark, tdir):
+    snapshots.commit(_df(spark, [1]), tdir, mode="overwrite", stats_cols=["x"])
+    snapshots.commit(_df(spark, [2]), tdir, mode="overwrite", stats_cols=["x"])
+    snapshots.vacuum(tdir, keep_last=1)
+    man = snapshots._load_manifest(tdir)
+    kept = set(man["snapshots"][-1]["dirs"])
+    assert set(man.get("dir_stats", {})) == kept
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=2, hi=2)
+    assert (scanned, skipped) == (1, 0)
+    assert [r.x for r in df.collect()] == [2]

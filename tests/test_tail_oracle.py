@@ -49,6 +49,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "dedup_incremental_lsh",
     "prices_pair_corr",
     "prices_snapshot_metadata",
+    "prices_pruned_scan",
 ]
 
 
