@@ -392,6 +392,7 @@ SWEEP_TAIL = [
     "prices_pair_corr",
     "prices_snapshot_metadata",
     "prices_pruned_scan",
+    "events_top_paths",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

@@ -426,6 +426,124 @@ ORDER BY user_id, session_seq
 
 
 # ---------------------------------------------------------------------------
+# Top session paths — ordered event-type sequences, the path-mining query
+# ---------------------------------------------------------------------------
+
+PATH_PREFIX = 8  # events kept per session path (product-analytics norm)
+TOP_PATHS = 25
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k session paths: the ordered first-``PATH_PREFIX`` event-type
+    sequence of each gap-session, ranked by frequency, with the
+    session-level conversion share (purchase anywhere in the FULL
+    session, not just the kept prefix).
+
+    This is the path-exploration query of product analytics (Amplitude
+    Pathfinder / GA path exploration) over the same session definition
+    as ``events_sessionize`` (gap > {SESSION_GAP_S}s splits; micro-
+    second comparison).
+
+    Determinism: events order by (ts, event_id) — event_id unique, so
+    ties cannot reorder; the per-session array is collect_list'ed as
+    (us, event_id, type) structs and array_sort'ed (collect_list alone
+    has no order contract), and only rows with rn <= PATH_PREFIX enter
+    the list, so per-session state is bounded by the prefix, never by a
+    bot session's length. cvr is ONE division of two exact int64s.
+    Top-k is a TakeOrderedAndProject on (count DESC, path ASC) — fully
+    tie-broken, no window over a global sort.
+
+    Scale: one exchange on user_id (sessionizer), the second window
+    reuses the same sort; the path aggregate shuffles at most
+    |distinct truncated paths| which the prefix bounds.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    new_session = F.when(
+        ts_us - F.lag(ts_us).over(w) > SESSION_GAP_S * 1_000_000, F.lit(1)
+    ).otherwise(F.lit(0))
+    sessions = ev.withColumn(
+        "session_seq",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("user_id", "session_seq").orderBy(
+                "ts", "event_id"
+            )
+        ),
+    )
+    per_session = sessions.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= PATH_PREFIX,
+                            F.struct(
+                                F.unix_micros("ts").alias("us"),
+                                F.col("event_id").alias("eid"),
+                                F.col("event_type").alias("t"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("path"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("conv"),
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("conv").cast("bigint").alias("n_converted"),
+        )
+        .withColumn("cvr", F.col("n_converted") / F.col("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(TOP_PATHS)
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > {SESSION_GAP_S}::BIGINT * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+  FROM flagged
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                               ORDER BY ts, event_id) AS rn
+  FROM numbered
+), sess AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY ts, event_id)
+           FILTER (WHERE rn <= {PATH_PREFIX}) AS path,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM ranked
+  GROUP BY user_id, session_seq
+)
+SELECT path,
+       COUNT(*) AS n_sessions,
+       CAST(SUM(conv) AS BIGINT) AS n_converted,
+       CAST(SUM(conv) AS DOUBLE) / COUNT(*) AS cvr
+FROM sess
+GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT {TOP_PATHS}
+"""
+
+
+# ---------------------------------------------------------------------------
 # As-of (point-in-time) join — each purchase picks up the latest prior click
 # ---------------------------------------------------------------------------
 
@@ -963,6 +1081,7 @@ RELATIONAL_QUERIES: dict[str, tuple[QueryFn, str]] = {
     "customer_order_activity": (customer_order_activity, ACTIVITY_SQL),
     "events_hourly": (events_hourly, EVENTS_HOURLY_SQL),
     "events_sessionize": (events_sessionize, SESSIONIZE_SQL),
+    "events_top_paths": (events_top_paths, TOP_PATHS_SQL),
     "events_asof_join": (events_asof_join, EVENTS_ASOF_SQL),
     "events_attribution": (events_attribution, EVENTS_ATTRIBUTION_SQL),
     "events_conversion_lag": (

@@ -193,6 +193,7 @@ HEADLINE = [
     "prices_pair_corr",
     "prices_snapshot_metadata",
     "prices_pruned_scan",
+    "events_top_paths",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

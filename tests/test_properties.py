@@ -1745,3 +1745,79 @@ def test_spearman_degenerate_nulls(spark, rows):
         assert r.rho is None, "degenerate pair must be NULL, not a crash"
     else:
         assert r.rho == rho, "closing division must be bit-exact"
+
+
+# random event streams: few users, second-granularity timestamps with
+# gaps that straddle the 1800s session boundary, purchase events drawn
+# often enough that conversion paths appear
+_path_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),                      # user
+        st.integers(0, 6000),                   # seconds offset
+        st.sampled_from(["view", "click", "cart", "purchase"]),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_path_rows)
+@example(rows=[(0, 0, "view"), (0, 1800, "click"), (0, 3601, "view")])
+@example(rows=[(0, 0, "purchase")] + [(0, i, "view") for i in range(1, 12)])
+@_prop_settings
+def test_top_paths_matches_python_fold(spark, tmp_path_factory, rows):
+    """events_top_paths vs an exact Python replay: identical session
+    splits (gap > 1800s, ties broken by event_id), identical first-8
+    truncation, conversion measured over the FULL session, identical
+    (count DESC, path ASC) top-k order."""
+    import datetime as _dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
+        PATH_PREFIX,
+        SESSION_GAP_S,
+        TOP_PATHS,
+        events_top_paths,
+    )
+
+    base = _dt.datetime(2024, 3, 1)
+    d = tmp_path_factory.mktemp("toppaths")
+    spark.createDataFrame(
+        [
+            (i, base + _dt.timedelta(seconds=sec), u, t, 0.0, "{}")
+            for i, (u, sec, t) in enumerate(rows)
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = [
+        (r.path, r.n_sessions, r.n_converted, r.cvr)
+        for r in events_top_paths(spark, str(d)).collect()
+    ]
+
+    # Python replay
+    by_user: dict[int, list[tuple[int, int, str]]] = {}
+    for i, (u, sec, t) in enumerate(rows):
+        by_user.setdefault(u, []).append((sec, i, t))
+    paths: dict[str, list[int]] = {}
+    for evs in by_user.values():
+        evs.sort()
+        sessions: list[list[str]] = []
+        prev = None
+        for sec, _i, t in evs:
+            if prev is None or sec - prev > SESSION_GAP_S:
+                sessions.append([])
+            sessions[-1].append(t)
+            prev = sec
+        for s in sessions:
+            p = ">".join(s[:PATH_PREFIX])
+            agg = paths.setdefault(p, [0, 0])
+            agg[0] += 1
+            agg[1] += int("purchase" in s)
+    want = sorted(
+        (
+            (p, n, c, c / n)
+            for p, (n, c) in paths.items()
+        ),
+        key=lambda r: (-r[1], r[0]),
+    )[:TOP_PATHS]
+    assert got == want

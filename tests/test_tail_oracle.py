@@ -50,6 +50,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "prices_pair_corr",
     "prices_snapshot_metadata",
     "prices_pruned_scan",
+    "events_top_paths",
 ]
 
 
