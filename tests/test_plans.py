@@ -652,3 +652,24 @@ def test_pair_corr_broadcasts_date_join_single_pair_exchange(spark, sf_dir):
         "windows + final agg should reuse the (t1,t2) partitioning: "
         "one pair exchange plus the 15-row ordered output exchange"
     )
+
+
+def test_top_paths_two_exchanges_and_takeordered(spark, sf_dir):
+    """Path mining must be: ONE user_id exchange feeding all three
+    windows AND the per-session aggregate (hash partitioning on user_id
+    subsumes (user_id, session_seq)), one path exchange with map-side
+    partial aggregation, and a TakeOrderedAndProject top-k — never a
+    global sort of every path."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
+        events_top_paths,
+    )
+
+    plan = (
+        events_top_paths(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") == 2
+    assert "partial_collect_list" in plan
