@@ -1821,3 +1821,76 @@ def test_top_paths_matches_python_fold(spark, tmp_path_factory, rows):
         key=lambda r: (-r[1], r[0]),
     )[:TOP_PATHS]
     assert got == want
+
+
+# (views, clicks) per consecutive hour: constant runs, zeros, and
+# 1-hour series hit every degenerate denominator — zero-variance corr
+# series, sigma=0 anomaly baselines, single/few-user Gini
+_hour_counts = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 5)),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(counts=_hour_counts)
+@example(counts=[(3, 3)])                   # one hour: n=1 everywhere
+@example(counts=[(2, 4)] * 14)              # constant both series: var 0
+@example(counts=[(0, 1)] * 14)              # view never fires: sxx = 0
+@example(counts=[(2, 2)] * 25 + [(50, 2)])  # flat baseline then a spike
+@_prop_settings
+def test_degenerate_denominators_match_oracle(spark, tmp_path_factory, counts):
+    """The r7/r8 data-derived-denominator ask for the monitoring tier:
+    events_hourly_corr (zero-variance series), events_hourly_anomaly
+    (sigma=0 trailing baselines), events_skew_profile (single-user
+    types) on adversarial inputs — the Spark plan and the DuckDB oracle
+    must keep EXACTLY the same rows with hash-equal values, and neither
+    engine may crash (guarded drop, never ANSI DIVIDE_BY_ZERO or a
+    +-Inf divergence)."""
+    import datetime as _dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        TIMESERIES_QUERIES,
+    )
+    from tools.selfcheck import compare_one, connect_oracle
+
+    base = _dt.datetime(2024, 5, 1)
+    rows = []
+    eid = 0
+    for i, (n_view, n_click) in enumerate(counts):
+        for t, n in (("view", n_view), ("click", n_click)):
+            for j in range(n):
+                rows.append(
+                    (
+                        eid,
+                        base + _dt.timedelta(hours=i, seconds=j),
+                        eid % 3,
+                        t,
+                        0.0,
+                        "{}",
+                    )
+                )
+                eid += 1
+    if not rows:  # all-zero hours: no events at all — nothing to check
+        return
+    d = str(tmp_path_factory.mktemp("degen"))
+    # single-FILE parquet (pandas/pyarrow): the DuckDB side of
+    # connect_oracle reads the path directly, not a Spark part-dir
+    import pandas as pd
+
+    pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).astype({"event_id": "int64", "user_id": "int64"}).to_parquet(
+        f"{d}/events.parquet", index=False
+    )
+
+    con = connect_oracle(d)
+    for name in (
+        "events_hourly_corr",
+        "events_hourly_anomaly",
+        "events_skew_profile",
+    ):
+        fn, sql = TIMESERIES_QUERIES[name]
+        _n, problems = compare_one(spark, con, name, fn, sql, d)
+        assert not problems, f"{name}: {problems[0]}"
