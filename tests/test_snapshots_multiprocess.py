@@ -182,3 +182,38 @@ def test_two_process_same_txn_stream_commits_each_version_once(tmp_path):
     # both processes ran all versions; at least one commit happened per
     # process run-through overall (the interleaving decides how many)
     assert 1 <= len(committed_versions) <= 2 * _N_PER_WRITER
+
+
+def test_two_process_vacuums_race_without_crashing(tmp_path):
+    """The r8-advice writer-side unlink race, made routine: TWO
+    processes vacuum the same table concurrently (each prunes
+    superseded manifest versions right after winning its CAS) while a
+    writer keeps committing. The loser of each prune race finds the
+    stale version already unlinked — that must be treated as success
+    (contextlib.suppress in vacuum), never a FileNotFoundError crash.
+    Afterward the manifest is intact, current counts every commit, and
+    exactly one live lineage remains."""
+    table_dir = str(tmp_path / "tbl")
+    os.makedirs(table_dir)
+    os.makedirs(os.path.join(table_dir, "snap-seed"))
+    snapshots._commit_entry(table_dir, "snap-seed", "append", 50, "seed")
+    ctx = _fork()
+    q = ctx.Queue()
+    barrier = ctx.Barrier(3)
+    pw = ctx.Process(target=_writer, args=(table_dir, 9, barrier, q))
+    pv1 = ctx.Process(target=_vacuumer, args=(table_dir, 60, barrier, q))
+    pv2 = ctx.Process(target=_vacuumer, args=(table_dir, 60, barrier, q))
+    for p in (pw, pv1, pv2):
+        p.start()
+    results = [q.get(timeout=120) for _ in range(3)]
+    for p in (pw, pv1, pv2):
+        p.join(timeout=30)
+    assert all(r[0] == "ok" for r in results), results
+    man = snapshots._load_manifest(table_dir)
+    assert man["current"] == 1 + _N_PER_WRITER
+    assert man["snapshots"], "vacuum may never leave an empty history"
+    # the survivor manifest version still loads and the head's dirs all
+    # exist on disk (no vacuum deleted a directory the winner kept)
+    head = man["snapshots"][-1]
+    for d in head["dirs"]:
+        assert os.path.isdir(os.path.join(table_dir, d)), d
