@@ -923,6 +923,51 @@ def snapshots_metadata(
     )
 
 
+def files_metadata(spark: SparkSession, table_dir: str) -> DataFrame:
+    """The table's ``$files`` metadata relation — one row per data
+    directory the CURRENT snapshot references, derived from the
+    manifest (Iceberg's ``tbl$files``: per-file partition/stats/counts
+    without touching data):
+
+      dir            data directory name
+      added_by       snapshot id that committed it (``dir_seq`` — the
+                     sequence number scoping equality deletes)
+      stats          {col: 'lo..hi'} bounds recorded at commit time
+                     (empty map when the dir was committed without
+                     ``stats_cols``)
+      n_files        parquet part files on disk
+      size_bytes     their total size
+
+    Everything except the two filesystem columns comes from the
+    manifest alone; the listing is driver-side O(files of the head
+    snapshot), never a data read.
+    """
+    man = _load_manifest(table_dir)
+    if not man["snapshots"]:
+        raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    snap = next(s for s in man["snapshots"] if s["id"] == man["current"])
+    dir_seq = man.get("dir_seq", {})
+    dir_stats = man.get("dir_stats", {})
+    rows = []
+    for d in snap["dirs"]:
+        full = os.path.join(table_dir, d)
+        parts = [
+            f
+            for f in os.listdir(full)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+        size = sum(os.path.getsize(os.path.join(full, f)) for f in parts)
+        stats = {
+            c: f"{b[0]}..{b[1]}" for c, b in dir_stats.get(d, {}).items()
+        }
+        rows.append((d, dir_seq.get(d, 0), stats, len(parts), size))
+    return spark.createDataFrame(
+        rows,
+        "dir string, added_by bigint, stats map<string,string>, "
+        "n_files int, size_bytes bigint",
+    )
+
+
 def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[str]:
     """Explicitly destructive: drop history older than the last
     ``keep_last`` snapshots and delete directories no retained snapshot

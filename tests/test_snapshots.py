@@ -705,3 +705,27 @@ def test_vacuum_carries_stats_for_kept_dirs(spark, tdir):
     df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=2, hi=2)
     assert (scanned, skipped) == (1, 0)
     assert [r.x for r in df.collect()] == [2]
+
+
+def test_files_metadata_relation(spark, tdir):
+    """$files: one row per head-snapshot data dir with its committing
+    snapshot id, recorded stats bounds, and filesystem facts — all
+    manifest-derived except the listing; empty table raises."""
+    with pytest.raises(FileNotFoundError):
+        snapshots.files_metadata(spark, tdir)
+
+    snapshots.commit(_df(spark, [1, 2]), tdir, mode="overwrite", stats_cols=["x"])
+    snapshots.commit(_df(spark, [9]), tdir, mode="append")
+    rows = sorted(
+        snapshots.files_metadata(spark, tdir).collect(),
+        key=lambda r: r.added_by,
+    )
+    assert [r.added_by for r in rows] == [1, 2]
+    assert rows[0].stats == {"x": "1..2"} and rows[1].stats == {}
+    assert all(r.n_files >= 1 and r.size_bytes > 0 for r in rows)
+
+    # an overwrite starts a fresh lineage: only its dir remains listed
+    snapshots.commit(_df(spark, [5]), tdir, mode="overwrite", stats_cols=["x"])
+    rows = snapshots.files_metadata(spark, tdir).collect()
+    assert len(rows) == 1 and rows[0].added_by == 3
+    assert rows[0].stats == {"x": "5..5"}
