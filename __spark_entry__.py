@@ -393,6 +393,7 @@ SWEEP_TAIL = [
     "prices_snapshot_metadata",
     "prices_pruned_scan",
     "events_top_paths",
+    "events_twap",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

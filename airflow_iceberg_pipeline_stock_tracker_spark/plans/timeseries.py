@@ -1287,6 +1287,86 @@ def events_decay_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# TWAP: time-weighted average value over an irregular event stream
+# ---------------------------------------------------------------------------
+
+
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): the TIME-weighted average value.
+
+    Irregular streams make the plain mean lie — a value that held for
+    six hours should count more than one that held for a second (the
+    TimescaleDB ``time_weight``/TWAP class the reference's daily bars
+    sidestep by assuming regular sampling). Contract: each observation
+    carries its value until the NEXT observation of the same type or
+    the end of its day, whichever is first (no carry-in across
+    midnight; weighting starts at the day's first observation).
+
+    Exactness: weights are microsecond interval durations (int64,
+    lead clipped to the day boundary), values are per-row cents, and
+    sum(value_c * dur_us) per (type, day) is bounded by
+    max_value_c * 86.4e9 — int64-safe BECAUSE the weights sum to at
+    most a day. One closing division; the denominator is provably
+    positive (the day's last observation always has dur >= 1us since
+    ts < day_end).
+
+    Scale: one exchange on event_type (the lead window), the (type,
+    day) aggregate rides the same partitioning map-side. Ties at the
+    same microsecond get dur 0 — tie-broken deterministically by
+    event_id, they contribute no weight in either engine.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    day = F.date_trunc("day", "ts")
+    day_end_us = F.unix_micros(day + F.expr("INTERVAL 1 DAY"))
+    ts_us = F.unix_micros("ts")
+    next_us = F.lead(ts_us).over(w)
+    dur = F.least(F.coalesce(next_us, day_end_us), day_end_us) - ts_us
+    weighted = ev.select(
+        "event_type",
+        day.cast("date").alias("day"),
+        dur.alias("dur_us"),
+        (cents("value") * dur).alias("vc_dur"),
+    )
+    return (
+        weighted.groupBy("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.sum("dur_us").alias("dur_us_sum"),
+            F.sum("vc_dur").alias("vc_dur_sum"),
+        )
+        .withColumn(
+            "twap",
+            F.col("vc_dur_sum") / F.col("dur_us_sum") / 100.0,
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+EVENTS_TWAP_SQL = """
+WITH spans AS (
+  SELECT event_type,
+         CAST(date_trunc('day', ts) AS DATE) AS day,
+         LEAST(COALESCE(LEAD(epoch_us(ts)) OVER w,
+                        epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY)),
+               epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY))
+           - epoch_us(ts) AS dur_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS value_c
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type, day,
+       COUNT(*) AS n_obs,
+       CAST(SUM(dur_us) AS BIGINT) AS dur_us_sum,
+       CAST(SUM(value_c * dur_us) AS BIGINT) AS vc_dur_sum,
+       CAST(SUM(value_c * dur_us) AS DOUBLE) / SUM(dur_us) / 100.0 AS twap
+FROM spans
+GROUP BY event_type, day
+ORDER BY event_type, day
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -1306,6 +1386,7 @@ TIMESERIES_QUERIES = {
         events_quantile_sketch,
         EVENTS_QUANTILE_SKETCH_SQL,
     ),
+    "events_twap": (events_twap, EVENTS_TWAP_SQL),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     # oracle recomputes from raw events at the INCREMENTAL horizon:

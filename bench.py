@@ -194,6 +194,7 @@ HEADLINE = [
     "prices_snapshot_metadata",
     "prices_pruned_scan",
     "events_top_paths",
+    "events_twap",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

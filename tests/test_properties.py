@@ -1894,3 +1894,64 @@ def test_degenerate_denominators_match_oracle(spark, tmp_path_factory, counts):
         fn, sql = TIMESERIES_QUERIES[name]
         _n, problems = compare_one(spark, con, name, fn, sql, d)
         assert not problems, f"{name}: {problems[0]}"
+
+
+# (seconds-offset-within-2-days, value-cents) observations of ONE type:
+# duplicate timestamps (0-weight spans), day-boundary straddles, and
+# single-observation days all appear
+_twap_rows = st.lists(
+    st.tuples(st.integers(0, 2 * 86400 - 1), st.integers(0, 500)),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_twap_rows)
+@example(rows=[(86399, 100)])               # last second of day 1
+@example(rows=[(10, 100), (10, 200)])       # tie: first span weight 0
+@example(rows=[(86300, 100), (86500, 300)])  # straddles midnight
+@_prop_settings
+def test_twap_matches_python_fold(spark, tmp_path_factory, rows):
+    """events_twap vs an exact Python replay of the contract: value
+    holds until the next same-type observation or the day boundary,
+    no carry-in across midnight, microsecond int64 weights, ties get
+    zero weight, one closing division."""
+    import datetime as _dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_twap,
+    )
+
+    base = _dt.datetime(2024, 7, 1)
+    d = str(tmp_path_factory.mktemp("twap"))
+    spark.createDataFrame(
+        [
+            (i, base + _dt.timedelta(seconds=sec), 1, "view", c / 100.0, "{}")
+            for i, (sec, c) in enumerate(rows)
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {
+        (r.event_type, str(r.day)): (r.n_obs, r.dur_us_sum, r.vc_dur_sum, r.twap)
+        for r in events_twap(spark, str(d)).collect()
+    }
+
+    obs = sorted(
+        (sec * 1_000_000, i, c) for i, (sec, c) in enumerate(rows)
+    )
+    want: dict[tuple[str, str], list[int]] = {}
+    for k, (us, _i, c) in enumerate(obs):
+        day_idx = us // 86_400_000_000
+        day_end = (day_idx + 1) * 86_400_000_000
+        nxt = obs[k + 1][0] if k + 1 < len(obs) else day_end
+        dur = min(nxt, day_end) - us
+        day = str((base + _dt.timedelta(days=day_idx)).date())
+        agg = want.setdefault(("view", day), [0, 0, 0])
+        agg[0] += 1
+        agg[1] += dur
+        agg[2] += c * dur
+    expect = {
+        k: (n, du, vd, vd / du / 100.0) for k, (n, du, vd) in want.items()
+    }
+    assert got == expect

@@ -51,6 +51,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "prices_snapshot_metadata",
     "prices_pruned_scan",
     "events_top_paths",
+    "events_twap",
 ]
 
 
