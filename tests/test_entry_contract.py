@@ -105,3 +105,14 @@ def test_unknown_name_raises_value_error(monkeypatch):
     )
     with pytest.raises(ValueError, match="unknown"):
         entry.queries()
+
+
+def test_bench_headline_covers_the_whole_registry():
+    """Every registered query must be in bench.HEADLINE and vice versa —
+    a query missing from HEADLINE is silently unbenched (two r9-wave-1
+    rows shipped that way and were only caught by diffing BENCH_DETAIL
+    coverage against the registry); a HEADLINE name missing from the
+    registry would crash the bench at runtime."""
+    import bench
+
+    assert set(bench.HEADLINE) == set(entry.queries())
