@@ -729,3 +729,41 @@ def test_files_metadata_relation(spark, tdir):
     rows = snapshots.files_metadata(spark, tdir).collect()
     assert len(rows) == 1 and rows[0].added_by == 3
     assert rows[0].stats == {"x": "5..5"}
+
+
+def test_read_pruned_on_version_and_ref(spark, tdir):
+    """Stats pruning composes with time travel and branch refs: an old
+    version plans only ITS dirs (later commits invisible), and a branch
+    head prunes over the branch lineage."""
+    snapshots.commit(_df(spark, [1, 2]), tdir, mode="overwrite", stats_cols=["x"])
+    snapshots.commit(_df(spark, [5, 6]), tdir, mode="append", stats_cols=["x"])
+    snapshots.create_branch(tdir, "wip")
+    snapshots.commit(
+        _df(spark, [9]), tdir, mode="append", branch="wip", stats_cols=["x"]
+    )
+
+    # version 1: only the first dir exists in its lineage
+    df, scanned, skipped = snapshots.read_pruned(
+        spark, tdir, "x", lo=1, hi=9, version=1
+    )
+    assert (scanned, skipped) == (1, 0)
+    assert sorted(r.x for r in df.collect()) == [1, 2]
+    df, scanned, skipped = snapshots.read_pruned(
+        spark, tdir, "x", lo=9, version=1
+    )
+    assert (scanned, skipped) == (0, 1) and df.count() == 0
+
+    # branch head: three dirs, the bound selects only the branch commit
+    df, scanned, skipped = snapshots.read_pruned(
+        spark, tdir, "x", lo=9, ref="wip"
+    )
+    assert (scanned, skipped) == (1, 2)
+    assert [r.x for r in df.collect()] == [9]
+    # main never sees the branch dir
+    df, scanned, skipped = snapshots.read_pruned(spark, tdir, "x", lo=9)
+    assert (scanned, skipped) == (0, 2) and df.count() == 0
+
+    with pytest.raises(ValueError):
+        snapshots.read_pruned(spark, tdir, "x", lo=1, ref="nope")
+    with pytest.raises(ValueError):
+        snapshots.read_pruned(spark, tdir, "x")  # no bounds
