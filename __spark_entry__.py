@@ -220,6 +220,18 @@ def _q_prices_mor_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pl.snapshot_mor_demo(spark, tempfile.mkdtemp(prefix="graft_mor_"))
 
 
+def _q_prices_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ticker CAPM beta vs the equal-weight market index —
+    whole-dollar int64 moment sums, the closing covariance/variance
+    ratio computed in doubles cast from the exact sums (deterministic,
+    overflow-free), NULL on zero-variance markets."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        beta_vs_market,
+    )
+
+    return beta_vs_market(prices_standin(spark, sf_dir))
+
+
 def _q_prices_snapshot_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg-style $snapshots metadata relation over a scripted
     5-commit history (pipeline.snapshot_metadata_demo): operation /
@@ -394,6 +406,7 @@ SWEEP_TAIL = [
     "prices_pruned_scan",
     "events_top_paths",
     "events_twap",
+    "prices_beta",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -579,6 +592,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_snapshot_wap": _q_prices_snapshot_wap,
         "prices_mor_deletes": _q_prices_mor_deletes,
         "prices_pair_corr": _q_prices_pair_corr,
+        "prices_beta": _q_prices_beta,
         "prices_snapshot_metadata": _q_prices_snapshot_metadata,
         "prices_pruned_scan": _q_prices_pruned_scan,
     }
@@ -623,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
 
     from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
         ATR_SQL,
+        BETA_SQL,
         BOLLINGER_SQL,
         DRAWDOWN_SQL,
         PAIR_CORR_SQL,
@@ -642,6 +657,8 @@ def oracle_sql() -> dict[str, str]:
         + STOCH_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_pair_corr": prices_cte
         + PAIR_CORR_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_beta": prices_cte
+        + BETA_SQL.replace("WITH px AS", ", px AS", 1),
         # full backfill, hash-checked end-to-end: the deterministic bar
         # client is a pure sha256 function of (ticker, ds), so the SQL
         # twin regenerates the bars and replays ingest->promote->cumulate

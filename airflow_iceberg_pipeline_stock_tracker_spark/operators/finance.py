@@ -570,3 +570,120 @@ SELECT t1, t2, n_days,
 FROM sums
 ORDER BY t1, t2
 """
+
+
+def beta_vs_market(prices: DataFrame) -> DataFrame:
+    """Per-ticker CAPM beta against the equal-weight market index.
+
+    The index is the SUM of all tickers' closes per date (whole-dollar
+    ints; the ticker itself is included, as in a real cap/equal-weight
+    index); x_t and m_t are day-over-day dollar changes on dates where
+    the ticker AND every index constituent traded (inner join on the
+    full-cross-section dates keeps both engines on the same sample).
+
+    Exactness discipline — a different lesson from spearman_pairs:
+    dollars come from ``floor(close + 0.5)`` (deterministic: both
+    engines evaluate the same IEEE double from the same parquet
+    min/max, and floor of a shared double is exact), the five moment
+    sums are pure int64 (bounded ~4e15, safely exact), and the closing
+    ``beta = (n*sxm - sx*sm) / (n*smm - sm*sm)`` is computed in
+    DOUBLES CAST FROM THE EXACT SUMS — every cast is exact (< 2^53),
+    every product/difference is one deterministic IEEE op in both
+    engines, and no intermediate can overflow int64 the way
+    ``n * sxm`` could. Zero-variance markets (den <= 0) yield NULL
+    (tests/test_properties.py::test_beta_degenerate_nulls).
+
+    Scale: one exchange for the per-date index aggregate (bounded at
+    tickers x days rows), broadcast join back to the per-ticker
+    changes, 6-row output.
+    """
+    dollars_c = F.floor(F.col("close") + F.lit(0.5)).cast("bigint")
+    px = prices.select("ticker", "date", dollars_c.alias("close_d"))
+    # the index exists only on dates where EVERY constituent traded —
+    # a partial cross-section would make the index jump on membership,
+    # not price; n_tickers is derived from the data (no literal)
+    n_tick = px.select(F.countDistinct("ticker").alias("k"))
+    idx = (
+        px.groupBy("date")
+        .agg(
+            F.sum("close_d").alias("index_d"),
+            F.count(F.lit(1)).alias("k_present"),
+        )
+        .join(F.broadcast(n_tick), F.col("k_present") == F.col("k"))
+        .select("date", "index_d")
+    )
+    w_t = Window.partitionBy("ticker").orderBy("date")
+    w_m = Window.orderBy("date")
+    joined = px.join(F.broadcast(idx), "date")
+    chg = joined.select(
+        "ticker",
+        "date",
+        (F.col("close_d") - F.lag("close_d").over(w_t)).alias("x"),
+        (F.col("index_d") - F.lag("index_d").over(w_m.partitionBy("ticker"))).alias("m"),
+    ).where(F.col("x").isNotNull() & F.col("m").isNotNull())
+    sums = chg.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("m").alias("sm"),
+        F.sum(F.col("x") * F.col("m")).alias("sxm"),
+        F.sum(F.col("m") * F.col("m")).alias("smm"),
+    )
+    n = F.col("n_days").cast("double")
+    sx, sm = F.col("sx").cast("double"), F.col("sm").cast("double")
+    sxm, smm = F.col("sxm").cast("double"), F.col("smm").cast("double")
+    den = n * smm - sm * sm
+    return (
+        sums.select(
+            "ticker",
+            "n_days",
+            "sx",
+            "sm",
+            "sxm",
+            "smm",
+            F.when(den > 0, (n * sxm - sx * sm) / den).alias("beta"),
+        )
+        .orderBy("ticker")
+    )
+
+
+BETA_SQL = """
+WITH px AS (
+  SELECT ticker, date,
+         CAST(FLOOR(close + 0.5) AS BIGINT) AS close_d
+  FROM prices
+), idx AS (
+  SELECT date, CAST(SUM(close_d) AS BIGINT) AS index_d
+  FROM px
+  GROUP BY date
+  HAVING COUNT(*) = (SELECT COUNT(DISTINCT ticker) FROM px)
+), chg AS (
+  SELECT ticker, x, m FROM (
+    SELECT p.ticker,
+           p.close_d - LAG(p.close_d)
+             OVER (PARTITION BY p.ticker ORDER BY p.date) AS x,
+           i.index_d - LAG(i.index_d)
+             OVER (PARTITION BY p.ticker ORDER BY p.date) AS m
+    FROM px p JOIN idx i USING (date)
+  )
+  WHERE x IS NOT NULL AND m IS NOT NULL
+), sums AS (
+  SELECT ticker,
+         CAST(COUNT(*) AS BIGINT) AS n_days,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(m) AS BIGINT) AS sm,
+         CAST(SUM(x * m) AS BIGINT) AS sxm,
+         CAST(SUM(m * m) AS BIGINT) AS smm
+  FROM chg
+  GROUP BY ticker
+)
+SELECT ticker, n_days, sx, sm, sxm, smm,
+       CASE WHEN CAST(n_days AS DOUBLE) * CAST(smm AS DOUBLE)
+                 - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) > 0
+            THEN (CAST(n_days AS DOUBLE) * CAST(sxm AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE))
+                 / (CAST(n_days AS DOUBLE) * CAST(smm AS DOUBLE)
+                    - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE))
+       END AS beta
+FROM sums
+ORDER BY ticker
+"""

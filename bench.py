@@ -195,6 +195,7 @@ HEADLINE = [
     "prices_pruned_scan",
     "events_top_paths",
     "events_twap",
+    "prices_beta",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -1955,3 +1955,75 @@ def test_twap_matches_python_fold(spark, tmp_path_factory, rows):
         k: (n, du, vd, vd / du / 100.0) for k, (n, du, vd) in want.items()
     }
     assert got == expect
+
+
+# per-date whole-dollar closes for tickers A/B (None = ticker didn't
+# trade that date -> the index must exclude the date entirely)
+_beta_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(1, 40)),
+        st.one_of(st.none(), st.integers(1, 40)),
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(rows=_beta_rows)
+@example(rows=[(10, 20)])                    # one date: no changes
+@example(rows=[(10, 20), (10, 20), (10, 20)])  # constant market: den 0
+@example(rows=[(10, 20), (None, 25), (12, 21)])  # partial cross-section
+@_prop_settings
+def test_beta_degenerate_nulls(spark, rows):
+    """finance.beta_vs_market: the index exists only on full-cross-
+    section dates, tickers with no change rows emit nothing, constant
+    markets (den <= 0) yield NULL beta — and everything else matches an
+    exact Python twin bit-for-bit (int64 sums, doubles cast from exact
+    ints, one IEEE expression)."""
+    import datetime as _dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        beta_vs_market,
+    )
+
+    base = _dt.date(2024, 1, 1)
+    data = [
+        (t, base + _dt.timedelta(days=i), float(c))
+        for i, (a, b) in enumerate(rows)
+        for t, c in (("A", a), ("B", b))
+        if c is not None
+    ]
+    prices = spark.createDataFrame(
+        data, "ticker string, date date, close double"
+    )
+    got = {
+        r.ticker: (r.n_days, r.sx, r.sm, r.sxm, r.smm, r.beta)
+        for r in beta_vs_market(prices).collect()
+    }
+
+    # Python twin
+    full = [
+        (i, a, b) for i, (a, b) in enumerate(rows)
+        if a is not None and b is not None
+    ]
+    want = {}
+    for tick, pick in (("A", 1), ("B", 2)):
+        xs, ms = [], []
+        for k in range(1, len(full)):
+            prev, cur = full[k - 1], full[k]
+            xs.append(cur[pick] - prev[pick])
+            ms.append((cur[1] + cur[2]) - (prev[1] + prev[2]))
+        if not xs:
+            continue
+        n = len(xs)
+        sx, sm = sum(xs), sum(ms)
+        sxm = sum(x * m for x, m in zip(xs, ms))
+        smm = sum(m * m for m in ms)
+        den = float(n) * float(smm) - float(sm) * float(sm)
+        beta = (
+            (float(n) * float(sxm) - float(sx) * float(sm)) / den
+            if den > 0
+            else None
+        )
+        want[tick] = (n, sx, sm, sxm, smm, beta)
+    assert got == want

@@ -52,6 +52,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "prices_pruned_scan",
     "events_top_paths",
     "events_twap",
+    "prices_beta",
 ]
 
 
