@@ -1973,6 +1973,11 @@ _beta_rows = st.lists(
 @example(rows=[(10, 20)])                    # one date: no changes
 @example(rows=[(10, 20), (10, 20), (10, 20)])  # constant market: den 0
 @example(rows=[(10, 20), (None, 25), (12, 21)])  # partial cross-section
+# hypothesis-found (full-suite run): a ticker that NEVER trades is not
+# a constituent — the operator derives the cross-section from the data,
+# so B-only dates are full-cross-section and B gets a (den 0 -> NULL)
+# row where a two-constituent twin wrongly expected nothing
+@example(rows=[(None, 1), (None, 1)])
 @_prop_settings
 def test_beta_degenerate_nulls(spark, rows):
     """finance.beta_vs_market: the index exists only on full-cross-
@@ -2001,18 +2006,25 @@ def test_beta_degenerate_nulls(spark, rows):
         for r in beta_vs_market(prices).collect()
     }
 
-    # Python twin
+    # Python twin — constituents are the tickers that ever traded (the
+    # operator derives the cross-section from the data, so a ticker
+    # that never appears is not a constituent and cannot veto a date)
+    picks = {"A": 0, "B": 1}
+    ticks = [t for t, p in picks.items() if any(r[p] is not None for r in rows)]
     full = [
-        (i, a, b) for i, (a, b) in enumerate(rows)
-        if a is not None and b is not None
+        r for r in rows if all(r[picks[t]] is not None for t in ticks)
     ]
     want = {}
-    for tick, pick in (("A", 1), ("B", 2)):
+    for tick in ticks:
+        p = picks[tick]
         xs, ms = [], []
         for k in range(1, len(full)):
             prev, cur = full[k - 1], full[k]
-            xs.append(cur[pick] - prev[pick])
-            ms.append((cur[1] + cur[2]) - (prev[1] + prev[2]))
+            xs.append(cur[p] - prev[p])
+            ms.append(
+                sum(cur[picks[t]] for t in ticks)
+                - sum(prev[picks[t]] for t in ticks)
+            )
         if not xs:
             continue
         n = len(xs)
