@@ -612,14 +612,15 @@ def beta_vs_market(prices: DataFrame) -> DataFrame:
         .join(F.broadcast(n_tick), F.col("k_present") == F.col("k"))
         .select("date", "index_d")
     )
+    # both lags run over the SAME per-ticker date sequence (the joined
+    # frame is restricted to index dates), so one window serves x and m
     w_t = Window.partitionBy("ticker").orderBy("date")
-    w_m = Window.orderBy("date")
     joined = px.join(F.broadcast(idx), "date")
     chg = joined.select(
         "ticker",
         "date",
         (F.col("close_d") - F.lag("close_d").over(w_t)).alias("x"),
-        (F.col("index_d") - F.lag("index_d").over(w_m.partitionBy("ticker"))).alias("m"),
+        (F.col("index_d") - F.lag("index_d").over(w_t)).alias("m"),
     ).where(F.col("x").isNotNull() & F.col("m").isNotNull())
     sums = chg.groupBy("ticker").agg(
         F.count(F.lit(1)).alias("n_days"),
