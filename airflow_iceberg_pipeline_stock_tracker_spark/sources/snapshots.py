@@ -107,8 +107,17 @@ def _load_manifest(table_dir: str, max_retries: int = 10) -> dict:
     for _ in range(max_retries):
         versions = _manifest_versions(table_dir)
         if not versions:
+            # every mutable member overridden fresh — returning any
+            # container aliased to _EMPTY_MANIFEST would let an in-place
+            # caller mutation corrupt the module-level template for
+            # every table (r9 advice: refs was the one member missed)
             return dict(
-                _EMPTY_MANIFEST, snapshots=[], tags={}, txns={}, dir_seq={}
+                _EMPTY_MANIFEST,
+                snapshots=[],
+                tags={},
+                txns={},
+                refs={},
+                dir_seq={},
             )
         try:
             with open(_manifest_path(table_dir, versions[-1])) as f:
@@ -305,6 +314,22 @@ def _deletes_of(man: dict, version: int) -> list[dict]:
     )
 
 
+def _head_snap(man: dict, table_dir: str) -> dict:
+    """The snapshot entry ``current`` points at, with a meaningful
+    error when the table has history but no MAIN head — possible when
+    every commit so far landed on a branch (current == 0, snapshots
+    non-empty), where a bare ``next()`` lookup would surface as an
+    inscrutable StopIteration (r9 advice fix)."""
+    cur = man["current"]
+    if cur == 0:
+        raise ValueError(
+            f"table {table_dir} has no main snapshot (all "
+            f"{len(man['snapshots'])} commits are branch-staged) — "
+            "fast_forward a branch to main first"
+        )
+    return next(s for s in man["snapshots"] if s["id"] == cur)
+
+
 def _commit_entry(
     table_dir: str,
     snap_dir: str,
@@ -455,8 +480,9 @@ def read_pruned(
         if version is None:
             raise ValueError(f"no ref {ref!r} in {table_dir}")
     if version is None:
-        version = man["current"]
-    snap = next(s for s in man["snapshots"] if s["id"] == version)
+        snap = _head_snap(man, table_dir)
+    else:
+        snap = next(s for s in man["snapshots"] if s["id"] == version)
     stats = man.get("dir_stats", {})
     q_lo, q_hi = _stat_val(lo), _stat_val(hi)
     scanned: list[str] = []
@@ -603,8 +629,8 @@ def delete_where(
     man = _load_manifest(table_dir)
     if not man["snapshots"]:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    cur_id = man["current"]
-    snap = next(s for s in man["snapshots"] if s["id"] == cur_id)
+    snap = _head_snap(man, table_dir)
+    cur_id = snap["id"]
     matched = (
         _plan_snapshot(spark, table_dir, man, snap, with_position=True)
         .where(F.expr(predicate))
@@ -746,8 +772,8 @@ def rewrite_data_files(
     man = _load_manifest(table_dir)
     if not man["snapshots"]:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    basis = man["current"]
-    snap = next(s for s in man["snapshots"] if s["id"] == basis)
+    snap = _head_snap(man, table_dir)
+    basis = snap["id"]
     df = _plan_snapshot(spark, table_dir, man, snap)
     snap_dir = f"snap-{uuid.uuid4().hex[:12]}"
     df.write.mode("errorifexists").parquet(os.path.join(table_dir, snap_dir))
@@ -830,9 +856,16 @@ def drop_branch(table_dir: str, name: str, max_retries: int = 16) -> None:
 def fast_forward(table_dir: str, branch: str, max_retries: int = 16) -> int:
     """PUBLISH a branch: move main's pointer to the branch head —
     Iceberg's fast_forward, the atomic publish half of
-    write-audit-publish. Refuses unless main's data is a subset of the
-    branch head's directory list (i.e. the branch genuinely extends
-    main), so a publish can never silently drop committed main data.
+    write-audit-publish. Refuses unless the branch head genuinely
+    extends main — BOTH main's data directories AND main's
+    merge-on-read delete files must be carried by the branch head
+    (Iceberg's fast_forward requires main's head to be an ancestor of
+    the branch head). The dir check alone is not enough: a DELETE
+    committed on main after the branch was created leaves main's dirs
+    unchanged, so a dirs-only subset test would publish a branch head
+    whose inherited delete list predates the delete — silently
+    resurrecting the deleted rows (r9 advice fix; pytest
+    test_snapshots.py::test_fast_forward_refuses_lost_main_delete).
     Returns the new main snapshot id."""
     for attempt in range(max_retries):
         man = _load_manifest(table_dir)
@@ -849,6 +882,19 @@ def fast_forward(table_dir: str, branch: str, max_retries: int = 16) -> int:
                     f"branch {branch!r} does not extend main "
                     f"(main owns {sorted(cur_dirs - head_dirs)} the branch "
                     "head lacks) — publish would lose committed data"
+                )
+            # delete files are identified by their unique del-* dir;
+            # a compaction on the branch legitimately folds main's
+            # deletes in, but then it also rewrote main's data dirs and
+            # the dirs-subset check above already refused — so within a
+            # dirs-subset publish, every main delete must survive
+            cur_dels = {d["dir"] for d in _deletes_of(man, man["current"])}
+            head_dels = {d["dir"] for d in _deletes_of(man, head)}
+            if not cur_dels <= head_dels:
+                raise ValueError(
+                    f"branch {branch!r} does not carry main's deletes "
+                    f"({sorted(cur_dels - head_dels)}) — publish would "
+                    "resurrect rows deleted on main"
                 )
         new_man = dict(man, seq=man["seq"] + 1, current=head)
         if _publish_manifest(table_dir, new_man):
@@ -945,7 +991,7 @@ def files_metadata(spark: SparkSession, table_dir: str) -> DataFrame:
     man = _load_manifest(table_dir)
     if not man["snapshots"]:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
-    snap = next(s for s in man["snapshots"] if s["id"] == man["current"])
+    snap = _head_snap(man, table_dir)
     dir_seq = man.get("dir_seq", {})
     dir_stats = man.get("dir_stats", {})
     rows = []

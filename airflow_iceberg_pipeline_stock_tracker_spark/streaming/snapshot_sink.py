@@ -52,14 +52,24 @@ def run_id_for_checkpoint(checkpoint_dir: str) -> str:
 
 
 def snapshot_append_sink(
-    table_dir: str, run_id: str = ""
+    table_dir: str, run_id: str
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch handler: append each micro-batch as one
     transactional snapshot commit. Safe under Structured Streaming's
     replay contract: ``txn=(run_id, batch_id)`` is the idempotency key
     (batch ids are monotonic per checkpoint, which is the txn pattern's
     one requirement) — pass the run_id that owns the stream's checkpoint
-    (``drain_to_snapshots`` derives it from the checkpoint path)."""
+    (``drain_to_snapshots`` derives it from the checkpoint path).
+
+    ``run_id`` is REQUIRED and non-empty: two streams silently sharing
+    a default app-id on one table would make the second stream's
+    batches at-or-below the first's high-water version vanish as
+    replays (r9 advice fix)."""
+    if not run_id:
+        raise ValueError(
+            "snapshot_append_sink needs a non-empty run_id — derive it "
+            "from the stream's checkpoint via run_id_for_checkpoint()"
+        )
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         snapshots.commit(

@@ -140,9 +140,11 @@ def capacity_knee(
     the probe never reports capacity it didn't observe.
     """
     steps: list[dict] = []
-    rate = start_rows_per_sec
     best: dict | None = None
-    for _ in range(max_steps):
+    failed: dict | None = None
+    inconclusive: dict | None = None
+
+    def probe(rate: int) -> dict:
         # scale source partitions with the offer so row GENERATION never
         # caps the measurement before the query does — at 8 partitions a
         # 50M rows/s offer bottlenecks on the source and the knee would
@@ -161,16 +163,48 @@ def capacity_knee(
                 num_partitions=nparts,
             )
         steps.append(r)
+        return r
+
+    rate = start_rows_per_sec
+    for _ in range(max_steps):
+        r = probe(rate)
         if r["kept_up"]:
             best = r
             rate *= 2
-        else:
+        elif r["kept_up"] is False:
+            failed = r
             break
+        else:
+            # still unmeasurable after the doubled-window retry: an
+            # INCONCLUSIVE offer, never published as the first failure
+            # (r9 advice fix) — stop laddering, the bracket above the
+            # last sustained rate is simply unobserved
+            inconclusive = r
+            break
+    if best is not None and failed is not None:
+        # bisect one step so the capacity claim is a ~1.5x bracket,
+        # not the ladder's 2x gap (r9 verdict ask #6)
+        mid = (best["pinned_rows_per_sec"] + failed["pinned_rows_per_sec"]) // 2
+        r = probe(mid)
+        if r["kept_up"]:
+            best = r
+        elif r["kept_up"] is False:
+            failed = r
+        # kept_up None at the midpoint: keep the observed 2x bracket
+        # rather than tighten it with an unmeasured point
     return {
         "max_sustained_rows_per_sec": best["pinned_rows_per_sec"] if best else 0,
         "achieved_at_max": best["achieved_rows_per_sec"] if best else 0.0,
         "first_failed_offer": (
-            steps[-1]["pinned_rows_per_sec"] if steps and not steps[-1]["kept_up"] else None
+            failed["pinned_rows_per_sec"] if failed is not None else None
+        ),
+        "achieved_at_first_failed": (
+            failed["achieved_rows_per_sec"] if failed is not None else None
+        ),
+        "inconclusive_offer": (
+            inconclusive["pinned_rows_per_sec"]
+            if inconclusive is not None
+            else None
         ),
         "steps": steps,
     }

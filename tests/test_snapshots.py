@@ -379,6 +379,62 @@ def test_fast_forward_publishes_and_guards_lineage(spark, tdir):
         snapshots.fast_forward(tdir, "wap")
 
 
+def test_fast_forward_refuses_lost_main_delete(spark, tdir):
+    """A merge-on-read DELETE committed on main AFTER the branch was
+    created leaves main's data dirs unchanged, so a dirs-only subset
+    check would happily publish the branch head — whose inherited
+    delete list predates main's delete, silently resurrecting the
+    deleted rows. fast_forward must refuse (r9 advice, medium)."""
+    snapshots.commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], ["id", "k"]),
+        tdir,
+        mode="append",
+    )
+    snapshots.create_branch(tdir, "wap")
+    snapshots.commit(
+        spark.createDataFrame([(3, "c")], ["id", "k"]),
+        tdir,
+        mode="append",
+        branch="wap",
+    )
+    # the delete lands on MAIN after the branch point: main's dirs are
+    # unchanged (MoR), but its delete list now exceeds the branch head's
+    snapshots.delete_where(spark, tdir, "id = 2")
+    with pytest.raises(ValueError, match="resurrect"):
+        snapshots.fast_forward(tdir, "wap")
+    # the deleted row stayed dead on main
+    assert sorted(r.id for r in snapshots.read(spark, tdir).collect()) == [1]
+
+
+def test_branch_only_table_has_clear_no_main_error(spark, tdir):
+    """current == 0 with branch-staged history must raise a meaningful
+    error from head-resolving entry points, not a bare StopIteration
+    (r9 advice)."""
+    snapshots.create_branch(tdir, "stage")
+    snapshots.commit(
+        _df(spark, [1]), tdir, mode="append", branch="stage"
+    )
+    for op in (
+        lambda: snapshots.delete_where(spark, tdir, "x = 1"),
+        lambda: snapshots.rewrite_data_files(spark, tdir),
+        lambda: snapshots.files_metadata(spark, tdir),
+        lambda: snapshots.read_pruned(spark, tdir, "x", lo=0),
+    ):
+        with pytest.raises(ValueError, match="no main snapshot"):
+            op()
+    # the branch itself stays fully readable
+    assert [r.x for r in snapshots.read(spark, tdir, ref="stage").collect()] == [1]
+
+
+def test_snapshot_sink_requires_run_id(tmp_path):
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming.snapshot_sink import (
+        snapshot_append_sink,
+    )
+
+    with pytest.raises(ValueError, match="run_id"):
+        snapshot_append_sink(str(tmp_path / "t"), "")
+
+
 def test_vacuum_keeps_branch_heads_alive(spark, tdir):
     snapshots.commit(_df(spark, [1]), tdir, mode="append")
     snapshots.create_branch(tdir, "stage")

@@ -544,3 +544,54 @@ def test_seqmatch_state_drops_replayed_rows(spark):
     out2 = list(seqmatch._seq_fn((7,), iter([pdf]), state))[0]  # replay
     assert out2.iloc[0].n_events == 3  # unchanged
     assert out2.iloc[0].n_view_click_purchase == 1  # NOT double-counted
+
+
+# ---------------------------------------------------------------------------
+# capacity_knee ladder logic (probe results faked — no streams started)
+# ---------------------------------------------------------------------------
+
+def _fake_probe_seq(results_by_rate):
+    """Build a rate_tumbling_throughput stand-in keyed by pinned rate."""
+    def fake(spark, rows_per_sec=0, run_sec=0.0, num_partitions=0):
+        kept = results_by_rate[rows_per_sec]
+        return {
+            "pinned_rows_per_sec": rows_per_sec,
+            "achieved_rows_per_sec": float(rows_per_sec),
+            "kept_up": kept,
+            "input_rows": 0,
+            "result_rows": 0,
+        }
+    return fake
+
+
+def test_capacity_knee_bisects_to_a_1p5x_bracket(monkeypatch):
+    """After the ladder's first failure the knee probes the midpoint, so
+    the published bracket is ~1.5x, not the ladder's 2x (r9 verdict)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import throughput
+
+    monkeypatch.setattr(
+        throughput,
+        "rate_tumbling_throughput",
+        _fake_probe_seq({100: True, 200: False, 150: False}),
+    )
+    knee = throughput.capacity_knee(None, start_rows_per_sec=100, max_steps=4)
+    assert knee["max_sustained_rows_per_sec"] == 100
+    assert knee["first_failed_offer"] == 150  # bisected down from 200
+    assert knee["inconclusive_offer"] is None
+    assert [s["pinned_rows_per_sec"] for s in knee["steps"]] == [100, 200, 150]
+
+
+def test_capacity_knee_never_publishes_inconclusive_as_failed(monkeypatch):
+    """kept_up=None after the retry is an INCONCLUSIVE offer: it must
+    not appear as first_failed_offer (r9 advice fix)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import throughput
+
+    monkeypatch.setattr(
+        throughput,
+        "rate_tumbling_throughput",
+        _fake_probe_seq({100: True, 200: None}),
+    )
+    knee = throughput.capacity_knee(None, start_rows_per_sec=100, max_steps=4)
+    assert knee["max_sustained_rows_per_sec"] == 100
+    assert knee["first_failed_offer"] is None
+    assert knee["inconclusive_offer"] == 200
