@@ -988,9 +988,17 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: two filtered slices of one fact scan, each aggregated
     per-user (map-combinable) and joined on user_id (co-partitioned
-    one-exchange join); the final order statistics sort only the
-    converter lags — one value per converting user, dimension-scale
-    (tests/test_properties.py::test_conversion_lag_reference).
+    one-exchange join). The order statistics are a DISTRIBUTED exact
+    selection — no global Window.orderBy ever sorts all converters in
+    one task (the r9 verdict's scale flag on this row): (pass 1) the
+    per-value histogram groupBy(lag_s) plus a 1-row count/min/max
+    aggregate fix the target ranks on the driver; (pass 2) values are
+    range-bucketed into <=1024 driver-cumulated buckets, and the
+    answer value for each rank is a filtered min over a cumulative sum
+    windowed PER BUCKET — every window partition holds at most
+    ceil(value_range/1024) DISTINCT values, domain-bounded regardless
+    of converter count. Plan pin:
+    tests/test_plans.py::test_conversion_lag_has_no_global_window.
     """
     ev = load_table(spark, sf_dir, "events")
     views = (
@@ -1016,27 +1024,75 @@ def events_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("lag_s")
         )
     )
-    w = Window.orderBy("lag_s")
-    ranked = lags.select(
-        "lag_s", F.row_number().over(w).alias("rk"), F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n")
+    # per-value histogram: one shuffle on lag_s, map-side combined;
+    # everything after operates on DISTINCT values, never converters.
+    # Materialized once (small: bounded by distinct lag seconds) so the
+    # two driver passes and the final plan don't re-run the user joins
+    hist = (
+        lags.groupBy("lag_s")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
     )
-    pick = lambda q: F.max(  # noqa: E731
-        F.when(
-            F.col("rk") == F.greatest(F.ceil(F.lit(q) * F.col("n")), F.lit(1)),
-            F.col("lag_s"),
+    stats = hist.agg(
+        F.sum("cnt").alias("n"), F.min("lag_s").alias("lo"),
+        F.max("lag_s").alias("hi"),
+    ).collect()[0]  # 1-row driver collect, bounded by construction
+    n = int(stats["n"] or 0)
+    if n == 0:
+        # no converters: count 0, order statistics NULL in both engines
+        return spark.sql(
+            "SELECT CAST(0 AS BIGINT) AS n_converters, "
+            "CAST(NULL AS BIGINT) AS min_lag_s, "
+            "CAST(NULL AS BIGINT) AS p50_lag_s, "
+            "CAST(NULL AS BIGINT) AS p90_lag_s, "
+            "CAST(NULL AS BIGINT) AS max_lag_s"
         )
+    lo, hi = int(stats["lo"]), int(stats["hi"])
+    width = max(1, (hi - lo) // 1024 + 1)  # <=1024 range buckets
+    bucketed = hist.withColumn(
+        "bkt", ((F.col("lag_s") - F.lit(lo)) / F.lit(width)).cast("bigint")
     )
-    # no converters at all: the aggregate runs over an empty frame and
-    # MAX(n) is NULL in both engines — pin the count to 0 (hypothesis-
-    # found corner; the order statistics stay NULL, which is correct)
-    return ranked.agg(
-        F.coalesce(F.max("n"), F.lit(0).cast("bigint")).alias("n_converters"),
-        F.min("lag_s").alias("min_lag_s"),
-        pick(0.5).alias("p50_lag_s"),
-        pick(0.9).alias("p90_lag_s"),
-        F.max("lag_s").alias("max_lag_s"),
+    # bucket totals: <=1024 rows to the driver — the cumulative scan
+    # that replaces the global sort happens on this tiny vector
+    totals = {
+        int(r["bkt"]): int(r["c"])
+        for r in bucketed.groupBy("bkt").agg(F.sum("cnt").alias("c")).collect()
+    }
+    prefix: dict[int, int] = {}
+    acc = 0
+    for b in sorted(totals):
+        prefix[b] = acc  # converters strictly below bucket b
+        acc += totals[b]
+
+    def rank_of(q: float) -> int:
+        import math
+
+        return max(1, math.ceil(q * n))
+
+    def target(rank: int) -> tuple[int, int]:
+        """(bucket, residual rank within it) holding global rank."""
+        for b in sorted(totals):
+            if prefix[b] < rank <= prefix[b] + totals[b]:
+                return b, rank - prefix[b]
+        raise AssertionError(f"rank {rank} outside histogram of {n}")
+
+    b50, r50 = target(rank_of(0.5))
+    b90, r90 = target(rank_of(0.9))
+    wb = (
+        Window.partitionBy("bkt")
+        .orderBy("lag_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = bucketed.withColumn("cum", F.sum("cnt").over(wb))
+    pick = lambda b, r: F.min(  # noqa: E731
+        F.when((F.col("bkt") == b) & (F.col("cum") >= r), F.col("lag_s"))
+    )
+    return cum.agg(
+        F.lit(n).cast("bigint").alias("n_converters"),
+        F.lit(lo).cast("bigint").alias("min_lag_s"),
+        pick(b50, r50).alias("p50_lag_s"),
+        pick(b90, r90).alias("p90_lag_s"),
+        F.lit(hi).cast("bigint").alias("max_lag_s"),
     )
 
 

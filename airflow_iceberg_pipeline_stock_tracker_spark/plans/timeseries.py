@@ -1311,14 +1311,23 @@ def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive (the day's last observation always has dur >= 1us since
     ts < day_end).
 
-    Scale: one exchange on event_type (the lead window), the (type,
-    day) aggregate rides the same partitioning map-side. Ties at the
-    same microsecond get dur 0 — tie-broken deterministically by
-    event_id, they contribute no weight in either engine.
+    Scale: the lead window partitions on (event_type, DAY), not
+    event_type alone — semantically identical under the operator's own
+    no-midnight-carry contract (a next-DAY observation always clips to
+    day_end, so the lead value past the day boundary is never used),
+    but it bounds every window sort by one day's traffic for one type.
+    event_type has ~8 values: keyed on it alone, each task would sort
+    ~1/8 of ALL history — the low-cardinality-key skew this repo's own
+    events_skew_profile exists to catch (r9 verdict fix; plan pin in
+    tests/test_plans.py::test_twap_window_partitions_by_type_and_day).
+    The (type, day) aggregate then rides the same partitioning
+    map-side. Ties at the same microsecond get dur 0 — tie-broken
+    deterministically by event_id, they contribute no weight in either
+    engine.
     """
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
     day = F.date_trunc("day", "ts")
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
     day_end_us = F.unix_micros(day + F.expr("INTERVAL 1 DAY"))
     ts_us = F.unix_micros("ts")
     next_us = F.lead(ts_us).over(w)

@@ -673,3 +673,36 @@ def test_top_paths_two_exchanges_and_takeordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 2
     assert "partial_collect_list" in plan
+
+
+def test_twap_window_partitions_by_type_and_day(spark, sf_dir):
+    """The lead window must key on (event_type, day), not event_type
+    alone: event_type has ~8 values, so a type-only window sort holds
+    ~1/8 of ALL history in one task at 100 TB. The no-midnight-carry
+    contract makes the day-bounded window hash-identical (r9 verdict)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "events_twap")
+    # the lead window's spec carries BOTH keys (day is the projected
+    # _w1 truncation expression)
+    assert re.search(
+        r"windowspecdefinition\(event_type#\d+, _w\d+#\d+,", plan
+    ), plan
+    # and its feeding exchange hashes on both
+    assert re.search(
+        r"hashpartitioning\(event_type#\d+, _w\d+#\d+", plan
+    ), plan
+
+
+def test_conversion_lag_has_no_global_window(spark, sf_dir):
+    """Order statistics must be the distributed two-pass selection: the
+    only Window node partitions by the range bucket — never a global
+    Window.orderBy pushing every converter through one task (r9
+    verdict). The sole SinglePartition exchange is the final 1-row
+    aggregate."""
+    plan = _plan(spark, sf_dir, "events_conversion_lag")
+    win_lines = [l for l in plan.splitlines() if "Window [" in l]
+    assert len(win_lines) == 1, plan
+    assert ", [bkt#" in win_lines[0], win_lines[0]
+    # the old plan's global row_number ranking is gone
+    assert "row_number" not in plan
