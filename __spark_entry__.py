@@ -100,6 +100,31 @@ def _q_prices_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsi(prices_standin(spark, sf_dir))
 
 
+def _q_prices_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """On-Balance Volume: running volume sum signed by the close-to-
+    close direction — pure int64 end-to-end (operators/finance.py:obv),
+    two stacked windows on one (ticker, date) exchange."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import obv
+
+    return obv(prices_standin(spark, sf_dir))
+
+
+def _q_prices_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg partition-spec evolution emulated end-to-end
+    (pipeline.snapshot_partition_evolution_demo): January lands as one
+    day-partitioned commit (3 dirs), February as a month-partitioned
+    commit (1 dir) — both layouts under one manifest; bounded reads
+    prune each dir by its own bounds and the boundary-spanning read
+    equals the flat recompute."""
+    import tempfile
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
+
+    return _pl.snapshot_partition_evolution_demo(
+        spark, tempfile.mkdtemp(prefix="graft_evolve_")
+    )
+
+
 def _q_prices_atr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import atr
 
@@ -333,23 +358,9 @@ SWEEP_CHECKED = [
     "events_snapshot_sink_parity",
     "text_bm25_search",
     "similarity_ivf_topk",
-    # ROTATED IN r9 for their SECOND driver round (r8 verdict: these 12
-    # left the checked set after only ONE green round each; the 2-round
-    # bar applies to them like everyone else). Funded by demoting the
-    # 2-consecutive-green r7/r8 rows documented at the top of SWEEP_TAIL
-    "prices_vwap",
-    "prices_drawdown",
-    "prices_bollinger",
-    "events_hourly_anomaly",
-    "events_skew_profile",
-    "customer_rfm",
-    "events_transitions",
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    # NEW r9 (first round checked per policy):
+    # r9 first-round rows, kept checked for their SECOND consecutive
+    # driver round (r9 verdict ask #7) — none leaves the prefix before
+    # showing 2 green rounds:
     "prices_rsi",              # Cutler's RSI, int64 sums, NULL contract
     "orders_market_basket",    # bounded-basket pair co-occurrence
     "events_pattern_match",    # regex sequence detection per user
@@ -371,11 +382,47 @@ SWEEP_CHECKED = [
     "events_attribution",      # last-touch TTL credit over as-of
     "orders_cohort_ltv",       # first-order cohorts, exact month ages
     "text_collocations",       # lift-ranked bigram phrases, no libm
+    # PROMOTED r10: the ten r9 tail-first rows that had never had a real
+    # driver round (r9 verdict ask #1 — the only open correctness-
+    # evidence gap). Funded by demoting the twelve now-2-round-green
+    # rotation rows (see SWEEP_TAIL top). events_twap and
+    # events_conversion_lag additionally carry r10 PLAN changes (the
+    # two scale-weak window shapes, verdict asks #2-#3) — first driver
+    # round on the new plans:
+    "multimodal_patch_grid",   # ViT patch grid over real PPM rasters
+    "events_conversion_lag",   # distributed exact order statistics
+    "prices_mor_deletes",      # Iceberg v2 MoR deletes + compaction
+    "dedup_incremental_lsh",   # batch-vs-corpus banded LSH semi-join
+    "prices_pair_corr",        # Spearman via 2x-average integer ranks
+    "prices_snapshot_metadata",  # $snapshots metadata relation
+    "prices_pruned_scan",      # manifest-stats dir pruning
+    "events_top_paths",        # rn-gated session path mining
+    "events_twap",             # time-weighted average, (type,day) window
+    "prices_beta",             # CAPM beta vs equal-weight market
+    # NEW r10 (first round checked per policy):
+    "prices_obv",              # On-Balance Volume, pure int64 windows
+    "prices_partition_evolution",  # day->month layout change, one manifest
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
+    # demoted r10 to fund the ten tail-first promotions (r9 verdict ask
+    # #1). Evidence per row: 2 consecutive green driver rounds (their
+    # first round + the r9 rotation round, CORRECTNESS_r0{7,8,9}.json)
+    # + pytest coverage; all re-diffed per CI by tests/test_tail_oracle.py
+    "prices_vwap",
+    "prices_drawdown",
+    "prices_bollinger",
+    "events_hourly_anomaly",
+    "events_skew_profile",
+    "customer_rfm",
+    "events_transitions",
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
     # demoted r9 to fund the second-round dozen + the seven new r9 ops +
     # the ivf promotion. Evidence per row: 2 consecutive green driver
     # rounds (r7+r8, CORRECTNESS_r0{7,8}.json) + pytest coverage; all
@@ -393,20 +440,6 @@ SWEEP_TAIL = [
     "curation_importance_weights",
     "similarity_mmr_rerank",
     "similarity_hard_negatives",
-    # tail-FIRST registration (checked budget full this round): listed
-    # in tests/test_tail_oracle._NEVER_DRIVER_CHECKED, so it runs at
-    # the driver SF per CI until a future rotation gives it a real
-    # driver round
-    "multimodal_patch_grid",
-    "events_conversion_lag",
-    "prices_mor_deletes",
-    "dedup_incremental_lsh",
-    "prices_pair_corr",
-    "prices_snapshot_metadata",
-    "prices_pruned_scan",
-    "events_top_paths",
-    "events_twap",
-    "prices_beta",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -580,6 +613,8 @@ def queries() -> dict[str, QueryFn]:
         "prices_drawdown": _q_prices_drawdown,
         "prices_bollinger": _q_prices_bollinger,
         "prices_rsi": _q_prices_rsi,
+        "prices_obv": _q_prices_obv,
+        "prices_partition_evolution": _q_prices_partition_evolution,
         "prices_atr": _q_prices_atr,
         "prices_stochastic": _q_prices_stochastic,
         "dq_checks": _q_dq_checks,
@@ -640,6 +675,7 @@ def oracle_sql() -> dict[str, str]:
         BETA_SQL,
         BOLLINGER_SQL,
         DRAWDOWN_SQL,
+        OBV_SQL,
         PAIR_CORR_SQL,
         RSI_SQL,
         STOCH_SQL,
@@ -652,6 +688,7 @@ def oracle_sql() -> dict[str, str]:
         "prices_bollinger": prices_cte
         + BOLLINGER_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_rsi": prices_cte + RSI_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_obv": prices_cte + OBV_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_atr": prices_cte + ATR_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_stochastic": prices_cte
         + STOCH_SQL.replace("WITH c AS", ", c AS", 1),
@@ -672,6 +709,9 @@ def oracle_sql() -> dict[str, str]:
         "prices_mor_deletes": _pl.snapshot_mor_oracle_sql(),
         "prices_snapshot_metadata": _pl.snapshot_metadata_oracle_sql(),
         "prices_pruned_scan": _pl.snapshot_pruned_scan_oracle_sql(),
+        "prices_partition_evolution": (
+            _pl.snapshot_partition_evolution_oracle_sql()
+        ),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

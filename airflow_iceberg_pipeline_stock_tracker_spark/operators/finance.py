@@ -124,6 +124,73 @@ ORDER BY ticker, date
 """
 
 
+def obv(prices: DataFrame) -> DataFrame:
+    """Per (ticker, date): On-Balance Volume — the running sum of
+    volume signed by the day's close-to-close direction (up: +volume,
+    down: -volume, unchanged: 0; the first day contributes 0, having no
+    prior close). Granville's classic accumulation/distribution
+    indicator: whether volume is flowing INTO or OUT of the name — the
+    natural next consumer of the reference's raw volume column
+    (/root/reference/dags/dag.py:318-376 stops at rolling mean/vol).
+
+    Exactness: the direction compares int64 cents and the running sum
+    is pure int64 — no floating point anywhere in the operator.
+
+    Scale: two stacked windows on the SAME (ticker, date) key — one
+    hash exchange, one sort, no joins, no Python; the same single-
+    window class as prices_drawdown.
+    """
+    w = Window.partitionBy("ticker").orderBy("date")
+    close_c = cents("close")
+    prev_c = F.lag(close_c).over(w)
+    vol = F.col("volume").cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    signed = (
+        F.when(prev_c.isNull(), zero)
+        .when(close_c > prev_c, vol)
+        .when(close_c < prev_c, -vol)
+        .otherwise(zero)
+    )
+    staged = prices.select(
+        "ticker", "date", signed.alias("signed_vol")
+    )
+    run = (
+        Window.partitionBy("ticker")
+        .orderBy("date")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return staged.select(
+        "ticker",
+        "date",
+        "signed_vol",
+        F.sum("signed_vol").over(run).alias("obv"),
+    ).orderBy("ticker", "date")
+
+
+OBV_SQL = """
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(close * 100) AS BIGINT) AS close_c,
+         CAST(volume AS BIGINT) AS vol
+  FROM prices
+), s AS (
+  SELECT ticker, date,
+         CASE WHEN LAG(close_c) OVER w IS NULL THEN CAST(0 AS BIGINT)
+              WHEN close_c > LAG(close_c) OVER w THEN vol
+              WHEN close_c < LAG(close_c) OVER w THEN -vol
+              ELSE CAST(0 AS BIGINT) END AS signed_vol
+  FROM c
+  WINDOW w AS (PARTITION BY ticker ORDER BY date)
+)
+SELECT ticker, date, signed_vol,
+       CAST(SUM(signed_vol) OVER run AS BIGINT) AS obv
+FROM s
+WINDOW run AS (PARTITION BY ticker ORDER BY date
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+ORDER BY ticker, date
+"""
+
+
 def bollinger(prices: DataFrame, width: int = ROLLING) -> DataFrame:
     """Rolling Bollinger bands from exact integer moments.
 

@@ -776,6 +776,119 @@ ORDER BY ticker
 """
 
 
+PARTITION_EVOLUTION_MONTH_DATES = ["2024-02-01", "2024-02-02"]
+
+
+def snapshot_partition_evolution_demo(
+    spark: SparkSession, table_dir: str
+) -> DataFrame:
+    """PARTITION EVOLUTION exercised end-to-end (sources/snapshots.py
+    commit_partitioned — Iceberg's partition-spec evolution, the design
+    rationale the reference's README names for choosing Iceberg,
+    /root/reference/README.md:29): a table changes its physical layout
+    mid-life WITHOUT rewriting old data, and reads spanning the
+    boundary stay correct and prunable.
+
+      1. January's daily bars land as ONE day-partitioned commit —
+         three ``_sg_part=<day>`` dirs in a single atomic snapshot,
+         each carrying exact [day, day] date bounds;
+      2. the spec evolves: February's bars land as a MONTH-partitioned
+         commit — one dir bounded [month-start, month-end]. Old day
+         dirs and the new month dir now coexist under one manifest;
+      3. a January day-bounded read plans 1 of 4 dirs, a February
+         month-bounded read plans 1 of 4 — each dir pruned by its OWN
+         bounds, spec-agnostically (hidden partitioning);
+      4. the boundary-spanning full read must equal the flat recompute
+         (the oracle regenerates every bar closed-form), and each
+         pruned probe must equal the full read filtered the ordinary
+         way (``prune_parity``).
+
+    Surface: per-ticker aggregates over the WHOLE evolved table + the
+    planner evidence for both probes.
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+
+    def _bars(dates: list[str]) -> DataFrame:
+        dfs = [
+            bars_to_df(spark, fetch_bars(client, ds)).drop(
+                "insertion_timestamp"
+            )
+            for ds in dates
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    snapshots.commit_partitioned(
+        _bars(EVOLUTION_DATES), table_dir, "date", "day"
+    )
+    snapshots.commit_partitioned(
+        _bars(PARTITION_EVOLUTION_MONTH_DATES), table_dir, "date", "month"
+    )
+
+    full = snapshots.read(spark, table_dir)
+    d_jan = EVOLUTION_DATES[1]
+    jan_pruned, jan_scan, jan_skip = snapshots.read_pruned(
+        spark, table_dir, "date", lo=d_jan, hi=d_jan
+    )
+    feb_pruned, feb_scan, feb_skip = snapshots.read_pruned(
+        spark, table_dir, "date", lo="2024-02-01", hi="2024-02-29"
+    )
+    jan_flat = full.where(F.col("date") == d_jan)
+    feb_flat = full.where(
+        (F.col("date") >= "2024-02-01") & (F.col("date") <= "2024-02-29")
+    )
+    parity = (
+        jan_pruned.exceptAll(jan_flat).isEmpty()
+        and jan_flat.exceptAll(jan_pruned).isEmpty()
+        and feb_pruned.exceptAll(feb_flat).isEmpty()
+        and feb_flat.exceptAll(feb_pruned).isEmpty()
+    )
+    return (
+        full.groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("volume").alias("sum_volume"),
+        )
+        .withColumn("day_dirs_scanned", F.lit(jan_scan))
+        .withColumn("day_dirs_skipped", F.lit(jan_skip))
+        .withColumn("month_dirs_scanned", F.lit(feb_scan))
+        .withColumn("month_dirs_skipped", F.lit(feb_skip))
+        .withColumn("prune_parity", F.lit(parity))
+        .orderBy("ticker")
+    )
+
+
+def snapshot_partition_evolution_oracle_sql(
+    tickers: list[str] | None = None,
+) -> str:
+    """DuckDB twin of :func:`snapshot_partition_evolution_demo`: all
+    five days' bars per ticker (both layouts), with the planner having
+    scanned exactly one dir of four for each bounded probe."""
+    return _bars_cte_sql(
+        EVOLUTION_DATES + PARTITION_EVOLUTION_MONTH_DATES, tickers
+    ) + """
+SELECT ticker,
+       COUNT(*) AS n_rows,
+       CAST(SUM(volume) AS BIGINT) AS sum_volume,
+       CAST(1 AS INTEGER) AS day_dirs_scanned,
+       CAST(3 AS INTEGER) AS day_dirs_skipped,
+       CAST(1 AS INTEGER) AS month_dirs_scanned,
+       CAST(3 AS INTEGER) AS month_dirs_skipped,
+       TRUE AS prune_parity
+FROM bars
+GROUP BY ticker
+ORDER BY ticker
+"""
+
+
 def snapshot_oracle_sql(tickers: list[str] | None = None) -> str:
     """DuckDB twin of :func:`snapshot_time_travel_demo`: v1 sees days
     1-2, v2 sees all three — regenerated from the deterministic bars."""

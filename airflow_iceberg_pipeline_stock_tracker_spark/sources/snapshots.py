@@ -226,6 +226,110 @@ def commit(
     )
 
 
+def commit_partitioned(
+    df: DataFrame,
+    table_dir: str,
+    col: str,
+    transform: str,
+    mode: str = "append",
+    max_retries: int = 16,
+    tag: str | None = None,
+    txn: tuple[str, int] | None = None,
+    branch: str | None = None,
+) -> int:
+    """Write ``df`` as ONE atomic snapshot whose data files are grouped
+    into a sub-directory per ``transform(col)`` partition — the unit of
+    Iceberg PARTITION EVOLUTION (the one capability README's parity
+    table listed as a documented gap; reference design rationale
+    /root/reference/README.md:29).
+
+    ``transform`` is ``"day"`` or ``"month"`` over a DATE column. The
+    layout is recorded per-DIRECTORY, not per-table: each partition dir
+    enters the manifest with exact ``{col: [lo, hi]}`` bounds derived
+    from its partition VALUE (day d -> [d, d]; month m -> [m, last day
+    of m]) — no extra stats scan. Because scan planning (``read_pruned``)
+    consumes only those per-dir bounds, a table may freely MIX layouts
+    across commits: day-grouped dirs committed last year and
+    month-grouped dirs committed today coexist under one manifest, and a
+    bounded read prunes each dir by its own bounds without knowing which
+    spec produced it. That is exactly how Iceberg evolves partition
+    specs without rewriting old data — old files keep the old layout,
+    new files the new one, and planning is spec-agnostic because
+    manifests carry per-file partition tuples (hidden partitioning).
+
+    The whole multi-dir write is still ONE commit: every partition dir
+    is listed in a single snapshot entry published through the manifest
+    CAS, so readers see all partitions of the load or none. The
+    partition column stays IN the data files (the grouping key is a
+    duplicated scratch column dropped by the dir layout), so any dir
+    reads back with the full schema, layout-independent.
+
+    ``df`` must not already contain a ``_sg_part`` column. Rows with
+    NULL ``col`` land in the writer's null partition dir and get no
+    bounds (always scanned — the conservative rule).
+    """
+    if transform not in ("day", "month"):
+        raise ValueError(
+            f"unknown partition transform {transform!r} (day|month)"
+        )
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unknown commit mode: {mode}")
+    if "_sg_part" in df.columns:
+        raise ValueError("df already has a _sg_part column")
+    os.makedirs(table_dir, exist_ok=True)
+    man = _load_manifest(table_dir)
+    already = _replayed(man, tag, txn)
+    if already is not None:
+        return already
+    root = f"snap-{uuid.uuid4().hex[:12]}"
+    part = F.date_trunc(transform, F.col(col)).cast("date")
+    (
+        df.withColumn("_sg_part", part)
+        .write.partitionBy("_sg_part")
+        .mode("errorifexists")
+        .parquet(os.path.join(table_dir, root))
+    )
+    import calendar
+    import datetime as _dt
+
+    dirs: list[str] = []
+    stats: dict = {}
+    for sub in sorted(os.listdir(os.path.join(table_dir, root))):
+        if not sub.startswith("_sg_part="):
+            continue
+        rel = f"{root}/{sub}"
+        dirs.append(rel)
+        val = sub.split("=", 1)[1]
+        if val == "__HIVE_DEFAULT_PARTITION__":  # NULL keys: no bounds
+            continue
+        if transform == "day":
+            lo = hi = val
+        else:
+            d = _dt.date.fromisoformat(val)
+            lo = val
+            hi = str(
+                d.replace(day=calendar.monthrange(d.year, d.month)[1])
+            )
+        stats[rel] = {col: [lo, hi]}
+    if not dirs:
+        # empty df: partitionBy wrote no partition dirs (and no schema)
+        # — rewrite the root as a plain empty parquet dir so the
+        # snapshot exists and reads back empty with the right schema
+        df.write.mode("overwrite").parquet(os.path.join(table_dir, root))
+        dirs = [root]
+    return _commit_entry(
+        table_dir,
+        dirs,
+        mode,
+        max_retries,
+        tag,
+        txn,
+        branch,
+        stats or None,
+        spec={"col": col, "transform": transform},
+    )
+
+
 def _stat_val(v):
     """JSON-safe, order-preserving manifest form of a stats bound."""
     if v is None or isinstance(v, (bool, int, float, str)):
@@ -332,18 +436,30 @@ def _head_snap(man: dict, table_dir: str) -> dict:
 
 def _commit_entry(
     table_dir: str,
-    snap_dir: str,
+    snap_dir: str | list[str],
     mode: str = "append",
     max_retries: int = 16,
     tag: str | None = None,
     txn: tuple[str, int] | None = None,
     branch: str | None = None,
     stats: dict | None = None,
+    spec: dict | None = None,
 ) -> int:
     """The manifest CAS loop — everything in ``commit`` after the data
     write. Factored out so the cross-process concurrency tests drive the
     EXACT production arbitration path (rebase-and-retry over
-    ``_publish_manifest``) without paying a Spark session per process."""
+    ``_publish_manifest``) without paying a Spark session per process.
+
+    ``snap_dir`` may be a LIST of directories: a partitioned commit
+    (``commit_partitioned``) lands several data dirs in one atomic
+    snapshot. For a single dir, ``stats`` is that dir's ``{col: [lo,
+    hi]}``; for a list it is ``{dir: {col: [lo, hi]}}`` keyed per dir.
+    ``spec`` (optional) records the commit's partition layout on the
+    snapshot entry — introspection only, readers never depend on it
+    (Iceberg's hidden-partitioning principle: scan planning reads
+    per-file stats, not the spec that produced them)."""
+    new_dirs = [snap_dir] if isinstance(snap_dir, str) else list(snap_dir)
+    multi = not isinstance(snap_dir, str)
     for attempt in range(max_retries):
         man = _load_manifest(table_dir)
         already = _replayed(man, tag, txn)
@@ -366,7 +482,9 @@ def _commit_entry(
             # the new data dir gets a HIGHER dir_seq than any existing
             # equality delete, so inherited eq deletes can never touch it
             prev_dels = list(_deletes_of(man, head)) if head else []
-        entry = {"id": snap_id, "dirs": prev_dirs + [snap_dir], "op": mode}
+        entry = {"id": snap_id, "dirs": prev_dirs + new_dirs, "op": mode}
+        if spec is not None:
+            entry["spec"] = spec
         if prev_dels:
             entry["deletes"] = prev_dels
         if branch is not None:
@@ -394,13 +512,17 @@ def _commit_entry(
             # dir -> snapshot id that ADDED it: the sequence numbers that
             # scope equality deletes (a dir missing from the map reads as
             # seq 0, i.e. pre-delete data — the conservative legacy rule)
-            "dir_seq": dict(man.get("dir_seq", {}), **{snap_dir: snap_id}),
+            "dir_seq": dict(
+                man.get("dir_seq", {}), **{d: snap_id for d in new_dirs}
+            ),
         }
         # dir -> {col: [min, max]}: scan-planning column stats; a dir
         # absent from the map is always scanned (conservative)
         dir_stats = man.get("dir_stats", {})
         if stats is not None:
-            dir_stats = dict(dir_stats, **{snap_dir: stats})
+            dir_stats = dict(
+                dir_stats, **(stats if multi else {snap_dir: stats})
+            )
         if dir_stats:
             new_man["dir_stats"] = dir_stats
         if _publish_manifest(table_dir, new_man):
@@ -513,6 +635,20 @@ def read_pruned(
     return df, len(scanned), skipped
 
 
+def _rel_dir_of(file_col: str):
+    """Manifest-relative data-dir of a scanned file's ``_metadata``
+    path. Flat commits: the file's parent dir (``snap-x``). Partitioned
+    commits nest ONE level (``snap-x/_sg_part=v``) — recognized by the
+    ``=`` in the parent name, so the grandparent is prepended to match
+    the manifest's dir entry exactly."""
+    parts = F.split(file_col, "/")
+    parent = F.element_at(parts, -2)
+    return F.when(
+        parent.contains("="),
+        F.concat(F.element_at(parts, -3), F.lit("/"), parent),
+    ).otherwise(parent)
+
+
 def _plan_snapshot(
     spark: SparkSession,
     table_dir: str,
@@ -576,9 +712,7 @@ def _plan_snapshot(
         )
         df = df.withColumn(
             "_sg_seq",
-            F.coalesce(
-                seq_map[F.element_at(F.split("_sg_file", "/"), -2)], F.lit(0)
-            ),
+            F.coalesce(seq_map[_rel_dir_of("_sg_file")], F.lit(0)),
         )
         for d in eq:
             kdf = spark.read.parquet(os.path.join(table_dir, d["dir"]))
@@ -651,9 +785,7 @@ def delete_where(
     # dirs the delete positions live in — the conflict-validation set
     ref_dirs = {
         r[0]
-        for r in back.select(
-            F.element_at(F.split("_del_file", "/"), -2)
-        ).distinct().collect()
+        for r in back.select(_rel_dir_of("_del_file")).distinct().collect()
     }
     return _delete_commit_entry(
         table_dir, {"dir": del_dir, "kind": "pos"}, ref_dirs, max_retries
@@ -1078,6 +1210,20 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
         if _publish_manifest(table_dir, new_man):
             for d in removed:
                 shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+            for d in removed:
+                # a fully-expired partitioned commit leaves a root husk
+                # above its nested partition dirs holding only writer
+                # metadata (_SUCCESS, .crc) — drop it once no partition
+                # dir (or any other real content) remains
+                if "/" in d:
+                    root = os.path.join(table_dir, d.split("/", 1)[0])
+                    with contextlib.suppress(OSError):
+                        if all(
+                            f.startswith(("_", "."))
+                            and os.path.isfile(os.path.join(root, f))
+                            for f in os.listdir(root)
+                        ):
+                            shutil.rmtree(root, ignore_errors=True)
             for seq in _manifest_versions(table_dir):
                 if seq < new_man["seq"]:
                     # two concurrent vacuums can race on the same stale

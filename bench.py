@@ -196,6 +196,9 @@ HEADLINE = [
     "events_top_paths",
     "events_twap",
     "prices_beta",
+    # --- added in round 10 ---
+    "prices_obv",
+    "prices_partition_evolution",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -226,6 +229,9 @@ PROOF_TIER = frozenset(
         "prices_snapshot_metadata",
         # 4-commit lifecycle + pruned-vs-full parity diff
         "prices_pruned_scan",
+        # 2 partitioned commits + 2 pruned probes + parity diffs;
+        # table-lifecycle class
+        "prices_partition_evolution",
         # 5-commit day-chunked state-ring fold; table-lifecycle class
         "events_decay_incremental",
     }
@@ -254,6 +260,8 @@ RUN_ONCE = frozenset(
         "prices_snapshot_wap",
         # 5-commit fold with per-commit checkpoints; one measured pass
         "events_decay_incremental",
+        # partition-evolution lifecycle proof; one measured pass
+        "prices_partition_evolution",
     }
 )
 

@@ -51,12 +51,27 @@ def test_every_query_is_oracle_paired_or_documented_rows_only():
 
 def test_new_operators_are_inside_the_checked_prefix():
     # the r4 lesson: new operators must not ship driver-unchecked.
-    # Pins the CURRENT round's must-be-checked set: the eight r9-new
-    # operators, the three r9 code-changed rows (txn snapshot sink,
-    # single-pass BM25, replanned IVF), and the twelve rows rotated
-    # back for the second green round the r8 verdict asked for.
+    # Pins the CURRENT round's must-be-checked set: the two r10-new
+    # rows, the ten promoted never-driver-checked r9 tail-first rows
+    # (r9 verdict ask #1; twap + conversion_lag also carry r10 plan
+    # changes), and the twenty r9 first-round rows held for their
+    # second consecutive green round (r9 verdict ask #7).
     promoted = {
-        # r9-new, first round
+        # r10-new, first round
+        "prices_obv",
+        "prices_partition_evolution",
+        # promoted r9 tail-first rows, first driver round
+        "multimodal_patch_grid",
+        "events_conversion_lag",
+        "prices_mor_deletes",
+        "dedup_incremental_lsh",
+        "prices_pair_corr",
+        "prices_snapshot_metadata",
+        "prices_pruned_scan",
+        "events_top_paths",
+        "events_twap",
+        "prices_beta",
+        # r9 first-round rows, held for their second green round
         "prices_rsi",
         "orders_market_basket",
         "events_pattern_match",
@@ -67,24 +82,16 @@ def test_new_operators_are_inside_the_checked_prefix():
         "multimodal_phash_neardup",
         "streaming_pattern_match",
         "orders_basket_rules",
-        "prices_snapshot_wap",
-        # r9 code-changed
-        "events_snapshot_sink_parity",
-        "text_bm25_search",
-        "similarity_ivf_topk",
-        # second-round dozen (r8 verdict: one green round each so far)
-        "prices_vwap",
-        "prices_drawdown",
-        "prices_bollinger",
-        "events_hourly_anomaly",
-        "events_skew_profile",
-        "customer_rfm",
-        "events_transitions",
-        "q4_order_priority",
-        "q7_nation_volume",
-        "q13_customer_distribution",
-        "q15_top_supplier",
-        "q16_supplier_cnt",
+        "prices_atr",
+        "prices_stochastic",
+        "parts_triangle_count",
+        "events_decay_topk",
+        "orders_abc_analysis",
+        "events_decay_incremental",
+        "events_holt_forecast",
+        "events_attribution",
+        "orders_cohort_ltv",
+        "text_collocations",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)
 

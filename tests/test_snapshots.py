@@ -823,3 +823,90 @@ def test_read_pruned_on_version_and_ref(spark, tdir):
         snapshots.read_pruned(spark, tdir, "x", lo=1, ref="nope")
     with pytest.raises(ValueError):
         snapshots.read_pruned(spark, tdir, "x")  # no bounds
+
+
+# ---------------------------------------------------------------------------
+# Partition evolution (commit_partitioned: per-dir layouts under one manifest)
+# ---------------------------------------------------------------------------
+
+def _dated(spark, rows):
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [(dt.date.fromisoformat(d), x) for d, x in rows], "d date, x int"
+    )
+
+
+def test_partition_evolution_mixed_layouts_read_and_prune(spark, tdir):
+    """day -> month layout change mid-table: old day dirs and the new
+    month dir coexist under ONE manifest; reads across the evolution
+    boundary equal a flat recompute, and read_pruned prunes each dir by
+    its own bounds without knowing which spec produced it."""
+    import datetime as dt
+
+    v1 = snapshots.commit_partitioned(
+        _dated(spark, [("2024-01-01", 1), ("2024-01-02", 2), ("2024-01-03", 3)]),
+        tdir, "d", "day",
+    )
+    v2 = snapshots.commit_partitioned(
+        _dated(spark, [("2024-02-10", 4), ("2024-02-20", 5)]),
+        tdir, "d", "month",
+    )
+    man = snapshots._load_manifest(tdir)
+    assert len(snapshots._dirs_of(man, v1)) == 3  # one dir per day
+    dirs = snapshots._dirs_of(man, v2)
+    assert len(dirs) == 4  # 3 day dirs + 1 month dir, one snapshot
+    assert all("/" in d and "_sg_part=" in d for d in dirs)
+    # the spec is recorded per commit (introspection only)
+    assert man["snapshots"][0]["spec"] == {"col": "d", "transform": "day"}
+    assert man["snapshots"][1]["spec"] == {"col": "d", "transform": "month"}
+    # boundary-spanning read == flat recompute; _sg_part never leaks
+    full = snapshots.read(spark, tdir)
+    assert full.columns == ["d", "x"]
+    assert sorted(r.x for r in full.collect()) == [1, 2, 3, 4, 5]
+    # a day-bounded read opens exactly one day dir
+    df, nscan, nskip = snapshots.read_pruned(
+        spark, tdir, "d", lo=dt.date(2024, 1, 2), hi=dt.date(2024, 1, 2)
+    )
+    assert (nscan, nskip) == (1, 3)
+    assert [r.x for r in df.collect()] == [2]
+    # a month-bounded read opens exactly the month dir
+    df, nscan, nskip = snapshots.read_pruned(
+        spark, tdir, "d", lo=dt.date(2024, 2, 1), hi=dt.date(2024, 2, 28)
+    )
+    assert (nscan, nskip) == (1, 3)
+    assert sorted(r.x for r in df.collect()) == [4, 5]
+
+
+def test_partition_evolution_deletes_are_layout_safe(spark, tdir):
+    """Positional deletes target files inside nested partition dirs, and
+    equality-delete sequence scoping resolves the NESTED dir's seq (the
+    -2 path element alone would read the _sg_part leaf and default the
+    seq to 0, wrongly deleting post-delete re-appends)."""
+    snapshots.commit_partitioned(
+        _dated(spark, [("2024-01-01", 1), ("2024-01-02", 2)]), tdir, "d", "day"
+    )
+    snapshots.delete_where(spark, tdir, "x = 1")
+    assert [r.x for r in snapshots.read(spark, tdir).collect()] == [2]
+    # equality delete, then the same key re-appended under a NEW layout:
+    # the re-append must survive (its dir seq is above the delete's)
+    keys = _dated(spark, [("2024-01-02", 2)]).select("x")
+    snapshots.delete_matching(spark, tdir, keys, ["x"])
+    assert snapshots.read(spark, tdir).count() == 0
+    snapshots.commit_partitioned(
+        _dated(spark, [("2024-02-02", 2)]), tdir, "d", "month"
+    )
+    assert [r.x for r in snapshots.read(spark, tdir).collect()] == [2]
+
+
+def test_partition_evolution_vacuum_drops_nested_dirs_and_husk(spark, tdir):
+    snapshots.commit_partitioned(
+        _dated(spark, [("2024-01-01", 1), ("2024-01-02", 2)]), tdir, "d", "day"
+    )
+    roots_before = set(_snap_dirs(tdir))
+    snapshots.commit(_dated(spark, [("2024-03-01", 9)]), tdir, mode="overwrite")
+    removed = snapshots.vacuum(tdir, keep_last=1)
+    assert len(removed) == 2  # both nested day dirs expired
+    # the partitioned commit's empty root husk is gone too
+    assert set(_snap_dirs(tdir)).isdisjoint(roots_before)
+    assert [r.x for r in snapshots.read(spark, tdir).collect()] == [9]

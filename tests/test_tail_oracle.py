@@ -41,18 +41,10 @@ _ESCALATION_SF_DIR = "/root/testdata/sf0.01"
 # for a real driver round, so the list is currently empty — any FUTURE
 # tail-first registration must be added here until its first rotation.
 _NEVER_DRIVER_CHECKED: list[str] = [
-    # r9 tail-first registrations (checked budget full): sf0.01 gate
-    # here until their first driver-checked round
-    "multimodal_patch_grid",
-    "events_conversion_lag",
-    "prices_mor_deletes",
-    "dedup_incremental_lsh",
-    "prices_pair_corr",
-    "prices_snapshot_metadata",
-    "prices_pruned_scan",
-    "events_top_paths",
-    "events_twap",
-    "prices_beta",
+    # r10: all ten r9 tail-first rows rotated into SWEEP_CHECKED for
+    # their first real driver round (r9 verdict ask #1) — the list is
+    # empty again; any FUTURE tail-first registration must be added
+    # here until its first rotation.
 ]
 
 
