@@ -100,6 +100,38 @@ def _q_prices_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rsi(prices_standin(spark, sf_dir))
 
 
+def _q_prices_monthly_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar OHLCV rollup (operators/finance.py:monthly_bars):
+    min_by/max_by over the unique date key select first-open/last-close
+    with zero float arithmetic; one (ticker, month) hash aggregate."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        monthly_bars,
+    )
+
+    return monthly_bars(prices_standin(spark, sf_dir))
+
+
+def _q_prices_golden_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA50/SMA200 golden/death crosses with a division-free exact
+    integer comparison (4*s50 vs s200 over cent sums), full windows
+    only (operators/finance.py:golden_cross)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        golden_cross,
+    )
+
+    return golden_cross(prices_standin(spark, sf_dir))
+
+
+def _q_prices_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MACD/signal/histogram: chained EMA recursions folded per ticker
+    in pinned date order (operators/finance.py:macd); the oracle is a
+    recursive CTE running the identical IEEE op sequence — bit-equal
+    doubles, no rounding. Trailing 250 rows per ticker."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import macd
+
+    return macd(prices_standin(spark, sf_dir))
+
+
 def _q_prices_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """On-Balance Volume: running volume sum signed by the close-to-
     close direction — pure int64 end-to-end (operators/finance.py:obv),
@@ -440,6 +472,15 @@ SWEEP_TAIL = [
     "curation_importance_weights",
     "similarity_mmr_rerank",
     "similarity_hard_negatives",
+    # r10 tail-FIRST registrations (checked budget full this round):
+    # listed in tests/test_tail_oracle._NEVER_DRIVER_CHECKED, so each
+    # runs at the driver SF per CI until a future rotation gives it a
+    # real driver round
+    "prices_monthly_bars",
+    "prices_golden_cross",
+    "text_winnowing",
+    "prices_macd",
+    "parts_jaccard_similarity",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -615,6 +656,9 @@ def queries() -> dict[str, QueryFn]:
         "prices_rsi": _q_prices_rsi,
         "prices_obv": _q_prices_obv,
         "prices_partition_evolution": _q_prices_partition_evolution,
+        "prices_monthly_bars": _q_prices_monthly_bars,
+        "prices_golden_cross": _q_prices_golden_cross,
+        "prices_macd": _q_prices_macd,
         "prices_atr": _q_prices_atr,
         "prices_stochastic": _q_prices_stochastic,
         "dq_checks": _q_dq_checks,
@@ -675,6 +719,9 @@ def oracle_sql() -> dict[str, str]:
         BETA_SQL,
         BOLLINGER_SQL,
         DRAWDOWN_SQL,
+        GOLDEN_CROSS_SQL,
+        MACD_SQL,
+        MONTHLY_BARS_SQL,
         OBV_SQL,
         PAIR_CORR_SQL,
         RSI_SQL,
@@ -689,6 +736,15 @@ def oracle_sql() -> dict[str, str]:
         + BOLLINGER_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_rsi": prices_cte + RSI_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_obv": prices_cte + OBV_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_monthly_bars": prices_cte + MONTHLY_BARS_SQL,
+        "prices_golden_cross": prices_cte
+        + GOLDEN_CROSS_SQL.replace("WITH c AS", ", c AS", 1),
+        # the signal-line recursion needs WITH RECURSIVE on the chain's
+        # single WITH keyword (DuckDB declares it once for all CTEs)
+        "prices_macd": prices_cte.replace(
+            "WITH prices", "WITH RECURSIVE prices", 1
+        )
+        + MACD_SQL,
         "prices_atr": prices_cte + ATR_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_stochastic": prices_cte
         + STOCH_SQL.replace("WITH c AS", ", c AS", 1),

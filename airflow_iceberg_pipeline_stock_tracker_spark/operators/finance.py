@@ -124,6 +124,135 @@ ORDER BY ticker, date
 """
 
 
+def monthly_bars(prices: DataFrame) -> DataFrame:
+    """Per (ticker, month): the calendar OHLCV rollup — open is the
+    FIRST day's open, close the LAST day's close (min_by/max_by on the
+    unique date key), high/low the extrema, volume the exact int64 sum.
+    The monthly view every charting surface derives from daily bars
+    (the reference stores daily only, dag.py:132-148).
+
+    Exactness: min_by/max_by select existing doubles by a UNIQUE
+    integer-ordered key (one row per (ticker, date)) — no arithmetic on
+    floats at all; volume is an int64 sum.
+
+    Scale: one hash aggregate keyed (ticker, month) with map-side
+    partial min_by/max_by — shuffle volume bounded by group
+    cardinality, same class as the prices_standin derivation itself.
+    """
+    m = F.date_trunc("month", F.col("date")).cast("date")
+    return (
+        prices.groupBy("ticker", m.alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.min_by("open", "date").alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", "date").alias("close"),
+            F.sum("volume").alias("volume"),
+        )
+        .orderBy("ticker", "month")
+    )
+
+
+MONTHLY_BARS_SQL = """
+SELECT ticker,
+       CAST(date_trunc('month', date) AS DATE) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       min_by(open, date) AS open,
+       MAX(high) AS high,
+       MIN(low) AS low,
+       max_by(close, date) AS close,
+       CAST(SUM(volume) AS BIGINT) AS volume
+FROM prices
+GROUP BY 1, 2
+ORDER BY ticker, month
+"""
+
+GC_FAST = 50  # fast moving-average window (trading days)
+GC_SLOW = 200  # slow window; GC_SLOW must be a multiple of GC_FAST
+
+
+def golden_cross(prices: DataFrame) -> DataFrame:
+    """Golden/death crosses: the days a ticker's 50-day moving average
+    crosses its 200-day moving average — THE long-horizon trend-reversal
+    signal — emitted only where both windows are FULL.
+
+    Exactness: comparing SMA50 to SMA200 needs no division at all —
+    sma50 > sma200 iff 4*s50 > s200 over the cent sums (GC_SLOW/GC_FAST
+    = 4, all int64). The crossing test compares today's exact integer
+    diff sign with yesterday's; golden = diff goes nonpositive ->
+    positive, death = nonnegative -> negative.
+
+    Scale: three stacked windows on one (ticker, date) exchange —
+    single sort, no joins, no Python; same class as prices_drawdown.
+    """
+    w = Window.partitionBy("ticker").orderBy("date")
+    close_c = cents("close")
+    s_fast = F.sum(close_c).over(w.rowsBetween(-(GC_FAST - 1), 0))
+    s_slow = F.sum(close_c).over(w.rowsBetween(-(GC_SLOW - 1), 0))
+    n_slow = F.count(F.lit(1)).over(w.rowsBetween(-(GC_SLOW - 1), 0))
+    staged = prices.select(
+        "ticker",
+        "date",
+        (s_fast * F.lit(GC_SLOW // GC_FAST) - s_slow).alias("diff_c"),
+        n_slow.alias("n_slow"),
+    ).where(F.col("n_slow") == GC_SLOW)
+    prev = F.lag("diff_c").over(w)
+    signals = staged.select(
+        "ticker",
+        "date",
+        "diff_c",
+        prev.alias("prev_diff_c"),
+    ).where(
+        (F.col("prev_diff_c").isNotNull())
+        & (
+            ((F.col("prev_diff_c") <= 0) & (F.col("diff_c") > 0))
+            | ((F.col("prev_diff_c") >= 0) & (F.col("diff_c") < 0))
+        )
+    )
+    return signals.select(
+        "ticker",
+        "date",
+        "diff_c",
+        "prev_diff_c",
+        F.when(F.col("diff_c") > 0, F.lit("golden"))
+        .otherwise(F.lit("death"))
+        .alias("signal"),
+    ).orderBy("ticker", "date")
+
+
+GOLDEN_CROSS_SQL = f"""
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(close * 100) AS BIGINT) AS close_c
+  FROM prices
+), sums AS (
+  SELECT ticker, date,
+         SUM(close_c) OVER (PARTITION BY ticker ORDER BY date
+             ROWS BETWEEN {GC_FAST - 1} PRECEDING AND CURRENT ROW) AS s_fast,
+         SUM(close_c) OVER (PARTITION BY ticker ORDER BY date
+             ROWS BETWEEN {GC_SLOW - 1} PRECEDING AND CURRENT ROW) AS s_slow,
+         COUNT(*) OVER (PARTITION BY ticker ORDER BY date
+             ROWS BETWEEN {GC_SLOW - 1} PRECEDING AND CURRENT ROW) AS n_slow
+  FROM c
+), staged AS (
+  SELECT ticker, date,
+         CAST(s_fast * {GC_SLOW // GC_FAST} - s_slow AS BIGINT) AS diff_c
+  FROM sums WHERE n_slow = {GC_SLOW}
+), signals AS (
+  SELECT ticker, date, diff_c,
+         LAG(diff_c) OVER (PARTITION BY ticker ORDER BY date) AS prev_diff_c
+  FROM staged
+)
+SELECT ticker, date, diff_c, prev_diff_c,
+       CASE WHEN diff_c > 0 THEN 'golden' ELSE 'death' END AS signal
+FROM signals
+WHERE prev_diff_c IS NOT NULL
+  AND ((prev_diff_c <= 0 AND diff_c > 0) OR (prev_diff_c >= 0 AND diff_c < 0))
+ORDER BY ticker, date
+"""
+
+
 def obv(prices: DataFrame) -> DataFrame:
     """Per (ticker, date): On-Balance Volume — the running sum of
     volume signed by the day's close-to-close direction (up: +volume,
@@ -754,4 +883,150 @@ SELECT ticker, n_days, sx, sm, sxm, smm,
        END AS beta
 FROM sums
 ORDER BY ticker
+"""
+
+
+# ---------------------------------------------------------------------------
+# MACD (Appel): chained EMA recursions, per-row output
+# ---------------------------------------------------------------------------
+
+MACD_FAST = 12
+MACD_SLOW = 26
+MACD_SIG = 9
+MACD_TAIL_DAYS = 250  # emit the trailing year; EMAs still seed from ALL history
+
+
+def macd(prices: DataFrame) -> DataFrame:
+    """Per (ticker, date): MACD line (EMA12 - EMA26 of close), signal
+    line (EMA9 of the MACD), histogram — the classic momentum trio.
+    Unlike the repo's window indicators this is a CHAIN of recursions:
+    each EMA depends on its previous OUTPUT, and the signal EMA runs
+    over the macd SERIES, so no SQL window frame expresses it.
+
+    Determinism: each ticker's closes are gathered SORTED BY the unique
+    date key and folded by the JVM higher-order ``aggregate`` — the
+    recursion ``e' = e + a * (x - e)`` (seed: first close; signal seeds
+    at the first macd, which is exactly 0.0) runs the IDENTICAL IEEE op
+    sequence as the oracle's recursive CTE, so doubles are bit-equal
+    with no rounding (the events_ewma / events_holt_forecast
+    discipline; alphas 2/13, 2/27, 2/10 are correctly-rounded double
+    literals in both engines). Values are cents-as-doubles (exact
+    integers < 2^53).
+
+    Output: the trailing MACD_TAIL_DAYS rows per ticker (the fold
+    consumes ALL history for seeding but appends only the tail, keeping
+    the accumulator array bounded). Scale: one shuffle on ticker; state
+    O(ticker's history) — intrinsic to the recursion, and bounded by
+    TIME (daily bars), not data volume.
+    """
+    close_c = cents("close")
+    per_t = prices.groupBy("ticker").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("date"), close_c.cast("double").alias("x"))
+            )
+        ).alias("ordered"),
+    )
+    a12 = f"(cast(2 as double) / {MACD_FAST + 1})"
+    a26 = f"(cast(2 as double) / {MACD_SLOW + 1})"
+    a9 = f"(cast(2 as double) / {MACD_SIG + 1})"
+    fold = F.expr(
+        f"""
+        aggregate(
+          ordered,
+          named_struct(
+            'e12', cast(null as double), 'e26', cast(null as double),
+            'sig', cast(null as double), 'i', 0,
+            'rows',
+            cast(array() as array<struct<date:date,macd:double,sig:double>>)
+          ),
+          (acc, o) -> named_struct(
+            'e12', if(acc.e12 is null, o.x, acc.e12 + {a12} * (o.x - acc.e12)),
+            'e26', if(acc.e26 is null, o.x, acc.e26 + {a26} * (o.x - acc.e26)),
+            'sig',
+            if(acc.sig is null,
+               if(acc.e12 is null, o.x, acc.e12 + {a12} * (o.x - acc.e12))
+               - if(acc.e26 is null, o.x, acc.e26 + {a26} * (o.x - acc.e26)),
+               acc.sig + {a9} * (
+                 (if(acc.e12 is null, o.x, acc.e12 + {a12} * (o.x - acc.e12))
+                  - if(acc.e26 is null, o.x,
+                       acc.e26 + {a26} * (o.x - acc.e26)))
+                 - acc.sig)),
+            'i', acc.i + 1,
+            'rows',
+            if(acc.i + 1 > n_days - {MACD_TAIL_DAYS},
+               array_append(acc.rows, named_struct(
+                 'date', o.date,
+                 'macd',
+                 if(acc.e12 is null, o.x, acc.e12 + {a12} * (o.x - acc.e12))
+                 - if(acc.e26 is null, o.x,
+                      acc.e26 + {a26} * (o.x - acc.e26)),
+                 'sig',
+                 if(acc.sig is null,
+                    if(acc.e12 is null, o.x,
+                       acc.e12 + {a12} * (o.x - acc.e12))
+                    - if(acc.e26 is null, o.x,
+                         acc.e26 + {a26} * (o.x - acc.e26)),
+                    acc.sig + {a9} * (
+                      (if(acc.e12 is null, o.x,
+                          acc.e12 + {a12} * (o.x - acc.e12))
+                       - if(acc.e26 is null, o.x,
+                            acc.e26 + {a26} * (o.x - acc.e26)))
+                      - acc.sig)))),
+               acc.rows)
+          )
+        ).rows
+        """
+    )
+    return (
+        per_t.select("ticker", F.explode(fold).alias("r"))
+        .select(
+            "ticker",
+            F.col("r.date").alias("date"),
+            F.col("r.macd").alias("macd_c"),
+            F.col("r.sig").alias("signal_c"),
+            (F.col("r.macd") - F.col("r.sig")).alias("hist_c"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+# NOTE: must be prefixed by a WITH RECURSIVE chain that defines `prices`
+# (the entry module rewrites the shared prices CTE accordingly): the
+# signal recursion cannot be expressed with DuckDB's list_reduce (its
+# struct-literal fields evaluate sequentially against an in-place
+# accumulator — the r9 Holt lesson), so the oracle recurses row-wise.
+MACD_SQL = f"""
+, c AS (
+  SELECT ticker, date,
+         CAST(CAST(ROUND(close * 100) AS BIGINT) AS DOUBLE) AS x
+  FROM prices
+), ord AS MATERIALIZED (
+  SELECT ticker, date, x,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn,
+         COUNT(*) OVER (PARTITION BY ticker) AS n_days
+  FROM c
+), r AS (
+  SELECT ticker, date, rn, n_days, x,
+         x AS e12, x AS e26,
+         CAST(0 AS DOUBLE) AS macd, CAST(0 AS DOUBLE) AS sig
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.ticker, o.date, o.rn, o.n_days, o.x,
+         r.e12 + (CAST(2 AS DOUBLE) / {MACD_FAST + 1}) * (o.x - r.e12),
+         r.e26 + (CAST(2 AS DOUBLE) / {MACD_SLOW + 1}) * (o.x - r.e26),
+         (r.e12 + (CAST(2 AS DOUBLE) / {MACD_FAST + 1}) * (o.x - r.e12))
+           - (r.e26 + (CAST(2 AS DOUBLE) / {MACD_SLOW + 1}) * (o.x - r.e26)),
+         r.sig + (CAST(2 AS DOUBLE) / {MACD_SIG + 1}) * (
+           ((r.e12 + (CAST(2 AS DOUBLE) / {MACD_FAST + 1}) * (o.x - r.e12))
+            - (r.e26 + (CAST(2 AS DOUBLE) / {MACD_SLOW + 1}) * (o.x - r.e26)))
+           - r.sig)
+  FROM r JOIN ord o ON o.ticker = r.ticker AND o.rn = r.rn + 1
+)
+SELECT ticker, date, macd AS macd_c, sig AS signal_c,
+       macd - sig AS hist_c
+FROM r
+WHERE rn > n_days - {MACD_TAIL_DAYS}
+ORDER BY ticker, date
 """

@@ -1325,3 +1325,115 @@ SELECT CAST(ROW_NUMBER() OVER (ORDER BY lift DESC, w1, w2) AS INT) AS rank,
 FROM scored
 ORDER BY rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 9  # k-gram size (matches the fingerprints row's shingles)
+WINNOW_W = 4  # winnowing window: any match of >= w+k-1 chars is caught
+# order key = hash * M + (M-1-pos): comparing keys compares (hash asc,
+# pos desc) — the RIGHTMOST minimum of a window is simply min(key).
+# hash32 < 2^32 and M = 2^21 keep every key < 2^53 (exact int64, and
+# exact double on any engine that routes through FP).
+WINNOW_M = 1 << 21
+
+
+def winnowing(docs: DataFrame) -> DataFrame:
+    """Per-doc WINNOWING fingerprint summary — the MOSS algorithm: from
+    the rolling k-gram hashes, select the rightmost minimum of every
+    w-hash window. The selected set is the smallest state that still
+    GUARANTEES any shared substring of >= w+k-1 chars between two
+    documents shares a fingerprint — the local-selection upgrade over
+    ``fingerprints``' single global min (1-perm minhash), and the
+    standard pre-filter for plagiarism/near-dup detection at corpus
+    scale.
+
+    Surface (one row per doc, all exact): n_kgrams, n_fingerprints,
+    fp_density (ints' single closing division; expected 2/(w+1)),
+    fp_checksum (int64 sum of selected hashes — hash-stable evidence of
+    WHICH fingerprints were selected, not just how many), fp_min_hash /
+    fp_max_hash.
+
+    Exactness: the rightmost-min tie rule is encoded arithmetically
+    (key = h*M + (M-1-pos), see WINNOW_M) so both engines take min()
+    over int64 keys — no argmin/tie-break constructs to diverge on.
+
+    Scale: pure per-row array computation — NO explode, NO shuffle
+    (cost O(w * chars) per doc map-side); the only exchange is the
+    presentation sort. A 100 TB corpus fingerprint job is exactly this
+    projection; the guarantee window (w+k-1 = 12 chars) is the knob.
+    """
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    df = docs.select("doc_id", norm.alias("t")).repartition(
+        parallelism, "doc_id"
+    )
+    h_arr = F.transform(char_shingles("t", WINNOW_K), hash32)
+    keys = F.transform(
+        h_arr, lambda h, p: h * F.lit(WINNOW_M) + F.lit(WINNOW_M - 1) - p
+    )
+    staged = df.select("doc_id", keys.alias("keys"))
+    n = F.size(F.col("keys"))
+    starts = F.sequence(F.lit(0), F.greatest(n - WINNOW_W, F.lit(0)))
+    sel = F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.array_min(F.slice(F.col("keys"), i + 1, WINNOW_W)),
+        )
+    )
+    out = staged.select(
+        "doc_id",
+        n.alias("n_kgrams"),
+        sel.alias("sel"),
+    ).select(
+        "doc_id",
+        F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
+        F.size("sel").cast("bigint").alias("n_fingerprints"),
+        (F.size("sel") / F.col("n_kgrams")).alias("fp_density"),
+        F.expr(
+            f"aggregate(sel, 0L, (acc, x) -> acc + x div {WINNOW_M})"
+        ).alias("fp_checksum"),
+        (F.array_min("sel") / F.lit(WINNOW_M))
+        .cast("bigint")
+        .alias("fp_min_hash"),
+        (F.array_max("sel") / F.lit(WINNOW_M))
+        .cast("bigint")
+        .alias("fp_max_hash"),
+    )
+    return out.orderBy("doc_id")
+
+
+WINNOWING_SQL = f"""
+WITH normed AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+  FROM documents
+), keyed AS (
+  SELECT doc_id,
+         CASE WHEN length(t) <= {WINNOW_K}
+              THEN [{hash32_sql('t')} * {WINNOW_M} + {WINNOW_M - 1}]
+              ELSE [{hash32_sql(f'substr(t, i, {WINNOW_K})')} * {WINNOW_M}
+                    + {WINNOW_M - 1} - (i - 1)
+                    for i in range(1, length(t) - {WINNOW_K - 2})] END AS keys
+  FROM normed
+), winnowed AS (
+  SELECT doc_id, len(keys) AS n,
+         list_distinct([
+           list_min(keys[i + 1 : i + {WINNOW_W}])
+           for i in range(0, greatest(len(keys) - {WINNOW_W}, 0) + 1)
+         ]) AS sel
+  FROM keyed
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_kgrams,
+       CAST(len(sel) AS BIGINT) AS n_fingerprints,
+       CAST(len(sel) AS DOUBLE) / n AS fp_density,
+       CAST(list_sum([x // {WINNOW_M} for x in sel]) AS BIGINT)
+         AS fp_checksum,
+       CAST(list_min(sel) // {WINNOW_M} AS BIGINT) AS fp_min_hash,
+       CAST(list_max(sel) // {WINNOW_M} AS BIGINT) AS fp_max_hash
+FROM winnowed
+ORDER BY doc_id
+"""

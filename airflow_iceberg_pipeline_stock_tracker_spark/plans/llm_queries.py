@@ -420,6 +420,9 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_quality_score": (_docs(text.quality_score), text.QUALITY_SQL),
     "text_token_stats": (_docs(text.token_stats), text.TOKEN_STATS_SQL),
     "text_fingerprints": (_docs(text.fingerprints), text.FINGERPRINTS_SQL),
+    # winnowing (MOSS): rightmost-min-per-window k-gram selection with
+    # the guarantee threshold w+k-1; per-doc summary, zero-shuffle
+    "text_winnowing": (_docs(text.winnowing), text.WINNOWING_SQL),
     "text_pack_shards": (_docs(text.pack_shards), text.PACK_SHARDS_SQL),
     "text_top_terms": (_docs(text.top_terms), text.TOP_TERMS_SQL),
     "text_corpus_stats": (_docs(text.corpus_stats), text.CORPUS_STATS_SQL),

@@ -1186,6 +1186,86 @@ ORDER BY support DESC, part_a, part_b
 """
 
 
+JACCARD_MIN_SUPPORT = 3
+JACCARD_TOP_K = 20
+
+
+def parts_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item Jaccard similarity over the co-purchase topology — the
+    set-overlap complement to orders_basket_rules' directional
+    confidence: jaccard(a, b) = |baskets(a) n baskets(b)| /
+    |baskets(a) u baskets(b)| = co / (n_a + n_b - co). The symmetric
+    "customers who bought X also bought Y" score item-item
+    collaborative filtering starts from.
+
+    Exactness: all three counts are exact int64; the score is ONE
+    closing division of exact integers written identically in both
+    engines, so the (jaccard DESC, part_a, part_b) ranking cannot
+    diverge on ulps.
+
+    Scale: reuses the bounded-basket pair shape (<= C(7,2) pairs per
+    order, linear in orders); item supports attach by broadcast; the
+    min-support filter runs BEFORE the join so only qualifying pairs
+    carry through; top-k is TakeOrderedAndProject, never a global sort.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    item = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("co"))
+        .where(F.col("co") >= JACCARD_MIN_SUPPORT)
+    )
+    sa = item.select(F.col("part").alias("part_a"), F.col("n").alias("n_a"))
+    sb = item.select(F.col("part").alias("part_b"), F.col("n").alias("n_b"))
+    jac = F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co"))
+    return (
+        pairs.join(F.broadcast(sa), "part_a")
+        .join(F.broadcast(sb), "part_b")
+        .select("part_a", "part_b", "co", "n_a", "n_b", jac.alias("jaccard"))
+        .orderBy(F.desc("jaccard"), "part_a", "part_b")
+        .limit(JACCARD_TOP_K)
+    )
+
+
+PARTS_JACCARD_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+), item_n AS (
+  SELECT l_partkey AS part, CAST(COUNT(*) AS BIGINT) AS n
+  FROM items GROUP BY 1
+), pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         CAST(COUNT(*) AS BIGINT) AS co
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {JACCARD_MIN_SUPPORT}
+)
+SELECT part_a, part_b, co, sa.n AS n_a, sb.n AS n_b,
+       CAST(co AS DOUBLE) / (sa.n + sb.n - co) AS jaccard
+FROM pairs
+JOIN item_n sa ON sa.part = part_a
+JOIN item_n sb ON sb.part = part_b
+ORDER BY jaccard DESC, part_a, part_b
+LIMIT {JACCARD_TOP_K}
+"""
+
+
 def orders_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABC / Pareto classification of parts by revenue: rank every part
     by lineitem revenue, take the running share of total, and label the
@@ -1395,6 +1475,10 @@ RELATIONAL_EXT_QUERIES = {
     "parts_name_linkage": (parts_name_linkage, PARTS_LINKAGE_SQL),
     "customer_rfm": (customer_rfm, CUSTOMER_RFM_SQL),
     "orders_market_basket": (orders_market_basket, MARKET_BASKET_SQL),
+    "parts_jaccard_similarity": (
+        parts_jaccard_similarity,
+        PARTS_JACCARD_SQL,
+    ),
     "orders_abc_analysis": (orders_abc_analysis, ABC_ANALYSIS_SQL),
     "orders_cohort_ltv": (orders_cohort_ltv, COHORT_LTV_SQL),
     "orders_basket_rules": (orders_basket_rules, BASKET_RULES_SQL),

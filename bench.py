@@ -199,6 +199,11 @@ HEADLINE = [
     # --- added in round 10 ---
     "prices_obv",
     "prices_partition_evolution",
+    "prices_monthly_bars",
+    "prices_golden_cross",
+    "text_winnowing",
+    "prices_macd",
+    "parts_jaccard_similarity",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

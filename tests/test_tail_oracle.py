@@ -42,9 +42,13 @@ _ESCALATION_SF_DIR = "/root/testdata/sf0.01"
 # tail-first registration must be added here until its first rotation.
 _NEVER_DRIVER_CHECKED: list[str] = [
     # r10: all ten r9 tail-first rows rotated into SWEEP_CHECKED for
-    # their first real driver round (r9 verdict ask #1) — the list is
-    # empty again; any FUTURE tail-first registration must be added
-    # here until its first rotation.
+    # their first real driver round (r9 verdict ask #1); the r10
+    # tail-first registrations below gate here until their rotation.
+    "prices_monthly_bars",
+    "prices_golden_cross",
+    "text_winnowing",
+    "prices_macd",
+    "parts_jaccard_similarity",
 ]
 
 
