@@ -1,0 +1,252 @@
+"""Unit tests for the round-10 operators: monthly bars, golden cross,
+OBV, MACD, winnowing fingerprints, item-item Jaccard. Each pins the
+semantic contract on a small adversarial fixture (the oracle gate
+checks engine parity; these check the MATH is the intended math)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+    GC_SLOW,
+    MACD_FAST,
+    MACD_SIG,
+    MACD_SLOW,
+    golden_cross,
+    macd,
+    monthly_bars,
+    obv,
+)
+
+
+def _prices(spark, closes, ticker="T", volumes=None, start=dt.date(2024, 1, 1)):
+    volumes = volumes or [100.0] * len(closes)
+    return spark.createDataFrame(
+        [
+            (ticker, start + dt.timedelta(days=i), c / 100.0, c / 100.0,
+             c / 100.0, c / 100.0, float(v))
+            for i, (c, v) in enumerate(zip(closes, volumes))
+        ],
+        "ticker string, date date, open double, high double, low double, "
+        "close double, volume double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# monthly bars
+# ---------------------------------------------------------------------------
+
+def test_monthly_bars_first_open_last_close_extrema(spark):
+    # Jan 30 + Jan 31 + Feb 1: month boundary splits the series
+    df = spark.createDataFrame(
+        [
+            ("T", dt.date(2024, 1, 30), 10.0, 15.0, 9.0, 12.0, 5.0),
+            ("T", dt.date(2024, 1, 31), 12.0, 20.0, 11.0, 18.0, 7.0),
+            ("T", dt.date(2024, 2, 1), 18.0, 19.0, 17.0, 17.5, 3.0),
+        ],
+        "ticker string, date date, open double, high double, low double, "
+        "close double, volume double",
+    )
+    out = {r.month.isoformat(): r for r in monthly_bars(df).collect()}
+    jan = out["2024-01-01"]
+    assert (jan.n_days, jan.open, jan.high, jan.low, jan.close) == (
+        2, 10.0, 20.0, 9.0, 18.0,
+    )
+    assert jan.volume == 12
+    feb = out["2024-02-01"]
+    assert (feb.n_days, feb.open, feb.close) == (1, 18.0, 17.5)
+
+
+# ---------------------------------------------------------------------------
+# golden cross
+# ---------------------------------------------------------------------------
+
+def test_golden_cross_detects_both_crossings(spark):
+    # flat warm-up long enough to fill the 200-day window, then a surge
+    # (fast SMA rises above slow -> golden), then a crash (death)
+    closes = [100] * (GC_SLOW + 10) + [200] * 30 + [50] * 60
+    out = golden_cross(_prices(spark, closes)).collect()
+    signals = [r.signal for r in out]
+    assert "golden" in signals and "death" in signals
+    # golden must come before death and diff signs must match labels
+    assert signals.index("golden") < signals.index("death")
+    for r in out:
+        assert (r.signal == "golden") == (r.diff_c > 0)
+        assert (r.signal == "death") == (r.diff_c < 0)
+
+
+def test_golden_cross_needs_full_slow_window(spark):
+    # fewer rows than GC_SLOW: no full window, no signals ever
+    closes = [100] * 50 + [200] * 50
+    assert golden_cross(_prices(spark, closes)).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# OBV
+# ---------------------------------------------------------------------------
+
+def test_obv_signs_and_running_sum(spark):
+    closes = [100, 110, 110, 90, 120]
+    vols = [10, 20, 30, 40, 50]
+    out = obv(_prices(spark, closes, volumes=vols)).collect()
+    # day0: no prior -> 0; up +20; flat 0; down -40; up +50
+    assert [r.signed_vol for r in out] == [0, 20, 0, -40, 50]
+    assert [r.obv for r in out] == [0, 20, 20, -20, 30]
+
+
+# ---------------------------------------------------------------------------
+# MACD
+# ---------------------------------------------------------------------------
+
+def test_macd_matches_pure_python_fold(spark):
+    closes = [100 + ((7 * i * i + 3 * i) % 157) for i in range(40)]
+    out = macd(_prices(spark, closes)).collect()
+    a12, a26, a9 = 2.0 / (MACD_FAST + 1), 2.0 / (MACD_SLOW + 1), 2.0 / (
+        MACD_SIG + 1
+    )
+    e12 = e26 = sig = None
+    expect = []
+    for c in closes:
+        x = float(c)
+        e12 = x if e12 is None else e12 + a12 * (x - e12)
+        e26 = x if e26 is None else e26 + a26 * (x - e26)
+        m = e12 - e26
+        sig = m if sig is None else sig + a9 * (m - sig)
+        expect.append((m, sig, m - sig))
+    assert len(out) == 40  # < MACD_TAIL_DAYS, so every row emitted
+    for r, (m, s, h) in zip(out, expect):
+        # bit-equal: the fold runs the identical IEEE op sequence
+        assert r.macd_c == m and r.signal_c == s and r.hist_c == h
+
+
+def test_macd_constant_series_is_all_zero(spark):
+    out = macd(_prices(spark, [500] * 30)).collect()
+    assert all(r.macd_c == 0.0 and r.signal_c == 0.0 and r.hist_c == 0.0
+               for r in out)
+
+
+# ---------------------------------------------------------------------------
+# winnowing
+# ---------------------------------------------------------------------------
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_winnowing_guarantee_shared_substring_shares_fingerprint(spark):
+    """The SIGMOD'03 guarantee: two docs sharing a substring of at least
+    w + k - 1 chars must share at least one selected fingerprint."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing,
+    )
+
+    shared = "zqxjvkwpbyfgmdhu"  # 16 >= w + k - 1 = 12, no repeats
+    t1 = "aaaa " + shared + " bbbb"
+    t2 = "cccccc " + shared + " dd"
+    # recompute the selected fingerprint HASH SETS via the operator's
+    # own checksum surface is too coarse — instead use density+checksum
+    # on a 2-doc corpus where the only plausible overlap is `shared`
+    out = {r.doc_id: r for r in winnowing(_docs(spark, [t1, t2])).collect()}
+    assert out[0].n_kgrams == len(t1.lower()) - WINNOW_K + 1
+    # direct set check via a tiny reimplementation in python
+    import hashlib
+
+    def fps(text):
+        t = " ".join(text.lower().split())
+        n = len(t)
+        grams = [t] if n <= WINNOW_K else [
+            t[i : i + WINNOW_K] for i in range(n - WINNOW_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        M = 1 << 21
+        keys = [h * M + (M - 1 - p) for p, h in enumerate(hs)]
+        sel = set()
+        w = WINNOW_W
+        for i in range(max(len(keys) - w, 0) + 1):
+            sel.add(min(keys[i : i + w]))
+        return {k_ // M for k_ in sel}
+
+    assert fps(t1) & fps(t2), "guarantee broken in the reference model"
+    # and the operator's checksum equals the reference model's sum over
+    # selected keys' hashes for each doc
+    for d, t in ((0, t1), (1, t2)):
+        t_norm = " ".join(t.lower().split())
+        n = len(t_norm)
+        grams = [t_norm] if n <= WINNOW_K else [
+            t_norm[i : i + WINNOW_K] for i in range(n - WINNOW_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        M = 1 << 21
+        keys = [h * M + (M - 1 - p) for p, h in enumerate(hs)]
+        sel = set()
+        for i in range(max(len(keys) - WINNOW_W, 0) + 1):
+            sel.add(min(keys[i : i + WINNOW_W]))
+        assert out[d].n_fingerprints == len(sel)
+        assert out[d].fp_checksum == sum(k_ // M for k_ in sel)
+
+
+def test_winnowing_short_doc_single_window(spark):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        winnowing,
+    )
+
+    out = winnowing(_docs(spark, ["tiny"])).collect()[0]
+    # shorter than k: one shingle (the whole text), one fingerprint
+    assert out.n_kgrams == 1 and out.n_fingerprints == 1
+    assert out.fp_min_hash == out.fp_max_hash == out.fp_checksum
+
+
+def test_winnowing_density_near_two_over_w_plus_one(spark):
+    """Expected density of winnowing on random-ish text is 2/(w+1); on
+    a long non-repeating-ish doc it should land in a generous band."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        WINNOW_W,
+        winnowing,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    text = "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))
+    out = winnowing(_docs(spark, [text])).collect()[0]
+    expected = 2.0 / (WINNOW_W + 1)
+    assert expected * 0.6 <= out.fp_density <= expected * 1.6
+
+
+# ---------------------------------------------------------------------------
+# item-item Jaccard
+# ---------------------------------------------------------------------------
+
+def test_parts_jaccard_exact_overlap_math(spark, tmp_path):
+    import os
+
+    rows = []
+    # parts 1,2 co-occur in 4 baskets; part 1 alone in 1; part 2 alone in 2
+    for o in range(4):
+        rows += [(o, 1), (o, 2)]
+    rows += [(100, 1), (200, 2), (201, 2)]
+    # a sub-threshold pair (co=2 < 3) must not appear
+    rows += [(300, 7), (300, 8), (301, 7), (301, 8)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "lineitem.parquet"))
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        parts_jaccard_similarity,
+    )
+
+    out = parts_jaccard_similarity(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.part_a, r.part_b, r.co, r.n_a, r.n_b) == (1, 2, 4, 5, 6)
+    assert r.jaccard == pytest.approx(4 / (5 + 6 - 4))
