@@ -706,3 +706,48 @@ def test_conversion_lag_has_no_global_window(spark, sf_dir):
     assert ", [bkt#" in win_lines[0], win_lines[0]
     # the old plan's global row_number ranking is gone
     assert "row_number" not in plan
+
+
+def test_winnowing_is_pure_projection_no_python(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.llm_queries import (
+        LLM_QUERIES,
+    )
+
+    plan = (
+        LLM_QUERIES["text_winnowing"][0](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # per-row array computation: only the spread repartition and the
+    # presentation sort move data; selection stays JVM-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_parts_jaccard_broadcast_supports_no_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "parts_jaccard_similarity")
+    # item supports attach broadcast-side; top-k is TakeOrdered, and the
+    # basket self-join is an equi-join (never a cartesian product)
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_macd_single_ticker_shuffle_no_python(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    plan = (
+        entrymod.queries()["prices_macd"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # one groupBy(ticker) collects the ordered series; the fold is a JVM
+    # higher-order aggregate, never Python. (The (ticker, date) exchange
+    # below it is the prices_standin derivation's own aggregate.)
+    import re
+
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert len(re.findall(r"hashpartitioning\(ticker#\d+, \d+\)", plan)) == 1
