@@ -481,6 +481,7 @@ SWEEP_TAIL = [
     "text_winnowing",
     "prices_macd",
     "parts_jaccard_similarity",
+    "events_cusum",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

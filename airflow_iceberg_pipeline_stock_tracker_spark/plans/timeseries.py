@@ -1376,6 +1376,114 @@ ORDER BY event_type, day
 """
 
 
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over hourly volumes
+# ---------------------------------------------------------------------------
+
+CUSUM_H = 1  # flag when the accumulated excess exceeds H mean-hours
+
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, hour): two-sided CUSUM over hourly event volume
+    — the classic sequential changepoint statistic (Page 1954): an
+    upward shift in rate accumulates in ``cusum_up = max(0, prev +
+    (x - mean))`` faster than any single-hour z-score shows, and
+    symmetric for drops. Complements events_hourly_anomaly (point
+    outliers) with LEVEL-SHIFT detection.
+
+    Exactness: the recursion is rewritten with the prefix-extremum
+    identity ``max(0, S + d) fold == P_t - min(0, min_{j<=t} P_j)`` so
+    the whole statistic is plain window functions over EXACT integers:
+    deviations are scaled by the hour count (``dev = n_hours * x -
+    total`` — no mean division, no floats), P is an int64 running sum,
+    and both sides come from a running min/max. The flag threshold is
+    ``H * total`` (H mean-hours of excess), also integer-exact.
+
+    Scale: hourly pre-aggregation is map-combinable; the windows
+    partition by event_type over HOURS — state bounded by the time
+    range, never by event volume (the same bound class as the
+    (type, day) TWAP window; ~8 types x hours rows total).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    t_all = Window.partitionBy("event_type")
+    run = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    x = F.col("n_events").cast("bigint")
+    staged = hourly.select(
+        "event_type",
+        F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+        x.alias("n_events"),
+        F.count(F.lit(1)).over(t_all).alias("n_hours"),
+        F.sum(x).over(t_all).alias("total"),
+    )
+    dev = F.col("n_hours") * F.col("n_events") - F.col("total")
+    summed = staged.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "total",
+        F.sum(dev).over(run).alias("p"),
+    )
+    p = F.col("p")
+    cusum = summed.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "total",
+        (p - F.least(F.min(p).over(run), F.lit(0))).alias("cusum_up"),
+        (F.greatest(F.max(p).over(run), F.lit(0)) - p).alias("cusum_down"),
+    )
+    h = F.col("total") * F.lit(CUSUM_H)
+    return cusum.select(
+        "event_type",
+        "hour",
+        "n_events",
+        "cusum_up",
+        "cusum_down",
+        (F.col("cusum_up") > h).alias("flag_up"),
+        (F.col("cusum_down") > h).alias("flag_down"),
+    ).orderBy("event_type", "hour")
+
+
+EVENTS_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), staged AS (
+  SELECT event_type, strftime(hour, '%Y-%m-%d %H:00:00') AS hour, n_events,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours,
+         CAST(SUM(n_events) OVER (PARTITION BY event_type) AS BIGINT)
+           AS total
+  FROM hourly
+), summed AS (
+  SELECT event_type, hour, n_events, total,
+         CAST(SUM(n_hours * n_events - total) OVER run AS BIGINT) AS p
+  FROM staged
+  WINDOW run AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), prefixed AS (
+  SELECT event_type, hour, n_events, total, p,
+         CAST(MIN(p) OVER run AS BIGINT) AS mn,
+         CAST(MAX(p) OVER run AS BIGINT) AS mx
+  FROM summed
+  WINDOW run AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour, n_events,
+       p - LEAST(mn, 0) AS cusum_up,
+       GREATEST(mx, 0) - p AS cusum_down,
+       (p - LEAST(mn, 0)) > total * {CUSUM_H} AS flag_up,
+       (GREATEST(mx, 0) - p) > total * {CUSUM_H} AS flag_down
+FROM prefixed
+ORDER BY event_type, hour
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -1396,6 +1504,7 @@ TIMESERIES_QUERIES = {
         EVENTS_QUANTILE_SKETCH_SQL,
     ),
     "events_twap": (events_twap, EVENTS_TWAP_SQL),
+    "events_cusum": (events_cusum, EVENTS_CUSUM_SQL),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     # oracle recomputes from raw events at the INCREMENTAL horizon:

@@ -204,6 +204,7 @@ HEADLINE = [
     "text_winnowing",
     "prices_macd",
     "parts_jaccard_similarity",
+    "events_cusum",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

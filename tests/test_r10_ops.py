@@ -250,3 +250,49 @@ def test_parts_jaccard_exact_overlap_math(spark, tmp_path):
     r = out[0]
     assert (r.part_a, r.part_b, r.co, r.n_a, r.n_b) == (1, 2, 4, 5, 6)
     assert r.jaccard == pytest.approx(4 / (5 + 6 - 4))
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint
+# ---------------------------------------------------------------------------
+
+def test_cusum_prefix_identity_matches_direct_fold(spark, tmp_path):
+    """The window formulation (P - min(0, running min P)) must equal the
+    textbook recursion max(0, S + d) — both sides, on a series with a
+    deliberate level shift."""
+    import os
+
+    import datetime as dt
+
+    counts = [10] * 24 + [25] * 12 + [10] * 12  # shift up, then back
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        ts = dt.datetime(2024, 3, 1) + dt.timedelta(hours=h)
+        for _ in range(c):
+            rows.append((eid, ts, 1, "click", 1.0, "{}"))
+            eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_cusum,
+    )
+
+    out = events_cusum(spark, d).collect()
+    n_hours = len(counts)
+    total = sum(counts)
+    s_up = s_dn = 0
+    for r, c in zip(out, counts):
+        d_ = n_hours * c - total
+        s_up = max(0, s_up + d_)
+        s_dn = max(0, s_dn - d_)
+        assert (r.cusum_up, r.cusum_down) == (s_up, s_dn)
+        assert r.flag_up == (s_up > total) and r.flag_down == (s_dn > total)
+    # the level shift must actually trip the up-flag at least once
+    assert any(r.flag_up for r in out)

@@ -49,6 +49,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "text_winnowing",
     "prices_macd",
     "parts_jaccard_similarity",
+    "events_cusum",
 ]
 
 
