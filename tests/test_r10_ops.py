@@ -296,3 +296,70 @@ def test_cusum_prefix_identity_matches_direct_fold(spark, tmp_path):
         assert r.flag_up == (s_up > total) and r.flag_down == (s_dn > total)
     # the level shift must actually trip the up-flag at least once
     assert any(r.flag_up for r in out)
+
+
+# ---------------------------------------------------------------------------
+# conversion-lag distributed selection: bucket-boundary edges
+# ---------------------------------------------------------------------------
+
+def _write_events(spark, tmp_path, rows):
+    import os
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_conversion_lag_identical_lags_single_bucket(spark, tmp_path):
+    """All converters share one lag: hi == lo collapses the range to a
+    single bucket — every quantile must be that exact value."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(7):
+        rows.append((eid, base, u, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(seconds=42), u, "purchase",
+                     1.0, "{}")); eid += 1
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
+        events_conversion_lag,
+    )
+
+    r = events_conversion_lag(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()[0]
+    assert (r.n_converters, r.min_lag_s, r.p50_lag_s, r.p90_lag_s,
+            r.max_lag_s) == (7, 42, 42, 42, 42)
+
+
+def test_conversion_lag_extreme_spread_sparse_buckets(spark, tmp_path):
+    """Two clusters a million seconds apart: nearly every range bucket
+    is empty; rank targeting must still land on exact order
+    statistics."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    lags = [0, 1, 2, 1_000_000, 1_000_001]
+    for u, lag in enumerate(lags):
+        rows.append((eid, base, u, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, base + dt.timedelta(seconds=lag), u, "purchase",
+                     1.0, "{}")); eid += 1
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.queries import (
+        events_conversion_lag,
+    )
+
+    r = events_conversion_lag(
+        spark, _write_events(spark, tmp_path, rows)
+    ).collect()[0]
+    # n=5: p50 rank ceil(2.5)=3 -> 2; p90 rank ceil(4.5)=5 -> 1000001
+    assert (r.n_converters, r.min_lag_s, r.p50_lag_s, r.p90_lag_s,
+            r.max_lag_s) == (5, 0, 2, 1_000_001, 1_000_001)
