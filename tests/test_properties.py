@@ -2039,3 +2039,68 @@ def test_beta_degenerate_nulls(spark, rows):
         )
         want[tick] = (n, sx, sm, sxm, smm, beta)
     assert got == want
+
+
+# partition-evolution commits: each is (transform, [(day-offset, value)]);
+# mixing day- and month-grouped commits in one table is the point
+_evolution_commits = st.lists(
+    st.tuples(
+        st.sampled_from(["day", "month"]),
+        st.lists(
+            st.tuples(st.integers(0, 90), st.integers(0, 999)),
+            min_size=1,
+            max_size=6,
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(
+    commits=_evolution_commits,
+    lo_off=st.integers(0, 90),
+    hi_off=st.integers(0, 90),
+)
+@_prop_settings
+def test_partition_evolution_prune_matches_flat_filter(
+    spark, commits, lo_off, hi_off, tmp_path_factory
+):
+    """Random mixes of day- and month-partitioned commits on one table:
+    the boundary-spanning full read must equal the union of all inputs,
+    and a random bounded read_pruned must equal the flat filter — with
+    scanned + skipped accounting for every dir of the head snapshot,
+    whatever layout produced each dir."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources import snapshots
+
+    tdir = str(tmp_path_factory.mktemp("evolveprop") / "tbl")
+    base = dt.date(2024, 1, 1)
+    all_rows: list[tuple[int, int]] = []
+    for transform, rows in commits:
+        df = spark.createDataFrame(
+            [(base + dt.timedelta(days=o), x) for o, x in rows],
+            "d date, x int",
+        )
+        snapshots.commit_partitioned(df, tdir, "d", transform)
+        all_rows += rows
+    got_all = sorted((r.d, r.x) for r in snapshots.read(spark, tdir).collect())
+    assert got_all == sorted(
+        (base + dt.timedelta(days=o), x) for o, x in all_rows
+    )
+    lo, hi = sorted((lo_off, hi_off))
+    pruned, n_scan, n_skip = snapshots.read_pruned(
+        spark,
+        tdir,
+        "d",
+        lo=base + dt.timedelta(days=lo),
+        hi=base + dt.timedelta(days=hi),
+    )
+    got = sorted((r.d, r.x) for r in pruned.collect())
+    want = sorted(
+        (base + dt.timedelta(days=o), x)
+        for o, x in all_rows
+        if lo <= o <= hi
+    )
+    assert got == want
+    man = snapshots._load_manifest(tdir)
+    assert n_scan + n_skip == len(snapshots._dirs_of(man, man["current"]))
