@@ -482,6 +482,7 @@ SWEEP_TAIL = [
     "prices_macd",
     "parts_jaccard_similarity",
     "events_cusum",
+    "orders_open_backlog",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

@@ -1456,6 +1456,95 @@ ORDER BY cohort_month, age_months
 """
 
 
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily open-order backlog: for every date, how many orders are
+    open (placed but not yet fully shipped) and how many line items
+    they carry — the operations time series behind every fulfillment
+    dashboard.
+
+    An order is open on day d iff o_orderdate <= d < close_date, where
+    close_date is the order's LAST l_shipdate (the driver's lineitem
+    slice carries ship dates only). Computing that by
+    joining every order to every day it spans would fan out |orders| x
+    |span| rows; instead each interval becomes TWO difference-array
+    events (+1 at open, -1 at close) and the running sum over the date
+    spine reconstructs the count — the standard interval-stabbing
+    rewrite that keeps the shuffle linear in ORDERS, not order-days.
+
+    Exactness: everything is int64 counts summed over exact date keys.
+    The running-sum window is global-ordered but DOMAIN-bounded: its
+    input is one row per DATE (~2.4k over TPC-H's range, bounded by the
+    calendar, never by data volume) — the same dimension-scale class as
+    the gapfill spine.
+
+    Surface: one row per date with a nonzero-backlog day on either
+    side: date, n_open (orders), open_lines (their line items).
+    """
+    li = load_table(spark, sf_dir, "lineitem").groupBy(
+        F.col("l_orderkey").alias("okey")
+    ).agg(
+        F.max("l_shipdate").cast("date").alias("close_date"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderdate").cast("date").alias("open_date"),
+    )
+    iv = orders.join(li, "okey")
+    deltas = iv.select(
+        F.col("open_date").alias("date"),
+        F.lit(1).cast("bigint").alias("d_open"),
+        F.col("n_lines").cast("bigint").alias("d_lines"),
+    ).unionByName(
+        iv.select(
+            F.col("close_date").alias("date"),
+            F.lit(-1).cast("bigint").alias("d_open"),
+            (-F.col("n_lines")).cast("bigint").alias("d_lines"),
+        )
+    )
+    daily = deltas.groupBy("date").agg(
+        F.sum("d_open").alias("dd_open"), F.sum("d_lines").alias("dd_lines")
+    )
+    run = Window.orderBy("date").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.select(
+            "date",
+            F.sum("dd_open").over(run).alias("n_open"),
+            F.sum("dd_lines").over(run).alias("open_lines"),
+        )
+        .orderBy("date")
+    )
+
+
+OPEN_BACKLOG_SQL = """
+WITH close AS (
+  SELECT l_orderkey AS okey,
+         CAST(MAX(l_shipdate) AS DATE) AS close_date,
+         CAST(COUNT(*) AS BIGINT) AS n_lines
+  FROM lineitem GROUP BY 1
+), iv AS (
+  SELECT CAST(o.o_orderdate AS DATE) AS open_date, c.close_date, c.n_lines
+  FROM orders o JOIN close c ON c.okey = o.o_orderkey
+), deltas AS (
+  SELECT open_date AS date, CAST(1 AS BIGINT) AS d_open, n_lines AS d_lines
+  FROM iv
+  UNION ALL
+  SELECT close_date AS date, CAST(-1 AS BIGINT), -n_lines FROM iv
+), daily AS (
+  SELECT date, CAST(SUM(d_open) AS BIGINT) AS dd_open,
+         CAST(SUM(d_lines) AS BIGINT) AS dd_lines
+  FROM deltas GROUP BY 1
+)
+SELECT date,
+       CAST(SUM(dd_open) OVER run AS BIGINT) AS n_open,
+       CAST(SUM(dd_lines) OVER run AS BIGINT) AS open_lines
+FROM daily
+WINDOW run AS (ORDER BY date ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+ORDER BY date
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -1479,6 +1568,7 @@ RELATIONAL_EXT_QUERIES = {
         parts_jaccard_similarity,
         PARTS_JACCARD_SQL,
     ),
+    "orders_open_backlog": (orders_open_backlog, OPEN_BACKLOG_SQL),
     "orders_abc_analysis": (orders_abc_analysis, ABC_ANALYSIS_SQL),
     "orders_cohort_ltv": (orders_cohort_ltv, COHORT_LTV_SQL),
     "orders_basket_rules": (orders_basket_rules, BASKET_RULES_SQL),

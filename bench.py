@@ -205,6 +205,7 @@ HEADLINE = [
     "prices_macd",
     "parts_jaccard_similarity",
     "events_cusum",
+    "orders_open_backlog",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -363,3 +363,57 @@ def test_conversion_lag_extreme_spread_sparse_buckets(spark, tmp_path):
     # n=5: p50 rank ceil(2.5)=3 -> 2; p90 rank ceil(4.5)=5 -> 1000001
     assert (r.n_converters, r.min_lag_s, r.p50_lag_s, r.p90_lag_s,
             r.max_lag_s) == (5, 0, 2, 1_000_001, 1_000_001)
+
+
+# ---------------------------------------------------------------------------
+# open-order backlog (difference-array interval stabbing)
+# ---------------------------------------------------------------------------
+
+def test_open_backlog_matches_naive_interval_count(spark, tmp_path):
+    import os
+
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    # (orderkey, open_off, [line ship offsets])
+    orders = [
+        (1, 0, [2, 5]),     # open days 0..4
+        (2, 1, [1]),        # opens and fully ships day 1: never open
+        (3, 3, [4, 9]),     # open days 3..8
+        (4, 5, [6]),        # open day 5
+    ]
+    o_rows = [(k, base + dt.timedelta(days=o)) for k, o, _ in orders]
+    l_rows = [
+        (k, base + dt.timedelta(days=s))
+        for k, _, ships in orders
+        for s in ships
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(o_rows, "o_orderkey long, o_orderdate date").write.parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    spark.createDataFrame(l_rows, "l_orderkey long, l_shipdate date").write.parquet(
+        os.path.join(d, "lineitem.parquet")
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        orders_open_backlog,
+    )
+
+    got = {
+        (r.date - base).days: (r.n_open, r.open_lines)
+        for r in orders_open_backlog(spark, d).collect()
+    }
+    # naive recompute over every day in range
+    for day in range(0, 11):
+        n = sum(1 for _, o, ships in orders if o <= day < max(ships))
+        ln = sum(
+            len(ships) for _, o, ships in orders if o <= day < max(ships)
+        )
+        if day in got:
+            assert got[day] == (n, ln)
+        else:
+            # days absent from the delta table must not change the
+            # running value: same as the previous emitted day
+            prev = max((k for k in got if k < day), default=None)
+            assert (n, ln) == (got[prev] if prev is not None else (0, 0))

@@ -50,6 +50,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "prices_macd",
     "parts_jaccard_similarity",
     "events_cusum",
+    "orders_open_backlog",
 ]
 
 
