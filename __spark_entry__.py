@@ -132,6 +132,17 @@ def _q_prices_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return macd(prices_standin(spark, sf_dir))
 
 
+def _q_prices_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku lines in doubled/quadrupled cent space — window extrema
+    midpoints + 26-bar shifts, full windows only, zero division
+    (operators/finance.py:ichimoku)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        ichimoku,
+    )
+
+    return ichimoku(prices_standin(spark, sf_dir))
+
+
 def _q_prices_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """On-Balance Volume: running volume sum signed by the close-to-
     close direction — pure int64 end-to-end (operators/finance.py:obv),
@@ -483,6 +494,8 @@ SWEEP_TAIL = [
     "parts_jaccard_similarity",
     "events_cusum",
     "orders_open_backlog",
+    "prices_ichimoku",
+    "events_cusum_incremental",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -661,6 +674,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_monthly_bars": _q_prices_monthly_bars,
         "prices_golden_cross": _q_prices_golden_cross,
         "prices_macd": _q_prices_macd,
+        "prices_ichimoku": _q_prices_ichimoku,
         "prices_atr": _q_prices_atr,
         "prices_stochastic": _q_prices_stochastic,
         "dq_checks": _q_dq_checks,
@@ -722,6 +736,7 @@ def oracle_sql() -> dict[str, str]:
         BOLLINGER_SQL,
         DRAWDOWN_SQL,
         GOLDEN_CROSS_SQL,
+        ICHIMOKU_SQL,
         MACD_SQL,
         MONTHLY_BARS_SQL,
         OBV_SQL,
@@ -738,6 +753,8 @@ def oracle_sql() -> dict[str, str]:
         + BOLLINGER_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_rsi": prices_cte + RSI_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_obv": prices_cte + OBV_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_ichimoku": prices_cte
+        + ICHIMOKU_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_monthly_bars": prices_cte + MONTHLY_BARS_SQL,
         "prices_golden_cross": prices_cte
         + GOLDEN_CROSS_SQL.replace("WITH c AS", ", c AS", 1),

@@ -1030,3 +1030,99 @@ FROM r
 WHERE rn > n_days - {MACD_TAIL_DAYS}
 ORDER BY ticker, date
 """
+
+
+# ---------------------------------------------------------------------------
+# Ichimoku Kinko Hyo lines (Hosoda): window-extremum midpoints + shifts
+# ---------------------------------------------------------------------------
+
+ICHI_TENKAN = 9
+ICHI_KIJUN = 26
+ICHI_SENKOU = 52
+
+
+def ichimoku(prices: DataFrame) -> DataFrame:
+    """Per (ticker, date): the five Ichimoku lines, emitted only where
+    every contributing window is FULL (rows >= 52 + the 26-bar shift).
+    The one widely-charted indicator family built purely from window
+    EXTREMA and SHIFTS — no smoothing recursion at all.
+
+    Exactness: every line is kept in doubled/quadrupled CENT space so
+    no division ever happens — tenkan2/kijun2/span_b2 are (highest high
+    + lowest low) over 9/26/52 rows (int64), span_a4 is tenkan2+kijun2
+    lagged 26 bars (4x the plotted senkou A), chikou_c is close lagged
+    -26 (lead; NULL near the series end in both engines).
+
+    Scale: five frames over ONE (ticker, date) sort — a single hash
+    exchange, no joins, no Python; prices_drawdown's class.
+    """
+    w = Window.partitionBy("ticker").orderBy("date")
+    high_c, low_c, close_c = cents("high"), cents("low"), cents("close")
+
+    def mid2(n: int):
+        f = w.rowsBetween(-(n - 1), 0)
+        return F.max(high_c).over(f) + F.min(low_c).over(f)
+
+    staged = prices.select(
+        "ticker",
+        "date",
+        F.row_number().over(w).alias("rn"),
+        mid2(ICHI_TENKAN).alias("tenkan2"),
+        mid2(ICHI_KIJUN).alias("kijun2"),
+        mid2(ICHI_SENKOU).alias("senkou_raw2"),
+        close_c.alias("close_c"),
+    )
+    out = staged.select(
+        "ticker",
+        "date",
+        "rn",
+        "tenkan2",
+        "kijun2",
+        (F.lag(F.col("tenkan2") + F.col("kijun2"), ICHI_KIJUN).over(w)).alias(
+            "span_a4"
+        ),
+        F.lag("senkou_raw2", ICHI_KIJUN).over(w).alias("span_b2"),
+        F.lead("close_c", ICHI_KIJUN).over(w).alias("chikou_c"),
+    )
+    return (
+        out.where(F.col("rn") >= ICHI_SENKOU + ICHI_KIJUN)
+        .drop("rn")
+        .orderBy("ticker", "date")
+    )
+
+
+ICHIMOKU_SQL = f"""
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(high * 100) AS BIGINT) AS high_c,
+         CAST(ROUND(low * 100) AS BIGINT) AS low_c,
+         CAST(ROUND(close * 100) AS BIGINT) AS close_c
+  FROM prices
+), staged AS (
+  SELECT ticker, date,
+         ROW_NUMBER() OVER w AS rn,
+         MAX(high_c) OVER w9 + MIN(low_c) OVER w9 AS tenkan2,
+         MAX(high_c) OVER w26 + MIN(low_c) OVER w26 AS kijun2,
+         MAX(high_c) OVER w52 + MIN(low_c) OVER w52 AS senkou_raw2,
+         close_c
+  FROM c
+  WINDOW w AS (PARTITION BY ticker ORDER BY date),
+         w9 AS (PARTITION BY ticker ORDER BY date
+                ROWS BETWEEN {ICHI_TENKAN - 1} PRECEDING AND CURRENT ROW),
+         w26 AS (PARTITION BY ticker ORDER BY date
+                 ROWS BETWEEN {ICHI_KIJUN - 1} PRECEDING AND CURRENT ROW),
+         w52 AS (PARTITION BY ticker ORDER BY date
+                 ROWS BETWEEN {ICHI_SENKOU - 1} PRECEDING AND CURRENT ROW)
+), shifted AS (
+  SELECT ticker, date, rn, tenkan2, kijun2,
+         LAG(tenkan2 + kijun2, {ICHI_KIJUN}) OVER w AS span_a4,
+         LAG(senkou_raw2, {ICHI_KIJUN}) OVER w AS span_b2,
+         LEAD(close_c, {ICHI_KIJUN}) OVER w AS chikou_c
+  FROM staged
+  WINDOW w AS (PARTITION BY ticker ORDER BY date)
+)
+SELECT ticker, date, tenkan2, kijun2, span_a4, span_b2, chikou_c
+FROM shifted
+WHERE rn >= {ICHI_SENKOU + ICHI_KIJUN}
+ORDER BY ticker, date
+"""

@@ -30,6 +30,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import datetime as dt
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1484,6 +1486,187 @@ ORDER BY event_type, hour
 """
 
 
+CUSUM_TRAIN_DAYS = 7  # in-control baseline window (mu0 per type)
+CUSUM_COMMITS = 4  # incremental fold commits over the monitored span
+
+
+def events_cusum_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous CUSUM monitoring as an INCREMENTAL fold: train the
+    in-control mean mu0 per type on the first CUSUM_TRAIN_DAYS days,
+    then fold the monitored hours commit-by-commit carrying only THREE
+    integers of state per type — (P, running-min P, running-max P), the
+    entire CUSUM memory under the prefix-extremum identity. The oracle
+    recomputes the same statistic in one batch pass over raw events, so
+    a hash match proves fold == batch.
+
+    This is the O(1)-STATE end of the incremental spectrum: where
+    events_decay_incremental carries O(types x users x horizon) ring
+    rows, a rate monitor carries 3 int64 per type — the state a
+    streaming deployment would keep in applyInPandasWithState. Fixed
+    mu0 (not the full-period mean of the batch events_cusum row) is
+    what makes the statistic computable online at all, and is standard
+    CUSUM practice: the baseline is trained, drift is measured against
+    it.
+
+    Exactness: dev = n_train * x - total_train (int64, no mean
+    division); types absent from the training window have no baseline
+    and are excluded in both engines; flags trip at H = 1 training
+    total of accumulated excess.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    first_day = ev.agg(
+        F.min(F.date_trunc("day", "ts")).alias("d")
+    ).collect()[0]["d"]  # 1-row collect, bounded
+    cutoff = first_day + dt.timedelta(days=CUSUM_TRAIN_DAYS)
+    train = (
+        hourly.where(F.col("hour") < F.lit(cutoff))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_train"),
+            F.sum("n_events").alias("total_train"),
+        )
+    )
+    mon = hourly.where(F.col("hour") >= F.lit(cutoff)).join(
+        F.broadcast(train), "event_type"
+    )
+    days = sorted(
+        r.d
+        for r in mon.select(F.to_date("hour").alias("d")).distinct().collect()
+    )  # calendar-bounded
+    n = max(1, (len(days) + CUSUM_COMMITS - 1) // CUSUM_COMMITS)
+    chunks = [days[i : i + n] for i in range(0, len(days), n)]
+
+    state = None  # (event_type, p0, mn0, mx0) — 3 ints per type
+    run = Window.partitionBy("event_type").orderBy("hour").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    outs = []
+    for chunk in chunks:
+        lo, hi = chunk[0], chunk[-1]
+        part = mon.where(
+            (F.to_date("hour") >= F.lit(lo)) & (F.to_date("hour") <= F.lit(hi))
+        )
+        dev = F.col("n_train") * F.col("n_events") - F.col("total_train")
+        local = part.select(
+            "event_type",
+            "hour",
+            "n_events",
+            "total_train",
+            F.sum(dev).over(run).alias("lp"),
+        )
+        local = local.select(
+            "event_type",
+            "hour",
+            "n_events",
+            "total_train",
+            "lp",
+            F.min("lp").over(run).alias("lmn"),
+            F.max("lp").over(run).alias("lmx"),
+        )
+        if state is not None:
+            local = local.join(F.broadcast(state), "event_type", "left")
+        else:
+            local = local.select(
+                "*",
+                F.lit(None).cast("bigint").alias("p0"),
+                F.lit(None).cast("bigint").alias("mn0"),
+                F.lit(None).cast("bigint").alias("mx0"),
+            )
+        p = F.coalesce(F.col("p0"), F.lit(0)) + F.col("lp")
+        # least/greatest ignore NULL seeds: the first chunk's running
+        # extrema are the local ones
+        runmin = F.least(
+            F.col("mn0"), F.coalesce(F.col("p0"), F.lit(0)) + F.col("lmn")
+        )
+        runmax = F.greatest(
+            F.col("mx0"), F.coalesce(F.col("p0"), F.lit(0)) + F.col("lmx")
+        )
+        emitted = local.select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (p - F.least(runmin, F.lit(0))).alias("cusum_up"),
+            (F.greatest(runmax, F.lit(0)) - p).alias("cusum_down"),
+            (p - F.least(runmin, F.lit(0)) > F.col("total_train")).alias(
+                "flag_up"
+            ),
+            (F.greatest(runmax, F.lit(0)) - p > F.col("total_train")).alias(
+                "flag_down"
+            ),
+            p.alias("_p"),
+            runmin.alias("_mn"),
+            runmax.alias("_mx"),
+            F.col("hour").alias("_hour_ts"),
+        ).localCheckpoint(eager=True)
+        outs.append(emitted.drop("_p", "_mn", "_mx", "_hour_ts"))
+        state = emitted.groupBy("event_type").agg(
+            F.max_by("_p", "_hour_ts").alias("p0"),
+            F.min("_mn").alias("mn0"),
+            F.max("_mx").alias("mx0"),
+        )
+    if not outs:
+        return mon.select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.lit(0).cast("bigint").alias("cusum_up"),
+            F.lit(0).cast("bigint").alias("cusum_down"),
+            F.lit(False).alias("flag_up"),
+            F.lit(False).alias("flag_down"),
+        ).limit(0)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.orderBy("event_type", "hour")
+
+
+EVENTS_CUSUM_INCR_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(date_trunc('day', ts)) + INTERVAL {CUSUM_TRAIN_DAYS} DAY
+           AS cutoff
+  FROM events
+), train AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(SUM(n_events) AS BIGINT) AS total_train
+  FROM hourly CROSS JOIN bounds
+  WHERE hour < cutoff GROUP BY 1
+), mon AS (
+  SELECT h.event_type, h.hour, h.n_events, t.n_train, t.total_train
+  FROM hourly h
+  JOIN train t ON t.event_type = h.event_type
+  CROSS JOIN bounds
+  WHERE h.hour >= cutoff
+), summed AS (
+  SELECT event_type, hour, n_events, total_train,
+         CAST(SUM(n_train * n_events - total_train) OVER run AS BIGINT) AS p
+  FROM mon
+  WINDOW run AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), prefixed AS (
+  SELECT event_type, hour, n_events, total_train, p,
+         CAST(MIN(p) OVER run AS BIGINT) AS mn,
+         CAST(MAX(p) OVER run AS BIGINT) AS mx
+  FROM summed
+  WINDOW run AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, strftime(hour, '%Y-%m-%d %H:00:00') AS hour, n_events,
+       p - LEAST(mn, 0) AS cusum_up,
+       GREATEST(mx, 0) - p AS cusum_down,
+       (p - LEAST(mn, 0)) > total_train AS flag_up,
+       (GREATEST(mx, 0) - p) > total_train AS flag_down
+FROM prefixed
+ORDER BY event_type, hour
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -1505,6 +1688,10 @@ TIMESERIES_QUERIES = {
     ),
     "events_twap": (events_twap, EVENTS_TWAP_SQL),
     "events_cusum": (events_cusum, EVENTS_CUSUM_SQL),
+    "events_cusum_incremental": (
+        events_cusum_incremental,
+        EVENTS_CUSUM_INCR_SQL,
+    ),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     # oracle recomputes from raw events at the INCREMENTAL horizon:

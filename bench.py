@@ -206,6 +206,8 @@ HEADLINE = [
     "parts_jaccard_similarity",
     "events_cusum",
     "orders_open_backlog",
+    "prices_ichimoku",
+    "events_cusum_incremental",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -241,6 +243,8 @@ PROOF_TIER = frozenset(
         "prices_partition_evolution",
         # 5-commit day-chunked state-ring fold; table-lifecycle class
         "events_decay_incremental",
+        # 4-commit 3-int-state CUSUM fold; same class
+        "events_cusum_incremental",
     }
 )
 
@@ -267,6 +271,8 @@ RUN_ONCE = frozenset(
         "prices_snapshot_wap",
         # 5-commit fold with per-commit checkpoints; one measured pass
         "events_decay_incremental",
+        # 4-commit O(1)-state fold; one measured pass
+        "events_cusum_incremental",
         # partition-evolution lifecycle proof; one measured pass
         "prices_partition_evolution",
     }

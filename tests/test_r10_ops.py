@@ -417,3 +417,52 @@ def test_open_backlog_matches_naive_interval_count(spark, tmp_path):
             # running value: same as the previous emitted day
             prev = max((k for k in got if k < day), default=None)
             assert (n, ln) == (got[prev] if prev is not None else (0, 0))
+
+
+def test_cusum_incremental_state_carry_across_chunks(spark, tmp_path):
+    """The 3-int state must carry correctly: a level shift in the LAST
+    chunk is judged against extrema accumulated in earlier chunks, and
+    the whole fold equals a direct Python recursion with fixed mu0."""
+    import os
+
+    import datetime as dt
+
+    # 7 training days at 10/hour, then 12 monitored days: quiet, then a
+    # surge confined to the final days (the last fold commit)
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1)
+    for day in range(19):
+        rate = 10 if day < 15 else 30
+        for h in range(4):  # 4 observed hours per day
+            ts = base + dt.timedelta(days=day, hours=h)
+            for _ in range(rate):
+                rows.append((eid, ts, 1, "click", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        CUSUM_TRAIN_DAYS,
+        events_cusum_incremental,
+    )
+
+    out = events_cusum_incremental(spark, d).collect()
+    # reference: fixed mu0 from the 7 training days (28 hours x 10)
+    n_train, total_train = 28, 280
+    mon_counts = [
+        10 if day < 15 else 30
+        for day in range(CUSUM_TRAIN_DAYS, 19)
+        for _ in range(4)
+    ]
+    assert len(out) == len(mon_counts)
+    s_up = s_dn = 0
+    for r, c in zip(out, mon_counts):
+        dd = n_train * c - total_train
+        s_up = max(0, s_up + dd)
+        s_dn = max(0, s_dn - dd)
+        assert (r.cusum_up, r.cusum_down) == (s_up, s_dn), r
+    assert any(r.flag_up for r in out)  # the surge trips the monitor

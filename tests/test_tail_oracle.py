@@ -51,6 +51,8 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "parts_jaccard_similarity",
     "events_cusum",
     "orders_open_backlog",
+    "prices_ichimoku",
+    "events_cusum_incremental",
 ]
 
 
