@@ -496,6 +496,7 @@ SWEEP_TAIL = [
     "orders_open_backlog",
     "prices_ichimoku",
     "events_cusum_incremental",
+    "customer_purchase_cadence",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

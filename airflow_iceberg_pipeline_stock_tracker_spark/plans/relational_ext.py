@@ -1545,6 +1545,94 @@ ORDER BY date
 """
 
 
+def customer_purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer purchase cadence: order count, first/last order,
+    and the average / median / max gap in days between CONSECUTIVE
+    orders — the repeat-purchase rhythm behind churn and replenishment
+    models (customers with one order have no gaps: NULL stats in both
+    engines).
+
+    Exactness: gaps are integer day differences over the sorted unique
+    order dates; the average is ONE closing division of two exact ints
+    (the gap sum telescopes to last - first); the median is the exact
+    discrete order statistic — the value at rank ceil(g/2) of the
+    sorted gaps, computed per-row from the sorted gap array, no
+    interpolation. Same-day repeat orders produce legitimate 0-day
+    gaps.
+
+    Scale: one groupBy(custkey) gathering each customer's order DATES
+    (state bounded by orders-per-customer, the operator's intrinsic
+    requirement — tens, not millions); all gap math is per-row array
+    expressions, no second shuffle before the presentation sort.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").cast("date").alias("d"),
+    )
+    per_c = o.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.array_sort(F.collect_list("d")).alias("dates"),
+    )
+    n = F.size("dates")
+    gaps = F.expr(
+        "zip_with(slice(dates, 1, size(dates) - 1), "
+        "slice(dates, 2, size(dates) - 1), (a, b) -> datediff(b, a))"
+    )
+    staged = per_c.select(
+        "custkey",
+        F.col("n_orders").cast("bigint").alias("n_orders"),
+        F.element_at("dates", 1).alias("first_order"),
+        F.element_at("dates", n).alias("last_order"),
+        F.array_sort(gaps).alias("sgaps"),
+    )
+    g = F.size("sgaps")
+    return staged.select(
+        "custkey",
+        "n_orders",
+        "first_order",
+        "last_order",
+        F.when(
+            g > 0,
+            F.datediff("last_order", "first_order") / g,
+        ).alias("avg_gap_days"),
+        F.when(
+            g > 0,
+            F.element_at("sgaps", F.ceil(g / F.lit(2)).cast("int")),
+        ).cast("bigint").alias("median_gap_days"),
+        F.when(g > 0, F.element_at("sgaps", g))
+        .cast("bigint")
+        .alias("max_gap_days"),
+    ).orderBy("custkey")
+
+
+PURCHASE_CADENCE_SQL = """
+WITH per_c AS (
+  SELECT o_custkey AS custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_orders,
+         list_sort(list(CAST(o_orderdate AS DATE))) AS dates
+  FROM orders GROUP BY 1
+), staged AS (
+  SELECT custkey, n_orders,
+         dates[1] AS first_order,
+         dates[len(dates)] AS last_order,
+         list_sort([dates[i + 1] - dates[i]
+                    for i in range(1, len(dates))]) AS sgaps
+  FROM per_c
+)
+SELECT custkey, n_orders, first_order, last_order,
+       CASE WHEN len(sgaps) > 0
+            THEN CAST(last_order - first_order AS DOUBLE) / len(sgaps) END
+         AS avg_gap_days,
+       CASE WHEN len(sgaps) > 0
+            THEN CAST(sgaps[CAST(ceil(len(sgaps) / 2.0) AS INT)] AS BIGINT)
+       END AS median_gap_days,
+       CASE WHEN len(sgaps) > 0
+            THEN CAST(sgaps[len(sgaps)] AS BIGINT) END AS max_gap_days
+FROM staged
+ORDER BY custkey
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -1569,6 +1657,10 @@ RELATIONAL_EXT_QUERIES = {
         PARTS_JACCARD_SQL,
     ),
     "orders_open_backlog": (orders_open_backlog, OPEN_BACKLOG_SQL),
+    "customer_purchase_cadence": (
+        customer_purchase_cadence,
+        PURCHASE_CADENCE_SQL,
+    ),
     "orders_abc_analysis": (orders_abc_analysis, ABC_ANALYSIS_SQL),
     "orders_cohort_ltv": (orders_cohort_ltv, COHORT_LTV_SQL),
     "orders_basket_rules": (orders_basket_rules, BASKET_RULES_SQL),

@@ -208,6 +208,7 @@ HEADLINE = [
     "orders_open_backlog",
     "prices_ichimoku",
     "events_cusum_incremental",
+    "customer_purchase_cadence",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -466,3 +466,40 @@ def test_cusum_incremental_state_carry_across_chunks(spark, tmp_path):
         s_dn = max(0, s_dn - dd)
         assert (r.cusum_up, r.cusum_down) == (s_up, s_dn), r
     assert any(r.flag_up for r in out)  # the surge trips the monitor
+
+
+def test_purchase_cadence_gaps_and_single_order_nulls(spark, tmp_path):
+    import os
+
+    import datetime as dt
+
+    base = dt.date(2024, 1, 1)
+    rows = [
+        # customer 1: orders at days 0, 10, 12, 40 -> gaps [2, 10, 28]
+        (1, base), (1, base + dt.timedelta(10)),
+        (1, base + dt.timedelta(12)), (1, base + dt.timedelta(40)),
+        # customer 2: one order -> all gap stats NULL
+        (2, base + dt.timedelta(5)),
+        # customer 3: same-day repeat -> gap 0
+        (3, base), (3, base),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "o_custkey long, o_orderdate date").write.parquet(
+        os.path.join(d, "orders.parquet")
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        customer_purchase_cadence,
+    )
+
+    out = {r.custkey: r for r in customer_purchase_cadence(spark, d).collect()}
+    c1 = out[1]
+    assert c1.n_orders == 4
+    assert (c1.avg_gap_days, c1.median_gap_days, c1.max_gap_days) == (
+        40 / 3, 10, 28,  # median of [2, 10, 28] at rank ceil(3/2)=2
+    )
+    c2 = out[2]
+    assert (c2.avg_gap_days, c2.median_gap_days, c2.max_gap_days) == (
+        None, None, None,
+    )
+    assert (out[3].median_gap_days, out[3].max_gap_days) == (0, 0)

@@ -53,6 +53,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "orders_open_backlog",
     "prices_ichimoku",
     "events_cusum_incremental",
+    "customer_purchase_cadence",
 ]
 
 
