@@ -497,6 +497,7 @@ SWEEP_TAIL = [
     "prices_ichimoku",
     "events_cusum_incremental",
     "customer_purchase_cadence",
+    "embedding_power_iteration",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

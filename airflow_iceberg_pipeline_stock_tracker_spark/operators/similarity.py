@@ -1466,3 +1466,150 @@ SELECT query_id, rank, neighbor_id, int_score, cosine
 FROM ranked WHERE rank <= 5
 ORDER BY query_id, rank
 """
+
+
+# ---------------------------------------------------------------------------
+# Power iteration: matrix-free top principal direction (exact iterates)
+# ---------------------------------------------------------------------------
+
+POWER_ITERS = 3
+POWER_PSCALE = 1_000  # component quantization (|p| <= ~1e3)
+POWER_VSCALE = 10_000  # direction scale after each renormalization
+POWER_TOP = 20
+
+
+def power_iteration_scores(
+    spark: SparkSession, sf_dir: str, iters: int = POWER_ITERS
+) -> DataFrame:
+    """Top-k vectors by |projection| onto the corpus's leading principal
+    direction, found by MATRIX-FREE power iteration: v <- X^T (X v),
+    renormalized each round — the spectral primitive behind PCA
+    whitening, spectral outlier mining, and embedding drift checks,
+    computed without ever materializing the 64x64 Gram matrix.
+
+    Exact-iterate discipline (the embedding_kmeans pattern): components
+    quantize to int (round(x*1e3)); each iteration computes y_i = p_i.v
+    (int64) map-side, reduces S_j = sum_i p_ij y_i per dimension (ONE
+    shuffle of 64 partial rows per round), then renormalizes on the
+    driver with INTEGER arithmetic only — v' = sign(S) * (|S|*VSCALE
+    div max|S|) — so Spark and the DuckDB twin walk through IDENTICAL
+    int64 iterates and the driver hash-checks the whole 3-round
+    algorithm, not one step. Overflow bound documented: |S| <= rows *
+    dim * PSCALE^2 * VSCALE needs rows < ~1.4e7 per reduce at these
+    scales — beyond that, raise the reduce tree or drop PSCALE (the
+    float path a production run would use has no such bound but also
+    no bit-exact oracle).
+
+    Scale: two narrow passes per iteration (projection is map-only; the
+    per-dimension reduce moves 64 rows per partition); the driver holds
+    O(dim) state. Final surface: POWER_TOP rows by |score| via
+    TakeOrderedAndProject.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(cast(embedding as array<double>), "
+            f"x -> cast(round(x * {POWER_PSCALE}) as bigint))"
+        ).alias("p"),
+    ).persist()
+    dim = len(p.select("p").first()["p"])
+    v = [POWER_VSCALE] * dim
+    for _ in range(iters):
+        v_lit = F.array(*[F.lit(int(x)) for x in v])
+        y = p.withColumn("_v", v_lit).select(
+            "p",
+            F.expr(
+                "aggregate(zip_with(p, _v, (a, b) -> a * b), 0L, "
+                "(acc, x) -> acc + x)"
+            ).alias("y"),
+        )
+        s_rows = (
+            y.select(F.posexplode("p").alias("j", "pj"), "y")
+            .groupBy("j")
+            .agg(F.sum(F.col("pj") * F.col("y")).alias("s"))
+            .collect()
+        )  # O(dim) driver state — the train-small/score-big shape
+        s = [0] * dim
+        for r in s_rows:
+            s[r["j"]] = int(r["s"])
+        m = max(abs(x) for x in s)
+        if m == 0:  # degenerate all-zero corpus: direction unchanged
+            break
+        # integer renormalization, sign-split so both engines truncate
+        # identically (negative int division differs across engines)
+        v = [
+            (abs(x) * POWER_VSCALE // m) * (1 if x >= 0 else -1) for x in s
+        ]
+    v_lit = F.array(*[F.lit(int(x)) for x in v])
+    scores = p.withColumn("_v", v_lit).select(
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(p, _v, (a, b) -> a * b), 0L, "
+            "(acc, x) -> acc + x)"
+        ).alias("score"),
+    )
+    out = (
+        scores.orderBy(F.abs("score").desc(), "vec_id")
+        .limit(POWER_TOP)
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.abs("score").desc(), "vec_id")
+            ),
+        )
+        .select("rank", "vec_id", "score")
+        .orderBy("rank")
+    )
+    p.unpersist()
+    return out
+
+
+def _power_sql() -> str:
+    dim, ps, vs = 64, POWER_PSCALE, POWER_VSCALE
+    dot = (
+        f"CAST(list_sum([p[j + 1] * v[j + 1] for j in range({dim})]) "
+        "AS BIGINT)"
+    )
+    stages = [
+        f"""q AS MATERIALIZED (
+  SELECT vec_id,
+         [CAST(round(embedding[j + 1] * {ps}) AS BIGINT)
+          for j in range({dim})] AS p
+  FROM embeddings
+), v0 AS (SELECT [CAST({vs} AS BIGINT) for j in range({dim})] AS v)"""
+    ]
+    prev = "v0"
+    for i in range(1, POWER_ITERS + 1):
+        stages.append(f"""y{i} AS MATERIALIZED (
+  SELECT vec_id, p, {dot} AS y FROM q, {prev}
+), sagg{i} AS (
+  SELECT j, CAST(SUM(p[j + 1] * y) AS BIGINT) AS s
+  FROM y{i}, range({dim}) t(j) GROUP BY j
+), s{i} AS (
+  SELECT list(s ORDER BY j) AS s FROM sagg{i}
+), v{i} AS (
+  SELECT [CAST(CASE WHEN s[j + 1] >= 0
+                    THEN (s[j + 1] * {vs}) // m
+                    ELSE -((-s[j + 1]) * {vs}) // m END AS BIGINT)
+          for j in range({dim})] AS v
+  FROM (SELECT s, list_max([abs(x) for x in s]) AS m FROM s{i})
+)""")
+        prev = f"v{i}"
+    body = ",\n".join(stages)
+    return f"""
+WITH {body},
+scores AS (
+  SELECT vec_id, {dot} AS score FROM q, {prev}
+), ranked AS (
+  SELECT vec_id, score,
+         ROW_NUMBER() OVER (ORDER BY abs(score) DESC, vec_id) AS rank
+  FROM scores
+)
+SELECT CAST(rank AS INT) AS rank, vec_id, score
+FROM ranked WHERE rank <= {POWER_TOP}
+ORDER BY rank
+"""
+
+
+EMBEDDING_POWER_SQL = _power_sql()

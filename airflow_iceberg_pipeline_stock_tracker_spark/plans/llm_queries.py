@@ -416,6 +416,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # iterative Lloyd's k-means, exact via integer quantization — the
     # whole 3-round algorithm is hash-checked, not just one step
     "embedding_kmeans": (similarity.embedding_kmeans, similarity.EMBEDDING_KMEANS_SQL),
+    # matrix-free power iteration: exact-int iterates, the whole
+    # 3-round spectral algorithm hash-checked (kmeans discipline)
+    "embedding_power_iteration": (
+        similarity.power_iteration_scores,
+        similarity.EMBEDDING_POWER_SQL,
+    ),
     "text_language_id": (_docs(text.language_id), text.LANGUAGE_ID_SQL),
     "text_quality_score": (_docs(text.quality_score), text.QUALITY_SQL),
     "text_token_stats": (_docs(text.token_stats), text.TOKEN_STATS_SQL),

@@ -209,6 +209,7 @@ HEADLINE = [
     "prices_ichimoku",
     "events_cusum_incremental",
     "customer_purchase_cadence",
+    "embedding_power_iteration",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

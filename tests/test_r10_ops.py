@@ -503,3 +503,42 @@ def test_purchase_cadence_gaps_and_single_order_nulls(spark, tmp_path):
         None, None, None,
     )
     assert (out[3].median_gap_days, out[3].max_gap_days) == (0, 0)
+
+
+# ---------------------------------------------------------------------------
+# power iteration
+# ---------------------------------------------------------------------------
+
+def test_power_iteration_finds_planted_direction(spark, tmp_path):
+    """A corpus with variance concentrated on dimension 3 must rank the
+    vectors by |component 3| and put the direction's mass there."""
+    import os
+
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(60):
+        v = [rng.uniform(-0.02, 0.02) for _ in range(64)]
+        v[3] = rng.choice([-1.0, 1.0]) * (0.5 + 0.5 * rng.random())
+        rows.append((i, v))
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(rows, "vec_id long, embedding array<double>").write.parquet(
+        os.path.join(d, "embeddings.parquet")
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        power_iteration_scores,
+    )
+
+    out = power_iteration_scores(spark, d).collect()
+    assert len(out) == 20
+    assert [r.rank for r in out] == list(range(1, 21))
+    # scores must be sorted by |score| and dominated by the planted dim:
+    # the top-ranked vector has the largest |component 3|
+    mags = [abs(r.score) for r in out]
+    assert mags == sorted(mags, reverse=True)
+    comp3 = {i: abs(v[3]) for i, v in rows}
+    top_ids = [r.vec_id for r in out[:5]]
+    best5 = sorted(comp3, key=lambda i: -comp3[i])[:5]
+    assert set(top_ids) == set(best5)

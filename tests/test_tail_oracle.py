@@ -54,6 +54,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "prices_ichimoku",
     "events_cusum_incremental",
     "customer_purchase_cadence",
+    "embedding_power_iteration",
 ]
 
 
