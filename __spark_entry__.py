@@ -143,6 +143,17 @@ def _q_prices_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ichimoku(prices_standin(spark, sf_dir))
 
 
+def _q_prices_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Historical VaR/CVaR at 95/99: exact discrete tail order
+    statistics + one closing division per tail mean
+    (operators/finance.py:var_cvar)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        var_cvar,
+    )
+
+    return var_cvar(prices_standin(spark, sf_dir))
+
+
 def _q_prices_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """On-Balance Volume: running volume sum signed by the close-to-
     close direction — pure int64 end-to-end (operators/finance.py:obv),
@@ -498,6 +509,7 @@ SWEEP_TAIL = [
     "events_cusum_incremental",
     "customer_purchase_cadence",
     "embedding_power_iteration",
+    "prices_var_cvar",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -677,6 +689,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_golden_cross": _q_prices_golden_cross,
         "prices_macd": _q_prices_macd,
         "prices_ichimoku": _q_prices_ichimoku,
+        "prices_var_cvar": _q_prices_var_cvar,
         "prices_atr": _q_prices_atr,
         "prices_stochastic": _q_prices_stochastic,
         "dq_checks": _q_dq_checks,
@@ -743,6 +756,7 @@ def oracle_sql() -> dict[str, str]:
         MONTHLY_BARS_SQL,
         OBV_SQL,
         PAIR_CORR_SQL,
+        VAR_CVAR_SQL,
         RSI_SQL,
         STOCH_SQL,
         VWAP_SQL,
@@ -757,6 +771,8 @@ def oracle_sql() -> dict[str, str]:
         "prices_obv": prices_cte + OBV_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_ichimoku": prices_cte
         + ICHIMOKU_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_var_cvar": prices_cte
+        + VAR_CVAR_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_monthly_bars": prices_cte + MONTHLY_BARS_SQL,
         "prices_golden_cross": prices_cte
         + GOLDEN_CROSS_SQL.replace("WITH c AS", ", c AS", 1),

@@ -1126,3 +1126,94 @@ FROM shifted
 WHERE rn >= {ICHI_SENKOU + ICHI_KIJUN}
 ORDER BY ticker, date
 """
+
+
+# ---------------------------------------------------------------------------
+# Historical VaR / CVaR: exact tail order statistics per ticker
+# ---------------------------------------------------------------------------
+
+VAR_LEVELS = (95, 99)
+
+
+def var_cvar(prices: DataFrame) -> DataFrame:
+    """Per ticker: historical Value-at-Risk and Conditional VaR
+    (expected shortfall) of the daily close-to-close change, at 95% and
+    99% — the risk-desk numbers behind position limits. VaR_q is the
+    EXACT discrete order statistic at rank ceil((1-q)*n) of the sorted
+    changes (worst first); CVaR_q is the mean of the tail AT OR BELOW
+    that rank.
+
+    Exactness: changes are int64 cents; the tail mean is ONE closing
+    division of an exact tail sum by the integer rank; the order
+    statistic itself is an array element, never interpolated.
+
+    Scale: one groupBy(ticker) gathers each ticker's change series
+    (state bounded by TIME — daily bars, like prices_macd); selection
+    and tail sums are per-row array expressions on the sorted array.
+    """
+    w = Window.partitionBy("ticker").orderBy("date")
+    close_c = cents("close")
+    chg = (close_c - F.lag(close_c).over(w)).alias("chg")
+    per_t = (
+        prices.select("ticker", "date", chg)
+        .where(F.col("chg").isNotNull())
+        .groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.array_sort(F.collect_list("chg")).alias("sorted_chg"),
+        )
+    )
+    # tail rank per level, computed ONCE on the DOUBLE path: a bare
+    # 0.05 literal parses as DECIMAL in both SQL dialects and its exact
+    # ceil can disagree with the double product at multiples of 20
+    staged = per_t
+    for lvl in VAR_LEVELS:
+        staged = staged.withColumn(
+            f"k{lvl}",
+            F.greatest(
+                F.ceil(F.col("n_days") * F.lit((100 - lvl) / 100.0)),
+                F.lit(1),
+            ).cast("int"),
+        )
+    cols = [
+        F.col("ticker"),
+        F.col("n_days").cast("bigint").alias("n_days"),
+    ]
+    for lvl in VAR_LEVELS:
+        k = F.col(f"k{lvl}")
+        tail_sum = F.expr(
+            f"aggregate(slice(sorted_chg, 1, k{lvl}), 0L, "
+            "(acc, x) -> acc + x)"
+        )
+        cols += [
+            F.element_at("sorted_chg", k).alias(f"var{lvl}_c"),
+            (tail_sum / k).alias(f"cvar{lvl}_c"),
+        ]
+    return staged.select(*cols).orderBy("ticker")
+
+
+VAR_CVAR_SQL = """
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(close * 100) AS BIGINT) AS close_c
+  FROM prices
+), chgs AS (
+  SELECT ticker,
+         close_c - LAG(close_c) OVER (PARTITION BY ticker ORDER BY date)
+           AS chg
+  FROM c
+), per_t AS (
+  SELECT ticker, CAST(COUNT(*) AS BIGINT) AS n_days,
+         list_sort(list(chg)) AS sorted_chg
+  FROM chgs WHERE chg IS NOT NULL GROUP BY 1
+)
+SELECT ticker, n_days,
+       CAST(sorted_chg[greatest(CAST(ceil(n_days * CAST(0.05 AS DOUBLE)) AS INT), 1)] AS BIGINT) AS var95_c,
+       CAST(list_sum(sorted_chg[1 : greatest(CAST(ceil(n_days * CAST(0.05 AS DOUBLE)) AS INT), 1)]) AS DOUBLE) / greatest(CAST(ceil(n_days * CAST(0.05 AS DOUBLE)) AS INT), 1)
+         AS cvar95_c,
+       CAST(sorted_chg[greatest(CAST(ceil(n_days * CAST(0.01 AS DOUBLE)) AS INT), 1)] AS BIGINT) AS var99_c,
+       CAST(list_sum(sorted_chg[1 : greatest(CAST(ceil(n_days * CAST(0.01 AS DOUBLE)) AS INT), 1)]) AS DOUBLE) / greatest(CAST(ceil(n_days * CAST(0.01 AS DOUBLE)) AS INT), 1)
+         AS cvar99_c
+FROM per_t
+ORDER BY ticker
+"""

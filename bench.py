@@ -210,6 +210,7 @@ HEADLINE = [
     "events_cusum_incremental",
     "customer_purchase_cadence",
     "embedding_power_iteration",
+    "prices_var_cvar",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -542,3 +542,46 @@ def test_power_iteration_finds_planted_direction(spark, tmp_path):
     top_ids = [r.vec_id for r in out[:5]]
     best5 = sorted(comp3, key=lambda i: -comp3[i])[:5]
     assert set(top_ids) == set(best5)
+
+
+def test_var_cvar_exact_tail_statistics(spark):
+    # 20 change days: closes step so changes are known exactly
+    closes = [1000]
+    deltas = [-50, -40, -30, -20, -10, 0, 10, 20, 30, 40,
+              -45, -35, -25, -15, -5, 5, 15, 25, 35, 45]
+    for d in deltas:
+        closes.append(closes[-1] + d)
+    out = {
+        r.ticker: r
+        for r in __import__(
+            "airflow_iceberg_pipeline_stock_tracker_spark.operators.finance",
+            fromlist=["var_cvar"],
+        ).var_cvar(_prices(spark, closes)).collect()
+    }
+    r = out["T"]
+    assert r.n_days == 20
+    s = sorted(deltas)
+    # 95%: rank ceil(20*0.05)=1 -> worst day; CVaR = that value
+    assert r.var95_c == s[0] == -50
+    assert r.cvar95_c == float(s[0])
+    # 99%: rank ceil(20*0.01)=1 as well at n=20
+    assert r.var99_c == s[0]
+
+
+def test_var_cvar_rank_boundary_multiple_of_twenty(spark):
+    """n = 40 puts 95% exactly on rank 2 (40*0.05 = 2.0): the double
+    path must agree with itself across engines — ceil lands on 2, and
+    CVaR averages the two worst days."""
+    deltas = list(range(-200, 200, 10))  # 40 changes, all distinct
+    closes = [10000]
+    for d in deltas:
+        closes.append(closes[-1] + d)
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        var_cvar,
+    )
+
+    r = var_cvar(_prices(spark, closes)).collect()[0]
+    s = sorted(deltas)
+    assert r.n_days == 40
+    assert r.var95_c == s[1]
+    assert r.cvar95_c == (s[0] + s[1]) / 2

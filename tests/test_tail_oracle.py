@@ -55,6 +55,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "events_cusum_incremental",
     "customer_purchase_cadence",
     "embedding_power_iteration",
+    "prices_var_cvar",
 ]
 
 
