@@ -510,6 +510,7 @@ SWEEP_TAIL = [
     "customer_purchase_cadence",
     "embedding_power_iteration",
     "prices_var_cvar",
+    "events_growth_accounting",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

@@ -1667,6 +1667,110 @@ ORDER BY event_type, hour
 """
 
 
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly growth accounting: every active (user, week) classified as
+    NEW (first week ever), RETAINED (also active the prior calendar
+    week) or RESURRECTED (returning after a gap), plus CHURNED counted
+    in the week a previously-active user went quiet — the
+    new/retained/resurrected/churned decomposition product teams read
+    before any other growth chart.
+
+    Exactness: weeks are date_trunc boundaries; "prior week" is the
+    CALENDAR week (week - 7 days as an exact date), matched against the
+    user's previous ACTIVE week from a lag — all integer/date equality,
+    no floats anywhere. Churn emits at next_week for every active week
+    not followed by one (including one week past the data's end: the
+    cohort that was active in the final week and then stopped — same in
+    both engines by construction).
+
+    Scale: one distinct over (user, week) bounds everything downstream
+    by ACTIVE user-weeks, not events; the lag/lead window partitions by
+    user; the final per-week rollup is map-combinable. 100 TB of raw
+    events collapses at the first aggregate.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    seq = uw.select(
+        "user_id",
+        "week",
+        F.lag("week").over(w).alias("prev_w"),
+        F.lead("week").over(w).alias("next_w"),
+    )
+    states = seq.select(
+        "week",
+        F.when(F.col("prev_w").isNull(), F.lit("new"))
+        .when(
+            F.col("prev_w") == F.date_sub("week", 7), F.lit("retained")
+        )
+        .otherwise(F.lit("resurrected"))
+        .alias("state"),
+    )
+    churn = seq.where(
+        F.col("next_w").isNull()
+        | (F.col("next_w") != F.date_add("week", 7))
+    ).select(
+        F.date_add("week", 7).alias("week"), F.lit("churned").alias("state")
+    )
+    return (
+        states.unionByName(churn)
+        .groupBy("week")
+        .agg(
+            F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_new"),
+            F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_retained"),
+            F.sum(F.when(F.col("state") == "resurrected", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_resurrected"),
+            F.sum(F.when(F.col("state") == "churned", 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_churned"),
+        )
+        .orderBy("week")
+    )
+
+
+EVENTS_GROWTH_SQL = """
+WITH uw AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+), seq AS (
+  SELECT user_id, week,
+         LAG(week) OVER w AS prev_w,
+         LEAD(week) OVER w AS next_w
+  FROM uw WINDOW w AS (PARTITION BY user_id ORDER BY week)
+), states AS (
+  SELECT week,
+         CASE WHEN prev_w IS NULL THEN 'new'
+              WHEN prev_w = week - INTERVAL 7 DAY THEN 'retained'
+              ELSE 'resurrected' END AS state
+  FROM seq
+  UNION ALL
+  SELECT CAST(week + INTERVAL 7 DAY AS DATE), 'churned'
+  FROM seq
+  WHERE next_w IS NULL OR next_w != CAST(week + INTERVAL 7 DAY AS DATE)
+)
+SELECT week,
+       CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_retained,
+       CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_resurrected,
+       CAST(SUM(CASE WHEN state = 'churned' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_churned
+FROM states
+GROUP BY week
+ORDER BY week
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -1691,6 +1795,10 @@ TIMESERIES_QUERIES = {
     "events_cusum_incremental": (
         events_cusum_incremental,
         EVENTS_CUSUM_INCR_SQL,
+    ),
+    "events_growth_accounting": (
+        events_growth_accounting,
+        EVENTS_GROWTH_SQL,
     ),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),

@@ -211,6 +211,7 @@ HEADLINE = [
     "customer_purchase_cadence",
     "embedding_power_iteration",
     "prices_var_cvar",
+    "events_growth_accounting",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -585,3 +585,49 @@ def test_var_cvar_rank_boundary_multiple_of_twenty(spark):
     assert r.n_days == 40
     assert r.var95_c == s[1]
     assert r.cvar95_c == (s[0] + s[1]) / 2
+
+
+# ---------------------------------------------------------------------------
+# growth accounting
+# ---------------------------------------------------------------------------
+
+def test_growth_accounting_states_and_churn(spark, tmp_path):
+    import os
+
+    import datetime as dt
+
+    monday = dt.datetime(2024, 3, 4)  # a Monday
+    wk = lambda i: monday + dt.timedelta(weeks=i)  # noqa: E731
+
+    def ev(eid, user, when):
+        return (eid, when, user, "view", 1.0, "{}")
+
+    rows = [
+        # user 1: weeks 0,1 (new, retained), churns at week 2
+        ev(1, 1, wk(0)), ev(2, 1, wk(1)),
+        # user 2: weeks 0, 2 (new, resurrected), churn at 1 AND at 3
+        ev(3, 2, wk(0)), ev(4, 2, wk(2)),
+        # user 3: only week 2 (new), churn at 3
+        ev(5, 3, wk(2) + dt.timedelta(days=3)),
+    ]
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_growth_accounting,
+    )
+
+    out = {
+        (r.week - monday.date()).days // 7: (
+            r.n_new, r.n_retained, r.n_resurrected, r.n_churned
+        )
+        for r in events_growth_accounting(spark, d).collect()
+    }
+    assert out[0] == (2, 0, 0, 0)       # users 1, 2 new
+    assert out[1] == (0, 1, 0, 1)       # user 1 retained; user 2 churned
+    assert out[2] == (1, 0, 1, 1)       # user 3 new; user 2 back; user 1 gone
+    assert out[3] == (0, 0, 0, 2)       # users 2 and 3 churn past the end

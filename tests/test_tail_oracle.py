@@ -56,6 +56,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "customer_purchase_cadence",
     "embedding_power_iteration",
     "prices_var_cvar",
+    "events_growth_accounting",
 ]
 
 
