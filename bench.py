@@ -337,6 +337,14 @@ SCALE_TREND = {
     "events_attribution": "events",
     "events_holt_forecast": "events",
     "orders_abc_analysis": "lineitem",
+    # r10 rows: winnowing is the purest linear citizen in the repo
+    # (per-row array selection, zero shuffle — its sec/row SHOULD be
+    # flat), and CUSUM's state is bounded by the TIME RANGE per type
+    # (replica events land in the same hours, so the window stage runs
+    # on an unchanged types-by-hours table while the pre-aggregate
+    # absorbs 10x the input map-side)
+    "text_winnowing": "documents",
+    "events_cusum": "events",
 }
 SCALE_FACTOR = 10
 
