@@ -163,6 +163,19 @@ def _q_prices_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obv(prices_standin(spark, sf_dir))
 
 
+def _q_prices_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binpack maintenance (pipeline.snapshot_compaction_demo): three
+    small append commits planned into one bin from manifest metadata,
+    folded by a bin-scoped rewrite with merged stats, re-plan empty."""
+    import tempfile
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
+
+    return _pl.snapshot_compaction_demo(
+        spark, tempfile.mkdtemp(prefix="graft_binpack_")
+    )
+
+
 def _q_prices_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg partition-spec evolution emulated end-to-end
     (pipeline.snapshot_partition_evolution_demo): January lands as one
@@ -511,6 +524,7 @@ SWEEP_TAIL = [
     "embedding_power_iteration",
     "prices_var_cvar",
     "events_growth_accounting",
+    "prices_compaction",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",
@@ -686,6 +700,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_rsi": _q_prices_rsi,
         "prices_obv": _q_prices_obv,
         "prices_partition_evolution": _q_prices_partition_evolution,
+        "prices_compaction": _q_prices_compaction,
         "prices_monthly_bars": _q_prices_monthly_bars,
         "prices_golden_cross": _q_prices_golden_cross,
         "prices_macd": _q_prices_macd,
@@ -806,6 +821,7 @@ def oracle_sql() -> dict[str, str]:
         "prices_partition_evolution": (
             _pl.snapshot_partition_evolution_oracle_sql()
         ),
+        "prices_compaction": _pl.snapshot_compaction_oracle_sql(),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

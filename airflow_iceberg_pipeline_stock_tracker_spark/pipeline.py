@@ -776,6 +776,81 @@ ORDER BY ticker
 """
 
 
+def snapshot_compaction_demo(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Binpack table maintenance exercised end-to-end
+    (sources/snapshots.py compaction_plan + rewrite_dirs — Iceberg's
+    ``rewrite_data_files(strategy => 'binpack')``: the small-files
+    problem every daily-append table accumulates, fixed by metadata-
+    planned bin rewrites, never a whole-table rewrite):
+
+      1. three daily bar loads land as three small append commits with
+         per-dir date stats;
+      2. the planner packs all three under-target dirs into ONE bin
+         from manifest metadata alone;
+      3. ``rewrite_dirs`` folds the bin into a single dir — other dirs
+         (none here) would stay untouched — with MERGED [min, max]
+         stats, so bounded reads keep planning correctly;
+      4. re-planning after the rewrite is EMPTY (the scheduled-job
+         idempotence), and the compacted table must equal the flat
+         recompute.
+
+    Surface: per-ticker aggregates over the compacted table + the
+    maintenance evidence (dirs before/after, bin count, replan count).
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+    for ds in EVOLUTION_DATES:
+        day = bars_to_df(spark, fetch_bars(client, ds)).drop(
+            "insertion_timestamp"
+        )
+        snapshots.commit(day, table_dir, mode="append", stats_cols=["date"])
+    man = snapshots._load_manifest(table_dir)
+    dirs_before = len(snapshots._head_snap(man, table_dir)["dirs"])
+    plan = snapshots.compaction_plan(table_dir, target_bytes=1 << 30)
+    n_bins = len(plan)
+    for b in plan:
+        snapshots.rewrite_dirs(spark, table_dir, b)
+    man = snapshots._load_manifest(table_dir)
+    dirs_after = len(snapshots._head_snap(man, table_dir)["dirs"])
+    replan = len(snapshots.compaction_plan(table_dir, target_bytes=1))
+    return (
+        snapshots.read(spark, table_dir)
+        .groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("volume").alias("sum_volume"),
+        )
+        .withColumn("dirs_before", F.lit(dirs_before))
+        .withColumn("dirs_after", F.lit(dirs_after))
+        .withColumn("n_bins", F.lit(n_bins))
+        .withColumn("replan_bins", F.lit(replan))
+        .orderBy("ticker")
+    )
+
+
+def snapshot_compaction_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`snapshot_compaction_demo`: all three days'
+    bars per ticker; three small dirs planned into one bin, folded to
+    one dir, and the re-plan empty."""
+    return _bars_cte_sql(EVOLUTION_DATES, tickers) + """
+SELECT ticker,
+       COUNT(*) AS n_rows,
+       CAST(SUM(volume) AS BIGINT) AS sum_volume,
+       CAST(3 AS INTEGER) AS dirs_before,
+       CAST(1 AS INTEGER) AS dirs_after,
+       CAST(1 AS INTEGER) AS n_bins,
+       CAST(0 AS INTEGER) AS replan_bins
+FROM bars
+GROUP BY ticker
+ORDER BY ticker
+"""
+
+
 PARTITION_EVOLUTION_MONTH_DATES = ["2024-02-01", "2024-02-02"]
 
 

@@ -938,6 +938,149 @@ def rewrite_data_files(
     )
 
 
+def compaction_plan(
+    table_dir: str, target_bytes: int
+) -> list[list[str]]:
+    """SELECT which data dirs to compact — the planning half of
+    Iceberg's ``rewrite_data_files(strategy => 'binpack')``: dirs
+    smaller than ``target_bytes`` are greedily packed (deterministic
+    manifest order, running-size cut at the target) into bins of >= 2
+    dirs; full-size dirs and singleton leftovers are left alone, so a
+    well-compacted table plans ZERO work (the idempotence that lets a
+    maintenance job run on a schedule).
+
+    Planning is manifest + file-stat metadata only (no data read) and
+    driver-side by design — the manifest lists dirs, not files, so the
+    plan input is tiny however large the data is; Iceberg's action
+    plans from manifest metadata identically. Returns a list of bins,
+    each a list of dir names, for :func:`rewrite_dirs`.
+    """
+    man = _load_manifest(table_dir)
+    snap = _head_snap(man, table_dir)
+    sizes: list[tuple[str, int]] = []
+    for d in snap["dirs"]:
+        full = os.path.join(table_dir, d)
+        size = sum(
+            os.path.getsize(os.path.join(full, f))
+            for f in os.listdir(full)
+            if f.endswith(".parquet") and not f.startswith("_")
+        )
+        if size < target_bytes:
+            sizes.append((d, size))
+    bins: list[list[str]] = []
+    cur: list[str] = []
+    acc = 0
+    for d, size in sizes:  # manifest order: deterministic
+        cur.append(d)
+        acc += size
+        if acc >= target_bytes:
+            bins.append(cur)
+            cur, acc = [], 0
+    if len(cur) >= 2:
+        bins.append(cur)
+    return [b for b in bins if len(b) >= 2]
+
+
+def rewrite_dirs(
+    spark: SparkSession,
+    table_dir: str,
+    dirs: list[str],
+    max_retries: int = 16,
+) -> int:
+    """Compact a SUBSET of the head's data dirs into one — the apply
+    half of binpack rewrite: the new snapshot keeps every other dir
+    untouched, so a maintenance job can fold one bin at a time instead
+    of rewriting the table (``rewrite_data_files`` is the whole-table
+    fallback that also folds merge-on-read deletes).
+
+    Refuses when the head carries ANY delete files: a delete can
+    reference rows inside the bin, and folding it for only part of the
+    table would change which snapshot the delete applies to — run
+    ``rewrite_data_files`` first (Iceberg's binpack similarly rewrites
+    delete-affected files through its delete-aware path). Validates
+    optimistically like compaction: if the head moved between read and
+    publish, raises :class:`CommitConflict`.
+    """
+    man = _load_manifest(table_dir)
+    snap = _head_snap(man, table_dir)
+    basis = snap["id"]
+    if snap.get("deletes"):
+        raise ValueError(
+            "head snapshot carries merge-on-read deletes — "
+            "rewrite_data_files (delete-aware) before bin-scoped rewrites"
+        )
+    missing = [d for d in dirs if d not in snap["dirs"]]
+    if missing:
+        raise ValueError(
+            f"dirs {missing} are not part of head snapshot {basis}"
+        )
+    if len(dirs) < 2:
+        raise ValueError("a rewrite bin needs >= 2 dirs")
+    df = spark.read.parquet(*[os.path.join(table_dir, d) for d in dirs])
+    snap_dir = f"snap-{uuid.uuid4().hex[:12]}"
+    df.coalesce(1).write.mode("errorifexists").parquet(
+        os.path.join(table_dir, snap_dir)
+    )
+    for attempt in range(max_retries):
+        man = _load_manifest(table_dir)
+        if man["current"] != basis:
+            raise CommitConflict(
+                f"bin rewrite read snapshot {basis} but head moved to "
+                f"{man['current']} — replan against the new head"
+            )
+        snap_id = _max_id(man) + 1
+        kept = [d for d in snap["dirs"] if d not in set(dirs)]
+        entry = {
+            "id": snap_id,
+            "dirs": kept + [snap_dir],
+            "op": "rewrite",
+        }
+        new_man = {
+            "seq": man["seq"] + 1,
+            "current": snap_id,
+            "snapshots": man["snapshots"] + [entry],
+            "tags": man.get("tags", {}),
+            "txns": man.get("txns", {}),
+            "refs": man.get("refs", {}),
+            # the merged dir inherits the LOWEST source seq: every row
+            # in it was committed at-or-after that point, and equality
+            # deletes (none now, possibly later) scope conservatively
+            "dir_seq": dict(
+                man.get("dir_seq", {}),
+                **{
+                    snap_dir: min(
+                        man.get("dir_seq", {}).get(d, 0) for d in dirs
+                    )
+                },
+            ),
+        }
+        if man.get("dir_stats"):
+            stats = man["dir_stats"]
+            # merged bounds per column where EVERY bin dir has stats —
+            # else no stats for the merged dir (conservative scan)
+            per_dir = [stats.get(d) for d in dirs]
+            if all(per_dir):
+                commoncols = set(per_dir[0]).intersection(
+                    *[set(p) for p in per_dir[1:]]
+                )
+                merged = {
+                    c: [
+                        min(p[c][0] for p in per_dir),
+                        max(p[c][1] for p in per_dir),
+                    ]
+                    for c in commoncols
+                    if all(p[c][0] is not None for p in per_dir)
+                }
+                stats = dict(stats, **({snap_dir: merged} if merged else {}))
+            new_man["dir_stats"] = stats
+        if _publish_manifest(table_dir, new_man):
+            return snap_id
+        time.sleep(0.001 * (attempt + 1))
+    raise RuntimeError(
+        f"bin rewrite lost the manifest CAS {max_retries} times in {table_dir}"
+    )
+
+
 def create_branch(
     table_dir: str,
     name: str,

@@ -212,6 +212,7 @@ HEADLINE = [
     "embedding_power_iteration",
     "prices_var_cvar",
     "events_growth_accounting",
+    "prices_compaction",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -249,6 +250,8 @@ PROOF_TIER = frozenset(
         "events_decay_incremental",
         # 4-commit 3-int-state CUSUM fold; same class
         "events_cusum_incremental",
+        # 3 commits + plan + bin rewrite + replan; table-lifecycle class
+        "prices_compaction",
     }
 )
 
@@ -277,6 +280,8 @@ RUN_ONCE = frozenset(
         "events_decay_incremental",
         # 4-commit O(1)-state fold; one measured pass
         "events_cusum_incremental",
+        # maintenance lifecycle proof; one measured pass
+        "prices_compaction",
         # partition-evolution lifecycle proof; one measured pass
         "prices_partition_evolution",
     }

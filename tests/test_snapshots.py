@@ -910,3 +910,58 @@ def test_partition_evolution_vacuum_drops_nested_dirs_and_husk(spark, tdir):
     # the partitioned commit's empty root husk is gone too
     assert set(_snap_dirs(tdir)).isdisjoint(roots_before)
     assert [r.x for r in snapshots.read(spark, tdir).collect()] == [9]
+
+
+# ---------------------------------------------------------------------------
+# Binpack compaction planning + bin-scoped rewrite
+# ---------------------------------------------------------------------------
+
+def test_compaction_plan_and_bin_rewrite(spark, tdir):
+    import datetime as dt
+
+    for i in range(4):  # four small daily commits
+        snapshots.commit(
+            _dated(spark, [(str(dt.date(2024, 1, 1 + i)), i)]),
+            tdir,
+            mode="append",
+            stats_cols=["d"],
+        )
+    man = snapshots._load_manifest(tdir)
+    assert len(snapshots._head_snap(man, tdir)["dirs"]) == 4
+    # a generous target packs all four small dirs into one bin
+    plan = snapshots.compaction_plan(tdir, target_bytes=1 << 30)
+    assert len(plan) == 1 and len(plan[0]) == 4
+    before = sorted((r.d, r.x) for r in snapshots.read(spark, tdir).collect())
+    v = snapshots.rewrite_dirs(spark, tdir, plan[0])
+    after = sorted((r.d, r.x) for r in snapshots.read(spark, tdir).collect())
+    assert after == before
+    man = snapshots._load_manifest(tdir)
+    head = snapshots._head_snap(man, tdir)
+    assert head["id"] == v and len(head["dirs"]) == 1
+    # history still reaches the pre-rewrite snapshot
+    assert sorted(
+        (r.d, r.x) for r in snapshots.read(spark, tdir, version=4).collect()
+    ) == before
+    # merged dir carries MERGED stats: a day-bounded pruned read still
+    # answers (0 skipped now — one dir — but bounds must be correct)
+    df, nscan, nskip = snapshots.read_pruned(
+        spark, tdir, "d", lo=dt.date(2024, 1, 2), hi=dt.date(2024, 1, 2)
+    )
+    assert (nscan, nskip) == (1, 0)
+    assert [r.x for r in df.collect()] == [1]
+    # a well-compacted table plans ZERO further work (idempotent job)
+    assert snapshots.compaction_plan(tdir, target_bytes=1) == []
+
+
+def test_bin_rewrite_refuses_deletes_and_stale_basis(spark, tdir):
+    snapshots.commit(_dated(spark, [("2024-01-01", 1)]), tdir, mode="append")
+    snapshots.commit(_dated(spark, [("2024-01-02", 2)]), tdir, mode="append")
+    man = snapshots._load_manifest(tdir)
+    dirs = snapshots._head_snap(man, tdir)["dirs"]
+    # merge-on-read delete on head: bin-scoped rewrite must refuse
+    snapshots.delete_where(spark, tdir, "x = 1")
+    with pytest.raises(ValueError, match="delete"):
+        snapshots.rewrite_dirs(spark, tdir, dirs)
+    # full compaction folds the delete; then bins apply again
+    snapshots.rewrite_data_files(spark, tdir)
+    assert [r.x for r in snapshots.read(spark, tdir).collect()] == [2]

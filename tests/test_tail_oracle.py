@@ -57,6 +57,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "embedding_power_iteration",
     "prices_var_cvar",
     "events_growth_accounting",
+    "prices_compaction",
 ]
 
 
