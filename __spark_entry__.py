@@ -525,6 +525,7 @@ SWEEP_TAIL = [
     "prices_var_cvar",
     "events_growth_accounting",
     "prices_compaction",
+    "text_source_drift",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

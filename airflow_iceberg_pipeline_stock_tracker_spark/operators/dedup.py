@@ -1291,3 +1291,148 @@ ORDER BY d.doc_id
 
 
 INCREMENTAL_LSH_SQL = _incremental_lsh_sql()
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift: per-source simhash bit profiles + pairwise divergence
+# ---------------------------------------------------------------------------
+
+
+def source_drift(docs: DataFrame) -> DataFrame:
+    """Pairwise DISTRIBUTION-SHIFT score between sources: each source's
+    corpus is summarized as its 60-dim simhash bit profile (fraction of
+    docs with bit i set — a stable, O(60)-int sketch of the content
+    distribution), and every source pair gets the mean absolute
+    difference of profiles. The drift monitor a training-data pipeline
+    runs between crawl snapshots / vendors: a profile that moves means
+    the content mix moved, long before any individual dedup or quality
+    gate fires.
+
+    Exactness: bit counts are int64; the comparison cross-multiplies
+    (|c_a[i]*n_b - c_b[i]*n_a|, exact) and sums over the 60 bits before
+    ONE closing division by n_a*n_b*60 — so drift is in [0, 1] with no
+    float accumulation anywhere (int64 bound: docs-per-source < ~2e5 at
+    60*n_a*n_b... actually sum <= 60*n_a*n_b <= 6e13 at 1M docs/source;
+    comfortably exact).
+
+    Scale: the profile is a map-combinable groupBy over docs x 60
+    exploded bits (the shuffle carries sources x 60 rows per
+    partition); the pair join runs on |sources| profile rows —
+    dimension-scale. Reuses simhash_values' single-shuffle radix plan.
+    """
+    sh = simhash_values(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    bits = sh.select(
+        "source",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_BITS - 1}), "
+                "i -> cast(shiftright(simhash, i) & 1 as bigint))"
+            )
+        ).alias("i", "bit"),
+    )
+    prof = (
+        bits.groupBy("source", "i")
+        .agg(F.sum("bit").alias("c"))
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda x: x["c"],
+            ).alias("prof")
+        )
+    )
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    prof = prof.join(counts, "source")
+    a = prof.select(
+        F.col("source").alias("source_a"),
+        F.col("prof").alias("pa"),
+        F.col("n_docs").alias("n_a"),
+    )
+    b = prof.select(
+        F.col("source").alias("source_b"),
+        F.col("prof").alias("pb"),
+        F.col("n_docs").alias("n_b"),
+    )
+    pairs = a.join(
+        F.broadcast(b), F.col("source_a") < F.col("source_b")
+    )
+    l1 = F.expr(
+        "aggregate(zip_with(pa, pb, (x, y) -> abs(x * n_b - y * n_a)), "
+        "0L, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            l1.alias("l1_scaled"),
+            (
+                l1 / (F.col("n_a") * F.col("n_b") * F.lit(SIMHASH_BITS))
+            ).alias("drift"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _drift_sql() -> str:
+    bit_sums = ",\n         ".join(
+        f"CAST(SUM((simhash >> {i}) & 1) AS BIGINT) AS c{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    pack = ", ".join(f"c{i}" for i in range(SIMHASH_BITS))
+    # mirrors _simhash_sql_core's construction up to `sh`, then carries
+    # source via a doc join (the tf CTE is doc-grained already)
+    return f"""
+WITH tf AS (
+  SELECT doc_id, t, COUNT(*) AS cnt
+  FROM (SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\\s+')) AS t
+        FROM documents)
+  GROUP BY doc_id, t
+), hashed AS (
+  SELECT doc_id, cnt, {hash60_sql('t')} AS h FROM tf
+), sums AS (
+  SELECT doc_id,
+         {", ".join(
+             f"SUM(cnt * (((h >> {i}) & 1) * 2 - 1)) AS s{i}"
+             for i in range(SIMHASH_BITS)
+         )}
+  FROM hashed GROUP BY doc_id
+), sh AS (
+  SELECT doc_id,
+         {" + ".join(
+             f"CASE WHEN s{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END"
+             for i in range(SIMHASH_BITS)
+         )} AS simhash
+  FROM sums
+), tagged AS (
+  SELECT sh.doc_id, d.source, sh.simhash
+  FROM sh JOIN documents d ON d.doc_id = sh.doc_id
+), prof AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         {bit_sums}
+  FROM tagged GROUP BY source
+), packed AS (
+  SELECT source, n_docs, [{pack}] AS prof FROM prof
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       a.n_docs AS n_a, b.n_docs AS n_b,
+       CAST(list_sum([abs(a.prof[i + 1] * b.n_docs
+                          - b.prof[i + 1] * a.n_docs)
+                      for i in range({SIMHASH_BITS})]) AS BIGINT)
+         AS l1_scaled,
+       CAST(list_sum([abs(a.prof[i + 1] * b.n_docs
+                          - b.prof[i + 1] * a.n_docs)
+                      for i in range({SIMHASH_BITS})]) AS DOUBLE)
+         / (a.n_docs * b.n_docs * {SIMHASH_BITS}) AS drift
+FROM packed a JOIN packed b ON a.source < b.source
+ORDER BY source_a, source_b
+"""
+
+
+SOURCE_DRIFT_SQL = _drift_sql()

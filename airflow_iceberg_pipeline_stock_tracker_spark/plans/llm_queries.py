@@ -429,6 +429,9 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # winnowing (MOSS): rightmost-min-per-window k-gram selection with
     # the guarantee threshold w+k-1; per-doc summary, zero-shuffle
     "text_winnowing": (_docs(text.winnowing), text.WINNOWING_SQL),
+    # per-source simhash bit profiles + pairwise drift: the corpus
+    # distribution-shift monitor (exact cross-multiplied comparison)
+    "text_source_drift": (_docs(dedup.source_drift), dedup.SOURCE_DRIFT_SQL),
     "text_pack_shards": (_docs(text.pack_shards), text.PACK_SHARDS_SQL),
     "text_top_terms": (_docs(text.top_terms), text.TOP_TERMS_SQL),
     "text_corpus_stats": (_docs(text.corpus_stats), text.CORPUS_STATS_SQL),

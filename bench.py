@@ -213,6 +213,7 @@ HEADLINE = [
     "prices_var_cvar",
     "events_growth_accounting",
     "prices_compaction",
+    "text_source_drift",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

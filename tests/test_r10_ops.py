@@ -631,3 +631,32 @@ def test_growth_accounting_states_and_churn(spark, tmp_path):
     assert out[1] == (0, 1, 0, 1)       # user 1 retained; user 2 churned
     assert out[2] == (1, 0, 1, 1)       # user 3 new; user 2 back; user 1 gone
     assert out[3] == (0, 0, 0, 2)       # users 2 and 3 churn past the end
+
+
+# ---------------------------------------------------------------------------
+# source drift
+# ---------------------------------------------------------------------------
+
+def test_source_drift_identical_zero_disjoint_positive(spark):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        source_drift,
+    )
+
+    texts_x = [f"alpha beta gamma delta doc {i}" for i in range(6)]
+    texts_y = [f"omega zeta theta lambda item {i}" for i in range(6)]
+    rows = []
+    did = 0
+    for t in texts_x:
+        rows.append((did, t, "A")); did += 1
+    for t in texts_x:  # B is a byte-identical copy of A
+        rows.append((did, t, "B")); did += 1
+    for t in texts_y:  # C is entirely different content
+        rows.append((did, t, "C")); did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {(r.source_a, r.source_b): r for r in source_drift(docs).collect()}
+    assert out[("A", "B")].drift == 0.0  # identical corpora: no drift
+    assert out[("A", "B")].l1_scaled == 0
+    assert out[("A", "C")].drift > 0.0
+    assert out[("B", "C")].drift == out[("A", "C")].drift
+    # bounded in [0, 1]
+    assert all(0.0 <= r.drift <= 1.0 for r in out.values())

@@ -58,6 +58,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "prices_var_cvar",
     "events_growth_accounting",
     "prices_compaction",
+    "text_source_drift",
 ]
 
 
