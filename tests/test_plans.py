@@ -92,6 +92,9 @@ _BROADCAST_NLJ_ALLOWED = frozenset(
         "similarity_sq_topk",  # broadcast query-code set (n_queries rows)
         "text_tfidf_keywords",  # broadcast 1-row corpus scalar (N)
         "text_collocations",  # broadcast 1-row corpus scalars (n_bi, n_uni)
+        # non-equi (source_a < source_b) pair join over the |sources|-row
+        # broadcast profile table — dimension-scale by construction
+        "text_source_drift",
     }
 )
 
