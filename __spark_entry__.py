@@ -425,30 +425,43 @@ SWEEP_CHECKED = [
     "events_snapshot_sink_parity",
     "text_bm25_search",
     "similarity_ivf_topk",
-    # r9 first-round rows, kept checked for their SECOND consecutive
-    # driver round (r9 verdict ask #7) — none leaves the prefix before
-    # showing 2 green rounds:
-    "prices_rsi",              # Cutler's RSI, int64 sums, NULL contract
-    "orders_market_basket",    # bounded-basket pair co-occurrence
-    "events_pattern_match",    # regex sequence detection per user
-    "dedup_containment",       # asymmetric subset/superset near-dup
-    "similarity_sq_topk",      # SQ8 codes + int64 scoring + rerank
-    "text_gopher_rules",       # Gopher quality-gate battery
-    "text_tfidf_keywords",     # per-doc TF-IDF keyword extraction
-    "multimodal_phash_neardup",  # image ahash + banded hamming dedup
-    "streaming_pattern_match",   # O(1)-state sequence matcher (stream)
+    # r11 CODE-CHANGED row (stays checked until the new code is driver-
+    # green): the support joins dropped their hard F.broadcast hints on
+    # the full-part-dimension side (plans/relational_ext.py — the r10
+    # verdict's jaccard fix applied to this sibling too)
     "orders_basket_rules",       # confidence/lift over the pair topology
-    # NEW this session (first round checked per policy):
-    "prices_atr",              # True Range + rolling SMA, int64 cents
-    "prices_stochastic",       # %K/%D, exact extrema, pinned 3-lag %D
-    "parts_triangle_count",    # degree-oriented triangle census
-    "events_decay_topk",       # time-decayed leaderboard, 2^k weights
-    "orders_abc_analysis",     # Pareto classes, integer boundaries
-    "events_decay_incremental",  # day-chunked state-ring fold == batch
+    # r9 rows held as r11 demotion supply (each 2 consecutive green
+    # driver rounds r9+r10 — demotable the moment a new r11 operator
+    # needs the slot):
     "events_holt_forecast",    # level+trend struct fold, recursive oracle
     "events_attribution",      # last-touch TTL credit over as-of
     "orders_cohort_ltv",       # first-order cohorts, exact month ages
     "text_collocations",       # lift-ranked bigram phrases, no libm
+    # PROMOTED r11: the fifteen r10 tail-first rows that had never had
+    # a real driver round (r10 verdict ask #1 — the only open
+    # correctness-evidence gap). Funded by demoting fifteen of the
+    # twenty now-2-round-green r9 rows (see SWEEP_TAIL top). Four of
+    # these additionally carry r11 CODE changes — first driver round on
+    # the new code: parts_jaccard_similarity (broadcast hints dropped),
+    # events_cusum_incremental (state merge, not replace),
+    # text_winnowing (position clamp), embedding_power_iteration
+    # (empty-corpus + dim guard); prices_compaction's re-plan now uses
+    # the real target:
+    "prices_monthly_bars",     # calendar resample, exact OHLC extrema
+    "prices_golden_cross",     # 4*s50 vs s200 integer compare
+    "text_winnowing",          # MOSS fingerprints, zero-shuffle
+    "prices_macd",             # chained EMA fold, recursive oracle
+    "parts_jaccard_similarity",  # co-purchase jaccard, AQE support joins
+    "events_cusum",            # prefix-extremum CUSUM identity
+    "orders_open_backlog",     # difference-array interval stabbing
+    "prices_ichimoku",         # shifted extrema cloud, int64
+    "events_cusum_incremental",  # 3-int state fold == batch
+    "customer_purchase_cadence",  # inter-order gap stats, exact days
+    "embedding_power_iteration",  # matrix-free spectral, int64 iterates
+    "prices_var_cvar",         # historical VaR/CVaR, order statistics
+    "events_growth_accounting",  # new/retained/resurrected/churned
+    "prices_compaction",       # binpack plan + bin rewrite + replan=0
+    "text_source_drift",       # per-source simhash profiles, L1 drift
     # PROMOTED r10: the ten r9 tail-first rows that had never had a real
     # driver round (r9 verdict ask #1 — the only open correctness-
     # evidence gap). Funded by demoting the twelve now-2-round-green
@@ -474,6 +487,25 @@ SWEEP_CHECKED = [
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
+    # demoted r11 to fund the fifteen r10 tail-first promotions (r10
+    # verdict ask #1). Evidence per row: 2 consecutive green driver
+    # rounds (r9+r10, CORRECTNESS_r0{9,10}.json) + pytest coverage; all
+    # re-diffed per CI by tests/test_tail_oracle.py
+    "prices_rsi",
+    "orders_market_basket",
+    "events_pattern_match",
+    "dedup_containment",
+    "similarity_sq_topk",
+    "text_gopher_rules",
+    "text_tfidf_keywords",
+    "multimodal_phash_neardup",
+    "streaming_pattern_match",
+    "prices_atr",
+    "prices_stochastic",
+    "parts_triangle_count",
+    "events_decay_topk",
+    "orders_abc_analysis",
+    "events_decay_incremental",
     # demoted r10 to fund the ten tail-first promotions (r9 verdict ask
     # #1). Evidence per row: 2 consecutive green driver rounds (their
     # first round + the r9 rotation round, CORRECTNESS_r0{7,8,9}.json)
@@ -507,25 +539,6 @@ SWEEP_TAIL = [
     "curation_importance_weights",
     "similarity_mmr_rerank",
     "similarity_hard_negatives",
-    # r10 tail-FIRST registrations (checked budget full this round):
-    # listed in tests/test_tail_oracle._NEVER_DRIVER_CHECKED, so each
-    # runs at the driver SF per CI until a future rotation gives it a
-    # real driver round
-    "prices_monthly_bars",
-    "prices_golden_cross",
-    "text_winnowing",
-    "prices_macd",
-    "parts_jaccard_similarity",
-    "events_cusum",
-    "orders_open_backlog",
-    "prices_ichimoku",
-    "events_cusum_incremental",
-    "customer_purchase_cadence",
-    "embedding_power_iteration",
-    "prices_var_cvar",
-    "events_growth_accounting",
-    "prices_compaction",
-    "text_source_drift",
     "q8_market_share",
     "q9_product_profit",
     "q10_returned_items",

@@ -1476,6 +1476,7 @@ POWER_ITERS = 3
 POWER_PSCALE = 1_000  # component quantization (|p| <= ~1e3)
 POWER_VSCALE = 10_000  # direction scale after each renormalization
 POWER_TOP = 20
+POWER_DIM = 64  # the DuckDB twin unrolls exactly this many dimensions
 
 
 def power_iteration_scores(
@@ -1513,7 +1514,23 @@ def power_iteration_scores(
             f"x -> cast(round(x * {POWER_PSCALE}) as bigint))"
         ).alias("p"),
     ).persist()
-    dim = len(p.select("p").first()["p"])
+    head = p.select("p").first()
+    if head is None:  # empty corpus: no direction, empty (typed) result
+        p.unpersist()
+        return emb.select(
+            F.lit(0).cast("int").alias("rank"),
+            "vec_id",
+            F.lit(0).cast("bigint").alias("score"),
+        ).limit(0)
+    dim = len(head["p"])
+    if dim != POWER_DIM:
+        # the unrolled DuckDB twin hardcodes POWER_DIM terms per dot
+        # product — a different corpus dim must fail fast, not silently
+        # hash-diverge from the oracle
+        raise ValueError(
+            f"power_iteration_scores oracle assumes dim={POWER_DIM}, "
+            f"embeddings table has dim={dim}"
+        )
     v = [POWER_VSCALE] * dim
     for _ in range(iters):
         v_lit = F.array(*[F.lit(int(x)) for x in v])
@@ -1566,7 +1583,7 @@ def power_iteration_scores(
 
 
 def _power_sql() -> str:
-    dim, ps, vs = 64, POWER_PSCALE, POWER_VSCALE
+    dim, ps, vs = POWER_DIM, POWER_PSCALE, POWER_VSCALE
     dot = (
         f"CAST(list_sum([p[j + 1] * v[j + 1] for j in range({dim})]) "
         "AS BIGINT)"

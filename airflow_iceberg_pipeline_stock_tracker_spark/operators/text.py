@@ -1336,7 +1336,14 @@ WINNOW_W = 4  # winnowing window: any match of >= w+k-1 chars is caught
 # order key = hash * M + (M-1-pos): comparing keys compares (hash asc,
 # pos desc) — the RIGHTMOST minimum of a window is simply min(key).
 # hash32 < 2^32 and M = 2^21 keep every key < 2^53 (exact int64, and
-# exact double on any engine that routes through FP).
+# exact double on any engine that routes through FP). Positions are
+# CLAMPED at M-1 so a pathological doc with > 2^21 k-grams (~2.1 MB of
+# text) cannot drive M-1-pos negative and bleed keys into lower hash
+# buckets: beyond the clamp, equal hashes collapse to one key, which
+# still selects the same fingerprint VALUE (key div M == hash), so the
+# w+k-1 sharing guarantee holds for any document length — only the
+# positional tie-break among equal hashes past 2^21 degrades, never
+# the key ordering between different hashes.
 WINNOW_M = 1 << 21
 
 
@@ -1372,7 +1379,10 @@ def winnowing(docs: DataFrame) -> DataFrame:
     )
     h_arr = F.transform(char_shingles("t", WINNOW_K), hash32)
     keys = F.transform(
-        h_arr, lambda h, p: h * F.lit(WINNOW_M) + F.lit(WINNOW_M - 1) - p
+        h_arr,
+        lambda h, p: h * F.lit(WINNOW_M)
+        + F.lit(WINNOW_M - 1)
+        - F.least(p, F.lit(WINNOW_M - 1)),
     )
     staged = df.select("doc_id", keys.alias("keys"))
     n = F.size(F.col("keys"))
@@ -1415,7 +1425,7 @@ WITH normed AS (
          CASE WHEN length(t) <= {WINNOW_K}
               THEN [{hash32_sql('t')} * {WINNOW_M} + {WINNOW_M - 1}]
               ELSE [{hash32_sql(f'substr(t, i, {WINNOW_K})')} * {WINNOW_M}
-                    + {WINNOW_M - 1} - (i - 1)
+                    + {WINNOW_M - 1} - least(i - 1, {WINNOW_M - 1})
                     for i in range(1, length(t) - {WINNOW_K - 2})] END AS keys
   FROM normed
 ), winnowed AS (

@@ -817,7 +817,12 @@ def snapshot_compaction_demo(spark: SparkSession, table_dir: str) -> DataFrame:
         snapshots.rewrite_dirs(spark, table_dir, b)
     man = snapshots._load_manifest(table_dir)
     dirs_after = len(snapshots._head_snap(man, table_dir)["dirs"])
-    replan = len(snapshots.compaction_plan(table_dir, target_bytes=1))
+    # re-plan with the SAME target as the original plan: the compacted
+    # table is one under-target dir — a singleton leftover the planner
+    # correctly leaves alone, so the empty re-plan proves idempotence
+    # for the intended reason (a target_bytes no dir can undershoot
+    # would make this assert vacuous)
+    replan = len(snapshots.compaction_plan(table_dir, target_bytes=1 << 30))
     return (
         snapshots.read(spark, table_dir)
         .groupBy("ticker")

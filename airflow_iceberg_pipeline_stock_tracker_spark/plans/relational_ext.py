@@ -1101,8 +1101,11 @@ def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exact integers written identically in both engines. Shape: the
     pair topology reuses the bounded basket self-join
     (orders_market_basket); item supports are one map-combinable
-    groupBy; both attach by broadcast (20 pairs / |parts| rows vs the
-    pair fact), so no new large shuffle beyond the pair count itself.
+    groupBy. The support joins carry NO broadcast hint: the surviving
+    pair side is limit-20 (AQE broadcasts IT), while the per-part
+    support side grows with the part dimension — a hard
+    ``F.broadcast`` there would OOM the driver at 100 TB with no
+    fallback.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -1137,8 +1140,8 @@ def orders_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     conf_ab = F.col("support") / F.col("support_a")
     conf_ba = F.col("support") / F.col("support_b")
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .select(
             "part_a",
             "part_b",
@@ -1204,9 +1207,13 @@ def parts_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     diverge on ulps.
 
     Scale: reuses the bounded-basket pair shape (<= C(7,2) pairs per
-    order, linear in orders); item supports attach by broadcast; the
-    min-support filter runs BEFORE the join so only qualifying pairs
-    carry through; top-k is TakeOrderedAndProject, never a global sort.
+    order, linear in orders); the min-support filter runs BEFORE the
+    join so only qualifying pairs carry through. The per-part support
+    side grows with the part dimension (~20B parts at 100 TB TPC-H), so
+    it carries NO broadcast hint — AQE broadcasts it at small SF and
+    falls back to a co-partitioned hash join on the part key at scale,
+    where a hard ``F.broadcast`` would OOM the driver with no fallback.
+    Top-k is TakeOrderedAndProject, never a global sort.
     """
     li = (
         load_table(spark, sf_dir, "lineitem")
@@ -1234,8 +1241,8 @@ def parts_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = item.select(F.col("part").alias("part_b"), F.col("n").alias("n_b"))
     jac = F.col("co") / (F.col("n_a") + F.col("n_b") - F.col("co"))
     return (
-        pairs.join(F.broadcast(sa), "part_a")
-        .join(F.broadcast(sb), "part_b")
+        pairs.join(sa, "part_a")
+        .join(sb, "part_b")
         .select("part_a", "part_b", "co", "n_a", "n_b", jac.alias("jaccard"))
         .orderBy(F.desc("jaccard"), "part_a", "part_b")
         .limit(JACCARD_TOP_K)

@@ -10,8 +10,9 @@ operators promise (SURVEY §2.7 / §7.2 M6).
 
 Floats discipline: the stateful rolling entry exposes only exact columns
 (counts + close arrays); stddev/avg stay in the operator but out of the
-oracle surface (cross-engine accumulation-order noise — see
-.claude/skills/verify gotchas).
+oracle surface (cross-engine float-accumulation-order noise: engines
+sum partial aggregates in different orders, so the low bits of a
+double aggregate are not comparable across engines).
 """
 
 from __future__ import annotations

@@ -1602,11 +1602,35 @@ def events_cusum_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("hour").alias("_hour_ts"),
         ).localCheckpoint(eager=True)
         outs.append(emitted.drop("_p", "_mn", "_mx", "_hour_ts"))
-        state = emitted.groupBy("event_type").agg(
+        new_state = emitted.groupBy("event_type").agg(
             F.max_by("_p", "_hour_ts").alias("p0"),
             F.min("_mn").alias("mn0"),
             F.max("_mx").alias("mx0"),
         )
+        if state is None:
+            state = new_state
+        else:
+            # MERGE with the carried state, never replace it: a type
+            # with no monitored hours in THIS chunk must keep its
+            # (P, min, max) so the next chunk it appears in resumes the
+            # fold instead of restarting from zero (fold == batch even
+            # with per-type gaps). Prefer the newer p0 (latest running
+            # sum); extrema are least/greatest across both, which skip
+            # the NULL of a side missing the type.
+            old = state.select(
+                "event_type",
+                F.col("p0").alias("_op0"),
+                F.col("mn0").alias("_omn"),
+                F.col("mx0").alias("_omx"),
+            )
+            state = new_state.join(old, "event_type", "full_outer").select(
+                "event_type",
+                F.coalesce("p0", "_op0").alias("p0"),
+                F.least("mn0", "_omn").alias("mn0"),
+                F.greatest("mx0", "_omx").alias("mx0"),
+            )
+        # keep the carried plan flat across commits (state is O(types))
+        state = state.localCheckpoint(eager=True)
     if not outs:
         return mon.select(
             "event_type",

@@ -468,6 +468,65 @@ def test_cusum_incremental_state_carry_across_chunks(spark, tmp_path):
     assert any(r.flag_up for r in out)  # the surge trips the monitor
 
 
+def test_cusum_incremental_type_gap_resumes_not_restarts(spark, tmp_path):
+    """A type with NO monitored hours in an intermediate fold commit
+    must RESUME its CUSUM from carried state when it reappears, never
+    restart from zero — the merge-don't-replace state contract. 'click'
+    fires every day (so every chunk exists); 'buy' skips the second
+    chunk entirely, then returns at a surge rate whose flag depends on
+    the pre-gap accumulated extrema."""
+    import os
+
+    import datetime as dt
+
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1)
+    for day in range(19):
+        for h in range(4):  # 4 observed hours per day
+            ts = base + dt.timedelta(days=day, hours=h)
+            for _ in range(10):
+                rows.append((eid, ts, 1, "click", 1.0, "{}")); eid += 1
+            # buy: trains days 0-6, monitored days 7-9, GAP days 10-12
+            # (exactly the second of the four 3-day chunks), back 13+
+            if day < 10 or day >= 13:
+                buy_rate = 5 if day < 15 else 20
+                for _ in range(buy_rate):
+                    rows.append((eid, ts, 1, "buy", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_cusum_incremental,
+    )
+
+    buy = [
+        r
+        for r in events_cusum_incremental(spark, d).collect()
+        if r.event_type == "buy"
+    ]
+    # reference recursion: fixed mu0 from 28 training hours x 5/hour
+    n_train, total_train = 28, 140
+    mon_counts = [
+        (5 if day < 15 else 20)
+        for day in range(7, 19)
+        if day < 10 or day >= 13
+        for _ in range(4)
+    ]
+    assert len(buy) == len(mon_counts)
+    s_up = s_dn = 0
+    for r, c in zip(buy, mon_counts):
+        dd = n_train * c - total_train
+        s_up = max(0, s_up + dd)
+        s_dn = max(0, s_dn - dd)
+        assert (r.cusum_up, r.cusum_down) == (s_up, s_dn), r
+    assert any(r.flag_up for r in buy)  # the post-gap surge still trips
+
+
 def test_purchase_cadence_gaps_and_single_order_nulls(spark, tmp_path):
     import os
 

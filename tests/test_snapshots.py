@@ -949,8 +949,11 @@ def test_compaction_plan_and_bin_rewrite(spark, tdir):
     )
     assert (nscan, nskip) == (1, 0)
     assert [r.x for r in df.collect()] == [1]
-    # a well-compacted table plans ZERO further work (idempotent job)
-    assert snapshots.compaction_plan(tdir, target_bytes=1) == []
+    # a well-compacted table plans ZERO further work (idempotent job):
+    # same target as the original plan — the single merged dir is a
+    # singleton leftover the planner leaves alone (target_bytes=1 here
+    # would be vacuous: no dir can ever undershoot it)
+    assert snapshots.compaction_plan(tdir, target_bytes=1 << 30) == []
 
 
 def test_bin_rewrite_refuses_deletes_and_stale_basis(spark, tdir):

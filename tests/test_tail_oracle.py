@@ -41,24 +41,10 @@ _ESCALATION_SF_DIR = "/root/testdata/sf0.01"
 # for a real driver round, so the list is currently empty — any FUTURE
 # tail-first registration must be added here until its first rotation.
 _NEVER_DRIVER_CHECKED: list[str] = [
-    # r10: all ten r9 tail-first rows rotated into SWEEP_CHECKED for
-    # their first real driver round (r9 verdict ask #1); the r10
-    # tail-first registrations below gate here until their rotation.
-    "prices_monthly_bars",
-    "prices_golden_cross",
-    "text_winnowing",
-    "prices_macd",
-    "parts_jaccard_similarity",
-    "events_cusum",
-    "orders_open_backlog",
-    "prices_ichimoku",
-    "events_cusum_incremental",
-    "customer_purchase_cadence",
-    "embedding_power_iteration",
-    "prices_var_cvar",
-    "events_growth_accounting",
-    "prices_compaction",
-    "text_source_drift",
+    # r11: all fifteen r10 tail-first rows rotated into SWEEP_CHECKED
+    # for their first real driver round (r10 verdict ask #1) — the list
+    # is EMPTY until a future round registers tail-first again (only
+    # allowed when the round's demotion supply is exhausted).
 ]
 
 
