@@ -433,10 +433,12 @@ SWEEP_CHECKED = [
     # r9 rows held as r11 demotion supply (each 2 consecutive green
     # driver rounds r9+r10 — demotable the moment a new r11 operator
     # needs the slot):
-    "events_holt_forecast",    # level+trend struct fold, recursive oracle
     "events_attribution",      # last-touch TTL credit over as-of
     "orders_cohort_ltv",       # first-order cohorts, exact month ages
     "text_collocations",       # lift-ranked bigram phrases, no libm
+    # NEW r11 (first round checked per policy; funded by demoting
+    # events_holt_forecast, 2-round-green r9+r10):
+    "dedup_winnowing_pairs",   # shared-fingerprint join, capped postings
     # PROMOTED r11: the fifteen r10 tail-first rows that had never had
     # a real driver round (r10 verdict ask #1 — the only open
     # correctness-evidence gap). Funded by demoting fifteen of the
@@ -494,6 +496,9 @@ SWEEP_TAIL = [
     "prices_rsi",
     "orders_market_basket",
     "events_pattern_match",
+    # demoted r11 to fund the dedup_winnowing_pairs slot — 2 consecutive
+    # green driver rounds (r9+r10) + the recursive-oracle pytest
+    "events_holt_forecast",
     "dedup_containment",
     "similarity_sq_topk",
     "text_gopher_rules",

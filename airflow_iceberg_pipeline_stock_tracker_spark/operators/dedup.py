@@ -1436,3 +1436,129 @@ ORDER BY source_a, source_b
 
 
 SOURCE_DRIFT_SQL = _drift_sql()
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprint pair mining (the USE of text.winnowing's guarantee)
+# ---------------------------------------------------------------------------
+
+WINNOW_PAIR_CAP = 200  # docs per fingerprint bucket (simhash discipline)
+WINNOW_PAIR_MIN_SHARED = 2  # pairs must share >= this many fingerprints
+WINNOW_PAIR_TOP_K = 50
+
+
+def winnowing_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
+    use the selection guarantee exists for: any two documents sharing a
+    substring of >= w+k-1 chars share at least one selected fingerprint
+    (Schleimer/Wilkerson/Aiken), so joining docs on fingerprint value
+    surfaces every such pair without any all-pairs comparison.
+
+    Shape: winnow_selection (zero-shuffle projection) -> explode to
+    (doc_id, fp) postings -> bucket-cap hot fingerprints (boilerplate
+    the way simhash_pairs caps hot chunks: a fingerprint shared by
+    > WINNOW_PAIR_CAP docs is a stop-gram, not a dedup signal) ->
+    posting-list self-join -> per-pair shared count -> fingerprint-set
+    resemblance n_shared / (n_a + n_b - n_shared).
+
+    Exactness: counts are exact int64 over md5-derived fingerprints;
+    the resemblance is ONE closing division of exact ints written
+    identically in both engines, and ties rank by (doc_a, doc_b).
+    Sizes n_a/n_b count KEPT postings (post-cap) so n_shared <= n_a is
+    an invariant both engines share.
+
+    Scale: the join is inverted-index-shaped (linear in postings, the
+    minhash_lsh_pairs discipline); the cap bounds the one quadratic
+    blowup; the support attach carries NO broadcast hint (doc dimension
+    grows with the corpus — AQE decides); top-k is
+    TakeOrderedAndProject, never a global sort.
+    """
+    from pyspark.sql import Window
+
+    from .text import WINNOW_M, winnow_selection
+
+    fps = winnow_selection(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sel, x -> x div {WINNOW_M})")
+            )
+        ).alias("fp"),
+    )
+    w = Window.partitionBy("fp")
+    kept = (
+        fps.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+        .where(F.col("bucket_n") <= WINNOW_PAIR_CAP)
+        .drop("bucket_n")
+        .persist()  # read by both self-join sides + the size rollup
+    )
+    kept.count()  # eager materialize (see minhash_lsh_pairs)
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a, b = kept.alias("a"), kept.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    res = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    out = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            res.alias("resemblance"),
+        )
+        .orderBy(F.desc("resemblance"), "doc_a", "doc_b")
+        .limit(WINNOW_PAIR_TOP_K)
+    ).localCheckpoint(eager=True)  # then release the postings cache
+    kept.unpersist()
+    return out
+
+
+def _winnow_pairs_sql() -> str:
+    from .text import WINNOW_CORE_CTES, WINNOW_M
+
+    return WINNOW_CORE_CTES + f""",
+fps AS (
+  SELECT doc_id, fp FROM (
+    SELECT doc_id,
+           unnest(list_distinct([x // {WINNOW_M} for x in sel])) AS fp
+    FROM winnowed)
+), kept AS (
+  SELECT doc_id, fp FROM fps
+  QUALIFY COUNT(*) OVER (PARTITION BY fp) <= {WINNOW_PAIR_CAP}
+), sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp FROM kept GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {WINNOW_PAIR_MIN_SHARED}
+)
+SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_a, sb.n_fp AS n_b,
+       CAST(n_shared AS DOUBLE) / (sa.n_fp + sb.n_fp - n_shared)
+         AS resemblance
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+ORDER BY resemblance DESC, doc_a, doc_b
+LIMIT {WINNOW_PAIR_TOP_K}
+"""
+
+
+WINNOW_PAIRS_SQL = _winnow_pairs_sql()

@@ -1347,6 +1347,38 @@ WINNOW_W = 4  # winnowing window: any match of >= w+k-1 chars is caught
 WINNOW_M = 1 << 21
 
 
+def winnow_selection(docs: DataFrame) -> DataFrame:
+    """The winnowing SELECTION stage shared by :func:`winnowing` (the
+    per-doc fingerprint summary) and ``dedup.winnowing_pairs`` (the
+    shared-fingerprint join that exercises the w+k-1 guarantee): one
+    row per doc with ``n_kgrams`` and ``sel``, the distinct selected
+    order keys (``key div WINNOW_M`` recovers the fingerprint hash).
+    Pure per-row array computation — no explode, no shuffle beyond the
+    parallelism spread."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    df = docs.select("doc_id", norm.alias("t")).repartition(
+        parallelism, "doc_id"
+    )
+    h_arr = F.transform(char_shingles("t", WINNOW_K), hash32)
+    keys = F.transform(
+        h_arr,
+        lambda h, p: h * F.lit(WINNOW_M)
+        + F.lit(WINNOW_M - 1)
+        - F.least(p, F.lit(WINNOW_M - 1)),
+    )
+    staged = df.select("doc_id", keys.alias("keys"))
+    n = F.size(F.col("keys"))
+    starts = F.sequence(F.lit(0), F.greatest(n - WINNOW_W, F.lit(0)))
+    sel = F.array_distinct(
+        F.transform(
+            starts,
+            lambda i: F.array_min(F.slice(F.col("keys"), i + 1, WINNOW_W)),
+        )
+    )
+    return staged.select("doc_id", n.alias("n_kgrams"), sel.alias("sel"))
+
+
 def winnowing(docs: DataFrame) -> DataFrame:
     """Per-doc WINNOWING fingerprint summary — the MOSS algorithm: from
     the rolling k-gram hashes, select the rightmost minimum of every
@@ -1372,32 +1404,7 @@ def winnowing(docs: DataFrame) -> DataFrame:
     presentation sort. A 100 TB corpus fingerprint job is exactly this
     projection; the guarantee window (w+k-1 = 12 chars) is the knob.
     """
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    df = docs.select("doc_id", norm.alias("t")).repartition(
-        parallelism, "doc_id"
-    )
-    h_arr = F.transform(char_shingles("t", WINNOW_K), hash32)
-    keys = F.transform(
-        h_arr,
-        lambda h, p: h * F.lit(WINNOW_M)
-        + F.lit(WINNOW_M - 1)
-        - F.least(p, F.lit(WINNOW_M - 1)),
-    )
-    staged = df.select("doc_id", keys.alias("keys"))
-    n = F.size(F.col("keys"))
-    starts = F.sequence(F.lit(0), F.greatest(n - WINNOW_W, F.lit(0)))
-    sel = F.array_distinct(
-        F.transform(
-            starts,
-            lambda i: F.array_min(F.slice(F.col("keys"), i + 1, WINNOW_W)),
-        )
-    )
-    out = staged.select(
-        "doc_id",
-        n.alias("n_kgrams"),
-        sel.alias("sel"),
-    ).select(
+    out = winnow_selection(docs).select(
         "doc_id",
         F.col("n_kgrams").cast("bigint").alias("n_kgrams"),
         F.size("sel").cast("bigint").alias("n_fingerprints"),
@@ -1415,7 +1422,10 @@ def winnowing(docs: DataFrame) -> DataFrame:
     return out.orderBy("doc_id")
 
 
-WINNOWING_SQL = f"""
+# the selection CTE chain shared by WINNOWING_SQL and the pair-join
+# oracle in operators/dedup.py (WINNOW_PAIRS_SQL) — one definition so
+# the two rows can never drift on the selection semantics
+WINNOW_CORE_CTES = f"""
 WITH normed AS (
   SELECT doc_id,
          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -1435,7 +1445,9 @@ WITH normed AS (
            for i in range(0, greatest(len(keys) - {WINNOW_W}, 0) + 1)
          ]) AS sel
   FROM keyed
-)
+)"""
+
+WINNOWING_SQL = WINNOW_CORE_CTES + f"""
 SELECT doc_id,
        CAST(n AS BIGINT) AS n_kgrams,
        CAST(len(sel) AS BIGINT) AS n_fingerprints,

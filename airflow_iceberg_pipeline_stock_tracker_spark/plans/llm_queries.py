@@ -386,6 +386,10 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         ),
         dedup.INCREMENTAL_LSH_SQL,
     ),
+    "dedup_winnowing_pairs": (
+        _docs(dedup.winnowing_pairs),
+        dedup.WINNOW_PAIRS_SQL,
+    ),
     "similarity_knn_graph": (
         lambda spark, sf_dir: similarity.knn_graph_df(
             load_table(spark, sf_dir, "embeddings")

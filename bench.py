@@ -214,6 +214,8 @@ HEADLINE = [
     "events_growth_accounting",
     "prices_compaction",
     "text_source_drift",
+    # --- added in round 11 ---
+    "dedup_winnowing_pairs",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -351,6 +353,14 @@ SCALE_TREND = {
     # absorbs 10x the input map-side)
     "text_winnowing": "documents",
     "events_cusum": "events",
+    # r11 rows (r10 verdict ask #4): the six fact-table-driven r10
+    # operators that had no trend evidence
+    "parts_jaccard_similarity": "lineitem",
+    "text_source_drift": "documents",
+    "embedding_power_iteration": "embeddings",
+    "events_growth_accounting": "events",
+    "orders_open_backlog": "orders",
+    "customer_purchase_cadence": "orders",
 }
 SCALE_FACTOR = 10
 
@@ -373,6 +383,42 @@ SCALE_TREND_NOTES = {
         "replicas are exact duplicates, so CANDIDATE PAIR output grows "
         "~C(10,2)x per duplicate group while input grows 10x — read "
         "time against out_ratio, not input_ratio"
+    ),
+    "parts_jaccard_similarity": (
+        "pair fan-out is C(basket,2) per order — bounded by basket "
+        "size (<= C(7,2)), so candidate pairs grow LINEARLY with "
+        "orders, never quadratically. Replica orders reuse the SAME "
+        "part dimension, so per-pair co-support grows 10x while the "
+        "distinct-pair key space stays flat: the pair aggregate "
+        "absorbs the 10x map-side (partial agg), out stays top-20"
+    ),
+    "text_source_drift": (
+        "profile is a map-combinable groupBy to |sources| x 60 bit "
+        "rows; the pairwise drift join is over the PROFILE (dimension-"
+        "scale), so 10x docs only widen the map-side counting pass"
+    ),
+    "embedding_power_iteration": (
+        "each iteration is one map-only projection + one 64-row-per-"
+        "partition reduce; driver state is O(dim). Int64 overflow "
+        "bound |S| <= rows*dim*PSCALE^2*VSCALE holds to ~1.4e7 rows "
+        "per reduce (documented in the operator)"
+    ),
+    "events_growth_accounting": (
+        "replica users are disjoint populations, so every weekly "
+        "class count grows ~10x while the week spine is calendar-"
+        "bounded; the lag window partitions by user (state = one "
+        "prior week per user)"
+    ),
+    "orders_open_backlog": (
+        "interval-stabbing rewrite: 10x orders emit 10x difference-"
+        "array events, but the global running-sum window still runs "
+        "over ONE row per DATE (calendar-bounded), so the only stage "
+        "that grows is the linear open/close aggregation"
+    ),
+    "customer_purchase_cadence": (
+        "replica customers are disjoint, so groups grow 10x while "
+        "per-group state stays orders-per-customer; out_ratio tracks "
+        "the 10x customer dimension by construction"
     ),
 }
 
@@ -399,7 +445,7 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
         f"{base}-x{SCALE_FACTOR}",
     )
     done_marker = os.path.join(out_dir, "_BUILT")
-    marker_want = f"replicas={SCALE_FACTOR} v2-embeddings\n"
+    marker_want = f"replicas={SCALE_FACTOR} v3-orders\n"
     if os.path.exists(done_marker):
         with open(done_marker) as f:
             if f.read() == marker_want:
@@ -417,6 +463,7 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
         "lineitem.parquet",
         "documents.parquet",
         "embeddings.parquet",
+        "orders.parquet",
     )
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)
@@ -441,6 +488,19 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
         .drop("rep")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "lineitem.parquet"))
+    )
+    # orders shares lineitem's orderkey stride so replica i's orders
+    # join replica i's line items (open-backlog needs both sides);
+    # custkey gets its own stride so replica customers are disjoint
+    # populations (cadence groups grow linearly, per-group state flat)
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (
+        od.crossJoin(F.broadcast(reps))
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.col("rep") * F.lit(10**9))
+        .withColumn("o_custkey", F.col("o_custkey") + F.col("rep") * F.lit(10**7))
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "orders.parquet"))
     )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     (
@@ -698,6 +758,17 @@ def main() -> None:
         print(f"# scale trend: {scale_trend}", file=sys.stderr)
         ivf_amort = _ivf_amortization_point(spark, sf_dir)
         print(f"# ivf amortization: {ivf_amort}", file=sys.stderr)
+        # r10 verdict ask #8: the amortization point lives INSIDE the
+        # IVF trend row too, so the >1 time_ratio (n_queries=10, where
+        # the nlist assignment pass dominates) and the winning absolute
+        # point (n_queries=256 >> nlist) can't be read apart
+        ivf_row = scale_trend.get("similarity_ivf_topk")
+        if ivf_row is not None:
+            ivf_row["amortization_at_q256"] = {
+                "ivf_sec_10x": ivf_amort["ivf_sec"],
+                "brute_sec_10x": ivf_amort["brute_sec"],
+                "ivf_wins": ivf_amort["ivf_wins"],
+            }
         deep = _deep_docs_point(spark, sf_dir, queries)
         for name, sec in deep.items():
             e = scale_trend.get(name)

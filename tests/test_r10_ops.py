@@ -719,3 +719,45 @@ def test_source_drift_identical_zero_disjoint_positive(spark):
     assert out[("B", "C")].drift == out[("A", "C")].drift
     # bounded in [0, 1]
     assert all(0.0 <= r.drift <= 1.0 for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# winnowing pair mining (r11)
+# ---------------------------------------------------------------------------
+
+def test_winnowing_pairs_near_dups_share_fingerprints(spark):
+    """The guarantee put to USE: two docs sharing a long substring must
+    surface as a candidate pair with n_shared >= the min, and the
+    resemblance is exactly n_shared / (n_a + n_b - n_shared)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    t1 = "intro one " + shared + " outro alpha"
+    t2 = "different prefix " + shared + " zz"
+    t3 = "completely unrelated text about weather patterns in spring"
+    out = dedup.winnowing_pairs(_docs(spark, [t1, t2, t3])).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (0, 1) in pairs
+    r = pairs[(0, 1)]
+    assert r.n_shared >= dedup.WINNOW_PAIR_MIN_SHARED
+    assert r.n_shared <= min(r.n_a, r.n_b)
+    assert r.resemblance == r.n_shared / (r.n_a + r.n_b - r.n_shared)
+    # the unrelated doc pairs with nobody
+    assert not any(2 in (a, b) for a, b in pairs)
+
+
+def test_winnowing_pairs_bucket_cap_drops_hot_fingerprints(spark, monkeypatch):
+    """Exact duplicates share ALL fingerprints (resemblance 1.0); with
+    the cap below the duplicate-group size every posting bucket is hot
+    and the quadratic expansion is suppressed entirely."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+
+    dup = "exactly the same boilerplate text shared by every copy here"
+    out = dedup.winnowing_pairs(_docs(spark, [dup, dup, dup])).collect()
+    assert len(out) == 3  # C(3,2)
+    assert all(
+        r.resemblance == 1.0 and r.n_shared == r.n_a == r.n_b for r in out
+    )
+    monkeypatch.setattr(dedup, "WINNOW_PAIR_CAP", 2)
+    out2 = dedup.winnowing_pairs(_docs(spark, [dup, dup, dup])).collect()
+    assert out2 == []  # bucket size 3 > cap 2 on every fingerprint
