@@ -154,6 +154,18 @@ def _q_prices_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return var_cvar(prices_standin(spark, sf_dir))
 
 
+def _q_prices_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel over the PRIOR 20 days + breakout signal — all
+    int64-cent extrema, doubled-cent midline, zero division
+    (operators/finance.py:donchian); two frames on one (ticker, date)
+    exchange, prices_drawdown's class."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        donchian,
+    )
+
+    return donchian(prices_standin(spark, sf_dir))
+
+
 def _q_prices_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """On-Balance Volume: running volume sum signed by the close-to-
     close direction — pure int64 end-to-end (operators/finance.py:obv),
@@ -430,15 +442,14 @@ SWEEP_CHECKED = [
     # the full-part-dimension side (plans/relational_ext.py — the r10
     # verdict's jaccard fix applied to this sibling too)
     "orders_basket_rules",       # confidence/lift over the pair topology
-    # r9 rows held as r11 demotion supply (each 2 consecutive green
-    # driver rounds r9+r10 — demotable the moment a new r11 operator
-    # needs the slot):
-    "events_attribution",      # last-touch TTL credit over as-of
-    "orders_cohort_ltv",       # first-order cohorts, exact month ages
-    "text_collocations",       # lift-ranked bigram phrases, no libm
-    # NEW r11 (first round checked per policy; funded by demoting
-    # events_holt_forecast, 2-round-green r9+r10):
+    # NEW r11 (first round checked per policy; funded by demoting the
+    # last four r9 supply rows — events_holt_forecast,
+    # events_attribution, orders_cohort_ltv, text_collocations, each
+    # 2-round-green r9+r10):
     "dedup_winnowing_pairs",   # shared-fingerprint join, capped postings
+    "prices_donchian",         # prior-window channel extrema + breakouts
+    "events_hourofweek_seasonality",  # 168-cell profile, epoch-day dow
+    "orders_ship_sla",         # exact histogram percentiles, no sort
     # PROMOTED r11: the fifteen r10 tail-first rows that had never had
     # a real driver round (r10 verdict ask #1 — the only open
     # correctness-evidence gap). Funded by demoting fifteen of the
@@ -496,9 +507,12 @@ SWEEP_TAIL = [
     "prices_rsi",
     "orders_market_basket",
     "events_pattern_match",
-    # demoted r11 to fund the dedup_winnowing_pairs slot — 2 consecutive
-    # green driver rounds (r9+r10) + the recursive-oracle pytest
+    # demoted r11 to fund the four new-operator slots — each 2
+    # consecutive green driver rounds (r9+r10) + pytest coverage
     "events_holt_forecast",
+    "events_attribution",
+    "orders_cohort_ltv",
+    "text_collocations",
     "dedup_containment",
     "similarity_sq_topk",
     "text_gopher_rules",
@@ -718,6 +732,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_bollinger": _q_prices_bollinger,
         "prices_rsi": _q_prices_rsi,
         "prices_obv": _q_prices_obv,
+        "prices_donchian": _q_prices_donchian,
         "prices_partition_evolution": _q_prices_partition_evolution,
         "prices_compaction": _q_prices_compaction,
         "prices_monthly_bars": _q_prices_monthly_bars,
@@ -784,6 +799,7 @@ def oracle_sql() -> dict[str, str]:
         ATR_SQL,
         BETA_SQL,
         BOLLINGER_SQL,
+        DONCHIAN_SQL,
         DRAWDOWN_SQL,
         GOLDEN_CROSS_SQL,
         ICHIMOKU_SQL,
@@ -804,6 +820,8 @@ def oracle_sql() -> dict[str, str]:
         + BOLLINGER_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_rsi": prices_cte + RSI_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_obv": prices_cte + OBV_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_donchian": prices_cte
+        + DONCHIAN_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_ichimoku": prices_cte
         + ICHIMOKU_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_var_cvar": prices_cte

@@ -1217,3 +1217,85 @@ SELECT ticker, n_days,
 FROM per_t
 ORDER BY ticker
 """
+
+
+DONCH_PERIOD = 20  # prior-day lookback for the channel bounds
+
+
+def donchian(prices: DataFrame, period: int = DONCH_PERIOD) -> DataFrame:
+    """Per (ticker, date): Donchian channel over the PRIOR ``period``
+    days — upper = highest high, lower = lowest low, both excluding the
+    current bar (the breakout convention: today's close is judged
+    against yesterday's channel, so a new high IS a breakout instead of
+    instantly widening the band to swallow itself). Emitted only where
+    the prior window is FULL. The turtle-trading channel/breakout
+    primitive, complementing golden_cross (trend) and bollinger
+    (dispersion) with pure EXTREMA.
+
+    Exactness: bounds and the close comparison are int64 cents;
+    width_c = upper_c - lower_c and mid2_c = upper_c + lower_c (doubled
+    cent space, the ichimoku discipline) — zero division, zero floats.
+    ``signal`` is 'breakout_up' / 'breakout_down' / 'inside'.
+
+    Scale: two frames over ONE (ticker, date) sort — a single hash
+    exchange, no joins, no Python; prices_drawdown's class.
+    """
+    w = Window.partitionBy("ticker").orderBy("date")
+    prior = w.rowsBetween(-period, -1)
+    high_c, low_c, close_c = cents("high"), cents("low"), cents("close")
+    staged = prices.select(
+        "ticker",
+        "date",
+        F.row_number().over(w).alias("rn"),
+        close_c.alias("close_c"),
+        F.max(high_c).over(prior).alias("upper_c"),
+        F.min(low_c).over(prior).alias("lower_c"),
+    )
+    sig = (
+        F.when(F.col("close_c") > F.col("upper_c"), F.lit("breakout_up"))
+        .when(F.col("close_c") < F.col("lower_c"), F.lit("breakout_down"))
+        .otherwise(F.lit("inside"))
+    )
+    return (
+        staged.where(F.col("rn") > period)
+        .select(
+            "ticker",
+            "date",
+            "close_c",
+            "upper_c",
+            "lower_c",
+            (F.col("upper_c") - F.col("lower_c")).alias("width_c"),
+            (F.col("upper_c") + F.col("lower_c")).alias("mid2_c"),
+            sig.alias("signal"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+DONCHIAN_SQL = f"""
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(high * 100) AS BIGINT) AS high_c,
+         CAST(ROUND(low * 100) AS BIGINT) AS low_c,
+         CAST(ROUND(close * 100) AS BIGINT) AS close_c
+  FROM prices
+), s AS (
+  SELECT ticker, date, close_c,
+         ROW_NUMBER() OVER w AS rn,
+         MAX(high_c) OVER prior AS upper_c,
+         MIN(low_c) OVER prior AS lower_c
+  FROM c
+  WINDOW w AS (PARTITION BY ticker ORDER BY date),
+         prior AS (PARTITION BY ticker ORDER BY date
+                   ROWS BETWEEN {DONCH_PERIOD} PRECEDING AND 1 PRECEDING)
+)
+SELECT ticker, date, close_c, upper_c, lower_c,
+       upper_c - lower_c AS width_c,
+       upper_c + lower_c AS mid2_c,
+       CASE WHEN close_c > upper_c THEN 'breakout_up'
+            WHEN close_c < lower_c THEN 'breakout_down'
+            ELSE 'inside' END AS signal
+FROM s
+WHERE rn > {DONCH_PERIOD}
+ORDER BY ticker, date
+"""

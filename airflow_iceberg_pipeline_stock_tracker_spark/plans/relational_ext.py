@@ -1640,6 +1640,131 @@ ORDER BY custkey
 """
 
 
+def orders_ship_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-first-ship SLA distribution per order priority: exact
+    p50/p90/p99 of the day lag between o_orderdate and the order's
+    FIRST l_shipdate, plus min/max/mean — the fulfillment-latency SLO
+    table, with percentiles computed EXACTLY and WITHOUT ever sorting
+    the fact table.
+
+    The at-scale trick: the lag domain is bounded (an integer number
+    of days, ~150 distinct values in TPC-H), so the pipeline collapses
+    to a (priority, lag_days) HISTOGRAM via one map-combinable
+    groupBy, and the exact discrete percentile is the smallest lag
+    whose cumulative count clears the rank — computed on the
+    dimension-bounded histogram with integer cross-multiplication
+    (2*cum >= n for p50, 10*cum >= 9*n for p90, 100*cum >= 99*n for
+    p99; no decimal-literal rank arithmetic, no interpolation). This
+    is the bounded-domain sibling of events_conversion_lag's bucketed
+    selection: when the value domain is small-integer, the histogram
+    IS the order statistic.
+
+    Exactness: day lags are exact date arithmetic; counts/cums int64;
+    the mean is ONE closing division of two exact ints.
+
+    Scale: the orders-lineitem join is co-partitioned on orderkey (no
+    hint — AQE decides); everything after the histogram groupBy runs
+    on <= |priorities| x |lag domain| rows.
+    """
+    first_ship = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("okey"))
+        .agg(F.min("l_shipdate").alias("first_ship"))
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderdate",
+    )
+    lag = o.join(first_ship, "okey").select(
+        "priority",
+        F.datediff(F.to_date("first_ship"), F.to_date("o_orderdate")).alias(
+            "lag_days"
+        ),
+    )
+    hist = lag.groupBy("priority", "lag_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("lag_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wtot = Window.partitionBy("priority")
+    cum = hist.select(
+        "priority",
+        "lag_days",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wtot).alias("n"),
+        F.sum(F.col("lag_days") * F.col("cnt")).over(wtot).alias("lag_sum"),
+    )
+    return (
+        cum.groupBy("priority")
+        .agg(
+            F.max("n").cast("bigint").alias("n_orders"),
+            F.min("lag_days").cast("int").alias("min_lag"),
+            F.max("lag_days").cast("int").alias("max_lag"),
+            F.min(F.when(2 * F.col("cum") >= F.col("n"), F.col("lag_days")))
+            .cast("int")
+            .alias("p50"),
+            F.min(
+                F.when(10 * F.col("cum") >= 9 * F.col("n"), F.col("lag_days"))
+            )
+            .cast("int")
+            .alias("p90"),
+            F.min(
+                F.when(
+                    100 * F.col("cum") >= 99 * F.col("n"), F.col("lag_days")
+                )
+            )
+            .cast("int")
+            .alias("p99"),
+            (F.max("lag_sum").cast("double") / F.max("n")).alias("mean_lag"),
+        )
+        .orderBy("priority")
+    )
+
+
+SHIP_SLA_SQL = """
+WITH first_ship AS (
+  SELECT l_orderkey AS okey, MIN(l_shipdate) AS first_ship
+  FROM lineitem GROUP BY 1
+), lag AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(f.first_ship AS DATE)) AS lag_days
+  FROM orders o JOIN first_ship f ON f.okey = o.o_orderkey
+), hist AS (
+  SELECT priority, lag_days, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM lag GROUP BY 1, 2
+), cum AS (
+  SELECT priority, lag_days, cnt,
+         CAST(SUM(cnt) OVER wcum AS BIGINT) AS cum,
+         CAST(SUM(cnt) OVER wtot AS BIGINT) AS n,
+         CAST(SUM(lag_days * cnt) OVER wtot AS BIGINT) AS lag_sum
+  FROM hist
+  WINDOW wcum AS (PARTITION BY priority ORDER BY lag_days
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wtot AS (PARTITION BY priority)
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n_orders,
+       CAST(MIN(lag_days) AS INTEGER) AS min_lag,
+       CAST(MAX(lag_days) AS INTEGER) AS max_lag,
+       CAST(MIN(CASE WHEN 2 * cum >= n THEN lag_days END) AS INTEGER)
+         AS p50,
+       CAST(MIN(CASE WHEN 10 * cum >= 9 * n THEN lag_days END) AS INTEGER)
+         AS p90,
+       CAST(MIN(CASE WHEN 100 * cum >= 99 * n THEN lag_days END) AS INTEGER)
+         AS p99,
+       CAST(MAX(lag_sum) AS DOUBLE) / MAX(n) AS mean_lag
+FROM cum
+GROUP BY priority
+ORDER BY priority
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -1671,4 +1796,5 @@ RELATIONAL_EXT_QUERIES = {
     "orders_abc_analysis": (orders_abc_analysis, ABC_ANALYSIS_SQL),
     "orders_cohort_ltv": (orders_cohort_ltv, COHORT_LTV_SQL),
     "orders_basket_rules": (orders_basket_rules, BASKET_RULES_SQL),
+    "orders_ship_sla": (orders_ship_sla, SHIP_SLA_SQL),
 }

@@ -1795,6 +1795,81 @@ ORDER BY week
 """
 
 
+def events_hourofweek_seasonality(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hour-of-week seasonal profile per event type: for each of the
+    168 (day-of-week, hour) cells, the observed event count, its
+    seasonal index vs a uniform week, and a hot/normal/cold label —
+    the profile capacity planners and anomaly detectors subtract
+    before looking at anything else (events_hourly_anomaly's missing
+    denominator).
+
+    Exactness: day-of-week avoids BOTH engines' locale/convention
+    traps (Spark dayofweek is 1=Sunday, DuckDB dayofweek is 0=Sunday,
+    isodow is 1=Monday) by computing it from epoch-day arithmetic
+    identically in both: (datediff(day, DATE '1970-01-01') + 4) % 7,
+    0 = Sunday (1970-01-01 was a Thursday = 4). The index is ONE
+    closing division of exact ints (n*168 / total); the label compares
+    n*168 against 2*total / total against 2*n*168 in pure int64 —
+    no decimal literals anywhere (the ceil(n*0.05) trap).
+
+    Scale: one map-combinable groupBy collapses any event volume to
+    <= |types| x 168 rows; the per-type total is a window over that
+    dimension-bounded profile — no second pass over the fact table.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4) % 7
+    prof = ev.groupBy(
+        "event_type",
+        dow.cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    tot = Window.partitionBy("event_type")
+    total = F.sum("n_events").over(tot)
+    scaled = F.col("n_events") * F.lit(168)
+    label = (
+        F.when(scaled > 2 * total, F.lit("hot"))
+        .when(2 * scaled < total, F.lit("cold"))
+        .otherwise(F.lit("normal"))
+    )
+    return (
+        prof.select(
+            "event_type",
+            "dow",
+            "hour",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            total.cast("bigint").alias("total_type"),
+            (scaled.cast("double") / total).alias("seasonal_idx"),
+            label.alias("label"),
+        )
+        .orderBy("event_type", "dow", "hour")
+    )
+
+
+EVENTS_SEASONALITY_SQL = """
+WITH prof AS (
+  SELECT event_type,
+         CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+              AS INTEGER) AS dow,
+         CAST(extract(hour FROM ts) AS INTEGER) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, dow, hour, n_events,
+       CAST(SUM(n_events) OVER tot AS BIGINT) AS total_type,
+       CAST(n_events * 168 AS DOUBLE) / SUM(n_events) OVER tot
+         AS seasonal_idx,
+       CASE WHEN n_events * 168 > 2 * SUM(n_events) OVER tot THEN 'hot'
+            WHEN 2 * n_events * 168 < SUM(n_events) OVER tot THEN 'cold'
+            ELSE 'normal' END AS label
+FROM prof
+WINDOW tot AS (PARTITION BY event_type)
+ORDER BY event_type, dow, hour
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -1823,6 +1898,10 @@ TIMESERIES_QUERIES = {
     "events_growth_accounting": (
         events_growth_accounting,
         EVENTS_GROWTH_SQL,
+    ),
+    "events_hourofweek_seasonality": (
+        events_hourofweek_seasonality,
+        EVENTS_SEASONALITY_SQL,
     ),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),

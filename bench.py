@@ -216,6 +216,9 @@ HEADLINE = [
     "text_source_drift",
     # --- added in round 11 ---
     "dedup_winnowing_pairs",
+    "prices_donchian",
+    "events_hourofweek_seasonality",
+    "orders_ship_sla",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

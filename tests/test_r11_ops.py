@@ -1,0 +1,128 @@
+"""Unit tests for the round-11 operators: Donchian channels,
+hour-of-week seasonality, ship-SLA histogram percentiles, and the
+winnowing pair miner's contract lives in test_r10_ops. Each pins the
+semantic contract on a small adversarial fixture (the oracle gate
+checks engine parity; these check the MATH is the intended math)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+    DONCH_PERIOD,
+    donchian,
+)
+
+
+def _prices(spark, bars, ticker="T", start=dt.date(2024, 1, 1)):
+    """bars: list of (high, low, close) in dollars."""
+    return spark.createDataFrame(
+        [
+            (ticker, start + dt.timedelta(days=i), c, h, lo, c, 100.0)
+            for i, (h, lo, c) in enumerate(bars)
+        ],
+        "ticker string, date date, open double, high double, low double, "
+        "close double, volume double",
+    )
+
+
+def test_donchian_prior_window_excludes_current_bar(spark):
+    """A fresh high must BREAK OUT of yesterday's channel, not widen
+    today's channel to swallow itself."""
+    flat = [(10.0, 9.0, 9.5)] * DONCH_PERIOD
+    surge = [(20.0, 9.0, 15.0)]  # close 15 > prior upper 10
+    out = donchian(_prices(spark, flat + surge)).collect()
+    assert len(out) == 1  # the 20 warm-up rows have no full prior window
+    r = out[0]
+    assert (r.upper_c, r.lower_c) == (1000, 900)  # from the flat window
+    assert r.close_c == 1500 and r.signal == "breakout_up"
+    assert r.width_c == 100 and r.mid2_c == 1900
+
+
+def test_donchian_breakout_down_and_inside(spark):
+    flat = [(10.0, 9.0, 9.5)] * DONCH_PERIOD
+    down = [(9.4, 8.0, 8.5)]   # close 8.5 < prior lower 9.0
+    inside = [(9.9, 9.1, 9.5)]  # within the (now widened-down) channel
+    out = donchian(_prices(spark, flat + down + inside)).collect()
+    assert [r.signal for r in out] == ["breakout_down", "inside"]
+    # the down bar's low enters the NEXT row's channel
+    assert out[1].lower_c == 800
+
+
+def test_seasonality_epoch_dow_and_labels(spark, tmp_path):
+    import os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_hourofweek_seasonality,
+    )
+
+    # 2024-03-03 is a SUNDAY (dow 0), 2024-03-04 a Monday (dow 1).
+    # type 'a': 400 events in one cell + 1 elsewhere. total = 401:
+    # hot cell 400*168 > 2*401; cold cell 2*1*168 = 336 < 401 (a cell
+    # with total/168 events is exactly uniform -> 'normal', so the
+    # cold fixture must be rarer than uniform, not just rare).
+    rows, eid = [], 0
+    sun = dt.datetime(2024, 3, 3, 10, 0)
+    mon = dt.datetime(2024, 3, 4, 5, 0)
+    for _ in range(400):
+        rows.append((eid, sun, 1, "a", 1.0, "{}")); eid += 1
+    rows.append((eid, mon, 1, "a", 1.0, "{}")); eid += 1
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    out = {(r.dow, r.hour): r for r in
+           events_hourofweek_seasonality(spark, d).collect()}
+    assert set(out) == {(0, 10), (1, 5)}
+    hot = out[(0, 10)]
+    assert hot.n_events == 400 and hot.total_type == 401
+    assert hot.label == "hot" and hot.seasonal_idx == 400 * 168 / 401
+    cold = out[(1, 5)]
+    assert cold.label == "cold" and cold.n_events == 1
+
+
+def test_ship_sla_exact_percentiles_match_python(spark, tmp_path):
+    import os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        orders_ship_sla,
+    )
+
+    base = dt.date(2024, 1, 1)
+    lags = [1, 2, 2, 3, 10, 10, 10, 50, 100, 365]
+    orders = [(i + 1, "1-URGENT", base) for i in range(len(lags))]
+    li = [(i + 1, lag) for i, lag in enumerate(lags)]
+    spark.createDataFrame(
+        orders, "o_orderkey long, o_orderpriority string, o_orderdate date"
+    ).write.parquet(os.path.join(str(tmp_path), "orders.parquet"))
+    spark.createDataFrame(
+        [(k, base + dt.timedelta(days=lag)) for k, lag in li]
+        # a later second shipment must NOT move first_ship
+        + [(1, base + dt.timedelta(days=200))],
+        "l_orderkey long, l_shipdate date",
+    ).write.parquet(os.path.join(str(tmp_path), "lineitem.parquet"))
+    r = orders_ship_sla(spark, str(tmp_path)).collect()[0]
+
+    def pct(vals, num, den):
+        # smallest v with den*cum >= num*n
+        s, n, cum = sorted(vals), len(vals), 0
+        from collections import Counter
+        c = Counter(s)
+        for v in sorted(c):
+            cum += c[v]
+            if den * cum >= num * n:
+                return v
+
+    assert (r.n_orders, r.min_lag, r.max_lag) == (10, 1, 365)
+    # rank-5 of the 10 sorted lags is 10 (the discrete median —
+    # smallest value whose cumulative count reaches n/2)
+    assert r.p50 == pct(lags, 1, 2) == 10
+    assert r.p90 == pct(lags, 9, 10) == 100
+    assert r.p99 == pct(lags, 99, 100) == 365
+    assert r.mean_lag == sum(lags) / len(lags)
