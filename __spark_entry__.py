@@ -500,6 +500,14 @@ SWEEP_CHECKED = [
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
+    # r11 tail-FIRST registrations (checked budget exhausted by the 15
+    # rotation promotions + 4 checked-first new ops): listed in
+    # tests/test_tail_oracle._NEVER_DRIVER_CHECKED, so each runs at the
+    # driver SF per CI until a future rotation gives it a real driver
+    # round
+    "events_mad_anomaly",
+    "events_burst_episodes",
+    "dq_referential_integrity",
     # demoted r11 to fund the fifteen r10 tail-first promotions (r10
     # verdict ask #1). Evidence per row: 2 consecutive green driver
     # rounds (r9+r10, CORRECTNESS_r0{9,10}.json) + pytest coverage; all

@@ -1765,6 +1765,135 @@ ORDER BY priority
 """
 
 
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE data-quality battery: referential-integrity and key
+    checks across the fact/dimension graph — the warehouse-level
+    counterpart of the reference's single-table dq_checks
+    (/root/reference/dags/dag.py's six checks run inside one table;
+    real pipelines also audit the EDGES between tables):
+
+      lineitem_orphan_orderkey   line items whose order is missing
+      orders_without_lineitems   orders with no line items (present in
+                                 the driver testdata: a real finding)
+      orders_orphan_custkey      orders pointing at missing customers
+      customers_without_orders   dormant dimension rows (informational)
+      lineitem_orphan_partkey    line items pointing at missing parts
+      lineitem_duplicate_linekey (l_orderkey, l_linenumber) collisions
+
+    Exactness: every check is an exact int64 count from an anti-join or
+    a groupBy-HAVING; PASS/FAIL is n_bad = 0 (customers_without_orders
+    reports but never fails — dormant customers are legal).
+
+    Scale: each orphan check is a co-partitioned ANTI join on the key
+    it audits (no hints — dimension sides broadcast under AQE when
+    small); the duplicate check is one map-combinable groupBy. Six
+    independent scans by design — a DQ battery is an off-peak audit,
+    and fusing them would couple every check's partitioning to one
+    plan.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    part = load_table(spark, sf_dir, "part")
+
+    def _count(df: DataFrame, name: str, informational: bool = False):
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_bad")).select(
+            F.lit(name).alias("check_name"),
+            "n_bad",
+            F.when(F.lit(informational), F.lit("INFO"))
+            .when(F.col("n_bad") == 0, F.lit("PASS"))
+            .otherwise(F.lit("FAIL"))
+            .alias("status"),
+        )
+
+    checks = [
+        _count(
+            li.join(o, li.l_orderkey == o.o_orderkey, "left_anti"),
+            "lineitem_orphan_orderkey",
+        ),
+        _count(
+            o.join(li, o.o_orderkey == li.l_orderkey, "left_anti"),
+            "orders_without_lineitems",
+        ),
+        _count(
+            o.join(cust, o.o_custkey == cust.c_custkey, "left_anti"),
+            "orders_orphan_custkey",
+        ),
+        _count(
+            cust.join(o, cust.c_custkey == o.o_custkey, "left_anti"),
+            "customers_without_orders",
+            informational=True,
+        ),
+        _count(
+            li.join(part, li.l_partkey == part.p_partkey, "left_anti"),
+            "lineitem_orphan_partkey",
+        ),
+        _count(
+            li.groupBy("l_orderkey", "l_linenumber")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .where(F.col("c") > 1),
+            "lineitem_duplicate_linekey",
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out.orderBy("check_name")
+
+
+DQ_REFERENTIAL_SQL = """
+WITH checks AS (
+  SELECT 'lineitem_orphan_orderkey' AS check_name,
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_orderkey = l.l_orderkey))
+              AS BIGINT) AS n_bad,
+         FALSE AS informational
+  UNION ALL
+  SELECT 'orders_without_lineitems',
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                 WHERE l.l_orderkey = o.o_orderkey))
+              AS BIGINT),
+         FALSE
+  UNION ALL
+  SELECT 'orders_orphan_custkey',
+         CAST((SELECT COUNT(*) FROM orders o
+               WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                 WHERE c.c_custkey = o.o_custkey))
+              AS BIGINT),
+         FALSE
+  UNION ALL
+  SELECT 'customers_without_orders',
+         CAST((SELECT COUNT(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                 WHERE o.o_custkey = c.c_custkey))
+              AS BIGINT),
+         TRUE
+  UNION ALL
+  SELECT 'lineitem_orphan_partkey',
+         CAST((SELECT COUNT(*) FROM lineitem l
+               WHERE NOT EXISTS (SELECT 1 FROM part p
+                                 WHERE p.p_partkey = l.l_partkey))
+              AS BIGINT),
+         FALSE
+  UNION ALL
+  SELECT 'lineitem_duplicate_linekey',
+         CAST((SELECT COUNT(*) FROM (
+                 SELECT l_orderkey, l_linenumber
+                 FROM lineitem GROUP BY 1, 2 HAVING COUNT(*) > 1))
+              AS BIGINT),
+         FALSE
+)
+SELECT check_name, n_bad,
+       CASE WHEN informational THEN 'INFO'
+            WHEN n_bad = 0 THEN 'PASS'
+            ELSE 'FAIL' END AS status
+FROM checks
+ORDER BY check_name
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -1797,4 +1926,8 @@ RELATIONAL_EXT_QUERIES = {
     "orders_cohort_ltv": (orders_cohort_ltv, COHORT_LTV_SQL),
     "orders_basket_rules": (orders_basket_rules, BASKET_RULES_SQL),
     "orders_ship_sla": (orders_ship_sla, SHIP_SLA_SQL),
+    "dq_referential_integrity": (
+        dq_referential_integrity,
+        DQ_REFERENTIAL_SQL,
+    ),
 }

@@ -1870,6 +1870,220 @@ ORDER BY event_type, dow, hour
 """
 
 
+def events_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust hourly anomaly detection per event type: flag hours whose
+    count deviates from the type's MEDIAN by more than 3x the MEDIAN
+    ABSOLUTE DEVIATION — the outlier rule that, unlike z-scores
+    (events_hourly_anomaly's mean/stddev), is not itself corrupted by
+    the outliers it hunts.
+
+    Exactness: both medians are exact discrete order statistics (lower
+    median: the smallest value whose doubled cumulative count reaches
+    the hour total — integer cross-multiplication, no interpolation, no
+    halves), computed from COUNT-VALUE HISTOGRAMS, never by sorting raw
+    hours; the flag compares int64 (abs_dev > 3 * mad).
+
+    Scale: the fact table collapses at the first (type, hour) aggregate
+    — checkpointed so the scan runs ONCE — and everything after runs on
+    calendar-bounded rows (<= |types| x hours, then <= |types| x
+    distinct count values). The median-of-histogram trick is
+    orders_ship_sla's bounded-domain order statistic applied twice.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hour")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # bounded rows; fact scan runs once
+    )
+
+    def _median_of(df: DataFrame, col: str, out: str) -> DataFrame:
+        hist = df.groupBy("event_type", col).agg(
+            F.count(F.lit(1)).alias("freq")
+        )
+        wcum = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        wtot = Window.partitionBy("event_type")
+        c = hist.select(
+            "event_type",
+            F.col(col),
+            F.sum("freq").over(wcum).alias("cum"),
+            F.sum("freq").over(wtot).alias("h"),
+        )
+        return c.groupBy("event_type").agg(
+            F.min(F.when(2 * F.col("cum") >= F.col("h"), F.col(col))).alias(
+                out
+            )
+        )
+
+    med = _median_of(hourly, "n", "med")
+    dev = hourly.join(med, "event_type").select(
+        "event_type",
+        "hour",
+        "n",
+        "med",
+        F.abs(F.col("n") - F.col("med")).alias("abs_dev"),
+    )
+    mad = _median_of(dev, "abs_dev", "mad")
+    return (
+        dev.join(mad, "event_type")
+        .where(F.col("abs_dev") > 3 * F.col("mad"))
+        .select(
+            "event_type",
+            F.date_format("hour", "yyyy-MM-dd HH:00:00").alias("hour"),
+            F.col("n").cast("bigint").alias("n_events"),
+            F.col("med").cast("bigint").alias("med"),
+            F.col("mad").cast("bigint").alias("mad"),
+            F.col("abs_dev").cast("bigint").alias("abs_dev"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+EVENTS_MAD_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), nhist AS (
+  SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM hourly GROUP BY 1, 2
+), ncum AS (
+  SELECT event_type, n,
+         CAST(SUM(freq) OVER wcum AS BIGINT) AS cum,
+         CAST(SUM(freq) OVER wtot AS BIGINT) AS h
+  FROM nhist
+  WINDOW wcum AS (PARTITION BY event_type ORDER BY n
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wtot AS (PARTITION BY event_type)
+), med AS (
+  SELECT event_type,
+         MIN(CASE WHEN 2 * cum >= h THEN n END) AS med
+  FROM ncum GROUP BY 1
+), dev AS (
+  SELECT h.event_type, h.hour, h.n, m.med, abs(h.n - m.med) AS abs_dev
+  FROM hourly h JOIN med m ON m.event_type = h.event_type
+), dhist AS (
+  SELECT event_type, abs_dev, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM dev GROUP BY 1, 2
+), dcum AS (
+  SELECT event_type, abs_dev,
+         CAST(SUM(freq) OVER wcum AS BIGINT) AS cum,
+         CAST(SUM(freq) OVER wtot AS BIGINT) AS h
+  FROM dhist
+  WINDOW wcum AS (PARTITION BY event_type ORDER BY abs_dev
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wtot AS (PARTITION BY event_type)
+), mad AS (
+  SELECT event_type,
+         MIN(CASE WHEN 2 * cum >= h THEN abs_dev END) AS mad
+  FROM dcum GROUP BY 1
+)
+SELECT d.event_type,
+       strftime(d.hour, '%Y-%m-%d %H:00:00') AS hour,
+       d.n AS n_events,
+       d.med AS med,
+       m.mad AS mad,
+       d.abs_dev AS abs_dev
+FROM dev d JOIN mad m ON m.event_type = d.event_type
+WHERE d.abs_dev > 3 * m.mad
+ORDER BY d.event_type, hour
+"""
+
+
+def events_burst_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst EPISODES per event type: maximal runs of CONSECUTIVE hours
+    whose count exceeds twice the type's mean hourly rate, reported as
+    one row per episode (start, end, length, peak, volume) — the
+    incident-shaped rollup an on-call reads, not the per-hour flag
+    stream (events_hourly_anomaly / events_mad_anomaly) it derives
+    from.
+
+    Exactness: the qualifying test is pure integer cross-multiplication
+    (n * observed_hours > 2 * total_events — no mean division); episode
+    grouping is gaps-and-islands over the integer hour index
+    (epoch-seconds div 3600, exact on hour-truncated timestamps), with
+    island id = hour_index - row_number.
+
+    Scale: the fact table collapses at the first (type, hour)
+    aggregate; the window + islands run on calendar-bounded rows. Same
+    class as events_transitions' gaps-and-islands.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wtot = Window.partitionBy("event_type")
+    scaled = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.sum("n").over(wtot).alias("t"),
+        F.count(F.lit(1)).over(wtot).alias("h"),
+    )
+    qual = scaled.where(F.col("n") * F.col("h") > 2 * F.col("t"))
+    hrs = F.expr("unix_timestamp(hour) div 3600")
+    wseq = Window.partitionBy("event_type").orderBy("hour")
+    isl = qual.select(
+        "event_type",
+        "hour",
+        "n",
+        (hrs - F.row_number().over(wseq)).alias("isl"),
+    )
+    return (
+        isl.groupBy("event_type", "isl")
+        .agg(
+            F.date_format(F.min("hour"), "yyyy-MM-dd HH:00:00").alias(
+                "start_hour"
+            ),
+            F.date_format(F.max("hour"), "yyyy-MM-dd HH:00:00").alias(
+                "end_hour"
+            ),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.max("n").cast("bigint").alias("peak_n"),
+            F.sum("n").cast("bigint").alias("total_n"),
+        )
+        .drop("isl")
+        .orderBy("event_type", "start_hour")
+    )
+
+
+EVENTS_BURST_SQL = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), scaled AS (
+  SELECT event_type, hour, n,
+         CAST(SUM(n) OVER wtot AS BIGINT) AS t,
+         CAST(COUNT(*) OVER wtot AS BIGINT) AS h
+  FROM hourly
+  WINDOW wtot AS (PARTITION BY event_type)
+), qual AS (
+  SELECT event_type, hour, n FROM scaled WHERE n * h > 2 * t
+), isl AS (
+  SELECT event_type, hour, n,
+         epoch_ms(hour) // 3600000
+           - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hour)
+           AS isl
+  FROM qual
+)
+SELECT event_type,
+       strftime(MIN(hour), '%Y-%m-%d %H:00:00') AS start_hour,
+       strftime(MAX(hour), '%Y-%m-%d %H:00:00') AS end_hour,
+       CAST(COUNT(*) AS BIGINT) AS n_hours,
+       CAST(MAX(n) AS BIGINT) AS peak_n,
+       CAST(SUM(n) AS BIGINT) AS total_n
+FROM isl
+GROUP BY event_type, isl
+ORDER BY event_type, start_hour
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -1903,6 +2117,8 @@ TIMESERIES_QUERIES = {
         events_hourofweek_seasonality,
         EVENTS_SEASONALITY_SQL,
     ),
+    "events_mad_anomaly": (events_mad_anomaly, EVENTS_MAD_SQL),
+    "events_burst_episodes": (events_burst_episodes, EVENTS_BURST_SQL),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     # oracle recomputes from raw events at the INCREMENTAL horizon:

@@ -219,6 +219,9 @@ HEADLINE = [
     "prices_donchian",
     "events_hourofweek_seasonality",
     "orders_ship_sla",
+    "events_mad_anomaly",
+    "events_burst_episodes",
+    "dq_referential_integrity",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

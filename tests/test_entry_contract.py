@@ -51,16 +51,39 @@ def test_every_query_is_oracle_paired_or_documented_rows_only():
 
 def test_new_operators_are_inside_the_checked_prefix():
     # the r4 lesson: new operators must not ship driver-unchecked.
-    # Pins the CURRENT round's must-be-checked set: the two r10-new
-    # rows, the ten promoted never-driver-checked r9 tail-first rows
-    # (r9 verdict ask #1; twap + conversion_lag also carry r10 plan
-    # changes), and the twenty r9 first-round rows held for their
-    # second consecutive green round (r9 verdict ask #7).
+    # Pins the CURRENT round's must-be-checked set: the fifteen
+    # promoted never-driver-checked r10 tail-first rows (r10 verdict
+    # ask #1; four also carry r11 code changes), the twelve r10
+    # first-round rows held for their second consecutive green round,
+    # the code-changed orders_basket_rules (broadcast hints dropped),
+    # and the four r11-new operators.
     promoted = {
-        # r10-new, first round
+        # r11-new, first round
+        "dedup_winnowing_pairs",
+        "prices_donchian",
+        "events_hourofweek_seasonality",
+        "orders_ship_sla",
+        # r11 code-changed (support-join hints dropped)
+        "orders_basket_rules",
+        # promoted r10 tail-first rows, first driver round
+        "prices_monthly_bars",
+        "prices_golden_cross",
+        "text_winnowing",
+        "prices_macd",
+        "parts_jaccard_similarity",
+        "events_cusum",
+        "orders_open_backlog",
+        "prices_ichimoku",
+        "events_cusum_incremental",
+        "customer_purchase_cadence",
+        "embedding_power_iteration",
+        "prices_var_cvar",
+        "events_growth_accounting",
+        "prices_compaction",
+        "text_source_drift",
+        # r10 first-round rows, held for their second green round
         "prices_obv",
         "prices_partition_evolution",
-        # promoted r9 tail-first rows, first driver round
         "multimodal_patch_grid",
         "events_conversion_lag",
         "prices_mor_deletes",
@@ -71,27 +94,6 @@ def test_new_operators_are_inside_the_checked_prefix():
         "events_top_paths",
         "events_twap",
         "prices_beta",
-        # r9 first-round rows, held for their second green round
-        "prices_rsi",
-        "orders_market_basket",
-        "events_pattern_match",
-        "dedup_containment",
-        "similarity_sq_topk",
-        "text_gopher_rules",
-        "text_tfidf_keywords",
-        "multimodal_phash_neardup",
-        "streaming_pattern_match",
-        "orders_basket_rules",
-        "prices_atr",
-        "prices_stochastic",
-        "parts_triangle_count",
-        "events_decay_topk",
-        "orders_abc_analysis",
-        "events_decay_incremental",
-        "events_holt_forecast",
-        "events_attribution",
-        "orders_cohort_ltv",
-        "text_collocations",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)
 

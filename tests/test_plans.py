@@ -763,3 +763,42 @@ def test_macd_single_ticker_shuffle_no_python(spark, sf_dir):
 
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert len(re.findall(r"hashpartitioning\(ticker#\d+, \d+\)", plan)) == 1
+
+
+def test_donchian_no_python_no_join(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    plan = (
+        entrymod.queries()["prices_donchian"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # standin derivation agg + window partition + presentation sort
+    assert plan.count("Exchange") <= 3
+
+
+def test_seasonality_collapses_before_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_hourofweek_seasonality")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # fact-table groupBy, then window + sort over the bounded profile
+    assert plan.count("Exchange") <= 3
+
+
+def test_ship_sla_histogram_no_hint_no_cartesian(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    qe = (
+        entrymod.queries()["orders_ship_sla"](spark, sf_dir)
+        ._jdf.queryExecution()
+    )
+    plan = qe.executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    # the orderkey join must stay hint-free (both sides scale with SF)
+    assert "ResolvedHint" not in qe.analyzed().toString()
+    # everything after the histogram groupBy is dimension-bounded
+    assert plan.count("Exchange") <= 6

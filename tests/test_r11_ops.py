@@ -126,3 +126,103 @@ def test_ship_sla_exact_percentiles_match_python(spark, tmp_path):
     assert r.p90 == pct(lags, 9, 10) == 100
     assert r.p99 == pct(lags, 99, 100) == 365
     assert r.mean_lag == sum(lags) / len(lags)
+
+
+def _events_dir(spark, tmp_path, rows):
+    import os
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    d = str(tmp_path / "sf")
+    os.makedirs(d, exist_ok=True)
+    df.write.parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_mad_anomaly_flags_only_beyond_3_mad(spark, tmp_path):
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_mad_anomaly,
+    )
+
+    # 9 hours: counts [4,5,5,5,6,6,7,8,50] -> med 6 (rank ceil(9/2)=5),
+    # abs devs [2,1,1,1,0,0,1,2,44] -> mad 1; flag needs dev > 3
+    counts = [4, 5, 5, 5, 6, 6, 7, 8, 50]
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1)
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(hours=h), 1, "a", 1.0, "{}"))
+            eid += 1
+    out = events_mad_anomaly(spark, _events_dir(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_events, r.med, r.mad, r.abs_dev) == (50, 6, 1, 44)
+
+
+def test_burst_episodes_islands_split_on_gaps(spark, tmp_path):
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_burst_episodes,
+    )
+
+    # 20 quiet hours at 1/hour, then bursts at hours 20-21 and 24
+    # (10/hour). total=40, h=23 obs hours; qualify: n*23 > 80 -> n >= 4.
+    counts = {h: 1 for h in range(20)}
+    counts.update({20: 10, 21: 10, 24: 10})
+    rows, eid = [], 0
+    base = dt.datetime(2024, 3, 1)
+    for h, c in counts.items():
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(hours=h), 1, "a", 1.0, "{}"))
+            eid += 1
+    out = events_burst_episodes(
+        spark, _events_dir(spark, tmp_path, rows)
+    ).collect()
+    assert len(out) == 2  # the hour-22/23 gap splits the islands
+    first, second = out
+    assert (first.n_hours, first.peak_n, first.total_n) == (2, 10, 20)
+    assert first.start_hour.endswith("20:00:00")
+    assert first.end_hour.endswith("21:00:00")
+    assert (second.n_hours, second.total_n) == (1, 10)
+
+
+def test_dq_referential_finds_planted_orphans(spark, tmp_path):
+    import os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        dq_referential_integrity,
+    )
+
+    d = str(tmp_path)
+    base = dt.date(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, 10, "O", 5.0, base, "1-URGENT"), (2, 99, "O", 5.0, base, "1-URGENT"),
+         (3, 10, "O", 5.0, base, "1-URGENT")],  # custkey 99 is an orphan
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate date, o_orderpriority string",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        # order 7 orphan; order 3 has no lines; dup (1, 1) linekey
+        [(1, 100, 1), (1, 100, 1), (2, 100, 2), (7, 100, 1)],
+        "l_orderkey long, l_partkey long, l_linenumber int",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    spark.createDataFrame(
+        [(10,), (11,)], "c_custkey long"  # 11 has no orders
+    ).write.parquet(os.path.join(d, "customer.parquet"))
+    spark.createDataFrame(
+        [(100,)], "p_partkey long"
+    ).write.parquet(os.path.join(d, "part.parquet"))
+    got = {
+        r.check_name: (r.n_bad, r.status)
+        for r in dq_referential_integrity(spark, d).collect()
+    }
+    assert got == {
+        "lineitem_orphan_orderkey": (1, "FAIL"),
+        "orders_without_lineitems": (1, "FAIL"),
+        "orders_orphan_custkey": (1, "FAIL"),
+        "customers_without_orders": (1, "INFO"),  # informational, never FAIL
+        "lineitem_orphan_partkey": (0, "PASS"),
+        "lineitem_duplicate_linekey": (1, "FAIL"),
+    }

@@ -42,9 +42,14 @@ _ESCALATION_SF_DIR = "/root/testdata/sf0.01"
 # tail-first registration must be added here until its first rotation.
 _NEVER_DRIVER_CHECKED: list[str] = [
     # r11: all fifteen r10 tail-first rows rotated into SWEEP_CHECKED
-    # for their first real driver round (r10 verdict ask #1) — the list
-    # is EMPTY until a future round registers tail-first again (only
-    # allowed when the round's demotion supply is exhausted).
+    # for their first real driver round (r10 verdict ask #1). The rows
+    # below registered tail-first AFTER the round's demotion supply was
+    # exhausted (15 promotions + 4 checked-first new ops used all 19
+    # demotable rows); each is oracle-diffed at the driver's SF per CI
+    # until a future rotation gives it a real driver round.
+    "events_mad_anomaly",
+    "events_burst_episodes",
+    "dq_referential_integrity",
 ]
 
 
