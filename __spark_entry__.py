@@ -154,6 +154,18 @@ def _q_prices_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return var_cvar(prices_standin(spark, sf_dir))
 
 
+def _q_prices_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heikin-Ashi candles: the ha_open recursion folded per ticker in
+    pinned date order (operators/finance.py:heikin_ashi); every
+    division is by a power of two, so the fold is EXACT dyadic
+    arithmetic and the recursive-CTE oracle matches bit-for-bit."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        heikin_ashi,
+    )
+
+    return heikin_ashi(prices_standin(spark, sf_dir))
+
+
 def _q_prices_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Donchian channel over the PRIOR 20 days + breakout signal — all
     int64-cent extrema, doubled-cent midline, zero division
@@ -508,6 +520,7 @@ SWEEP_TAIL = [
     "events_mad_anomaly",
     "events_burst_episodes",
     "dq_referential_integrity",
+    "prices_heikin_ashi",
     # demoted r11 to fund the fifteen r10 tail-first promotions (r10
     # verdict ask #1). Evidence per row: 2 consecutive green driver
     # rounds (r9+r10, CORRECTNESS_r0{9,10}.json) + pytest coverage; all
@@ -741,6 +754,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_rsi": _q_prices_rsi,
         "prices_obv": _q_prices_obv,
         "prices_donchian": _q_prices_donchian,
+        "prices_heikin_ashi": _q_prices_heikin_ashi,
         "prices_partition_evolution": _q_prices_partition_evolution,
         "prices_compaction": _q_prices_compaction,
         "prices_monthly_bars": _q_prices_monthly_bars,
@@ -808,6 +822,7 @@ def oracle_sql() -> dict[str, str]:
         BETA_SQL,
         BOLLINGER_SQL,
         DONCHIAN_SQL,
+        HEIKIN_SQL,
         DRAWDOWN_SQL,
         GOLDEN_CROSS_SQL,
         ICHIMOKU_SQL,
@@ -837,6 +852,12 @@ def oracle_sql() -> dict[str, str]:
         "prices_monthly_bars": prices_cte + MONTHLY_BARS_SQL,
         "prices_golden_cross": prices_cte
         + GOLDEN_CROSS_SQL.replace("WITH c AS", ", c AS", 1),
+        # the ha_open recursion needs WITH RECURSIVE on the chain's
+        # single WITH keyword, same as prices_macd below
+        "prices_heikin_ashi": prices_cte.replace(
+            "WITH prices", "WITH RECURSIVE prices", 1
+        )
+        + HEIKIN_SQL,
         # the signal-line recursion needs WITH RECURSIVE on the chain's
         # single WITH keyword (DuckDB declares it once for all CTEs)
         "prices_macd": prices_cte.replace(

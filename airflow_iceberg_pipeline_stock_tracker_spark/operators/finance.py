@@ -1299,3 +1299,115 @@ FROM s
 WHERE rn > {DONCH_PERIOD}
 ORDER BY ticker, date
 """
+
+
+def heikin_ashi(prices: DataFrame) -> DataFrame:
+    """Per (ticker, date): Heikin-Ashi candles — the smoothed OHLC
+    transform chart platforms overlay to filter single-bar noise:
+
+      ha_close = (open + high + low + close) / 4
+      ha_open  = (prev ha_open + prev ha_close) / 2   (recursive;
+                 seeds at (open + close) / 2 on the first bar)
+      ha_high  = max(high, ha_open, ha_close)
+      ha_low   = min(low,  ha_open, ha_close)
+
+    Like macd this is a true recursion (ha_open depends on its own
+    previous OUTPUT), so it folds per ticker over the date-sorted bars.
+    Unlike macd the arithmetic is EXACT, not merely bit-equal-by-
+    identical-op-order: in cents-as-doubles every division is by a
+    power of two (/4, /2), so all values are dyadic rationals
+    representable exactly while < 2^53 — the fold result is the
+    mathematical Heikin-Ashi, and the bullish flag (ha_close > ha_open)
+    compares exact values.
+
+    Scale: one shuffle on ticker; state O(ticker's history), bounded by
+    TIME (daily bars) — the prices_macd class.
+    """
+    per_t = prices.groupBy("ticker").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("date"),
+                    cents("open").cast("double").alias("oc"),
+                    cents("high").cast("double").alias("hc"),
+                    cents("low").cast("double").alias("lc"),
+                    cents("close").cast("double").alias("cc"),
+                )
+            )
+        ).alias("ordered"),
+    )
+    ho = "if(acc.po is null, (o.oc + o.cc) / 2, (acc.po + acc.pc) / 2)"
+    hcl = "(o.oc + o.hc + o.lc + o.cc) / 4"
+    fold = F.expr(
+        f"""
+        aggregate(
+          ordered,
+          named_struct(
+            'po', cast(null as double), 'pc', cast(null as double),
+            'rows', cast(array() as array<struct<
+              date:date,ho:double,hc:double,hh:double,hl:double>>)
+          ),
+          (acc, o) -> named_struct(
+            'po', {ho},
+            'pc', {hcl},
+            'rows', array_append(acc.rows, named_struct(
+              'date', o.date,
+              'ho', {ho},
+              'hc', {hcl},
+              'hh', greatest(o.hc, {ho}, {hcl}),
+              'hl', least(o.lc, {ho}, {hcl})
+            ))
+          )
+        ).rows
+        """
+    )
+    return (
+        per_t.select("ticker", F.explode(fold).alias("r"))
+        .select(
+            "ticker",
+            F.col("r.date").alias("date"),
+            F.col("r.ho").alias("ha_open_c"),
+            F.col("r.hc").alias("ha_close_c"),
+            F.col("r.hh").alias("ha_high_c"),
+            F.col("r.hl").alias("ha_low_c"),
+            (F.col("r.hc") > F.col("r.ho")).alias("bullish"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+# NOTE: must be prefixed by a WITH RECURSIVE chain that defines `prices`
+# (the entry module rewrites the shared prices CTE accordingly, the
+# prices_macd hook): ha_open recurses on its own previous output.
+HEIKIN_SQL = """
+, c AS (
+  SELECT ticker, date,
+         CAST(CAST(ROUND(open * 100) AS BIGINT) AS DOUBLE) AS oc,
+         CAST(CAST(ROUND(high * 100) AS BIGINT) AS DOUBLE) AS hc,
+         CAST(CAST(ROUND(low * 100) AS BIGINT) AS DOUBLE) AS lc,
+         CAST(CAST(ROUND(close * 100) AS BIGINT) AS DOUBLE) AS cc
+  FROM prices
+), ord AS MATERIALIZED (
+  SELECT ticker, date, oc, hc, lc, cc,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+  FROM c
+), r AS (
+  SELECT ticker, date, rn, hc AS h, lc AS l,
+         (oc + cc) / 2 AS ho,
+         (oc + hc + lc + cc) / 4 AS hcl
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.ticker, o.date, o.rn, o.hc, o.lc,
+         (r.ho + r.hcl) / 2,
+         (o.oc + o.hc + o.lc + o.cc) / 4
+  FROM r JOIN ord o ON o.ticker = r.ticker AND o.rn = r.rn + 1
+)
+SELECT ticker, date,
+       ho AS ha_open_c,
+       hcl AS ha_close_c,
+       GREATEST(h, ho, hcl) AS ha_high_c,
+       LEAST(l, ho, hcl) AS ha_low_c,
+       hcl > ho AS bullish
+FROM r
+ORDER BY ticker, date
+"""

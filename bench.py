@@ -222,6 +222,7 @@ HEADLINE = [
     "events_mad_anomaly",
     "events_burst_episodes",
     "dq_referential_integrity",
+    "prices_heikin_ashi",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -226,3 +226,32 @@ def test_dq_referential_finds_planted_orphans(spark, tmp_path):
         "lineitem_orphan_partkey": (0, "PASS"),
         "lineitem_duplicate_linekey": (1, "FAIL"),
     }
+
+
+def test_heikin_ashi_matches_exact_fraction_fold(spark):
+    """Every division is by a power of two, so the fold must equal the
+    MATHEMATICAL Heikin-Ashi — checked against an exact Fraction
+    recursion, not a float reimplementation."""
+    from fractions import Fraction
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        heikin_ashi,
+    )
+
+    bars = [(105.0, 95.0, 101.0), (110.0, 99.0, 108.0),
+            (109.0, 100.0, 102.0), (103.0, 90.0, 91.0)]
+    # _prices uses open=close; cents space
+    out = heikin_ashi(_prices(spark, bars)).collect()
+    po = pc = None
+    for r, (h, lo, c) in zip(out, bars):
+        oc, hc, lc, cc = (
+            Fraction(round(c * 100)), Fraction(round(h * 100)),
+            Fraction(round(lo * 100)), Fraction(round(c * 100)),
+        )
+        ho = (oc + cc) / 2 if po is None else (po + pc) / 2
+        hcl = (oc + hc + lc + cc) / 4
+        po, pc = ho, hcl
+        assert Fraction(r.ha_open_c) == ho and Fraction(r.ha_close_c) == hcl
+        assert Fraction(r.ha_high_c) == max(hc, ho, hcl)
+        assert Fraction(r.ha_low_c) == min(lc, ho, hcl)
+        assert r.bullish == (hcl > ho)

@@ -50,6 +50,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "events_mad_anomaly",
     "events_burst_episodes",
     "dq_referential_integrity",
+    "prices_heikin_ashi",
 ]
 
 
