@@ -187,6 +187,20 @@ def _q_prices_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     return obv(prices_standin(spark, sf_dir))
 
 
+def _q_prices_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollback_to_snapshot (pipeline.snapshot_rollback_demo): a botched
+    third load rolled back with no new snapshot and no data deletion,
+    the corrected load re-run on the restored head, bad commit still
+    readable history."""
+    import tempfile
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
+
+    return _pl.snapshot_rollback_demo(
+        spark, tempfile.mkdtemp(prefix="graft_rollback_")
+    )
+
+
 def _q_prices_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binpack maintenance (pipeline.snapshot_compaction_demo): three
     small append commits planned into one bin from manifest metadata,
@@ -521,6 +535,7 @@ SWEEP_TAIL = [
     "events_burst_episodes",
     "dq_referential_integrity",
     "prices_heikin_ashi",
+    "prices_snapshot_rollback",
     # demoted r11 to fund the fifteen r10 tail-first promotions (r10
     # verdict ask #1). Evidence per row: 2 consecutive green driver
     # rounds (r9+r10, CORRECTNESS_r0{9,10}.json) + pytest coverage; all
@@ -757,6 +772,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_heikin_ashi": _q_prices_heikin_ashi,
         "prices_partition_evolution": _q_prices_partition_evolution,
         "prices_compaction": _q_prices_compaction,
+        "prices_snapshot_rollback": _q_prices_snapshot_rollback,
         "prices_monthly_bars": _q_prices_monthly_bars,
         "prices_golden_cross": _q_prices_golden_cross,
         "prices_macd": _q_prices_macd,
@@ -888,6 +904,7 @@ def oracle_sql() -> dict[str, str]:
             _pl.snapshot_partition_evolution_oracle_sql()
         ),
         "prices_compaction": _pl.snapshot_compaction_oracle_sql(),
+        "prices_snapshot_rollback": _pl.snapshot_rollback_oracle_sql(),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

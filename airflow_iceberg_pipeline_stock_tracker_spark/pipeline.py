@@ -856,6 +856,96 @@ ORDER BY ticker
 """
 
 
+def snapshot_rollback_demo(spark: SparkSession, table_dir: str) -> DataFrame:
+    """ROLLBACK exercised end-to-end (sources/snapshots.py rollback_to —
+    Iceberg's ``rollback_to_snapshot``: the fix-a-bad-load tool every
+    daily pipeline eventually needs):
+
+      1. two good daily loads commit (snapshots 1, 2);
+      2. a BOTCHED third load lands (volumes doubled — snapshot 3);
+      3. ``rollback_to(2)`` moves main back with NO new snapshot and NO
+         data deletion (the bad commit stays in history, still readable
+         via read(version=3) — verified in-query);
+      4. the corrected day-3 load re-runs, building on the restored
+         head (snapshot 4), and the final table must equal the flat
+         3-day recompute — the doubled volumes must be GONE.
+
+    Surface: per-ticker aggregates over the final table + the lifecycle
+    evidence (bad head id, rollback target, final head id, history
+    length — all deterministic) + ``bad_still_readable``, proof the
+    rollback preserved the audit trail.
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+    days = [
+        bars_to_df(spark, fetch_bars(client, ds)).drop("insertion_timestamp")
+        for ds in EVOLUTION_DATES
+    ]
+    snapshots.commit(days[0], table_dir, mode="append")
+    snapshots.commit(days[1], table_dir, mode="append")
+    bad = days[2].withColumn("volume", F.col("volume") * 2)
+    bad_head = snapshots.commit(bad, table_dir, mode="append")
+    target = snapshots.rollback_to(table_dir, 2)
+    final_head = snapshots.commit(days[2], table_dir, mode="append")
+    # the abandoned commit remains readable history (audit trail):
+    # same row count but STRICTLY MORE volume (the doubled day-3 bars)
+    # — a reader silently served the current table would fail the
+    # volume half of the check
+    bad_n, bad_vol = (
+        snapshots.read(spark, table_dir, version=bad_head)
+        .agg(F.count(F.lit(1)), F.sum("volume"))
+        .collect()[0]
+    )
+    good_n, good_vol = (
+        snapshots.read(spark, table_dir)
+        .agg(F.count(F.lit(1)), F.sum("volume"))
+        .collect()[0]
+    )
+    return (
+        snapshots.read(spark, table_dir)
+        .groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("volume").alias("sum_volume"),
+        )
+        .withColumn("bad_head", F.lit(bad_head))
+        .withColumn("rolled_back_to", F.lit(target))
+        .withColumn("final_head", F.lit(final_head))
+        .withColumn(
+            "n_history", F.lit(len(snapshots.history(table_dir)))
+        )
+        .withColumn(
+            "bad_still_readable",
+            F.lit(bool(bad_n == good_n and bad_vol > good_vol)),
+        )
+        .orderBy("ticker")
+    )
+
+
+def snapshot_rollback_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`snapshot_rollback_demo`: the final table is
+    the flat 3-day recompute (no doubled volumes), with the lifecycle
+    ids as literals (deterministic by construction)."""
+    return _bars_cte_sql(EVOLUTION_DATES, tickers) + """
+SELECT ticker,
+       COUNT(*) AS n_rows,
+       CAST(SUM(volume) AS BIGINT) AS sum_volume,
+       CAST(3 AS INTEGER) AS bad_head,
+       CAST(2 AS INTEGER) AS rolled_back_to,
+       CAST(4 AS INTEGER) AS final_head,
+       CAST(4 AS INTEGER) AS n_history,
+       TRUE AS bad_still_readable
+FROM bars
+GROUP BY ticker
+ORDER BY ticker
+"""
+
+
 PARTITION_EVOLUTION_MONTH_DATES = ["2024-02-01", "2024-02-02"]
 
 

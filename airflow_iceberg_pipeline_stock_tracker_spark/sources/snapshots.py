@@ -1178,6 +1178,30 @@ def fast_forward(table_dir: str, branch: str, max_retries: int = 16) -> int:
     raise RuntimeError(f"fast_forward lost the CAS {max_retries} times")
 
 
+def rollback_to(table_dir: str, version: int, max_retries: int = 16) -> int:
+    """Iceberg's ``rollback_to_snapshot``: move MAIN's current pointer
+    back to an earlier snapshot. Exactly like Iceberg, this writes NO
+    new snapshot and deletes NO data — the abandoned commits stay in
+    history (still readable via ``read(version=)``, still listed by
+    ``snapshots_metadata``) until vacuum retention drops them, so a
+    rollback is instantly reversible by rolling "back" forward.
+
+    A subsequent append builds on the restored head (it inherits that
+    snapshot's dirs and merge-on-read delete files through the normal
+    append path), which is what makes rollback the fix-a-bad-load tool:
+    roll back, re-run the corrected load, keep the full audit trail.
+    Published through the same manifest CAS as every other ref move.
+    """
+    for attempt in range(max_retries):
+        man = _load_manifest(table_dir)
+        _dirs_of(man, version)  # must name a real committed snapshot
+        new_man = dict(man, seq=man["seq"] + 1, current=version)
+        if _publish_manifest(table_dir, new_man):
+            return version
+        time.sleep(0.001 * (attempt + 1))
+    raise RuntimeError(f"rollback_to lost the CAS {max_retries} times")
+
+
 def history(table_dir: str) -> list[int]:
     """Committed snapshot ids, oldest first."""
     return [s["id"] for s in _load_manifest(table_dir)["snapshots"]]

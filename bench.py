@@ -223,6 +223,7 @@ HEADLINE = [
     "events_burst_episodes",
     "dq_referential_integrity",
     "prices_heikin_ashi",
+    "prices_snapshot_rollback",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -262,6 +263,8 @@ PROOF_TIER = frozenset(
         "events_cusum_incremental",
         # 3 commits + plan + bin rewrite + replan; table-lifecycle class
         "prices_compaction",
+        # 4 commits + ref move + audit reads; table-lifecycle class
+        "prices_snapshot_rollback",
     }
 )
 
@@ -292,6 +295,8 @@ RUN_ONCE = frozenset(
         "events_cusum_incremental",
         # maintenance lifecycle proof; one measured pass
         "prices_compaction",
+        # rollback lifecycle proof; one measured pass
+        "prices_snapshot_rollback",
         # partition-evolution lifecycle proof; one measured pass
         "prices_partition_evolution",
     }

@@ -968,3 +968,52 @@ def test_bin_rewrite_refuses_deletes_and_stale_basis(spark, tdir):
     # full compaction folds the delete; then bins apply again
     snapshots.rewrite_data_files(spark, tdir)
     assert [r.x for r in snapshots.read(spark, tdir).collect()] == [2]
+
+
+# ---------------------------------------------------------------------------
+# rollback_to (Iceberg rollback_to_snapshot)
+# ---------------------------------------------------------------------------
+
+def test_rollback_moves_head_keeps_history(spark, tdir):
+    snapshots.commit(_dated(spark, [("2024-01-01", 1)]), tdir, mode="append")
+    snapshots.commit(_dated(spark, [("2024-01-02", 2)]), tdir, mode="append")
+    snapshots.commit(_dated(spark, [("2024-01-03", 99)]), tdir, mode="append")
+    assert snapshots.rollback_to(tdir, 2) == 2
+    # head reads as of snapshot 2; NO new snapshot was written
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [1, 2]
+    assert snapshots.history(tdir) == [1, 2, 3]
+    # the abandoned commit stays readable (audit trail)
+    assert sorted(
+        r.x for r in snapshots.read(spark, tdir, version=3).collect()
+    ) == [1, 2, 99]
+
+
+def test_rollback_then_append_builds_on_restored_head(spark, tdir):
+    snapshots.commit(_dated(spark, [("2024-01-01", 1)]), tdir, mode="append")
+    snapshots.commit(_dated(spark, [("2024-01-02", 2)]), tdir, mode="append")
+    snapshots.rollback_to(tdir, 1)
+    v = snapshots.commit(
+        _dated(spark, [("2024-01-02", 20)]), tdir, mode="append"
+    )
+    assert v == 3  # ids keep allocating off the global high-water
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [1, 20]
+
+
+def test_rollback_to_unknown_version_raises(spark, tdir):
+    snapshots.commit(_dated(spark, [("2024-01-01", 1)]), tdir, mode="append")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not in history"):
+        snapshots.rollback_to(tdir, 7)
+
+
+def test_vacuum_after_rollback_pins_current(spark, tdir):
+    for i in range(4):
+        snapshots.commit(
+            _dated(spark, [(f"2024-01-0{i + 1}", i)]), tdir, mode="append"
+        )
+    snapshots.rollback_to(tdir, 2)
+    snapshots.vacuum(tdir, keep_last=1)
+    # current (snapshot 2) must survive retention even though it is not
+    # among the "last" entries
+    assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [0, 1]

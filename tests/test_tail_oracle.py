@@ -51,6 +51,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "events_burst_episodes",
     "dq_referential_integrity",
     "prices_heikin_ashi",
+    "prices_snapshot_rollback",
 ]
 
 
