@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.money import cents, dollars
+from ..functions.texthash import hash60, hash60_sql
 from ..sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -2084,6 +2085,122 @@ ORDER BY event_type, start_hour
 """
 
 
+HLL_M = 256  # 2^8 buckets: standard error 1.04/sqrt(256) ~ 6.5%
+HLL_W = 52  # suffix bits after the bucket split of the 60-bit hash
+# alpha_m for m >= 128 (Flajolet et al. 2007); ONE decimal literal
+# embedded verbatim in both engines so they parse the identical double
+HLL_ALPHA = repr(0.7213 / (1 + 1.079 / HLL_M))
+
+
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users via a HYPERLOGLOG sketch built from
+    exact-integer registers, reported NEXT TO the exact count — the
+    mergeable distinct-count primitive every at-scale rollup pipeline
+    keeps instead of raw user sets (registers re-aggregate with MAX
+    across any partitioning of the data; COUNT(DISTINCT) does not).
+
+    Exactness discipline (what makes an approximate sketch
+    hash-checkable): every register is exact int64 — bucket = h % m and
+    rho = W - bit_length(suffix) + 1 with bit_length as length(bin(w))
+    (both engines' bin() is minimal-width); the harmonic sum is kept
+    RATIONAL as S_int = sum(2^(W+1-rho)) + empties * 2^(W+1) (max 2^61,
+    int64-safe), so the one float step is the closing
+    alpha * m^2 * 2^(W+1) / S_int — a literal-constant multiply and ONE
+    division, identical in both engines. No libm anywhere: pow/log
+    never appear (the raw estimator only; bias corrections need log and
+    would break cross-engine exactness — rel_err vs the exact count is
+    reported instead, which is the honest evidence).
+
+    Scale: the register table is one map-combinable groupBy down to
+    <= |types| x 256 rows; the exact COUNT(DISTINCT) alongside costs a
+    user-level shuffle and exists to GRADE the sketch — a production
+    rollup would drop it and keep only the mergeable registers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = hash60(F.col("user_id").cast("string"))
+    # bucket/suffix split stays INTEGER: bitwiseAND + shiftright (a
+    # double-path h/256 would lose bits above 2^53 on a 60-bit hash)
+    keyed = ev.select(
+        "event_type",
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        F.shiftright(h, 8).alias("w"),
+        "user_id",
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W) - F.length(F.bin("w")) + 1
+    )
+    regs = keyed.groupBy("event_type", "bucket").agg(
+        F.max(rho).alias("maxrho")
+    )
+    # 2^(W+1-rho) via an integer SHIFT, never pow() (libm)
+    per_type = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - maxrho)")
+        ).cast("bigint").alias("s_obs"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact")
+    )
+    s_int = (
+        F.col("s_obs")
+        + (F.lit(HLL_M) - F.col("n_obs")) * F.lit(1 << (HLL_W + 1))
+    )
+    est = (
+        F.lit(float(HLL_ALPHA))
+        * F.lit(HLL_M * HLL_M)
+        * F.lit(float(1 << (HLL_W + 1)))
+        / s_int.cast("double")
+    )
+    return (
+        per_type.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            F.col("n_obs").cast("bigint").alias("n_registers"),
+            est.alias("hll_estimate"),
+            ((est - F.col("n_exact")) / F.col("n_exact")).alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_HLL_SQL = f"""
+WITH keyed AS (
+  SELECT event_type,
+         {hash60_sql("CAST(user_id AS VARCHAR)")} % {HLL_M} AS bucket,
+         {hash60_sql("CAST(user_id AS VARCHAR)")} // {HLL_M} AS w,
+         user_id
+  FROM events
+), regs AS (
+  SELECT event_type, bucket,
+         MAX(CASE WHEN w = 0 THEN {HLL_W + 1}
+                  ELSE {HLL_W} - length(bin(w)) + 1 END) AS maxrho
+  FROM keyed GROUP BY 1, 2
+), per_type AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W + 1} - maxrho))
+              AS BIGINT) AS s_obs
+  FROM regs GROUP BY 1
+), exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events GROUP BY 1
+)
+SELECT p.event_type,
+       e.n_exact,
+       p.n_obs AS n_registers,
+       CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} * CAST({1 << (HLL_W + 1)} AS DOUBLE)
+         / (p.s_obs + ({HLL_M} - p.n_obs) * {1 << (HLL_W + 1)})
+         AS hll_estimate,
+       (CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} * CAST({1 << (HLL_W + 1)} AS DOUBLE)
+         / (p.s_obs + ({HLL_M} - p.n_obs) * {1 << (HLL_W + 1)})
+        - e.n_exact) / e.n_exact AS rel_err
+FROM per_type p JOIN exact e ON e.event_type = p.event_type
+ORDER BY p.event_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -2119,6 +2236,7 @@ TIMESERIES_QUERIES = {
     ),
     "events_mad_anomaly": (events_mad_anomaly, EVENTS_MAD_SQL),
     "events_burst_episodes": (events_burst_episodes, EVENTS_BURST_SQL),
+    "events_hll_distinct": (events_hll_distinct, EVENTS_HLL_SQL),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     # oracle recomputes from raw events at the INCREMENTAL horizon:

@@ -224,6 +224,7 @@ HEADLINE = [
     "dq_referential_integrity",
     "prices_heikin_ashi",
     "prices_snapshot_rollback",
+    "events_hll_distinct",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -255,3 +255,41 @@ def test_heikin_ashi_matches_exact_fraction_fold(spark):
         assert Fraction(r.ha_high_c) == max(hc, ho, hcl)
         assert Fraction(r.ha_low_c) == min(lc, ho, hcl)
         assert r.bullish == (hcl > ho)
+
+
+def test_hll_matches_python_replica_and_accuracy(spark, tmp_path):
+    """The register pipeline must equal a pure-Python HLL replica to the
+    BIT (same hash, same rho, same rational harmonic sum, same closing
+    float expression), and the raw estimate must land within ~3 standard
+    errors (3 * 1.04/sqrt(256) ~ 19.5%) of the exact count."""
+    import hashlib
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        HLL_M,
+        HLL_W,
+        events_hll_distinct,
+    )
+
+    n_users = 5000
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base, i, "a", 1.0, "{}") for i in range(n_users)]
+    out = events_hll_distinct(
+        spark, _events_dir(spark, tmp_path, rows)
+    ).collect()[0]
+
+    regs: dict[int, int] = {}
+    for u in range(n_users):
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:15], 16)
+        b, w = h & (HLL_M - 1), h >> 8
+        rho = HLL_W + 1 if w == 0 else HLL_W - w.bit_length() + 1
+        regs[b] = max(regs.get(b, 0), rho)
+    s_int = sum(1 << (HLL_W + 1 - r) for r in regs.values()) + (
+        HLL_M - len(regs)
+    ) * (1 << (HLL_W + 1))
+    alpha = 0.7213 / (1 + 1.079 / HLL_M)
+    est = alpha * (HLL_M * HLL_M) * float(1 << (HLL_W + 1)) / float(s_int)
+
+    assert out.n_exact == n_users
+    assert out.n_registers == len(regs)
+    assert out.hll_estimate == est  # bit-exact: same IEEE op sequence
+    assert abs(out.rel_err) < 0.195

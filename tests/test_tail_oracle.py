@@ -52,6 +52,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "dq_referential_integrity",
     "prices_heikin_ashi",
     "prices_snapshot_rollback",
+    "events_hll_distinct",
 ]
 
 
