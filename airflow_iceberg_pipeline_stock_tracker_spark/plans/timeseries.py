@@ -2201,6 +2201,169 @@ ORDER BY p.event_type
 """
 
 
+def events_hll_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL worth keeping — MERGEABILITY —
+    proven as a query: registers built independently PER DAY, then
+    max-merged across days, must equal the registers built over the
+    whole corpus in one pass (max is associative/commutative/idempotent
+    over any partitioning of the data). Surface: per type, the merged
+    estimate, the one-pass estimate, and their exact register-level
+    equality — the re-aggregation contract a rollup pipeline relies on
+    when it stores daily sketches and serves monthly distincts
+    (events_sketch_reagg's pattern applied to distinct counting).
+
+    Exactness: both paths produce exact int64 registers; equality is
+    integer comparison; the two estimates run the identical closing
+    float expression on identical S_int, so merged_estimate ==
+    onepass_estimate exactly when the registers agree (and the boolean
+    column proves they do).
+
+    Scale: the daily-register table is <= |types| x days x 256 rows
+    (map-combinable groupBy); the merge is a second tiny groupBy. This
+    is strictly the shape a warehouse stores: one register set per
+    (type, day) partition, merged at query time.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = hash60(F.col("user_id").cast("string"))
+    keyed = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        F.shiftright(h, 8).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W) - F.length(F.bin("w")) + 1
+    )
+    daily = keyed.groupBy("event_type", "day", "bucket").agg(
+        F.max(rho).alias("maxrho")
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(
+        F.max("maxrho").alias("maxrho")
+    )
+    onepass = keyed.groupBy("event_type", "bucket").agg(
+        F.max(rho).alias("maxrho")
+    )
+
+    def _est(regs: DataFrame, prefix: str) -> DataFrame:
+        per = regs.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias(f"{prefix}_n_obs"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - maxrho)")
+            ).cast("bigint").alias(f"{prefix}_s"),
+        )
+        s_int = (
+            F.col(f"{prefix}_s")
+            + (F.lit(HLL_M) - F.col(f"{prefix}_n_obs"))
+            * F.lit(1 << (HLL_W + 1))
+        )
+        est = (
+            F.lit(float(HLL_ALPHA))
+            * F.lit(HLL_M * HLL_M)
+            * F.lit(float(1 << (HLL_W + 1)))
+            / s_int.cast("double")
+        )
+        return per.select(
+            "event_type", est.alias(f"{prefix}_estimate"),
+            F.col(f"{prefix}_s").alias(f"{prefix}_s_int"),
+        )
+
+    # register-LEVEL equality (not just harmonic-sum equality): a full
+    # outer join on (type, bucket) counts any bucket whose max-merged
+    # rho differs from the one-pass rho — must be zero per type
+    mism = (
+        merged.withColumnRenamed("maxrho", "rho_m")
+        .join(
+            onepass.withColumnRenamed("maxrho", "rho_o"),
+            ["event_type", "bucket"],
+            "full_outer",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("rho_m"), F.lit(-1))
+                    != F.coalesce(F.col("rho_o"), F.lit(-1)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mismatch")
+        )
+    )
+    m, o = _est(merged, "merged"), _est(onepass, "onepass")
+    return (
+        m.join(o, "event_type")
+        .join(mism, "event_type")
+        .select(
+            "event_type",
+            "merged_estimate",
+            "onepass_estimate",
+            (F.col("n_mismatch") == 0).alias("registers_equal"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_reagg_sql() -> str:
+    keyed = f"""
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         {hash60_sql("CAST(user_id AS VARCHAR)")} % {HLL_M} AS bucket,
+         {hash60_sql("CAST(user_id AS VARCHAR)")} // {HLL_M} AS w
+  FROM events"""
+    rho = (
+        f"MAX(CASE WHEN w = 0 THEN {HLL_W + 1} "
+        f"ELSE {HLL_W} - length(bin(w)) + 1 END)"
+    )
+    est = (
+        f"CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} "
+        f"* CAST({1 << (HLL_W + 1)} AS DOUBLE) "
+        f"/ (s + ({HLL_M} - n_obs) * {1 << (HLL_W + 1)})"
+    )
+    return f"""
+WITH keyed AS ({keyed}
+), daily AS (
+  SELECT event_type, day, bucket, {rho} AS maxrho
+  FROM keyed GROUP BY 1, 2, 3
+), merged AS (
+  SELECT event_type, bucket, MAX(maxrho) AS maxrho
+  FROM daily GROUP BY 1, 2
+), onepass AS (
+  SELECT event_type, bucket, {rho} AS maxrho
+  FROM keyed GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W + 1} - maxrho)) AS BIGINT)
+           AS s
+  FROM merged GROUP BY 1
+), o AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W + 1} - maxrho)) AS BIGINT)
+           AS s
+  FROM onepass GROUP BY 1
+), mism AS (
+  SELECT COALESCE(a.event_type, b.event_type) AS event_type,
+         CAST(SUM(CASE WHEN COALESCE(a.maxrho, -1)
+                            != COALESCE(b.maxrho, -1)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
+  FROM merged a
+  FULL OUTER JOIN onepass b
+    ON b.event_type = a.event_type AND b.bucket = a.bucket
+  GROUP BY 1
+)
+SELECT m.event_type,
+       {est.replace('s +', 'm.s +').replace('- n_obs', '- m.n_obs')}
+         AS merged_estimate,
+       {est.replace('s +', 'o.s +').replace('- n_obs', '- o.n_obs')}
+         AS onepass_estimate,
+       x.n_mismatch = 0 AS registers_equal
+FROM m
+JOIN o ON o.event_type = m.event_type
+JOIN mism x ON x.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+
+EVENTS_HLL_REAGG_SQL = _hll_reagg_sql()
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -2237,6 +2400,7 @@ TIMESERIES_QUERIES = {
     "events_mad_anomaly": (events_mad_anomaly, EVENTS_MAD_SQL),
     "events_burst_episodes": (events_burst_episodes, EVENTS_BURST_SQL),
     "events_hll_distinct": (events_hll_distinct, EVENTS_HLL_SQL),
+    "events_hll_reagg": (events_hll_reagg, EVENTS_HLL_REAGG_SQL),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     # oracle recomputes from raw events at the INCREMENTAL horizon:

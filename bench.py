@@ -225,6 +225,7 @@ HEADLINE = [
     "prices_heikin_ashi",
     "prices_snapshot_rollback",
     "events_hll_distinct",
+    "events_hll_reagg",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -293,3 +293,26 @@ def test_hll_matches_python_replica_and_accuracy(spark, tmp_path):
     assert out.n_registers == len(regs)
     assert out.hll_estimate == est  # bit-exact: same IEEE op sequence
     assert abs(out.rel_err) < 0.195
+
+
+def test_hll_reagg_merge_equals_onepass_with_cross_day_users(spark, tmp_path):
+    """Users active on MULTIPLE days are the interesting case: their
+    register contribution lands in several daily sketches and the
+    max-merge must collapse it exactly to the one-pass register."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_hll_reagg,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for day in range(5):
+        for u in range(0, 800, 2 if day % 2 else 1):  # overlapping users
+            rows.append(
+                (eid, base + dt.timedelta(days=day), u, "a", 1.0, "{}")
+            )
+            eid += 1
+    out = events_hll_reagg(spark, _events_dir(spark, tmp_path, rows)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.registers_equal is True
+    assert r.merged_estimate == r.onepass_estimate  # bit-exact

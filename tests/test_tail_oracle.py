@@ -53,6 +53,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "prices_heikin_ashi",
     "prices_snapshot_rollback",
     "events_hll_distinct",
+    "events_hll_reagg",
 ]
 
 
