@@ -2104,3 +2104,55 @@ def test_partition_evolution_prune_matches_flat_filter(
     assert got == want
     man = snapshots._load_manifest(tdir)
     assert n_scan + n_skip == len(snapshots._dirs_of(man, man["current"]))
+
+
+# ---------------------------------------------------------------------------
+# histogram-exact percentiles (orders_ship_sla's order-statistic core)
+# ---------------------------------------------------------------------------
+
+_lags = st.lists(st.integers(0, 40), min_size=1, max_size=40)
+
+
+@given(lags=_lags)
+@example(lags=[5])          # single order: every percentile is that lag
+@example(lags=[3, 3, 3])    # all-ties
+@example(lags=[0, 40])      # extremes straddling the rank boundary
+@_prop_settings
+def test_ship_sla_percentiles_match_bruteforce(spark, tmp_path_factory, lags):
+    """The cumulative-histogram rank rule (smallest lag with den*cum >=
+    num*n) must equal the brute-force sorted order statistic for every
+    multiset — duplicates and rank-boundary ties are exactly where a
+    cross-multiplied integer rule could drift off by one."""
+    import os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        orders_ship_sla,
+    )
+
+    d = str(tmp_path_factory.mktemp("sla"))
+    base = dt.date(2024, 1, 1)
+    spark.createDataFrame(
+        [(i + 1, "P", base) for i in range(len(lags))],
+        "o_orderkey long, o_orderpriority string, o_orderdate date",
+    ).write.parquet(os.path.join(d, "orders.parquet"))
+    spark.createDataFrame(
+        [(i + 1, base + dt.timedelta(days=lag)) for i, lag in enumerate(lags)],
+        "l_orderkey long, l_shipdate date",
+    ).write.parquet(os.path.join(d, "lineitem.parquet"))
+    r = orders_ship_sla(spark, d).collect()[0]
+
+    s, n = sorted(lags), len(lags)
+
+    def brute(num, den):
+        # smallest value whose 1-based sorted rank r satisfies
+        # den*r >= num*n  ->  index ceil(num*n/den) - 1
+        import math
+
+        return s[math.ceil(num * n / den) - 1]
+
+    assert r.n_orders == n
+    assert (r.min_lag, r.max_lag) == (s[0], s[-1])
+    assert r.p50 == brute(1, 2)
+    assert r.p90 == brute(9, 10)
+    assert r.p99 == brute(99, 100)
+    assert r.mean_lag == sum(lags) / n
