@@ -397,6 +397,42 @@ def _max_id(man: dict) -> int:
     return max((s["id"] for s in man["snapshots"]), default=0)
 
 
+def _carry_log(man: dict, new_man: dict) -> dict:
+    """Carry the snapshot LOG — Iceberg's snapshot-log/history table:
+    append-ordered (wall-clock ts, current-snapshot-id) records — into a
+    new manifest, appending a record whenever the mutation MOVES main's
+    pointer. The log is what ``FOR TIMESTAMP AS OF`` resolves against:
+    version ids alone cannot answer "what was current at 14:00" once a
+    rollback moves the pointer non-monotonically. Wall-clock here is
+    metadata (resolution input), never data — no query result depends
+    on it, so determinism of the oracle rows is unaffected."""
+    log = list(man.get("log", []))
+    if new_man.get("current") != man.get("current"):
+        log.append({"ts": time.time(), "id": new_man["current"]})
+    if log:
+        new_man["log"] = log
+    return new_man
+
+
+def _resolve_as_of(man: dict, as_of) -> int:
+    """Latest log record with ts <= as_of (datetime accepted; a naive
+    datetime is taken as UTC)."""
+    import datetime as _dt
+
+    if isinstance(as_of, _dt.datetime):
+        if as_of.tzinfo is None:
+            as_of = as_of.replace(tzinfo=_dt.timezone.utc)
+        as_of = as_of.timestamp()
+    log = man.get("log", [])
+    eligible = [rec for rec in log if rec["ts"] <= as_of]
+    if not eligible:
+        raise ValueError(
+            f"as_of {as_of} predates the table's first recorded snapshot "
+            f"(log starts at {log[0]['ts'] if log else 'never'})"
+        )
+    return eligible[-1]["id"]
+
+
 def _dirs_of(man: dict, version: int) -> list[str]:
     for snap in man["snapshots"]:
         if snap["id"] == version:
@@ -525,6 +561,7 @@ def _commit_entry(
             )
         if dir_stats:
             new_man["dir_stats"] = dir_stats
+        new_man = _carry_log(man, new_man)
         if _publish_manifest(table_dir, new_man):
             return snap_id
         # lost the CAS — back off briefly and rebase on the winner
@@ -539,19 +576,28 @@ def read(
     table_dir: str,
     version: int | None = None,
     ref: str | None = None,
+    as_of=None,
 ) -> DataFrame:
     """Read the table at ``version``, at a named ``ref`` (branch head),
-    or at the current main snapshot.
+    at the snapshot that was CURRENT at wall-clock ``as_of`` (Iceberg's
+    ``FOR TIMESTAMP AS OF`` — epoch seconds or datetime, naive taken as
+    UTC; resolved against the manifest's snapshot log, so it honors
+    non-monotonic pointer moves like rollback_to), or at the current
+    main snapshot. An ``as_of`` resolving to a snapshot that vacuum has
+    since expired raises the same not-in-history error as a stale
+    ``version`` — exactly Iceberg after expire_snapshots.
 
     Resolves the manifest FIRST and plans over exactly the directories it
     lists — concurrent commits after this call do not change what this
     DataFrame reads (snapshot isolation).
     """
-    if version is not None and ref is not None:
-        raise ValueError("pass version OR ref, not both")
+    if sum(x is not None for x in (version, ref, as_of)) > 1:
+        raise ValueError("pass at most one of version / ref / as_of")
     man = _load_manifest(table_dir)
     if not man["snapshots"]:
         raise FileNotFoundError(f"no committed snapshot in {table_dir}")
+    if as_of is not None:
+        version = _resolve_as_of(man, as_of)
     if ref is not None:
         if ref not in man["refs"]:
             raise ValueError(
@@ -879,6 +925,7 @@ def _delete_commit_entry(
         }
         if man.get("dir_stats"):
             new_man["dir_stats"] = man["dir_stats"]
+        new_man = _carry_log(man, new_man)
         if _publish_manifest(table_dir, new_man):
             return snap_id
         time.sleep(0.001 * (attempt + 1))
@@ -930,6 +977,7 @@ def rewrite_data_files(
         if man.get("dir_stats"):
             # the compacted dir itself has no stats (conservative scan)
             new_man["dir_stats"] = man["dir_stats"]
+        new_man = _carry_log(man, new_man)
         if _publish_manifest(table_dir, new_man):
             return snap_id
         time.sleep(0.001 * (attempt + 1))
@@ -1073,6 +1121,7 @@ def rewrite_dirs(
                 }
                 stats = dict(stats, **({snap_dir: merged} if merged else {}))
             new_man["dir_stats"] = stats
+        new_man = _carry_log(man, new_man)
         if _publish_manifest(table_dir, new_man):
             return snap_id
         time.sleep(0.001 * (attempt + 1))
@@ -1107,6 +1156,7 @@ def create_branch(
             seq=man["seq"] + 1,
             refs=dict(man["refs"], **{name: start}),
         )
+        new_man = _carry_log(man, new_man)
         if _publish_manifest(table_dir, new_man):
             return start
         time.sleep(0.001 * (attempt + 1))
@@ -1122,6 +1172,7 @@ def drop_branch(table_dir: str, name: str, max_retries: int = 16) -> None:
             raise ValueError(f"no branch {name!r} in {table_dir}")
         refs = {k: v for k, v in man["refs"].items() if k != name}
         new_man = dict(man, seq=man["seq"] + 1, refs=refs)
+        new_man = _carry_log(man, new_man)
         if _publish_manifest(table_dir, new_man):
             return
         time.sleep(0.001 * (attempt + 1))
@@ -1172,6 +1223,7 @@ def fast_forward(table_dir: str, branch: str, max_retries: int = 16) -> int:
                     "resurrect rows deleted on main"
                 )
         new_man = dict(man, seq=man["seq"] + 1, current=head)
+        new_man = _carry_log(man, new_man)
         if _publish_manifest(table_dir, new_man):
             return head
         time.sleep(0.001 * (attempt + 1))
@@ -1196,6 +1248,7 @@ def rollback_to(table_dir: str, version: int, max_retries: int = 16) -> int:
         man = _load_manifest(table_dir)
         _dirs_of(man, version)  # must name a real committed snapshot
         new_man = dict(man, seq=man["seq"] + 1, current=version)
+        new_man = _carry_log(man, new_man)
         if _publish_manifest(table_dir, new_man):
             return version
         time.sleep(0.001 * (attempt + 1))
@@ -1374,6 +1427,7 @@ def vacuum(table_dir: str, keep_last: int = 1, max_retries: int = 16) -> list[st
         # publish the trimmed manifest FIRST (through the same CAS as
         # commits) so a crash mid-delete can only leave orphan
         # directories, never a dangling manifest
+        new_man = _carry_log(man, new_man)
         if _publish_manifest(table_dir, new_man):
             for d in removed:
                 shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)

@@ -694,7 +694,9 @@ def _ivf_amortization_point(spark, sf_dir: str) -> dict:
 
 
 DEEP_FACTOR = 100
-DEEP_QUERIES = ("text_bm25_search", "text_lm_score")
+# winnowing joined r11: the repo's purest linear citizen (zero-shuffle
+# per-row selection) gets the two-decade check its flatness claim needs
+DEEP_QUERIES = ("text_bm25_search", "text_lm_score", "text_winnowing")
 
 
 def _deep_docs_point(spark, sf_dir: str, queries) -> dict:

@@ -2156,3 +2156,56 @@ def test_ship_sla_percentiles_match_bruteforce(spark, tmp_path_factory, lags):
     assert r.p90 == brute(9, 10)
     assert r.p99 == brute(99, 100)
     assert r.mean_lag == sum(lags) / n
+
+
+# ---------------------------------------------------------------------------
+# MAD anomaly (events_mad_anomaly's double median-of-histogram)
+# ---------------------------------------------------------------------------
+
+_hour_counts = st.lists(st.integers(1, 12), min_size=1, max_size=24)
+
+
+@given(counts=_hour_counts)
+@example(counts=[5])             # single hour: dev 0, mad 0, no flags
+@example(counts=[1, 1, 1, 9])    # mad 0 with a real outlier
+@example(counts=[2, 4])          # even count: lower-median rule
+@_prop_settings
+def test_mad_anomaly_matches_bruteforce(spark, tmp_path_factory, counts):
+    """Both medians (lower-median rule: the smallest value whose doubled
+    cumulative count reaches the total) and the 3-MAD flag set must
+    equal a brute-force sorted recompute for every count multiset."""
+    import os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_mad_anomaly,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(hours=h), 1, "a", 1.0, "{}"))
+            eid += 1
+    d = str(tmp_path_factory.mktemp("mad"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    def lower_median(vals):
+        s = sorted(vals)
+        return s[(len(s) + 1) // 2 - 1]
+
+    med = lower_median(counts)
+    mad = lower_median([abs(c - med) for c in counts])
+    want = {
+        (h, c)
+        for h, c in enumerate(counts)
+        if abs(c - med) > 3 * mad
+    }
+    got = {
+        (int(r.hour[11:13]), r.n_events)
+        for r in events_mad_anomaly(spark, d).collect()
+    }
+    assert got == want

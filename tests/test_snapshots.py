@@ -1017,3 +1017,101 @@ def test_vacuum_after_rollback_pins_current(spark, tdir):
     # current (snapshot 2) must survive retention even though it is not
     # among the "last" entries
     assert sorted(r.x for r in snapshots.read(spark, tdir).collect()) == [0, 1]
+
+
+# ---------------------------------------------------------------------------
+# FOR TIMESTAMP AS OF (snapshot log)
+# ---------------------------------------------------------------------------
+
+def test_as_of_resolves_against_snapshot_log(spark, tdir):
+    import time as _time
+
+    snapshots.commit(_dated(spark, [("2024-01-01", 1)]), tdir, mode="append")
+    t_after_v1 = _time.time()
+    _time.sleep(0.02)
+    snapshots.commit(_dated(spark, [("2024-01-02", 2)]), tdir, mode="append")
+    # a timestamp between the commits reads v1
+    assert [
+        r.x for r in snapshots.read(spark, tdir, as_of=t_after_v1).collect()
+    ] == [1]
+    # now reads both
+    assert sorted(
+        r.x for r in snapshots.read(spark, tdir, as_of=_time.time()).collect()
+    ) == [1, 2]
+    # predating the table raises
+    with pytest.raises(ValueError, match="predates"):
+        snapshots.read(spark, tdir, as_of=t_after_v1 - 1000)
+
+
+def test_as_of_honors_rollback_pointer_moves(spark, tdir):
+    """The log records POINTER MOVES, not just commits: after a
+    rollback, an as_of between the rollback and the next commit must
+    read the ROLLED-BACK state even though a higher-id snapshot
+    exists."""
+    import time as _time
+
+    snapshots.commit(_dated(spark, [("2024-01-01", 1)]), tdir, mode="append")
+    snapshots.commit(_dated(spark, [("2024-01-02", 99)]), tdir, mode="append")
+    _time.sleep(0.02)
+    snapshots.rollback_to(tdir, 1)
+    t_after_rb = _time.time()
+    _time.sleep(0.02)
+    snapshots.commit(_dated(spark, [("2024-01-03", 3)]), tdir, mode="append")
+    assert [
+        r.x for r in snapshots.read(spark, tdir, as_of=t_after_rb).collect()
+    ] == [1]
+    assert sorted(
+        r.x for r in snapshots.read(spark, tdir, as_of=_time.time()).collect()
+    ) == [1, 3]
+
+
+def test_as_of_naive_datetime_is_utc(spark, tdir):
+    import datetime as dtm
+    import time as _time
+
+    snapshots.commit(_dated(spark, [("2024-01-01", 1)]), tdir, mode="append")
+    now_naive = dtm.datetime.utcfromtimestamp(_time.time() + 1)
+    assert [
+        r.x for r in snapshots.read(spark, tdir, as_of=now_naive).collect()
+    ] == [1]
+
+
+def test_rollback_races_concurrent_commit_without_lost_update(spark, tdir):
+    """A rollback racing an append must serialize through the manifest
+    CAS: whichever lands second rebases on the winner — neither a lost
+    append nor a stale pointer."""
+    import threading
+
+    snapshots.commit(_dated(spark, [("2024-01-01", 1)]), tdir, mode="append")
+    snapshots.commit(_dated(spark, [("2024-01-02", 2)]), tdir, mode="append")
+    barrier = threading.Barrier(2)
+    errs: list[Exception] = []
+
+    def do_rollback():
+        try:
+            barrier.wait()
+            snapshots.rollback_to(tdir, 1)
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    def do_commit():
+        try:
+            df = _dated(spark, [("2024-01-03", 3)])
+            barrier.wait()
+            snapshots.commit(df, tdir, mode="append")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ts = [threading.Thread(target=do_rollback), threading.Thread(target=do_commit)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    man = snapshots._load_manifest(tdir)
+    # both mutations are in the manifest: snapshot 3 exists in history,
+    # and the log contains the rollback's pointer move to 1
+    assert 3 in [s["id"] for s in man["snapshots"]]
+    assert any(rec["id"] == 1 for rec in man.get("log", []))
+    # head is whichever landed last; both outcomes are serializable
+    assert man["current"] in (1, 3)
