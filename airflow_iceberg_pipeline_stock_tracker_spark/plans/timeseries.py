@@ -2364,6 +2364,199 @@ ORDER BY m.event_type
 EVENTS_HLL_REAGG_SQL = _hll_reagg_sql()
 
 
+def events_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL SET ALGEBRA over event-type audiences: for every unordered
+    type pair, the union estimate from MAX-MERGED registers (the
+    operation sketches exist for — |A ∪ B| without touching raw users)
+    and the intersection by inclusion-exclusion (est_a + est_b -
+    est_union; reported RAW, which can legitimately go negative inside
+    the sketch's error band — clamping would hide exactly the error a
+    reader must see), graded against the EXACT union count.
+
+    Exactness: registers and merges are int64 (max over per-type rhos);
+    every estimate is the same single closing float expression as
+    events_hll_distinct; the pair expansion is |types|^2 — dimension
+    scale. The exact union grader shuffles (pair, user) distinct pairs
+    — bounded by |pairs| x users, present to GRADE the sketch like
+    n_exact in events_hll_distinct.
+
+    Scale: per-type registers are one map-combinable groupBy; all pair
+    algebra runs on <= |types|^2 x 256 register rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = hash60(F.col("user_id").cast("string"))
+    keyed = ev.select(
+        "event_type",
+        h.bitwiseAND(F.lit(HLL_M - 1)).alias("bucket"),
+        F.shiftright(h, 8).alias("w"),
+        "user_id",
+    ).localCheckpoint(eager=True)
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W + 1)).otherwise(
+        F.lit(HLL_W) - F.length(F.bin("w")) + 1
+    )
+    regs = keyed.groupBy("event_type", "bucket").agg(
+        F.max(rho).alias("maxrho")
+    )
+    types = regs.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+
+    def _s(regs_grouped: DataFrame, keys: list[str], prefix: str) -> DataFrame:
+        return regs_grouped.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias(f"{prefix}_n_obs"),
+            F.sum(
+                F.expr(f"shiftleft(cast(1 as bigint), {HLL_W + 1} - maxrho)")
+            ).cast("bigint").alias(f"{prefix}_s"),
+        )
+
+    def _est(prefix: str):
+        s_int = (
+            F.col(f"{prefix}_s")
+            + (F.lit(HLL_M) - F.col(f"{prefix}_n_obs"))
+            * F.lit(1 << (HLL_W + 1))
+        )
+        return (
+            F.lit(float(HLL_ALPHA))
+            * F.lit(HLL_M * HLL_M)
+            * F.lit(float(1 << (HLL_W + 1)))
+            / s_int.cast("double")
+        )
+
+    per_type = _s(regs, ["event_type"], "t")
+    # pair-merged registers: each pair collects BOTH member types'
+    # registers, max per bucket — the mergeability the reagg row proves
+    tagged = (
+        pairs.join(regs, F.col("event_type") == F.col("type_a"))
+        .select("type_a", "type_b", "bucket", "maxrho")
+        .unionByName(
+            pairs.join(regs, F.col("event_type") == F.col("type_b")).select(
+                "type_a", "type_b", "bucket", "maxrho"
+            )
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.max("maxrho").alias("maxrho"))
+    )
+    per_pair = _s(tagged, ["type_a", "type_b"], "u")
+    ea = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("t_n_obs").alias("a_n_obs"),
+        F.col("t_s").alias("a_s"),
+    )
+    eb = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("t_n_obs").alias("b_n_obs"),
+        F.col("t_s").alias("b_s"),
+    )
+    # exact union grader: distinct (pair, user) over the two audiences
+    tu = keyed.select("event_type", "user_id").distinct()
+    exact = (
+        pairs.join(
+            tu,
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .select("type_a", "type_b", "user_id")
+        .distinct()
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    est_a, est_b, est_u = _est("a"), _est("b"), _est("u")
+    return (
+        per_pair.join(ea, "type_a")
+        .join(eb, "type_b")
+        .join(exact, ["type_a", "type_b"])
+        .select(
+            "type_a",
+            "type_b",
+            est_a.alias("est_a"),
+            est_b.alias("est_b"),
+            est_u.alias("est_union"),
+            (est_a + est_b - est_u).alias("est_intersection"),
+            F.col("exact_union").cast("bigint").alias("exact_union"),
+            ((est_u - F.col("exact_union")) / F.col("exact_union")).alias(
+                "union_rel_err"
+            ),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def _hll_setops_sql() -> str:
+    hv = hash60_sql("CAST(user_id AS VARCHAR)")
+    rho = (
+        f"MAX(CASE WHEN w = 0 THEN {HLL_W + 1} "
+        f"ELSE {HLL_W} - length(bin(w)) + 1 END)"
+    )
+
+    def est(s: str, n: str) -> str:
+        return (
+            f"CAST({HLL_ALPHA} AS DOUBLE) * {HLL_M * HLL_M} "
+            f"* CAST({1 << (HLL_W + 1)} AS DOUBLE) "
+            f"/ ({s} + ({HLL_M} - {n}) * {1 << (HLL_W + 1)})"
+        )
+
+    ea = est("a.s", "a.n_obs")
+    eb = est("b.s", "b.n_obs")
+    eu = est("u.s", "u.n_obs")
+    return f"""
+WITH keyed AS (
+  SELECT event_type, {hv} % {HLL_M} AS bucket, {hv} // {HLL_M} AS w,
+         user_id
+  FROM events
+), regs AS (
+  SELECT event_type, bucket, {rho} AS maxrho
+  FROM keyed GROUP BY 1, 2
+), types AS (
+  SELECT DISTINCT event_type FROM regs
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM types a JOIN types b ON a.event_type < b.event_type
+), tagged AS (
+  SELECT p.type_a, p.type_b, r.bucket, MAX(r.maxrho) AS maxrho
+  FROM pairs p
+  JOIN regs r ON r.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2, 3
+), pt AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W + 1} - maxrho)) AS BIGINT)
+           AS s
+  FROM regs GROUP BY 1
+), u AS (
+  SELECT type_a, type_b, CAST(COUNT(*) AS BIGINT) AS n_obs,
+         CAST(SUM(CAST(1 AS BIGINT) << ({HLL_W + 1} - maxrho)) AS BIGINT)
+           AS s
+  FROM tagged GROUP BY 1, 2
+), exact AS (
+  SELECT p.type_a, p.type_b,
+         CAST(COUNT(DISTINCT t.user_id) AS BIGINT) AS exact_union
+  FROM pairs p
+  JOIN (SELECT DISTINCT event_type, user_id FROM keyed) t
+    ON t.event_type IN (p.type_a, p.type_b)
+  GROUP BY 1, 2
+)
+SELECT u.type_a, u.type_b,
+       {ea} AS est_a,
+       {eb} AS est_b,
+       {eu} AS est_union,
+       {ea} + {eb} - ({eu}) AS est_intersection,
+       e.exact_union,
+       ({eu} - e.exact_union) / e.exact_union AS union_rel_err
+FROM u
+JOIN pt a ON a.event_type = u.type_a
+JOIN pt b ON b.event_type = u.type_b
+JOIN exact e ON e.type_a = u.type_a AND e.type_b = u.type_b
+ORDER BY u.type_a, u.type_b
+"""
+
+
+EVENTS_HLL_SETOPS_SQL = _hll_setops_sql()
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -2401,6 +2594,7 @@ TIMESERIES_QUERIES = {
     "events_burst_episodes": (events_burst_episodes, EVENTS_BURST_SQL),
     "events_hll_distinct": (events_hll_distinct, EVENTS_HLL_SQL),
     "events_hll_reagg": (events_hll_reagg, EVENTS_HLL_REAGG_SQL),
+    "events_hll_setops": (events_hll_setops, EVENTS_HLL_SETOPS_SQL),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     # oracle recomputes from raw events at the INCREMENTAL horizon:

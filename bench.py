@@ -226,6 +226,7 @@ HEADLINE = [
     "prices_snapshot_rollback",
     "events_hll_distinct",
     "events_hll_reagg",
+    "events_hll_setops",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -316,3 +316,41 @@ def test_hll_reagg_merge_equals_onepass_with_cross_day_users(spark, tmp_path):
     r = out[0]
     assert r.registers_equal is True
     assert r.merged_estimate == r.onepass_estimate  # bit-exact
+
+
+def test_hll_setops_union_identity_and_inclusion_exclusion(spark, tmp_path):
+    """Disjoint audiences: the merged-union estimate must equal the
+    estimate of the concatenated audience (register max-merge IS union),
+    and inclusion-exclusion must put the intersection near zero; a
+    fully-contained audience must put the union near the superset."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_hll_setops,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    # a: users 0..1999; b: users 2000..3999 (disjoint); c: users 0..199
+    # (subset of a)
+    for u in range(2000):
+        rows.append((eid, base, u, "a", 1.0, "{}")); eid += 1
+    for u in range(2000, 4000):
+        rows.append((eid, base, u, "b", 1.0, "{}")); eid += 1
+    for u in range(200):
+        rows.append((eid, base, u, "c", 1.0, "{}")); eid += 1
+    out = {
+        (r.type_a, r.type_b): r
+        for r in events_hll_setops(
+            spark, _events_dir(spark, tmp_path, rows)
+        ).collect()
+    }
+    assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = out[("a", "b")]
+    assert ab.exact_union == 4000
+    assert abs(ab.union_rel_err) < 0.195  # 3 sigma at m=256
+    # disjoint: intersection estimate must sit inside the error band of 0
+    assert abs(ab.est_intersection) < 0.2 * 4000
+    ac = out[("a", "c")]
+    assert ac.exact_union == 2000
+    # c is a subset of a: union registers == a's registers exactly, so
+    # the union estimate is bit-identical to a's own estimate
+    assert ac.est_union == ac.est_a

@@ -54,6 +54,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "prices_snapshot_rollback",
     "events_hll_distinct",
     "events_hll_reagg",
+    "events_hll_setops",
 ]
 
 
