@@ -384,6 +384,8 @@ SCALE_TREND = {
     "orders_ship_sla": "orders",
     "dq_referential_integrity": "lineitem",
     "dedup_winnowing_pairs": "documents",
+    "events_hll_distinct": "events",
+    "events_hll_setops": "events",
 }
 SCALE_FACTOR = 10
 
@@ -475,6 +477,17 @@ SCALE_TREND_NOTES = {
         "near-dup group — the minhash_lsh out_ratio caveat applies, "
         "but the surfaced top-k stays 50 rows and hot fingerprints "
         "hit the bucket cap instead of exploding the join"
+    ),
+    "events_hll_distinct": (
+        "replica users are DISJOINT, so true distincts grow 10x while "
+        "the register table stays <= |types| x 256 rows — the sketch's "
+        "whole point; the exact COUNT(DISTINCT) grader is the only "
+        "stage that scales with users"
+    ),
+    "events_hll_setops": (
+        "all pair algebra runs on |types|^2 x 256 register rows at any "
+        "SF; the exact-union grader's (pair, user) distinct is the one "
+        "user-scale stage, present only to grade the sketch"
     ),
 }
 

@@ -2209,3 +2209,67 @@ def test_mad_anomaly_matches_bruteforce(spark, tmp_path_factory, counts):
         for r in events_mad_anomaly(spark, d).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# burst episodes (events_burst_episodes' gaps-and-islands over hours)
+# ---------------------------------------------------------------------------
+
+_burst_counts = st.lists(st.integers(0, 9), min_size=1, max_size=30)
+
+
+@given(counts=_burst_counts)
+@example(counts=[1, 1, 9, 9, 1, 9])   # adjacent + separated bursts
+@example(counts=[0, 0, 5])            # zero-hours are ABSENT, not zero rows
+@example(counts=[4])                  # single hour: n*1 > 2n is false
+@_prop_settings
+def test_burst_episodes_match_bruteforce(spark, tmp_path_factory, counts):
+    """Episode boundaries, peaks, and volumes must equal a brute-force
+    scan: qualifying hours (n * observed_hours > 2 * total) grouped into
+    maximal consecutive runs — hours with zero events are gaps, which is
+    exactly where island arithmetic can slip."""
+    import os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_burst_episodes,
+    )
+
+    base = dt.datetime(2024, 3, 1)
+    rows, eid = [], 0
+    for hh, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(hours=hh), 1, "a", 1.0, "{}"))
+            eid += 1
+    if not any(counts):
+        return  # empty table: nothing to compare
+    d = str(tmp_path_factory.mktemp("burst"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.parquet(os.path.join(d, "events.parquet"))
+
+    present = [(hh, c) for hh, c in enumerate(counts) if c > 0]
+    h_obs, total = len(present), sum(c for _, c in present)
+    qual = [(hh, c) for hh, c in present if c * h_obs > 2 * total]
+    episodes, cur = [], []
+    for hh, c in qual:
+        if cur and hh == cur[-1][0] + 1:
+            cur.append((hh, c))
+        else:
+            if cur:
+                episodes.append(cur)
+            cur = [(hh, c)]
+    if cur:
+        episodes.append(cur)
+    want = [
+        (ep[0][0], ep[-1][0], len(ep), max(c for _, c in ep),
+         sum(c for _, c in ep))
+        for ep in episodes
+    ]
+    got = [
+        (int(r.start_hour[11:13]), int(r.end_hour[11:13]), r.n_hours,
+         r.peak_n, r.total_n)
+        for r in events_burst_episodes(spark, d).collect()
+    ]
+    assert got == want
