@@ -217,3 +217,49 @@ def test_two_process_vacuums_race_without_crashing(tmp_path):
     head = man["snapshots"][-1]
     for d in head["dirs"]:
         assert os.path.isdir(os.path.join(table_dir, d)), d
+
+
+def _roller(table_dir: str, target: int, rounds: int, barrier, out_q) -> None:
+    try:
+        barrier.wait(timeout=30)
+        for _ in range(rounds):
+            snapshots.rollback_to(table_dir, target)
+        out_q.put(("ok", "roll", rounds))
+    except BaseException as e:
+        out_q.put(("err", "roll", repr(e)))
+
+
+def test_rollback_races_cross_process_commits_without_corruption(tmp_path):
+    """A process repeatedly rolling back to snapshot 1 races a process
+    appending commits: every mutation must serialize through the
+    manifest CAS — all appends land in history, every log record points
+    at a real snapshot, and the final manifest is internally
+    consistent whichever mutation won the last version."""
+    table_dir = str(tmp_path / "tbl")
+    os.makedirs(os.path.join(table_dir, "snap-base"), exist_ok=True)
+    snapshots._commit_entry(table_dir, "snap-base", "append", 200, "base")
+
+    ctx = _fork()
+    barrier = ctx.Barrier(2)
+    out_q = ctx.Queue()
+    pw = ctx.Process(target=_writer, args=(table_dir, 7, barrier, out_q))
+    pr = ctx.Process(
+        target=_roller, args=(table_dir, 1, _N_PER_WRITER, barrier, out_q)
+    )
+    pw.start()
+    pr.start()
+    results = [out_q.get(timeout=120) for _ in range(2)]
+    pw.join(timeout=60)
+    pr.join(timeout=60)
+    assert all(r[0] == "ok" for r in results), results
+
+    man = snapshots._load_manifest(table_dir)
+    ids = [s["id"] for s in man["snapshots"]]
+    # every append landed exactly once (no lost update under rollbacks)
+    assert ids == sorted(ids) and len(set(ids)) == len(ids)
+    assert len(ids) == 1 + _N_PER_WRITER
+    # every log record resolves to a real snapshot
+    for rec in man.get("log", []):
+        snapshots._dirs_of(man, rec["id"])
+    # head is a real snapshot and readable
+    snapshots._dirs_of(man, man["current"])
