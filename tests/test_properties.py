@@ -2273,3 +2273,81 @@ def test_burst_episodes_match_bruteforce(spark, tmp_path_factory, counts):
         for r in events_burst_episodes(spark, d).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# winnowing pair mining (capped inverted-index join == brute force)
+# ---------------------------------------------------------------------------
+
+_words = st.lists(
+    st.sampled_from(
+        ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf"]
+    ),
+    min_size=3,
+    max_size=12,
+)
+_doc_set = st.lists(_words, min_size=2, max_size=6)
+
+
+@given(docs=_doc_set)
+@example(docs=[["alpha", "bravo"], ["alpha", "bravo"]])  # exact duplicates
+@example(docs=[["alpha"], ["bravo"]])                    # nothing shared
+@_prop_settings
+def test_winnowing_pairs_match_bruteforce_fingerprint_sets(spark, docs):
+    """With the bucket cap above the corpus size the inverted-index
+    join must surface EXACTLY the brute-force pairs: for every doc pair,
+    shared distinct fingerprints >= min -> one row with the exact
+    counts and resemblance; below min -> no row. A small shared-word
+    vocabulary maximizes genuine fingerprint collisions."""
+    import hashlib
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        WINNOW_K,
+        WINNOW_M,
+        WINNOW_W,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+
+    def fps(text: str) -> set[int]:
+        t = " ".join(text.lower().split())
+        n = len(t)
+        grams = (
+            [t]
+            if n <= WINNOW_K
+            else [t[i : i + WINNOW_K] for i in range(n - WINNOW_K + 1)]
+        )
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        keys = [
+            h * WINNOW_M + (WINNOW_M - 1 - min(p, WINNOW_M - 1))
+            for p, h in enumerate(hs)
+        ]
+        sel = set()
+        for i in range(max(len(keys) - WINNOW_W, 0) + 1):
+            sel.add(min(keys[i : i + WINNOW_W]))
+        return {k // WINNOW_M for k in sel}
+
+    sets = [fps(t) for t in texts]
+    want = {}
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            shared = len(sets[a] & sets[b])
+            if shared >= dedup.WINNOW_PAIR_MIN_SHARED:
+                want[(a, b)] = (
+                    shared,
+                    len(sets[a]),
+                    len(sets[b]),
+                    shared / (len(sets[a]) + len(sets[b]) - shared),
+                )
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.n_shared, r.n_a, r.n_b, r.resemblance)
+        for r in dedup.winnowing_pairs(df).collect()
+    }
+    assert got == want
