@@ -539,6 +539,7 @@ SWEEP_TAIL = [
     "events_hll_distinct",
     "events_hll_reagg",
     "events_hll_setops",
+    "similarity_cluster_balance",
     # demoted r11 to fund the fifteen r10 tail-first promotions (r10
     # verdict ask #1). Evidence per row: 2 consecutive green driver
     # rounds (r9+r10, CORRECTNESS_r0{9,10}.json) + pytest coverage; all

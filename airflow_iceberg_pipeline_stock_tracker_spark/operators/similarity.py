@@ -894,6 +894,70 @@ FROM j ORDER BY vec_id
 
 
 # ---------------------------------------------------------------------------
+# cluster-balanced sampling: per-cluster quotas over the k-means cells
+# ---------------------------------------------------------------------------
+
+BALANCE_QUOTA = 10  # kept vectors per cluster
+
+
+def cluster_balance(
+    spark: SparkSession, sf_dir: str, quota: int = BALANCE_QUOTA
+) -> DataFrame:
+    """Topic-BALANCED sampling: keep at most ``quota`` vectors per
+    k-means cluster, chosen deterministically — the curation move that
+    stops one dominant topic from flooding a training mix (the
+    cluster-level complement of curation_stratified_sample's
+    source-level strata). A cluster smaller than the quota keeps
+    everything; selection inside a cluster ranks by md5(vec_id) (the
+    repo's deterministic-sampling discipline: uniform, seedless,
+    engine-portable), tie-broken by vec_id.
+
+    Composition: reuses the driver-checked exact k-means
+    (embedding_kmeans — int64 iterates identical to the unrolled-CTE
+    oracle); everything on top is one window rank + filter.
+
+    Scale: rank<=quota is a WindowGroupLimit (partial top-k per cluster
+    BEFORE the shuffle), so the exchange moves O(k * quota) candidates
+    per partition, not the corpus; no joins beyond the assignment
+    itself.
+    """
+    assign = embedding_kmeans(spark, sf_dir)
+    w = Window.partitionBy("cluster").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        assign.select(
+            "vec_id",
+            "cluster",
+            F.row_number().over(w).alias("rank_in_cluster"),
+        )
+        .where(F.col("rank_in_cluster") <= quota)
+        .orderBy("cluster", "rank_in_cluster")
+    )
+
+
+CLUSTER_BALANCE_SQL = f"""
+WITH assign AS (SELECT * FROM ({{kmeans_sql}})),
+ranked AS (
+  SELECT vec_id, cluster,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY cluster
+           ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+         ) AS INTEGER) AS rank_in_cluster
+  FROM assign
+)
+SELECT vec_id, cluster, rank_in_cluster
+FROM ranked
+WHERE rank_in_cluster <= {BALANCE_QUOTA}
+ORDER BY cluster, rank_in_cluster
+"""
+# plain replace, not .format(): the kmeans SQL may contain braces
+CLUSTER_BALANCE_SQL = CLUSTER_BALANCE_SQL.replace(
+    "{kmeans_sql}", EMBEDDING_KMEANS_SQL
+)
+
+
+# ---------------------------------------------------------------------------
 # k-NN graph: per-vector top-k neighbors over the banded-LSH candidates
 # ---------------------------------------------------------------------------
 

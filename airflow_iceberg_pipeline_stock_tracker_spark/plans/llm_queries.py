@@ -390,6 +390,10 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(dedup.winnowing_pairs),
         dedup.WINNOW_PAIRS_SQL,
     ),
+    "similarity_cluster_balance": (
+        similarity.cluster_balance,
+        similarity.CLUSTER_BALANCE_SQL,
+    ),
     "similarity_knn_graph": (
         lambda spark, sf_dir: similarity.knn_graph_df(
             load_table(spark, sf_dir, "embeddings")

@@ -227,6 +227,7 @@ HEADLINE = [
     "events_hll_distinct",
     "events_hll_reagg",
     "events_hll_setops",
+    "similarity_cluster_balance",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

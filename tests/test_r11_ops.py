@@ -354,3 +354,44 @@ def test_hll_setops_union_identity_and_inclusion_exclusion(spark, tmp_path):
     # c is a subset of a: union registers == a's registers exactly, so
     # the union estimate is bit-identical to a's own estimate
     assert ac.est_union == ac.est_a
+
+
+def test_cluster_balance_quota_and_determinism(spark, tmp_path):
+    """Small clusters keep everything, big clusters exactly the quota,
+    and the md5 selection is deterministic across runs; the rank<=quota
+    filter must compile to a WindowGroupLimit (partial top-k before the
+    shuffle)."""
+    import os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        BALANCE_QUOTA,
+        cluster_balance,
+    )
+
+    # two well-separated blobs: 4 vectors near seed 0, 30 near seed 1
+    rows = []
+    for i in range(4):
+        rows.append((i * 2, [1.0] * 32 + [0.0] * 32))  # even ids: blob A
+    for i in range(30):
+        rows.append((i * 2 + 1, [0.0] * 32 + [1.0] * 32))  # odd: blob B
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    ).write.parquet(os.path.join(d, "embeddings.parquet"))
+    out1 = cluster_balance(spark, d).collect()
+    out2 = cluster_balance(spark, d).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    by_cluster: dict[int, int] = {}
+    for r in out1:
+        by_cluster[r.cluster] = by_cluster.get(r.cluster, 0) + 1
+        assert 1 <= r.rank_in_cluster <= BALANCE_QUOTA
+    sizes = sorted(by_cluster.values())
+    # the small blob keeps all its members; the big one is capped
+    assert sizes[-1] == BALANCE_QUOTA and min(sizes) <= 4
+    plan = (
+        cluster_balance(spark, d)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan

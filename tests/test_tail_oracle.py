@@ -55,6 +55,7 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     "events_hll_distinct",
     "events_hll_reagg",
     "events_hll_setops",
+    "similarity_cluster_balance",
 ]
 
 
