@@ -1313,12 +1313,18 @@ def heikin_ashi(prices: DataFrame) -> DataFrame:
 
     Like macd this is a true recursion (ha_open depends on its own
     previous OUTPUT), so it folds per ticker over the date-sorted bars.
-    Unlike macd the arithmetic is EXACT, not merely bit-equal-by-
-    identical-op-order: in cents-as-doubles every division is by a
-    power of two (/4, /2), so all values are dyadic rationals
-    representable exactly while < 2^53 — the fold result is the
-    mathematical Heikin-Ashi, and the bullish flag (ha_close > ha_open)
-    compares exact values.
+    Cross-engine parity rests on the macd discipline — BIT-IDENTICAL
+    IEEE doubles via the identical op sequence in both engines — NOT on
+    mathematical exactness: although every division is by a power of
+    two, ha_open's dyadic denominator grows one bit per bar, so in
+    cents-as-doubles the fold is exact only for short histories
+    (~43 bars; beyond that the 2^-k tail falls off the 53-bit mantissa
+    and /2 rounds). tests/test_r11_ops.py pins BOTH facts: the Fraction
+    test proves exactness on a short series, and
+    test_heikin_ashi_exactness_breaks_but_engines_agree demonstrates
+    the ~bar-43 divergence from the mathematical value while a float
+    fold with the identical op order stays bit-equal over the full
+    series — exactly the guarantee the SQL twin relies on.
 
     Scale: one shuffle on ticker; state O(ticker's history), bounded by
     TIME (daily bars) — the prices_macd class.

@@ -469,8 +469,10 @@ SCALE_TREND_NOTES = {
     ),
     "dq_referential_integrity": (
         "six independent anti-join/groupBy scans, each linear; output "
-        "is always 6 rows. Orphan counts scale with the replicas "
-        "(every replica repeats the base data's defects 10x)"
+        "is always 6 rows. customer replicates with orders' 10^7 "
+        "custkey stride (r11 advice), so every replica repeats the "
+        "base data's defect profile 10x — anti-join selectivity is "
+        "genuinely scale-invariant, not orphan-dominated"
     ),
     "dedup_winnowing_pairs": (
         "replicas are EXACT duplicates, so every fingerprint's posting "
@@ -515,7 +517,7 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
         f"{base}-x{SCALE_FACTOR}",
     )
     done_marker = os.path.join(out_dir, "_BUILT")
-    marker_want = f"replicas={SCALE_FACTOR} v3-orders\n"
+    marker_want = f"replicas={SCALE_FACTOR} v4-customer\n"
     if os.path.exists(done_marker):
         with open(done_marker) as f:
             if f.read() == marker_want:
@@ -534,6 +536,7 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
         "documents.parquet",
         "embeddings.parquet",
         "orders.parquet",
+        "customer.parquet",
     )
     for p in glob.glob(os.path.join(sf_dir, "*.parquet")):
         name = os.path.basename(p)
@@ -571,6 +574,19 @@ def _build_scale_dir(spark, sf_dir: str) -> str:
         .drop("rep")
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "orders.parquet"))
+    )
+    # customer shares orders' custkey stride so replica i's orders
+    # reference replica i's customers — without this every replica order
+    # is a custkey orphan and the referential-integrity trend row
+    # measures a 90%-orphan anti-join instead of the base data's defect
+    # profile repeated 10x (r11 advice)
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    (
+        cu.crossJoin(F.broadcast(reps))
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * F.lit(10**7))
+        .drop("rep")
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "customer.parquet"))
     )
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     (
