@@ -846,6 +846,14 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = span/128 (division by a power of two is exact); bin index and
     upper edge use the identical op sequence in both engines — bit-equal
     doubles with no rounding and no libm.
+
+    Plan shape (r11 verdict ask #8): the global (lo, hi) scalar is
+    attached to the fact scan by ONE broadcast nest-loop join and then
+    CARRIED through every aggregate as a min() of a per-group constant
+    (exact — min of equal doubles), and the 2-row q_pct frame is an
+    explode() of literals (a Generate node, no join at all) — down from
+    five crossJoins / 7 physical BNLJs; the plan pin caps the count at
+    1 (tests/test_plans.py).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", "value"
@@ -864,11 +872,20 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(127),
         )
     )
+    qcol = F.explode(F.array(F.lit(50), F.lit(95))).alias("q_pct")
     hist = (
-        ev.crossJoin(F.broadcast(edges))
-        .select("event_type", binc.alias("bin"))
+        ev.crossJoin(F.broadcast(edges))  # the one scalar attach
+        .select("event_type", "lo", "hi", binc.alias("bin"))
         .groupBy("event_type", "bin")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
+        # <= |types| x 128 rows feeding THREE consumers (cum, totals,
+        # exact's rank targets): materialize once or the fact scan +
+        # scalar attach replicates into every branch
+        .localCheckpoint(eager=True)
     )
     cum = hist.withColumn(
         "cum",
@@ -879,22 +896,26 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     totals = hist.groupBy("event_type").agg(F.sum("cnt").alias("n"))
-    qs = spark.createDataFrame([(50,), (95,)], "q_pct int")
     target = F.ceil(
         F.col("q_pct").cast("double") / F.lit(100.0) * F.col("n").cast("double")
     ).cast("bigint")
     picked = (
         cum.join(totals, "event_type")
-        .crossJoin(F.broadcast(qs))
+        .select("event_type", "bin", "cum", "n", "lo", "hi", qcol)
         .where(F.col("cum") >= target)
         .groupBy("event_type", "q_pct", "n")
-        .agg(F.min("bin").alias("sketch_bin"))
-        .crossJoin(F.broadcast(edges))
+        .agg(
+            F.min("bin").alias("sketch_bin"),
+            F.min("lo").alias("lo"),
+            F.min("hi").alias("hi"),
+        )
         .select(
             "event_type",
             "q_pct",
             "n",
             "sketch_bin",
+            "lo",
+            "hi",
             (
                 F.col("lo")
                 + (F.col("sketch_bin") + F.lit(1)).cast("double")
@@ -907,8 +928,14 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     exact = (
         ev.withColumn("rn", rn)
-        .crossJoin(F.broadcast(qs.withColumnRenamed("q_pct", "q2")))
         .join(totals, "event_type")
+        .select(
+            "event_type",
+            "rn",
+            "value",
+            "n",
+            F.explode(F.array(F.lit(50), F.lit(95))).alias("q2"),
+        )
         .where(
             F.col("rn")
             == F.ceil(
@@ -932,7 +959,6 @@ def events_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         picked.join(exact, ["event_type", "q_pct"])
-        .crossJoin(F.broadcast(edges))
         .select(
             "event_type",
             "q_pct",
@@ -2382,6 +2408,14 @@ def events_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: per-type registers are one map-combinable groupBy; all pair
     algebra runs on <= |types|^2 x 256 register rows.
+
+    Plan shape (r11 verdict ask #8): the pair spine is an explode of
+    the one-row collected type set (two Generate nodes — the |types|^2
+    expansion without any join, so it can't be replicated as a BNLJ
+    into every consumer branch), and the exact-union grader is a UNION
+    of two equi-joins instead of a disjunctive-predicate join — zero
+    BroadcastNestedLoopJoins in the whole plan, pinned by
+    tests/test_plans.py (was 4).
     """
     ev = load_table(spark, sf_dir, "events")
     h = hash60(F.col("user_id").cast("string"))
@@ -2397,13 +2431,13 @@ def events_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     regs = keyed.groupBy("event_type", "bucket").agg(
         F.max(rho).alias("maxrho")
     )
-    types = regs.select("event_type").distinct()
+    # unordered type pairs WITHOUT a join: collect the (dimension-scale)
+    # type set into one row, explode twice, keep the a < b triangle
     pairs = (
-        types.select(F.col("event_type").alias("type_a"))
-        .join(
-            types.select(F.col("event_type").alias("type_b")),
-            F.col("type_a") < F.col("type_b"),
-        )
+        regs.agg(F.collect_set("event_type").alias("ts"))
+        .select(F.explode("ts").alias("type_a"), "ts")
+        .select("type_a", F.explode("ts").alias("type_b"))
+        .where(F.col("type_a") < F.col("type_b"))
     )
 
     def _s(regs_grouped: DataFrame, keys: list[str], prefix: str) -> DataFrame:
@@ -2452,15 +2486,20 @@ def events_hll_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t_n_obs").alias("b_n_obs"),
         F.col("t_s").alias("b_s"),
     )
-    # exact union grader: distinct (pair, user) over the two audiences
+    # exact union grader: distinct (pair, user) over the two audiences.
+    # A disjunctive ON (type == a OR type == b) plans as a BNLJ; the
+    # same rows come from a UNION of two equi-joins (a user in both
+    # audiences lands twice and the distinct collapses it — identical
+    # semantics, hash-joinable)
     tu = keyed.select("event_type", "user_id").distinct()
     exact = (
-        pairs.join(
-            tu,
-            (F.col("event_type") == F.col("type_a"))
-            | (F.col("event_type") == F.col("type_b")),
-        )
+        pairs.join(tu, F.col("event_type") == F.col("type_a"))
         .select("type_a", "type_b", "user_id")
+        .unionByName(
+            pairs.join(tu, F.col("event_type") == F.col("type_b")).select(
+                "type_a", "type_b", "user_id"
+            )
+        )
         .distinct()
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("exact_union"))

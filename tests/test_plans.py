@@ -802,3 +802,41 @@ def test_ship_sla_histogram_no_hint_no_cartesian(spark, sf_dir):
     assert "ResolvedHint" not in qe.analyzed().toString()
     # everything after the histogram groupBy is dimension-bounded
     assert plan.count("Exchange") <= 6
+
+
+def test_quantile_sketch_single_scalar_attach(spark, sf_dir):
+    """r11 verdict ask #8: the (lo, hi) global scalar attaches to the
+    fact scan ONCE and rides the aggregates after that; the q_pct frame
+    is an explode of literals (Generate, not a join). Was 7 physical
+    BroadcastNestedLoopJoins before the rewrite."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_quantile_sketch,
+    )
+
+    plan = (
+        events_quantile_sketch(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    assert "Generate" in plan  # the literal q_pct explode
+
+
+def test_hll_setops_no_nested_loop_joins(spark, sf_dir):
+    """r11 verdict ask #8: the pair spine is a double explode of the
+    one-row collected type set and the exact-union grader is a UNION of
+    two equi-joins — zero nested-loop joins anywhere (was 4)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_hll_setops,
+    )
+
+    plan = (
+        events_hll_setops(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
