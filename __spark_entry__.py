@@ -156,9 +156,10 @@ def _q_prices_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_prices_heikin_ashi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heikin-Ashi candles: the ha_open recursion folded per ticker in
-    pinned date order (operators/finance.py:heikin_ashi); every
-    division is by a power of two, so the fold is EXACT dyadic
-    arithmetic and the recursive-CTE oracle matches bit-for-bit."""
+    pinned date order (operators/finance.py:heikin_ashi); the
+    recursive-CTE oracle runs the identical IEEE op sequence, so the
+    doubles match bit-for-bit (the macd discipline — exactness proper
+    holds only to ~bar 43, see the operator docstring)."""
     from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
         heikin_ashi,
     )
@@ -176,6 +177,19 @@ def _q_prices_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return donchian(prices_standin(spark, sf_dir))
+
+
+def _q_prices_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aroon trend-strength indicator over the trailing 26 bars: days
+    since the window's highest high / lowest low via ONE packed-int
+    window max each (ties break toward the most recent bar), scaled to
+    exact-integer percentages — zero floats, zero joins
+    (operators/finance.py:aroon); donchian's single-exchange class."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        aroon,
+    )
+
+    return aroon(prices_standin(spark, sf_dir))
 
 
 def _q_prices_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,45 +515,53 @@ SWEEP_CHECKED = [
     "events_growth_accounting",  # new/retained/resurrected/churned
     "prices_compaction",       # binpack plan + bin rewrite + replan=0
     "text_source_drift",       # per-source simhash profiles, L1 drift
-    # PROMOTED r10: the ten r9 tail-first rows that had never had a real
-    # driver round (r9 verdict ask #1 — the only open correctness-
-    # evidence gap). Funded by demoting the twelve now-2-round-green
-    # rotation rows (see SWEEP_TAIL top). events_twap and
-    # events_conversion_lag additionally carry r10 PLAN changes (the
-    # two scale-weak window shapes, verdict asks #2-#3) — first driver
-    # round on the new plans:
-    "multimodal_patch_grid",   # ViT patch grid over real PPM rasters
-    "events_conversion_lag",   # distributed exact order statistics
-    "prices_mor_deletes",      # Iceberg v2 MoR deletes + compaction
-    "dedup_incremental_lsh",   # batch-vs-corpus banded LSH semi-join
-    "prices_pair_corr",        # Spearman via 2x-average integer ranks
-    "prices_snapshot_metadata",  # $snapshots metadata relation
-    "prices_pruned_scan",      # manifest-stats dir pruning
-    "events_top_paths",        # rn-gated session path mining
-    "events_twap",             # time-weighted average, (type,day) window
-    "prices_beta",             # CAPM beta vs equal-weight market
-    # NEW r10 (first round checked per policy):
-    "prices_obv",              # On-Balance Volume, pure int64 windows
-    "prices_partition_evolution",  # day->month layout change, one manifest
+    # PROMOTED r12: the nine r11 tail-first rows that had never had a
+    # real driver round (r11 verdict ask #1 — the recurring evidence
+    # queue, emptied this round). Funded by demoting nine of the twelve
+    # now-2-round-green r10 rows (see SWEEP_TAIL top); the remaining
+    # three demotions fund the quantile-sketch re-promotion and the two
+    # new operators below — minting capped at the demotion supply, so
+    # _NEVER_DRIVER_CHECKED ends the round EMPTY (r11 verdict ask #2):
+    "events_mad_anomaly",      # median-of-histogram twice, 3*MAD flags
+    "events_burst_episodes",   # gaps-and-islands on the hour index
+    "dq_referential_integrity",  # six anti-join integrity checks
+    "prices_heikin_ashi",      # ha_open recursion, bit-equal op order
+    "prices_snapshot_rollback",  # rollback_to_snapshot lifecycle
+    "events_hll_distinct",     # exact-int HLL registers vs exact count
+    "events_hll_reagg",        # daily-register max-merge == one-pass
+    "events_hll_setops",       # pair union/intersection algebra (r12:
+    #   BNLJ-free plan — pair spine exploded, union grader equi-joined)
+    "similarity_cluster_balance",  # per-cluster quota sampling
+    # RE-PROMOTED r12 (code-changed, must be driver-green on the new
+    # plan): the (lo, hi) scalar now attaches once and q_pct is an
+    # exploded literal — 7 BNLJs -> 1 (r11 verdict ask #8)
+    "events_quantile_sketch",
+    # NEW r12 (first round checked per policy):
+    "streaming_hll_incremental",  # per-batch register partials, merged
+    #   at read == one-pass build, register-level (r11 verdict ask #6)
+    "prices_aroon",            # packed-int window argmax, exact ints
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
-    # r11 tail-FIRST registrations (checked budget exhausted by the 15
-    # rotation promotions + 4 checked-first new ops): listed in
-    # tests/test_tail_oracle._NEVER_DRIVER_CHECKED, so each runs at the
-    # driver SF per CI until a future rotation gives it a real driver
-    # round
-    "events_mad_anomaly",
-    "events_burst_episodes",
-    "dq_referential_integrity",
-    "prices_heikin_ashi",
-    "prices_snapshot_rollback",
-    "events_hll_distinct",
-    "events_hll_reagg",
-    "events_hll_setops",
-    "similarity_cluster_balance",
+    # demoted r12 to fund the nine r11 tail-first promotions, the
+    # quantile-sketch re-promotion, and the two new-operator slots.
+    # Evidence per row: 2 consecutive green driver rounds (r10+r11,
+    # CORRECTNESS_r1{0,1}.json) + pytest coverage; all re-diffed per CI
+    # by tests/test_tail_oracle.py
+    "multimodal_patch_grid",
+    "events_conversion_lag",
+    "prices_mor_deletes",
+    "dedup_incremental_lsh",
+    "prices_pair_corr",
+    "prices_snapshot_metadata",
+    "prices_pruned_scan",
+    "events_top_paths",
+    "events_twap",
+    "prices_beta",
+    "prices_obv",
+    "prices_partition_evolution",
     # demoted r11 to fund the fifteen r10 tail-first promotions (r10
     # verdict ask #1). Evidence per row: 2 consecutive green driver
     # rounds (r9+r10, CORRECTNESS_r0{9,10}.json) + pytest coverage; all
@@ -592,7 +614,8 @@ SWEEP_TAIL = [
     "multimodal_decode_real",
     "events_ewma",
     "text_bpe_train",
-    "events_quantile_sketch",
+    # (events_quantile_sketch re-promoted r12 on its BNLJ-collapsed plan
+    # — see SWEEP_CHECKED)
     "text_bpe_tokenize",
     "dedup_graph_stats",
     "curation_importance_weights",
@@ -773,6 +796,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_rsi": _q_prices_rsi,
         "prices_obv": _q_prices_obv,
         "prices_donchian": _q_prices_donchian,
+        "prices_aroon": _q_prices_aroon,
         "prices_heikin_ashi": _q_prices_heikin_ashi,
         "prices_partition_evolution": _q_prices_partition_evolution,
         "prices_compaction": _q_prices_compaction,
@@ -838,6 +862,7 @@ def oracle_sql() -> dict[str, str]:
     from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
 
     from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        AROON_SQL,
         ATR_SQL,
         BETA_SQL,
         BOLLINGER_SQL,
@@ -865,6 +890,8 @@ def oracle_sql() -> dict[str, str]:
         "prices_obv": prices_cte + OBV_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_donchian": prices_cte
         + DONCHIAN_SQL.replace("WITH c AS", ", c AS", 1),
+        "prices_aroon": prices_cte
+        + AROON_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_ichimoku": prices_cte
         + ICHIMOKU_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_var_cvar": prices_cte

@@ -1447,7 +1447,7 @@ WINNOW_PAIR_MIN_SHARED = 2  # pairs must share >= this many fingerprints
 WINNOW_PAIR_TOP_K = 50
 
 
-def winnowing_pairs(docs: DataFrame) -> DataFrame:
+def winnowing_pairs(docs: DataFrame, cap: int = WINNOW_PAIR_CAP) -> DataFrame:
     """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
     use the selection guarantee exists for: any two documents sharing a
     substring of >= w+k-1 chars share at least one selected fingerprint
@@ -1488,7 +1488,7 @@ def winnowing_pairs(docs: DataFrame) -> DataFrame:
     w = Window.partitionBy("fp")
     kept = (
         fps.withColumn("bucket_n", F.count(F.lit(1)).over(w))
-        .where(F.col("bucket_n") <= WINNOW_PAIR_CAP)
+        .where(F.col("bucket_n") <= cap)
         .drop("bucket_n")
         .persist()  # read by both self-join sides + the size rollup
     )

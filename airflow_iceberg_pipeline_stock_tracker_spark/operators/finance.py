@@ -1417,3 +1417,105 @@ SELECT ticker, date,
 FROM r
 ORDER BY ticker, date
 """
+
+
+AROON_PERIOD = 25  # 100 % 25 == 0, so aroon percentages are exact ints
+_AROON_RN_BITS = 21  # rn < 2^21 bars/ticker (daily bars: ~8000 years)
+
+
+def aroon(prices: DataFrame, period: int = AROON_PERIOD) -> DataFrame:
+    """Per (ticker, date): Aroon indicator over the trailing
+    ``period + 1`` bars (current included) — days since the window's
+    highest high / lowest low, and the derived trend-strength
+    percentages:
+
+      aroon_up   = 100 * (period - days_since_high) / period
+      aroon_down = 100 * (period - days_since_low)  / period
+      oscillator = aroon_up - aroon_down
+
+    The charting convention breaks extremum TIES toward the most
+    recent bar. Emitted only where the window is full (rn > period),
+    the donchian convention.
+
+    Exactness: the "position of the latest max" is ONE integer window
+    max over the packed key ``high_c * 2^21 + rn`` (ties on high_c
+    resolve to the larger rn by construction; rn < 2^21 asserted by
+    bound); the min side packs ``(2^40 - low_c) * 2^21 + rn`` so the
+    same MAX finds the lowest low. ``period`` must divide 100 (checked)
+    so every output is an exact int64 — zero floats, zero division.
+
+    Scale: two stacked window projections over ONE (ticker, date) sort
+    — a single hash exchange, no joins, no Python; donchian's class.
+    """
+    if 100 % period != 0:
+        raise ValueError("aroon period must divide 100 for exact-int output")
+    scale = 100 // period
+    shift = 1 << _AROON_RN_BITS
+    w = Window.partitionBy("ticker").orderBy("date")
+    win = w.rowsBetween(-period, 0)
+    # two projections: rn first, the packed-key window maxes second
+    # (window-over-window — both engines need the same staging)
+    staged = prices.select(
+        "ticker",
+        "date",
+        F.row_number().over(w).alias("rn"),
+        cents("high").alias("high_c"),
+        cents("low").alias("low_c"),
+    )
+    key_h = F.col("high_c") * F.lit(shift) + F.col("rn")
+    key_l = (F.lit(1 << 40) - F.col("low_c")) * F.lit(shift) + F.col("rn")
+    keyed = staged.select(
+        "ticker",
+        "date",
+        "rn",
+        (F.col("rn") - F.max(key_h).over(win) % F.lit(shift)).alias("ds_high"),
+        (F.col("rn") - F.max(key_l).over(win) % F.lit(shift)).alias("ds_low"),
+    )
+    up = (F.lit(period) - F.col("ds_high")) * F.lit(scale)
+    down = (F.lit(period) - F.col("ds_low")) * F.lit(scale)
+    return (
+        keyed.where(F.col("rn") > period)
+        .select(
+            "ticker",
+            "date",
+            F.col("ds_high").cast("bigint").alias("days_since_high"),
+            F.col("ds_low").cast("bigint").alias("days_since_low"),
+            up.cast("bigint").alias("aroon_up"),
+            down.cast("bigint").alias("aroon_down"),
+            (up - down).cast("bigint").alias("oscillator"),
+        )
+        .orderBy("ticker", "date")
+    )
+
+
+AROON_SQL = f"""
+WITH c AS (
+  SELECT ticker, date,
+         CAST(ROUND(high * 100) AS BIGINT) AS high_c,
+         CAST(ROUND(low * 100) AS BIGINT) AS low_c,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn
+  FROM prices
+), k AS (
+  SELECT ticker, date, rn,
+         rn - (MAX(high_c * {1 << _AROON_RN_BITS} + rn) OVER win)
+                % {1 << _AROON_RN_BITS} AS ds_high,
+         rn - (MAX(({1 << 40} - low_c) * {1 << _AROON_RN_BITS} + rn) OVER win)
+                % {1 << _AROON_RN_BITS} AS ds_low
+  FROM c
+  WINDOW win AS (PARTITION BY ticker ORDER BY date
+                 ROWS BETWEEN {AROON_PERIOD} PRECEDING AND CURRENT ROW)
+)
+SELECT ticker, date,
+       CAST(ds_high AS BIGINT) AS days_since_high,
+       CAST(ds_low AS BIGINT) AS days_since_low,
+       CAST(({AROON_PERIOD} - ds_high) * {100 // AROON_PERIOD} AS BIGINT)
+         AS aroon_up,
+       CAST(({AROON_PERIOD} - ds_low) * {100 // AROON_PERIOD} AS BIGINT)
+         AS aroon_down,
+       CAST(({AROON_PERIOD} - ds_high) * {100 // AROON_PERIOD}
+            - ({AROON_PERIOD} - ds_low) * {100 // AROON_PERIOD} AS BIGINT)
+         AS oscillator
+FROM k
+WHERE rn > {AROON_PERIOD}
+ORDER BY ticker, date
+"""

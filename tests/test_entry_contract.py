@@ -51,21 +51,36 @@ def test_every_query_is_oracle_paired_or_documented_rows_only():
 
 def test_new_operators_are_inside_the_checked_prefix():
     # the r4 lesson: new operators must not ship driver-unchecked.
-    # Pins the CURRENT round's must-be-checked set: the fifteen
-    # promoted never-driver-checked r10 tail-first rows (r10 verdict
-    # ask #1; four also carry r11 code changes), the twelve r10
-    # first-round rows held for their second consecutive green round,
-    # the code-changed orders_basket_rules (broadcast hints dropped),
-    # and the four r11-new operators.
+    # Pins the CURRENT round's must-be-checked set: the nine promoted
+    # never-driver-checked r11 tail-first rows (r11 verdict ask #1),
+    # the BNLJ-collapse re-promotion of events_quantile_sketch (ask
+    # #8), the two r12-new operators (minting capped at the demotion
+    # supply, ask #2), and every r11 first-rounder held for its second
+    # consecutive green round (the 4 r11-new ops, the 15 r11
+    # promotions, and the code-changed orders_basket_rules — ask #7).
     promoted = {
-        # r11-new, first round
+        # r12-new, first round
+        "streaming_hll_incremental",
+        "prices_aroon",
+        # r12 code-changed re-promotion (7 BNLJs -> 1)
+        "events_quantile_sketch",
+        # promoted r11 tail-first rows, first driver round
+        # (events_hll_setops also carries the r12 BNLJ-free plan)
+        "events_mad_anomaly",
+        "events_burst_episodes",
+        "dq_referential_integrity",
+        "prices_heikin_ashi",
+        "prices_snapshot_rollback",
+        "events_hll_distinct",
+        "events_hll_reagg",
+        "events_hll_setops",
+        "similarity_cluster_balance",
+        # r11 first-round rows, held for their second green round
         "dedup_winnowing_pairs",
         "prices_donchian",
         "events_hourofweek_seasonality",
         "orders_ship_sla",
-        # r11 code-changed (support-join hints dropped)
         "orders_basket_rules",
-        # promoted r10 tail-first rows, first driver round
         "prices_monthly_bars",
         "prices_golden_cross",
         "text_winnowing",
@@ -81,19 +96,6 @@ def test_new_operators_are_inside_the_checked_prefix():
         "events_growth_accounting",
         "prices_compaction",
         "text_source_drift",
-        # r10 first-round rows, held for their second green round
-        "prices_obv",
-        "prices_partition_evolution",
-        "multimodal_patch_grid",
-        "events_conversion_lag",
-        "prices_mor_deletes",
-        "dedup_incremental_lsh",
-        "prices_pair_corr",
-        "prices_snapshot_metadata",
-        "prices_pruned_scan",
-        "events_top_paths",
-        "events_twap",
-        "prices_beta",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)
 

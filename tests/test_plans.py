@@ -840,3 +840,20 @@ def test_hll_setops_no_nested_loop_joins(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_aroon_no_python_no_join(spark, sf_dir):
+    import __spark_entry__ as entrymod
+
+    plan = (
+        entrymod.queries()["prices_aroon"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" not in plan
+    # standin derivation agg + window partition + presentation sort —
+    # the donchian class: both packed-key maxes ride ONE (ticker, date)
+    # window exchange
+    assert plan.count("Exchange") <= 3

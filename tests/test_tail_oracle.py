@@ -41,21 +41,13 @@ _ESCALATION_SF_DIR = "/root/testdata/sf0.01"
 # for a real driver round, so the list is currently empty — any FUTURE
 # tail-first registration must be added here until its first rotation.
 _NEVER_DRIVER_CHECKED: list[str] = [
-    # r11: all fifteen r10 tail-first rows rotated into SWEEP_CHECKED
-    # for their first real driver round (r10 verdict ask #1). The rows
-    # below registered tail-first AFTER the round's demotion supply was
-    # exhausted (15 promotions + 4 checked-first new ops used all 19
-    # demotable rows); each is oracle-diffed at the driver's SF per CI
-    # until a future rotation gives it a real driver round.
-    "events_mad_anomaly",
-    "events_burst_episodes",
-    "dq_referential_integrity",
-    "prices_heikin_ashi",
-    "prices_snapshot_rollback",
-    "events_hll_distinct",
-    "events_hll_reagg",
-    "events_hll_setops",
-    "similarity_cluster_balance",
+    # r12: EMPTY — the nine r11 tail-first rows all rotated into
+    # SWEEP_CHECKED for their first real driver round (r11 verdict ask
+    # #1), and r12 capped new-operator minting at the round's demotion
+    # supply (ask #2: 12 demotions = 9 promotions + 1 re-promotion + 2
+    # new checked-first ops), so no operator registered tail-first.
+    # Any FUTURE tail-first registration must be added here until its
+    # first rotation.
 ]
 
 
