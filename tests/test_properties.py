@@ -2351,3 +2351,112 @@ def test_winnowing_pairs_match_bruteforce_fingerprint_sets(spark, docs):
         for r in dedup.winnowing_pairs(df).collect()
     }
     assert got == want
+
+
+# --- r12: aroon window-argmax vs brute force ------------------------------
+
+# cents in a tight band force extremum TIES inside the window — the
+# most-recent-bar rule is exactly what a fixed fixture under-exercises
+_aroon_cents = st.lists(st.integers(1000, 1004), min_size=1, max_size=40)
+
+
+@given(cents_seq=_aroon_cents)
+@example(cents_seq=[1000] * 12)          # all-tie window
+@example(cents_seq=[1004, 1000, 1004])   # early/late equal extremes
+@_prop_settings
+def test_aroon_matches_bruteforce_under_ties(spark, cents_seq):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        aroon,
+    )
+
+    period = 5  # divides 100; small so short random series emit rows
+    start = dt.date(2024, 1, 1)
+    rows = [
+        (
+            "T",
+            start + dt.timedelta(days=i),
+            c / 100.0,
+            (c + 3) / 100.0,   # high
+            (c - 3) / 100.0,   # low
+            c / 100.0,
+            100.0,
+        )
+        for i, c in enumerate(cents_seq)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "ticker string, date date, open double, high double, low double, "
+        "close double, volume double",
+    )
+    got = {
+        (r.date): (r.days_since_high, r.days_since_low, r.aroon_up,
+                   r.aroon_down, r.oscillator)
+        for r in aroon(df, period=period).collect()
+    }
+    hc = [c + 3 for c in cents_seq]
+    lc = [c - 3 for c in cents_seq]
+    want = {}
+    for i in range(period, len(cents_seq)):
+        wh = hc[i - period : i + 1]
+        wl = lc[i - period : i + 1]
+        hi_pos = max(range(period + 1), key=lambda j: (wh[j], j))
+        lo_pos = max(range(period + 1), key=lambda j: (-wl[j], j))
+        ds_h, ds_l = period - hi_pos, period - lo_pos
+        up = (period - ds_h) * (100 // period)
+        dn = (period - ds_l) * (100 // period)
+        want[start + dt.timedelta(days=i)] = (ds_h, ds_l, up, dn, up - dn)
+    assert got == want
+
+
+# --- r12: HLL sink merge == one-pass under ANY batch partitioning ---------
+
+_hll_splits = st.lists(st.integers(0, 3), min_size=1, max_size=30)
+
+
+@given(assignment=_hll_splits)
+@example(assignment=[0] * 5)        # everything in one batch
+@example(assignment=[0, 1, 2, 3])   # max spread
+@_prop_settings
+def test_hll_sink_merge_invariant_to_batching(spark, assignment):
+    """The sink's whole contract: HOW rows are split into micro-batches
+    must not matter. Partition users by a random batch assignment, fold
+    each slice through process_hll_batch, and the read-side max-merge
+    must equal the one-pass registers over the union — for every
+    assignment hypothesis draws (including users repeated across
+    batches: the same user_id lands identical (bucket, rho), and max is
+    idempotent)."""
+    import shutil
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import hll_sink
+
+    db = "hll_prop_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    all_rows = [
+        (i, _BASE, i % 7, "ab"[i % 2], 1.0, "{}")
+        for i in range(len(assignment))
+    ]
+    for b in sorted(set(assignment)):
+        batch_rows = [r for r, a in zip(all_rows, assignment) if a == b]
+        hll_sink.process_hll_batch(
+            spark.createDataFrame(batch_rows, schema), b, db=db
+        )
+    merged = sorted(
+        map(tuple, hll_sink.merged_registers(spark, db).collect())
+    )
+    onepass = sorted(
+        map(
+            tuple,
+            hll_sink._batch_registers(
+                spark.createDataFrame(all_rows, schema)
+            ).collect(),
+        )
+    )
+    assert merged == onepass
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
