@@ -794,6 +794,66 @@ DEEP_FACTOR = 100
 # per-row selection) gets the two-decade check its flatness claim needs
 DEEP_QUERIES = ("text_bm25_search", "text_lm_score", "text_winnowing")
 
+# r12: the sketch tier's two-decade check — the register table stays
+# <= |types| x 256 rows while events grow 100x (the reason sketches
+# exist), and the seasonality profile stays <= |types| x 168. Both are
+# map-combinable single groupBys, so sec/row should stay flat across
+# BOTH decades; hll_distinct's exact COUNT(DISTINCT) grader is the one
+# stage that legitimately scales with users.
+DEEP_EVENTS_QUERIES = ("events_hll_distinct", "events_hourofweek_seasonality")
+
+
+def _deep_events_point(spark, sf_dir: str, queries) -> dict:
+    """100x-events point for the sketch tier (events-only replica dir,
+    same key-shift construction as the 10x build: disjoint user
+    populations per replica, so true distincts grow 100x while the
+    registers stay fixed-size); min-of-2 timings."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scale_trend",
+        f"{base}-events-x{DEEP_FACTOR}",
+    )
+    marker = os.path.join(out_dir, "_BUILT")
+    want = f"events={DEEP_FACTOR}\n"
+    built = os.path.exists(marker) and open(marker).read() == want
+    if not built:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        for pth in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            name = os.path.basename(pth)
+            if name != "events.parquet":
+                os.symlink(pth, os.path.join(out_dir, name))
+        reps = spark.range(DEEP_FACTOR).withColumnRenamed("id", "rep")
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        (
+            ev.crossJoin(F.broadcast(reps))
+            .withColumn("event_id", F.col("event_id") + F.col("rep") * F.lit(10**9))
+            .withColumn("user_id", F.col("user_id") + F.col("rep") * F.lit(10**7))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "events.parquet"))
+        )
+        with open(marker, "w") as f:
+            f.write(want)
+    out = {}
+    for name in DEEP_EVENTS_QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = _time.time()
+            queries[name](spark, out_dir).count()
+            t = round(_time.time() - t0, 3)
+            best = t if best is None else min(best, t)
+        out[name] = best
+    return out
+
 
 def _deep_docs_point(spark, sf_dir: str, queries) -> dict:
     """100x-documents point for the corpus-scaling text ops (r7 ask: one
@@ -939,6 +999,15 @@ def main() -> None:
                     round(sec / e["sec_10x"], 2) if e["sec_10x"] else None
                 )
         print(f"# 100x documents point: {deep}", file=sys.stderr)
+        deep_ev = _deep_events_point(spark, sf_dir, queries)
+        for name, sec in deep_ev.items():
+            e = scale_trend.get(name)
+            if e:
+                e["sec_100x"] = sec
+                e["time_ratio_100x_vs_10x"] = (
+                    round(sec / e["sec_10x"], 2) if e["sec_10x"] else None
+                )
+        print(f"# 100x events point: {deep_ev}", file=sys.stderr)
     finally:
         # the ONE-JSON-line stdout contract must survive any mid-bench
         # exception — restore stdout unconditionally
