@@ -415,6 +415,19 @@ def test_hll_setops_union_identity_and_inclusion_exclusion(spark, tmp_path):
     assert ac.est_union == ac.est_a
 
 
+def test_hll_setops_single_type_yields_no_pairs(spark, tmp_path):
+    """One event type: the exploded pair spine (r12's join-free
+    rewrite) has no a < b survivors — the query returns ZERO rows
+    rather than erroring on the empty frames downstream."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_hll_setops,
+    )
+
+    rows = [(i, dt.datetime(2024, 3, 1), i, "only", 1.0, "{}") for i in range(50)]
+    out = events_hll_setops(spark, _events_dir(spark, tmp_path, rows)).collect()
+    assert out == []
+
+
 def test_cluster_balance_quota_and_determinism(spark, tmp_path):
     """Small clusters keep everything, big clusters exactly the quota,
     and the md5 selection is deterministic across runs; the rank<=quota
