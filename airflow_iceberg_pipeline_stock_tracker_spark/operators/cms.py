@@ -52,9 +52,15 @@ def cms_build(df: DataFrame, item_col: str) -> DataFrame:
     """The depth x width counter table for `item_col`'s stream of
     occurrences: (j, bucket, cnt), <= CMS_DEPTH * CMS_WIDTH rows,
     map-combinable (one groupBy; the explode multiplies map-side rows by
-    depth, never the shuffle width)."""
+    depth, never the shuffle width).
+
+    NULL items are EXCLUDED from the sketch (COUNT(col) semantics —
+    COUNT ignores NULLs). Without the filter, NULL occurrences would
+    land in a NULL bucket that the estimate's equi-join can never probe,
+    so a NULL probe would report 0 below its true count and silently
+    break the one-sided (estimate >= truth) contract."""
     h = hash32(F.col(item_col).cast("string"))
-    rows = df.select(h.alias("h")).select(
+    rows = df.where(F.col(item_col).isNotNull()).select(h.alias("h")).select(
         F.explode(
             F.array(*[
                 F.struct(
@@ -74,9 +80,12 @@ def cms_build(df: DataFrame, item_col: str) -> DataFrame:
 def cms_estimate(sketch: DataFrame, probes: DataFrame, item_col: str) -> DataFrame:
     """Point estimates for a bounded probe set: per probe item, the MIN
     over its depth counters (missing counter row = 0 occurrences of that
-    bucket = estimate 0). Pure integers."""
+    bucket = estimate 0). Pure integers. NULL probes are excluded,
+    mirroring the build's COUNT(col) semantics."""
     h = hash32(F.col(item_col).cast("string"))
-    keyed = probes.select(item_col, h.alias("h")).select(
+    keyed = probes.where(F.col(item_col).isNotNull()).select(
+        item_col, h.alias("h")
+    ).select(
         item_col,
         F.explode(
             F.array(*[
@@ -122,10 +131,18 @@ def cms_topk_sql(
         f"    SELECT {j} AS j, {_bucket_sql(j, 'h')} AS bucket, n FROM hashed"
         for j in range(CMS_DEPTH)
     )
+    # probe branches derive from the SAME range(CMS_DEPTH) as the sketch
+    # unions — a hardcoded j=0..3 list would silently desynchronize the
+    # twin if the depth constant moves (review-found)
+    probe_unions = "\n    UNION ALL\n".join(
+        f"    SELECT item, n, {j} AS j, {_bucket_sql(j, 'h')} AS bucket "
+        "FROM top_items"
+        for j in range(CMS_DEPTH)
+    )
     return f"""
 WITH hashed AS (
   SELECT {item_expr} AS item, {hv} AS h, CAST(COUNT(*) AS BIGINT) AS n
-  FROM {table} GROUP BY 1, 2
+  FROM {table} WHERE {item_expr} IS NOT NULL GROUP BY 1, 2
 ), sketch AS (
   SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS cnt FROM (
 {unions}
@@ -136,13 +153,7 @@ WITH hashed AS (
   LIMIT {k}
 ), probes AS (
   SELECT item, n, j, bucket FROM (
-    SELECT item, n, 0 AS j, {_bucket_sql(0, 'h')} AS bucket FROM top_items
-    UNION ALL
-    SELECT item, n, 1 AS j, {_bucket_sql(1, 'h')} AS bucket FROM top_items
-    UNION ALL
-    SELECT item, n, 2 AS j, {_bucket_sql(2, 'h')} AS bucket FROM top_items
-    UNION ALL
-    SELECT item, n, 3 AS j, {_bucket_sql(3, 'h')} AS bucket FROM top_items
+{probe_unions}
   )
 )
 SELECT p.item, MIN(p.n) AS exact_n,

@@ -1439,10 +1439,14 @@ def aroon(prices: DataFrame, period: int = AROON_PERIOD) -> DataFrame:
 
     Exactness: the "position of the latest max" is ONE integer window
     max over the packed key ``high_c * 2^21 + rn`` (ties on high_c
-    resolve to the larger rn by construction; rn < 2^21 asserted by
-    bound); the min side packs ``(2^40 - low_c) * 2^21 + rn`` so the
-    same MAX finds the lowest low. ``period`` must divide 100 (checked)
-    so every output is an exact int64 — zero floats, zero division.
+    resolve to the larger rn by construction); the min side packs
+    ``(2^40 - low_c) * 2^21 + rn`` so the same MAX finds the lowest
+    low. The packing preconditions — rn < 2^21 bars per ticker and
+    cents in [0, 2^40) — are FAIL-FAST: an assert_true folded into the
+    key expression (coalesce keeps the value; the fold stops Catalyst
+    pruning an unused check column) raises instead of silently packing
+    into the wrong bits. ``period`` must divide 100 (checked) so every
+    output is an exact int64 — zero floats, zero division.
 
     Scale: two stacked window projections over ONE (ticker, date) sort
     — a single hash exchange, no joins, no Python; donchian's class.
@@ -1462,7 +1466,18 @@ def aroon(prices: DataFrame, period: int = AROON_PERIOD) -> DataFrame:
         cents("high").alias("high_c"),
         cents("low").alias("low_c"),
     )
-    key_h = F.col("high_c") * F.lit(shift) + F.col("rn")
+    # fail-fast packing guard: rn and cents must fit their bit fields.
+    # assert_true returns NULL on success; adding its coalesce into the
+    # key keeps the value unchanged AND forces per-row evaluation (a
+    # free-standing check column would be pruned as unused)
+    ok = F.assert_true(
+        (F.col("rn") < F.lit(shift))
+        & (F.col("high_c") >= 0) & (F.col("high_c") < F.lit(1 << 40))
+        & (F.col("low_c") >= 0) & (F.col("low_c") < F.lit(1 << 40)),
+        F.lit("aroon packed-key precondition violated: need rn < 2^21 "
+              "bars/ticker and cents in [0, 2^40)"),
+    ).cast("bigint")
+    key_h = F.col("high_c") * F.lit(shift) + F.col("rn") + F.coalesce(ok, F.lit(0))
     key_l = (F.lit(1 << 40) - F.col("low_c")) * F.lit(shift) + F.col("rn")
     keyed = staged.select(
         "ticker",

@@ -54,10 +54,18 @@ def bottom_k(
     df: DataFrame, keys: list[str], value_col: str, k: int = KMV_K
 ) -> DataFrame:
     """Per-`keys` KMV sketch: the k smallest DISTINCT hash60 values of
-    `value_col`, one row per (keys..., h). Deterministic, mergeable."""
-    hashed = df.select(
-        *keys, hash60(F.col(value_col).cast("string")).alias("h")
-    ).distinct()
+    `value_col`, one row per (keys..., h). Deterministic, mergeable.
+
+    NULL values are EXCLUDED (COUNT(DISTINCT) semantics, which the
+    estimate mirrors). This is also a cross-engine requirement: a NULL
+    hash would rank FIRST in Spark's window (asc = nulls first) but
+    LAST in DuckDB's (nulls last), silently skewing a saturated
+    sketch's kth_min between the twins."""
+    hashed = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, hash60(F.col(value_col).cast("string")).alias("h"))
+        .distinct()
+    )
     w = Window.partitionBy(*keys).orderBy("h")
     return (
         hashed.withColumn("rnk", F.row_number().over(w))
@@ -179,6 +187,7 @@ def kmv_distinct_sql(table: str, key: str, value_expr: str, k: int = KMV_K) -> s
     return f"""
 WITH hashed AS (
   SELECT DISTINCT {key} AS key, {hv} AS h FROM {table}
+  WHERE {value_expr} IS NOT NULL
 ), ranked AS (
   SELECT key, h FROM hashed
   QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) <= {k}
@@ -203,6 +212,7 @@ def kmv_pair_overlap_sql(table: str, key: str, value_expr: str, k: int = KMV_K) 
     return f"""
 WITH hashed AS (
   SELECT DISTINCT {key} AS key, {hv} AS h FROM {table}
+  WHERE {value_expr} IS NOT NULL
 ), sk AS (
   SELECT key, h FROM hashed
   QUALIFY ROW_NUMBER() OVER (PARTITION BY key ORDER BY h) <= {k}

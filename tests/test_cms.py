@@ -150,3 +150,33 @@ def test_cms_sql_twin_bit_matches_spark(spark, tmp_path):
     )
     want = con.execute(cms.cms_topk_sql("events", "user_id", k=20)).fetchall()
     assert got == [tuple(r) for r in want]
+
+
+def test_null_items_excluded_count_semantics(spark):
+    """NULL occurrences are excluded from the sketch (COUNT(col)
+    semantics) — review-found: a NULL bucket is unreachable by the
+    estimate's equi-join, so including NULLs would let a NULL probe
+    report 0 under its true count, breaking the one-sided contract.
+    With the filter, non-null estimates are unaffected by NULL rows and
+    a NULL probe yields NO row (not a misleading 0)."""
+    rows = [(i, _BASE, i % 10, "a", 1.0, "{}") for i in range(500)]
+    nulls = [(9_000 + i, _BASE, None, "a", 1.0, "{}") for i in range(50)]
+    with_nulls = _events(spark, rows + nulls)
+    clean = _events(spark, rows)
+
+    got = {
+        (r.j, r.bucket): r.cnt
+        for r in cms.cms_build(with_nulls, "user_id").collect()
+    }
+    want = {
+        (r.j, r.bucket): r.cnt
+        for r in cms.cms_build(clean, "user_id").collect()
+    }
+    assert got == want
+
+    probes = spark.createDataFrame([(0,), (None,)], "user_id long")
+    est = cms.cms_estimate(
+        cms.cms_build(with_nulls, "user_id"), probes, "user_id"
+    ).collect()
+    assert [r.user_id for r in est] == [0]
+    assert est[0].cms_est >= 50  # user 0 occurs 50 times

@@ -178,3 +178,30 @@ def test_bottom_k_plans_as_window_group_limit(spark):
         .toString()
     )
     assert "WindowGroupLimit" in plan
+
+
+def test_null_values_are_excluded_count_distinct_semantics(spark, tmp_path):
+    """NULL value rows must not consume bottom-k slots (Spark windows
+    rank NULLs first, DuckDB last — review-found cross-engine skew) and
+    the estimate mirrors COUNT(DISTINCT), which ignores NULLs. Both
+    engines must still bit-match on data WITH nulls."""
+    rows = [(i, _BASE, i, "a", 1.0, "{}") for i in range(300)] + [
+        (9_000 + i, _BASE, None, "a", 1.0, "{}") for i in range(5)
+    ]
+    d = str(tmp_path / "evn.parquet")
+    _events(spark, rows).write.parquet(d)
+    df = spark.read.parquet(d)
+
+    k = 64
+    sk = kmv.bottom_k(df, ["event_type"], "user_id", k=k)
+    got = sorted(r.h for r in sk.collect())
+    assert len(got) == k and None not in got
+    assert got == sorted(_h60(u) for u in range(300))[:k]
+
+    con = _duck(os.path.join(d, "*.parquet"))
+    want = con.execute(
+        kmv.kmv_distinct_sql("events", "event_type", "user_id", k=k)
+    ).fetchall()
+    est = kmv.kmv_estimate(sk, ["event_type"], k=k).collect()[0]
+    assert (est.event_type, est.n_sample, est.kth_min, est.exact,
+            est.est_distinct) == tuple(want[0])

@@ -213,3 +213,15 @@ def test_hll_stream_drain_matches_batch_estimates(spark, tmp_path):
         assert out[t].registers_equal_onepass is True
         assert out[t].n_registers == ref[t].n_registers
         assert out[t].hll_estimate == ref[t].hll_estimate  # bit-exact
+
+
+def test_aroon_packed_key_preconditions_fail_fast(spark):
+    """Cents past 2^40 (corrupt data) must RAISE, never silently pack
+    into the wrong key bits (review-found: the docstring claimed an
+    assert that didn't exist)."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    huge = float((1 << 40) // 100 + 1)  # high_c lands above 2^40 cents
+    bars = [(10.0, 9.0, 9.5)] * (AROON_PERIOD + 1) + [(huge, 9.0, 9.5)]
+    with pytest.raises(SparkRuntimeException, match="precondition"):
+        aroon(_prices(spark, bars)).collect()
