@@ -467,16 +467,14 @@ SWEEP_CHECKED = [
     "events_ohlc_incremental",
     "streaming_enriched_hourly",
     "streaming_merge_apply",
-    # r9 CODE-CHANGED rows (stay checked until the new code is driver-
-    # green): the snapshot sink moved to txn-based idempotency
-    # (streaming/snapshot_sink.py, sources/snapshots.py), BM25 folded
-    # its corpus scalars into the single checkpointed tokenize pass
-    # (operators/text.py), and IVF assignment was replanned as a
-    # partial-aggregated max_by (operators/similarity.py) — the last
-    # also PROMOTED from the tail for its first round on the new plan
-    "events_snapshot_sink_parity",
-    "text_bm25_search",
-    "similarity_ivf_topk",
+    # (the r9 code-changed trio — events_snapshot_sink_parity,
+    # text_bm25_search, similarity_ivf_topk — demoted r12 after THREE
+    # consecutive green rounds on unchanged code, r9-r11; their
+    # families stay represented: streaming by the eight rows above +
+    # streaming_hll_incremental, text by text_winnowing/
+    # text_source_drift, similarity by similarity_cluster_balance/
+    # embedding_power_iteration. The three freed slots fund the
+    # sketch-tier completion rows below.)
     # r11 CODE-CHANGED row (stays checked until the new code is driver-
     # green): the support joins dropped their hard F.broadcast hints on
     # the full-part-dimension side (plans/relational_ext.py — the r10
@@ -536,20 +534,32 @@ SWEEP_CHECKED = [
     # plan): the (lo, hi) scalar now attaches once and q_pct is an
     # exploded literal — 7 BNLJs -> 1 (r11 verdict ask #8)
     "events_quantile_sketch",
-    # NEW r12 (first round checked per policy):
+    # NEW r12 (first round checked per policy; minting stays capped at
+    # the demotion supply — 15 consumed = 9 promotions + 1
+    # re-promotion + 5 new ops, against 15 demotions = the 12
+    # two-round-green r10 rows + the 3 three-round-green r9
+    # code-changed rows):
     "streaming_hll_incremental",  # per-batch register partials, merged
     #   at read == one-pass build, register-level (r11 verdict ask #6)
     "prices_aroon",            # packed-int window argmax, exact ints
+    "events_kmv_distinct",     # bottom-k sample sketch vs exact count
+    "events_kmv_overlap",      # in-range intersections via sample algebra
+    "events_cms_heavy_hitters",  # count-min, pure-int one-sided estimates
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
     # demoted r12 to fund the nine r11 tail-first promotions, the
-    # quantile-sketch re-promotion, and the two new-operator slots.
-    # Evidence per row: 2 consecutive green driver rounds (r10+r11,
-    # CORRECTNESS_r1{0,1}.json) + pytest coverage; all re-diffed per CI
-    # by tests/test_tail_oracle.py
+    # quantile-sketch re-promotion, and the five new-operator slots.
+    # Evidence: the twelve rows below have 2 consecutive green driver
+    # rounds (r10+r11, CORRECTNESS_r1{0,1}.json); the r9 code-changed
+    # trio (sink parity, bm25, ivf) has THREE (r9-r11) on unchanged
+    # code; all pytest-covered and re-diffed per CI by
+    # tests/test_tail_oracle.py
+    "events_snapshot_sink_parity",
+    "text_bm25_search",
+    "similarity_ivf_topk",
     "multimodal_patch_grid",
     "events_conversion_lag",
     "prices_mor_deletes",

@@ -2596,6 +2596,209 @@ ORDER BY u.type_a, u.type_b
 EVENTS_HLL_SETOPS_SQL = _hll_setops_sql()
 
 
+def events_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distinct users via a KMV BOTTOM-K sketch (operators/
+    kmv.py) next to the exact count — HLL's sample-based sibling: the
+    sketch is the k smallest distinct user hashes, so it doubles as a
+    uniform sample of the audience and composes into set algebra
+    (events_kmv_overlap). Unsaturated types (< k distinct users) are
+    EXACT by construction and flagged.
+
+    Exactness: the sample and kth_min are exact int64 md5 hashes; the
+    one float step is (k-1) * 2^60 / kth_min (two exact double
+    literals, one multiply, one divide — identical op order in the
+    oracle, parity additionally pinned by tests/test_kmv.py against
+    DuckDB directly); rel_err vs the exact count is the honest
+    accuracy evidence, the events_hll_distinct discipline.
+
+    Scale: bottom-k plans as WindowGroupLimit (partial top-k BEFORE
+    the exchange — the shuffle moves O(types x k) rows); the exact
+    COUNT(DISTINCT) grader is the one user-scale stage, present to
+    GRADE the sketch.
+    """
+    from ..operators import kmv
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = kmv.bottom_k(ev, ["event_type"], "user_id")
+    est = kmv.kmv_estimate(sk, ["event_type"])
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").cast("bigint").alias("n_exact"))
+    )
+    rel = (F.col("est_distinct") - F.col("n_exact")) / F.col("n_exact")
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_sample",
+            "kth_min",
+            "exact",
+            "est_distinct",
+            "n_exact",
+            rel.alias("rel_err"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _kmv_distinct_oracle_sql() -> str:
+    from ..operators.kmv import kmv_distinct_sql
+
+    core = kmv_distinct_sql("events", "event_type", "user_id").strip()
+    return f"""
+WITH base AS ({core}),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_exact
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT b.key AS event_type, b.n_sample, b.kth_min, b.exact,
+       b.est_distinct, e.n_exact,
+       (b.est_distinct - e.n_exact) / e.n_exact AS rel_err
+FROM base b JOIN exact e ON e.event_type = b.key
+ORDER BY event_type
+"""
+
+
+def events_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience set algebra from ONE per-type KMV sketch table
+    (operators/kmv.py:kmv_pair_overlap): for every unordered type pair,
+    Jaccard / union / INTERSECTION estimates via sample algebra —
+    inspect the bottom-k of the union and count members seen in both
+    sketches. This keeps intersections in [0, min(|A|, |B|)], the fix
+    for events_hll_setops' raw inclusion-exclusion (which legitimately
+    goes negative inside the error band); the exact intersection is
+    joined alongside as the grader.
+
+    Exactness: all counts exact int64; rho and the union estimate are
+    single-division floats with identical op order (parity pinned
+    against DuckDB by tests/test_kmv.py); the grader join is an
+    equi-join on user_id (never a disjunctive nested loop — the r12
+    hll_setops lesson applied from birth).
+
+    Scale: pair algebra runs on O(|types|^2 x k) sketch rows; the pair
+    spine explodes a collected key set (no replicated join); the exact
+    grader's user-level self-join is the one user-scale stage.
+    """
+    from ..operators import kmv
+
+    ev = load_table(spark, sf_dir, "events")
+    # <= |types| x k rows feeding THREE consumers inside the pair
+    # algebra (key spine + both tagged sides): materialize once or the
+    # corpus scan + bottom-k replicates into every branch
+    sk = kmv.bottom_k(ev, ["event_type"], "user_id").localCheckpoint(
+        eager=True
+    )
+    ov = kmv.kmv_pair_overlap(sk, "event_type")
+    tu = (
+        ev.where(F.col("user_id").isNotNull())
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    a = tu.select(
+        F.col("event_type").alias("key_a"), F.col("user_id").alias("u")
+    )
+    b = tu.select(
+        F.col("event_type").alias("key_b"), F.col("user_id").alias("u")
+    )
+    exact = (
+        a.join(b, "u")
+        .where(F.col("key_a") < F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_intersection"))
+    )
+    return (
+        ov.join(exact, ["key_a", "key_b"], "left")
+        .select(
+            "key_a",
+            "key_b",
+            "n_x",
+            "n_both",
+            "jaccard_est",
+            "union_est",
+            "intersection_est",
+            F.coalesce(F.col("exact_intersection"), F.lit(0))
+            .cast("bigint")
+            .alias("exact_intersection"),
+        )
+        .orderBy("key_a", "key_b")
+    )
+
+
+def _kmv_overlap_oracle_sql() -> str:
+    from ..operators.kmv import kmv_pair_overlap_sql
+
+    core = kmv_pair_overlap_sql("events", "event_type", "user_id").strip()
+    return f"""
+WITH base AS ({core}),
+tu AS (
+  SELECT DISTINCT event_type, user_id FROM events
+  WHERE user_id IS NOT NULL
+), exact AS (
+  SELECT a.event_type AS key_a, b.event_type AS key_b,
+         CAST(COUNT(*) AS BIGINT) AS exact_intersection
+  FROM tu a JOIN tu b
+    ON b.user_id = a.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT base.key_a, base.key_b, n_x, n_both, jaccard_est, union_est,
+       intersection_est,
+       CAST(COALESCE(e.exact_intersection, 0) AS BIGINT)
+         AS exact_intersection
+FROM base
+LEFT JOIN exact e ON e.key_a = base.key_a AND e.key_b = base.key_b
+ORDER BY base.key_a, base.key_b
+"""
+
+
+def events_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the top-20 most active users
+    (operators/cms.py): the depth x width counter table answers "how
+    often does user x occur" in 4 x 1024 integers without per-item
+    state, graded against the exact counts — the estimate is >= the
+    truth ALWAYS (one-sided contract) and the integer overestimate is
+    the honest error evidence. The whole surface is pure int64 (counter
+    sums, integer MIN), so oracle parity is plain integer equality —
+    no closing-float discipline needed at all.
+
+    Scale: the build is one map-combinable groupBy to <= 4096 counter
+    rows (the explode multiplies map-side rows by depth, never the
+    shuffle width); the exact top-20 grader is the one per-item stage,
+    present to GRADE the sketch (a production deployment keeps only
+    the mergeable counters — merge proven == one-pass by pytest).
+    """
+    from ..operators import cms
+
+    ev = load_table(spark, sf_dir, "events")
+    sketch = cms.cms_build(ev, "user_id")
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "user_id")
+        .limit(20)
+    )
+    return (
+        cms.cms_estimate(sketch, exact.select("user_id"), "user_id")
+        .join(exact, "user_id")
+        .select(
+            F.col("user_id").alias("item"),
+            "exact_n",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_n"))
+            .cast("bigint")
+            .alias("overestimate"),
+        )
+        .orderBy(F.desc("exact_n"), "item")
+    )
+
+
+def _cms_heavy_hitters_oracle_sql() -> str:
+    from ..operators.cms import cms_topk_sql
+
+    return cms_topk_sql("events", "user_id", k=20)
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -2634,6 +2837,16 @@ TIMESERIES_QUERIES = {
     "events_hll_distinct": (events_hll_distinct, EVENTS_HLL_SQL),
     "events_hll_reagg": (events_hll_reagg, EVENTS_HLL_REAGG_SQL),
     "events_hll_setops": (events_hll_setops, EVENTS_HLL_SETOPS_SQL),
+    # r12 sketch-tier completion: KMV bottom-k (sample-based distinct +
+    # in-range set algebra) and Count-Min (pure-int frequency), both
+    # graded against exact counts; twins parity-pinned by
+    # tests/test_kmv.py / test_cms.py against DuckDB directly
+    "events_kmv_distinct": (events_kmv_distinct, _kmv_distinct_oracle_sql()),
+    "events_kmv_overlap": (events_kmv_overlap, _kmv_overlap_oracle_sql()),
+    "events_cms_heavy_hitters": (
+        events_cms_heavy_hitters,
+        _cms_heavy_hitters_oracle_sql(),
+    ),
     "events_decay_topk": (events_decay_topk, EVENTS_DECAY_TOPK_SQL),
     "events_holt_forecast": (events_holt_forecast, EVENTS_HOLT_SQL),
     # oracle recomputes from raw events at the INCREMENTAL horizon:

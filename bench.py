@@ -231,6 +231,9 @@ HEADLINE = [
     # --- added in round 12 ---
     "streaming_hll_incremental",
     "prices_aroon",
+    "events_kmv_distinct",
+    "events_kmv_overlap",
+    "events_cms_heavy_hitters",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -399,6 +402,9 @@ SCALE_TREND = {
     # attribution of their own
     "events_hll_reagg": "events",
     "similarity_cluster_balance": "embeddings",
+    # r12 new sketch rows ship WITH trend evidence
+    "events_kmv_distinct": "events",
+    "events_cms_heavy_hitters": "events",
 }
 SCALE_FACTOR = 10
 
@@ -514,6 +520,21 @@ SCALE_TREND_NOTES = {
         "grow 10x (replica events land on the SAME days) — out_ratio "
         "1.0 and a flat register table are the mergeability claim "
         "itself"
+    ),
+    "events_kmv_distinct": (
+        "the bottom-k sketch shuffles O(types x k) rows at any SF "
+        "(WindowGroupLimit partial top-k before the exchange); the "
+        "exact COUNT(DISTINCT) grader is the one user-scale stage — "
+        "replica users are disjoint, so true distincts grow 10x while "
+        "the sample stays k rows per type"
+    ),
+    "events_cms_heavy_hitters": (
+        "the counter table is <= 4 x 1024 rows at any SF "
+        "(map-combinable build; the explode widens map-side rows by "
+        "depth, never the shuffle); the exact top-20 grader is the one "
+        "per-item stage. Replica users are disjoint, so per-item "
+        "counts stay FLAT while the item domain grows 10x — out stays "
+        "20 rows"
     ),
     "similarity_cluster_balance": (
         "exact k-means assignment is the one corpus-scale stage "

@@ -62,6 +62,9 @@ def test_new_operators_are_inside_the_checked_prefix():
         # r12-new, first round
         "streaming_hll_incremental",
         "prices_aroon",
+        "events_kmv_distinct",
+        "events_kmv_overlap",
+        "events_cms_heavy_hitters",
         # r12 code-changed re-promotion (7 BNLJs -> 1)
         "events_quantile_sketch",
         # promoted r11 tail-first rows, first driver round
