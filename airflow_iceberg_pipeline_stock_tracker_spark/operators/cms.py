@@ -24,9 +24,11 @@ Scale: the build explodes each row into `depth` (row, bucket) pairs and
 map-combines to a <= depth x width counter table; estimates join a
 bounded probe set against those counters. Nothing is per-item.
 
-Registration intent: library + pytest in r12 (minting budget spent per
-the r11 verdict's cap); driver rows register checked-first in r13
-against the SQL twins below, parity-pinned by tests/test_cms.py now.
+Registration: the SQL twin below was parity-pinned against DuckDB by
+tests/test_cms.py BEFORE any driver row existed; the driver row
+(events_cms_heavy_hitters in plans/timeseries.py) then registered
+checked-first late in r12, funded by the r9 code-changed trio's
+demotion — minting stayed capped at the demotion supply.
 
 Reference scope: extension tier — the reference DAG
 (/root/reference/dags/dag.py) keeps only exact SQL aggregates.

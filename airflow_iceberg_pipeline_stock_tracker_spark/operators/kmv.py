@@ -29,11 +29,12 @@ commutative, idempotent, so sketches re-aggregate across any
 partitioning of the data (the events_hll_reagg property, provable the
 same way).
 
-Registration intent: library + pytest in r12 (the round's new-operator
-minting budget was spent per the r11 verdict's cap); driver rows
-(distinct / merge proof / pairwise overlap) register checked-first in
-r13 against the SQL twins below, whose cross-engine parity is already
-pinned by tests/test_kmv.py using DuckDB directly.
+Registration: the SQL twins below were parity-pinned against DuckDB by
+tests/test_kmv.py BEFORE any driver row existed; the driver rows
+(events_kmv_distinct, events_kmv_overlap in plans/timeseries.py) then
+registered checked-first late in r12, funded by demoting the
+three-round-green r9 code-changed trio — minting stayed capped at the
+demotion supply per the r11 verdict.
 
 Reference scope: extension tier — the reference DAG
 (/root/reference/dags/dag.py) keeps only exact SQL aggregates.

@@ -1,9 +1,10 @@
 """Count-Min sketch (operators/cms.py): r12 library tier.
 
-Driver registration deferred to r13 (minting cap); these pin the
-Python-replica bit parity, the one-sided error contract, counter-wise
-mergeability under arbitrary splits, and cross-engine parity of the
-r13 oracle string against DuckDB directly.
+These pinned the Python-replica bit parity, the one-sided error
+contract, counter-wise mergeability under arbitrary splits, and
+cross-engine parity of the oracle string against DuckDB directly —
+BEFORE the driver row (events_cms_heavy_hitters) registered
+checked-first late in r12.
 """
 
 from __future__ import annotations
@@ -108,7 +109,7 @@ def test_cms_merge_equals_onepass_under_any_split(spark):
 
 
 def test_cms_sql_twin_bit_matches_spark(spark, tmp_path):
-    """The r13 oracle string, proven now: top-20 exact items with CMS
+    """The registered row's oracle string, proven here first: top-20 exact items with CMS
     estimates — pure-integer surface, so parity is plain equality."""
     import duckdb
 

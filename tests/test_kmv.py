@@ -1,12 +1,12 @@
 """KMV bottom-k distinct sketch (operators/kmv.py): r12 library tier.
 
-Registration as driver rows is deferred to r13 (the r11 verdict capped
-new-operator minting at the round's demotion supply, which r12 spent);
-these tests pin everything a registration needs in advance — the
+These tests pinned everything the registration needed BEFORE the
+driver rows existed (the rows then registered checked-first late in
+r12, funded by the r9 code-changed trio's demotion) — the
 Python-replica bit parity, the exact-below-k branch, merge ==
 one-pass under arbitrary partitioning, the sample-algebra overlap
 estimates, and CROSS-ENGINE parity of the SQL twins against DuckDB
-directly (so the r13 oracle strings are already proven).
+directly (so the registered rows inherit proven oracle strings).
 """
 
 from __future__ import annotations
@@ -131,7 +131,7 @@ def _duck(sf_events_dir_rows):
 
 
 def test_sql_twins_bit_match_spark(spark, tmp_path):
-    """The r13 oracle strings, proven NOW: DuckDB runs the twin SQL over
+    """The registered rows' oracle strings, proven here first: DuckDB runs the twin SQL over
     the same parquet and every value — including the closing float
     estimates — matches Spark bit-for-bit."""
     rows = (
