@@ -44,8 +44,10 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     # r12: EMPTY — the nine r11 tail-first rows all rotated into
     # SWEEP_CHECKED for their first real driver round (r11 verdict ask
     # #1), and r12 capped new-operator minting at the round's demotion
-    # supply (ask #2: 12 demotions = 9 promotions + 1 re-promotion + 2
-    # new checked-first ops), so no operator registered tail-first.
+    # supply (ask #2: 15 slots consumed = 9 promotions + 1
+    # re-promotion + 5 new checked-first ops, against 15 demotions =
+    # the 12 two-round-green r10 rows + the 3 three-round-green r9
+    # code-changed rows), so no operator registered tail-first.
     # Any FUTURE tail-first registration must be added here until its
     # first rotation.
 ]
