@@ -1447,6 +1447,57 @@ WINNOW_PAIR_MIN_SHARED = 2  # pairs must share >= this many fingerprints
 WINNOW_PAIR_TOP_K = 50
 
 
+def winnow_candidate_pairs(
+    docs: DataFrame, cap: int | None = WINNOW_PAIR_CAP
+) -> DataFrame:
+    """The CANDIDATE stage of winnowing_pairs, exposed for recall
+    measurement (r12 verdict ask #7): (doc_a, doc_b) pairs sharing
+    >= WINNOW_PAIR_MIN_SHARED surviving fingerprints, BEFORE the
+    resemblance attach and top-k. ``cap=None`` disables the hot-
+    fingerprint bucket cap entirely — the exact shared-fingerprint
+    pair set the cap trades against (quadratic in the hottest bucket,
+    so only run uncapped on corpora you can afford to cross).
+
+    Kept separate from winnowing_pairs on purpose: the registered
+    operator's code is driver-green and unchanged; this helper only
+    REUSES its stages to measure what the cap costs in recall.
+    """
+    from pyspark.sql import Window
+
+    from .text import WINNOW_M, winnow_selection
+
+    fps = winnow_selection(docs).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sel, x -> x div {WINNOW_M})")
+            )
+        ).alias("fp"),
+    )
+    if cap is not None:
+        w = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("bucket_n", F.count(F.lit(1)).over(w))
+            .where(F.col("bucket_n") <= cap)
+            .drop("bucket_n")
+        )
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+
+
 def winnowing_pairs(docs: DataFrame, cap: int = WINNOW_PAIR_CAP) -> DataFrame:
     """Near-dup candidate pairs by SHARED WINNOWING FINGERPRINTS — the
     use the selection guarantee exists for: any two documents sharing a
