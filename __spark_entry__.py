@@ -498,8 +498,10 @@ SWEEP_CHECKED = [
     # text_winnowing (position clamp), embedding_power_iteration
     # (empty-corpus + dim guard); prices_compaction's re-plan now uses
     # the real target:
-    "prices_monthly_bars",     # calendar resample, exact OHLC extrema
-    "prices_golden_cross",     # 4*s50 vs s200 integer compare
+    # (prices_monthly_bars and prices_golden_cross demoted r13 after 2
+    # consecutive green driver rounds, r11+r12, to fund the two new
+    # sketch-sink slots at the bottom — minting stays capped at the
+    # demotion supply; the prices family keeps 9 checked rows)
     "text_winnowing",          # MOSS fingerprints, zero-shuffle
     "prices_macd",             # chained EMA fold, recursive oracle
     "parts_jaccard_similarity",  # co-purchase jaccard, AQE support joins
@@ -545,11 +547,25 @@ SWEEP_CHECKED = [
     "events_kmv_distinct",     # bottom-k sample sketch vs exact count
     "events_kmv_overlap",      # in-range intersections via sample algebra
     "events_cms_heavy_hitters",  # count-min, pure-int one-sided estimates
+    # NEW r13 (first round checked per policy; r12 verdict ask #5 —
+    # funded by demoting prices_monthly_bars + prices_golden_cross,
+    # each 2-round-green r11+r12; supply this round was 20, consumed 2):
+    "streaming_cms_incremental",  # per-batch counter partials, SUM at
+    #   read == one-pass build — the NON-idempotent merge whose
+    #   exactly-once comes from the src_batch partition layout alone
+    "streaming_kmv_incremental",  # per-batch bottom-k samples, distinct
+    #   union + bottom-k at read == one-pass sample set, hash-level
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
+    # demoted r13 to fund the two sketch-sink slots. Evidence per row:
+    # 2 consecutive green driver rounds (r11+r12, CORRECTNESS_r1{1,2}.
+    # json), pytest coverage in tests/test_r10_ops.py, and the per-CI
+    # tail-oracle gate below
+    "prices_monthly_bars",
+    "prices_golden_cross",
     # demoted r12 to fund the nine r11 tail-first promotions, the
     # quantile-sketch re-promotion, and the five new-operator slots.
     # Evidence: the twelve rows below have 2 consecutive green driver

@@ -568,6 +568,180 @@ ORDER BY event_type
 """
 
 
+def streaming_cms_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sink (r12 verdict ask #5): drain the events file
+    stream through the per-batch CMS counter sink (streaming/
+    sketch_sinks.py — one src_batch partition of counter partials per
+    micro-batch), SUM-merge the stored partials at read, and prove the
+    result equals the batch one-pass cms_build COUNTER for COUNTER
+    (full-outer mismatch count == 0 per hash row j). This is the sink
+    where the per-batch partition layout does real work: counter
+    addition is NOT idempotent, so exactly-once under replay is a
+    property of the layout alone (a re-delivered batch overwrites its
+    own partition instead of appending) — unlike hll_sink's max, which
+    would forgive a double write anyway.
+
+    The whole surface is pure int64 (counter sums, per-j bucket counts)
+    so oracle parity is plain integer equality; per-j total_cnt ==
+    COUNT(user_id) over all events is a visible invariant of the
+    output. The oracle recomputes the one-pass sketch from raw events,
+    so a hash match proves the incremental fold path exact.
+    """
+    import shutil
+
+    from ..operators import cms as cms_ops
+    from ..streaming import sketch_sinks
+
+    db = "cms_stream"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    path = _scratch_dir(
+        "events_multi",
+        sf_dir,
+        lambda p: ev.repartition(4).write.mode("overwrite").parquet(p),
+    )
+    ckpt = tempfile.mkdtemp(prefix="graft_cms_ckpt_")
+    sketch_sinks.run_cms_stream(spark, path, ckpt, db=db, max_files_per_trigger=1)
+
+    merged = sketch_sinks.merged_cms(spark, db)
+    onepass = cms_ops.cms_build(ev, "user_id")
+    mism = (
+        merged.withColumnRenamed("cnt", "cnt_m")
+        .join(
+            onepass.withColumnRenamed("cnt", "cnt_o"),
+            ["j", "bucket"],
+            "full_outer",
+        )
+        .groupBy("j")
+        .agg(
+            F.sum(
+                F.when(
+                    F.coalesce(F.col("cnt_m"), F.lit(-1))
+                    != F.coalesce(F.col("cnt_o"), F.lit(-1)),
+                    1,
+                ).otherwise(0)
+            ).alias("n_mismatch")
+        )
+    )
+    per_j = merged.groupBy("j").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum("cnt").cast("bigint").alias("total_cnt"),
+    )
+    return (
+        per_j.join(mism, "j")
+        .select(
+            F.col("j").cast("int").alias("j"),
+            "n_buckets",
+            "total_cnt",
+            (F.col("n_mismatch") == 0).alias("counters_equal_onepass"),
+        )
+        .orderBy("j")
+    )
+
+
+def _streaming_cms_sql() -> str:
+    from ..functions.texthash import hash32_sql
+    from ..operators.cms import CMS_DEPTH, _bucket_sql
+
+    hv = hash32_sql("CAST(user_id AS VARCHAR)")
+    unions = "\n    UNION ALL\n".join(
+        f"    SELECT {j} AS j, {_bucket_sql(j, 'h')} AS bucket, n FROM hashed"
+        for j in range(CMS_DEPTH)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {hv} AS h, CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+), sketch AS (
+  SELECT j, bucket, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+{unions}
+  ) GROUP BY 1, 2
+)
+SELECT j, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(SUM(cnt) AS BIGINT) AS total_cnt,
+       TRUE AS counters_equal_onepass
+FROM sketch GROUP BY j ORDER BY j
+"""
+
+
+def streaming_kmv_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sink (r12 verdict ask #5): drain the events file stream
+    through the per-batch bottom-k sample sink (streaming/
+    sketch_sinks.py), merge the stored samples at read (distinct union
+    then bottom-k — kmv_merge's algebra), and prove the merged sample
+    equals the batch one-pass bottom_k HASH for HASH per event_type
+    (full-outer mismatch count == 0), while the distinct estimates ride
+    the identical closing float expression as events_kmv_distinct.
+
+    The oracle recomputes the one-pass sketch from raw events
+    (kmv_distinct_sql, parity-pinned by tests/test_kmv.py), so a hash
+    match proves the incremental fold path exact to the sample set.
+    """
+    import shutil
+
+    from ..operators import kmv as kmv_ops
+    from ..streaming import sketch_sinks
+
+    db = "kmv_stream"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
+    ev = load_table(spark, sf_dir, "events")
+    path = _scratch_dir(
+        "events_multi",
+        sf_dir,
+        lambda p: ev.repartition(4).write.mode("overwrite").parquet(p),
+    )
+    ckpt = tempfile.mkdtemp(prefix="graft_kmv_ckpt_")
+    sketch_sinks.run_kmv_stream(spark, path, ckpt, db=db, max_files_per_trigger=1)
+
+    merged = sketch_sinks.merged_kmv(spark, db)
+    onepass = kmv_ops.bottom_k(ev, ["event_type"], "user_id")
+    mism = (
+        merged.withColumn("in_m", F.lit(1))
+        .join(
+            onepass.withColumn("in_o", F.lit(1)),
+            ["event_type", "h"],
+            "full_outer",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("in_m").isNull() | F.col("in_o").isNull(), 1
+                ).otherwise(0)
+            ).alias("n_mismatch")
+        )
+    )
+    est = kmv_ops.kmv_estimate(merged, ["event_type"])
+    return (
+        est.join(mism, "event_type")
+        .select(
+            "event_type",
+            "n_sample",
+            "kth_min",
+            "exact",
+            "est_distinct",
+            (F.col("n_mismatch") == 0).alias("sample_equal_onepass"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _streaming_kmv_sql() -> str:
+    from ..operators.kmv import kmv_distinct_sql
+
+    core = kmv_distinct_sql("events", "event_type", "user_id").strip()
+    return f"""
+WITH base AS ({core})
+SELECT key AS event_type, n_sample, kth_min, exact, est_distinct,
+       TRUE AS sample_equal_onepass
+FROM base ORDER BY event_type
+"""
+
+
 def streaming_enriched_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment: events joined to a broadcast customer-
     segment dim per micro-batch (stateless join), hourly totals per
@@ -776,5 +950,17 @@ STREAMING_QUERIES: dict[str, tuple] = {
     "streaming_hll_incremental": (
         streaming_hll_incremental,
         _streaming_hll_sql(),
+    ),
+    # the remaining sketch sinks (new r13, r12 verdict ask #5): the
+    # same per-batch src_batch-partition layout, merged at read —
+    # counter ADDITION for CMS (where the layout alone buys
+    # exactly-once: sums are not idempotent), distinct+bottom-k for KMV
+    "streaming_cms_incremental": (
+        streaming_cms_incremental,
+        _streaming_cms_sql(),
+    ),
+    "streaming_kmv_incremental": (
+        streaming_kmv_incremental,
+        _streaming_kmv_sql(),
     ),
 }

@@ -234,6 +234,9 @@ HEADLINE = [
     "events_kmv_distinct",
     "events_kmv_overlap",
     "events_cms_heavy_hitters",
+    # --- added in round 13 ---
+    "streaming_cms_incremental",
+    "streaming_kmv_incremental",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -278,6 +281,9 @@ PROOF_TIER = frozenset(
         # full stream drain + per-batch register commits + register-
         # level parity vs the one-pass build; table-lifecycle class
         "streaming_hll_incremental",
+        # same drain-and-prove class for the CMS/KMV sinks (r13)
+        "streaming_cms_incremental",
+        "streaming_kmv_incremental",
     }
 )
 
@@ -314,6 +320,9 @@ RUN_ONCE = frozenset(
         "prices_partition_evolution",
         # stream drain + register parity proof; one measured pass
         "streaming_hll_incremental",
+        # stream drain + counter/sample parity proofs; one measured pass
+        "streaming_cms_incremental",
+        "streaming_kmv_incremental",
     }
 )
 

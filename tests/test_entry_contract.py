@@ -51,23 +51,26 @@ def test_every_query_is_oracle_paired_or_documented_rows_only():
 
 def test_new_operators_are_inside_the_checked_prefix():
     # the r4 lesson: new operators must not ship driver-unchecked.
-    # Pins the CURRENT round's must-be-checked set: the nine promoted
-    # never-driver-checked r11 tail-first rows (r11 verdict ask #1),
-    # the BNLJ-collapse re-promotion of events_quantile_sketch (ask
-    # #8), the two r12-new operators (minting capped at the demotion
-    # supply, ask #2), and every r11 first-rounder held for its second
-    # consecutive green round (the 4 r11-new ops, the 15 r11
-    # promotions, and the code-changed orders_basket_rules — ask #7).
+    # Pins the CURRENT round's must-be-checked set (r13): the fifteen
+    # r12 first-rounders held for their SECOND consecutive green round
+    # (r12 verdict ask #1 — the 9 promoted r11 tail-first rows, the
+    # events_quantile_sketch re-promotion, and the 5 r12-new ops) plus
+    # the two r13-new sketch sinks (minting capped at the round's
+    # demotion supply: 2 consumed against 20 available two-round-green
+    # rows — the 19 r11 first-rounders + orders_basket_rules).
     promoted = {
-        # r12-new, first round
+        # r13-new, first round (r12 verdict ask #5)
+        "streaming_cms_incremental",
+        "streaming_kmv_incremental",
+        # r12-new, second round
         "streaming_hll_incremental",
         "prices_aroon",
         "events_kmv_distinct",
         "events_kmv_overlap",
         "events_cms_heavy_hitters",
-        # r12 code-changed re-promotion (7 BNLJs -> 1)
+        # r12 code-changed re-promotion (7 BNLJs -> 1), second round
         "events_quantile_sketch",
-        # promoted r11 tail-first rows, first driver round
+        # promoted r11 tail-first rows, second driver round
         # (events_hll_setops also carries the r12 BNLJ-free plan)
         "events_mad_anomaly",
         "events_burst_episodes",
@@ -78,27 +81,6 @@ def test_new_operators_are_inside_the_checked_prefix():
         "events_hll_reagg",
         "events_hll_setops",
         "similarity_cluster_balance",
-        # r11 first-round rows, held for their second green round
-        "dedup_winnowing_pairs",
-        "prices_donchian",
-        "events_hourofweek_seasonality",
-        "orders_ship_sla",
-        "orders_basket_rules",
-        "prices_monthly_bars",
-        "prices_golden_cross",
-        "text_winnowing",
-        "prices_macd",
-        "parts_jaccard_similarity",
-        "events_cusum",
-        "orders_open_backlog",
-        "prices_ichimoku",
-        "events_cusum_incremental",
-        "customer_purchase_cadence",
-        "embedding_power_iteration",
-        "prices_var_cvar",
-        "events_growth_accounting",
-        "prices_compaction",
-        "text_source_drift",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)
 

@@ -2460,3 +2460,58 @@ def test_hll_sink_merge_invariant_to_batching(spark, assignment):
     )
     assert merged == onepass
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+# --- r13: CMS sink merge == one-pass under ANY PARTITION of the rows -------
+
+
+@given(assignment=_hll_splits)
+@example(assignment=[0] * 5)        # everything in one batch
+@example(assignment=[0, 1, 2, 3])   # max spread
+@_prop_settings
+def test_cms_sink_merge_invariant_to_batching(spark, assignment):
+    """The CMS sink's contract is STRICTER than HLL's: counter addition
+    is not idempotent, so the claim is merge == one-pass for every
+    PARTITION of the rows (each row in exactly one batch — hypothesis
+    draws the partition; unlike HLL, repeating a row across batches
+    would genuinely double-count, which is what the replay test in
+    test_r13_ops pins against via the partition-overwrite layout)."""
+    import shutil
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import cms
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import (
+        sketch_sinks,
+    )
+
+    db = "cms_prop_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/{db}.db", ignore_errors=True)
+
+    schema = (
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    # i % 3 repeats user_ids so counters hold real multiplicities
+    all_rows = [
+        (i, _BASE, i % 3, "ab"[i % 2], 1.0, "{}")
+        for i in range(len(assignment))
+    ]
+    for b in sorted(set(assignment)):
+        batch_rows = [r for r, a in zip(all_rows, assignment) if a == b]
+        sketch_sinks.process_cms_batch(
+            spark.createDataFrame(batch_rows, schema), b, db=db
+        )
+    merged = sorted(
+        map(tuple, sketch_sinks.merged_cms(spark, db).collect())
+    )
+    onepass = sorted(
+        map(
+            tuple,
+            cms.cms_build(
+                spark.createDataFrame(all_rows, schema), "user_id"
+            ).collect(),
+        )
+    )
+    assert merged == onepass
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
