@@ -1448,15 +1448,28 @@ WINNOW_PAIR_TOP_K = 50
 
 
 def winnow_candidate_pairs(
-    docs: DataFrame, cap: int | None = WINNOW_PAIR_CAP
+    docs: DataFrame,
+    cap: int | None = WINNOW_PAIR_CAP,
+    doc_sample_mod: int | None = None,
+    min_resemblance: float | None = None,
 ) -> DataFrame:
     """The CANDIDATE stage of winnowing_pairs, exposed for recall
     measurement (r12 verdict ask #7): (doc_a, doc_b) pairs sharing
     >= WINNOW_PAIR_MIN_SHARED surviving fingerprints, BEFORE the
     resemblance attach and top-k. ``cap=None`` disables the hot-
     fingerprint bucket cap entirely — the exact shared-fingerprint
-    pair set the cap trades against (quadratic in the hottest bucket,
-    so only run uncapped on corpora you can afford to cross).
+    pair set the cap trades against (quadratic in the hottest bucket:
+    930M pairs on the 10x sf0.1 corpus, ~8 cpu-minutes to cross).
+
+    ``doc_sample_mod=m`` restricts to the deterministic 1/m of docs
+    with pmod(xxhash64(doc_id), m) == 0 — AFTER the bucket cap is
+    computed on the FULL corpus, so capped-vs-uncapped survival of a
+    sampled pair is exactly its survival in the full computation
+    (pair membership depends only on the pair's own shared-fp count;
+    the cap depends only on full-corpus bucket sizes). Recall over
+    sampled pairs is therefore an unbiased estimate of full recall at
+    ~1/m^2 of the join cost — the only way the 10x-corpus recall
+    measurement fits inside a per-round bench.
 
     Kept separate from winnowing_pairs on purpose: the registered
     operator's code is driver-green and unchanged; this helper only
@@ -1481,8 +1494,12 @@ def winnow_candidate_pairs(
             .where(F.col("bucket_n") <= cap)
             .drop("bucket_n")
         )
+    if doc_sample_mod is not None:
+        fps = fps.where(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(doc_sample_mod)) == 0
+        )
     a, b = fps.alias("a"), fps.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.fp") == F.col("b.fp"))
@@ -1494,6 +1511,30 @@ def winnow_candidate_pairs(
         )
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
+    )
+    if min_resemblance is None:
+        return pairs.select("doc_a", "doc_b")
+    # resemblance over the SAME (possibly capped/sampled) posting set
+    # the pairs were drawn from: n_shared / (n_a + n_b - n_shared).
+    # The >= 2-shared-fps floor alone admits boilerplate co-occurrence
+    # (74% of ALL base-fixture doc pairs clear it) — a resemblance
+    # floor isolates the pairs the operator exists to surface.
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    res = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        pairs.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .where(res >= F.lit(min_resemblance))
         .select("doc_a", "doc_b")
     )
 

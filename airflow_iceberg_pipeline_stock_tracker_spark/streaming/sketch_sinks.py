@@ -19,6 +19,17 @@ This module generalizes that design to the other two mergeable sketches
   three sinks operationally identical (one state table shape, one
   overwrite discipline, one render-at-read pattern).
 
+Deliberately NOT here: the sketch quartet's fourth member, the 128-bin
+equi-width quantile histogram (events_quantile_sketch). Its partials
+sum like CMS counters — but only under SHARED bin edges, and the edges
+derive from the GLOBAL (min, max), which a per-batch fold cannot know
+yet. Histogram addition GIVEN shared edges is proven at the library
+level (tests/test_plans.py::test_quantile_histogram_is_mergeable); a
+sink would need either a calibration pass that freezes edges (two
+drains of the source) or an edge-free sketch (KLL/t-digest), both of
+which change the sketch's exactness contract — scoped out rather than
+shipped with a silently weaker guarantee.
+
 State volume per batch: CMS <= CMS_DEPTH x CMS_WIDTH pure-int counter
 rows; KMV <= |keys| x KMV_K (key, hash) sample rows. Rendering merges
 at read — counter-wise SUM for CMS, distinct+bottom-k for KMV — which

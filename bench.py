@@ -520,7 +520,10 @@ SCALE_TREND_NOTES = {
         "hit the bucket cap instead of exploding the join; "
         "cap_sweep_sec_10x below times caps 50/200/800 on the SAME "
         "10x corpus — runtime tracks the cap at fixed corpus, which "
-        "is the cap-bounds-the-join claim measured"
+        "is the cap-bounds-the-join claim measured. r13: the sweep "
+        "also reports what the cap COSTS — near-dup (resemblance "
+        ">= 0.5) recall per cap on both corpora, with the metric's "
+        "construction documented in _winnow_cap_sweep"
     ),
     "events_hll_distinct": (
         "replica users are DISJOINT, so true distincts grow 10x while "
@@ -856,26 +859,53 @@ def _winnow_cap_sweep(spark, sf_dir: str) -> dict:
             best = t if best is None else min(best, t)
         out[f"cap_{cap}"] = best
     # r12 verdict ask #7: what the cap COSTS in recall, next to what it
-    # buys in runtime. Reference set = the UNCAPPED shared-fingerprint
-    # candidate pairs (exact by the winnowing guarantee); recall(cap) =
-    # fraction of those surviving the bucket cap at the candidate stage
-    # (pre-top-k — the output stage is a fixed top-50 either way).
-    # Computed once per sweep (set identity, not a timing).
+    # buys in runtime. Reference set = the UNCAPPED pairs with
+    # fingerprint-set resemblance >= 0.5 — the near-dup class the
+    # operator exists to surface (it ranks by resemblance). The bare
+    # >= 2-shared-fps candidate floor is NOT a usable truth set: 74% of
+    # ALL base-fixture doc pairs clear it (boilerplate co-occurrence),
+    # and on the 10x corpus it counts 930M pairs (~8 cpu-min to cross)
+    # whose survival says only that exact duplicates saturate every
+    # bucket — recall over it reads 0.0057 at the production cap while
+    # near-dup recall reads 0.99 (both measured; the former is the
+    # boilerplate graph dying, which is the cap's JOB).
+    # 10x recall runs over the deterministic 10% doc sample: the cap
+    # still applies to FULL-corpus bucket sizes before sampling, so a
+    # sampled pair's survival equals its survival in the full
+    # computation — an unbiased estimate at ~1% of the join cost.
     from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
         winnow_candidate_pairs,
     )
 
-    truth = winnow_candidate_pairs(docs, cap=None).persist()
-    n_truth = truth.count()
-    for cap in WINNOW_CAP_SWEEP:
-        n_hit = winnow_candidate_pairs(docs, cap=cap).join(
-            truth, ["doc_a", "doc_b"], "inner"
-        ).count()
-        out[f"recall_cap_{cap}"] = (
-            round(n_hit / n_truth, 4) if n_truth else None
-        )
-    out["true_pairs_uncapped"] = n_truth
-    truth.unpersist()
+    base_docs = load_table(spark, sf_dir, "documents")
+    for label, corpus, mod in (
+        ("base", base_docs, None),
+        ("10x", docs, 10),
+    ):
+        truth = winnow_candidate_pairs(
+            corpus, cap=None, doc_sample_mod=mod, min_resemblance=0.5
+        ).persist()
+        n_truth = truth.count()
+        for cap in WINNOW_CAP_SWEEP:
+            n_hit = winnow_candidate_pairs(
+                corpus, cap=cap, doc_sample_mod=mod
+            ).join(truth, ["doc_a", "doc_b"], "inner").count()
+            out[f"neardup_recall_{label}_cap_{cap}"] = (
+                round(n_hit / n_truth, 4) if n_truth else None
+            )
+        out[f"neardup_true_pairs_{label}"] = n_truth
+        truth.unpersist()
+    out["recall_note"] = (
+        "truth = uncapped pairs with fingerprint resemblance >= 0.5; "
+        "10x rows estimated over the deterministic 10% doc sample "
+        "(cap computed on full-corpus buckets before sampling — "
+        "unbiased). The 10x corpus is 90% exact duplicates by "
+        "construction, so cap 50 is too aggressive there while the "
+        "production cap 200 holds ~0.99 near-dup recall; raw "
+        ">=2-shared-fps pair recall is dominated by boilerplate "
+        "co-occurrence and exact-duplicate saturation (see sweep "
+        "comment) and is deliberately not the reported metric"
+    )
     return out
 
 
