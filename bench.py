@@ -425,6 +425,9 @@ SCALE_TREND = {
     "events_kmv_overlap": "events",
     "events_quantile_sketch": "events",
     "streaming_hll_incremental": "events",
+    # r13 new sinks ship WITH trend evidence
+    "streaming_cms_incremental": "events",
+    "streaming_kmv_incremental": "events",
 }
 SCALE_FACTOR = 10
 
@@ -594,6 +597,25 @@ SCALE_TREND_NOTES = {
         "proof joins two dimension-scale tables. Timed via the trend "
         "protocol on a fresh checkpoint per pass (proof tier: "
         "includes stream startup/drain fixed cost both scales)"
+    ),
+    "streaming_cms_incremental": (
+        "same sink shape as the HLL row with a <= 4 x 1024 pure-int "
+        "counter partial per batch (map-combinable; the explode "
+        "widens map-side rows by depth, never the shuffle); the "
+        "SUM-merge render and the counter-equality proof both run on "
+        "dimension-scale tables, so only the in-batch counting pass "
+        "widens at 10x (proof tier: includes stream startup/drain "
+        "fixed cost both scales)"
+    ),
+    "streaming_kmv_incremental": (
+        "per-batch partial is <= |types| x 256 sample rows via "
+        "WindowGroupLimit INSIDE foreachBatch (partial top-k before "
+        "the exchange), so 10x events per batch widen only the "
+        "per-batch hash/distinct pass; render distinct-unions "
+        "batches x |types| x 256 stored rows and the sample-equality "
+        "proof's one user-scale stage is the one-pass bottom_k "
+        "grader (proof tier: includes stream startup/drain fixed "
+        "cost both scales)"
     ),
 }
 
