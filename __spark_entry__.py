@@ -502,16 +502,19 @@ SWEEP_CHECKED = [
     # consecutive green driver rounds, r11+r12, to fund the two new
     # sketch-sink slots at the bottom — minting stays capped at the
     # demotion supply; the prices family keeps 9 checked rows)
+    # (prices_macd and prices_ichimoku demoted r13 after 2 consecutive
+    # green driver rounds, r11+r12, to fund parts_skyline + dq_benford
+    # below — minting stays capped at the demotion supply; the prices
+    # family keeps 7+ checked rows)
     "text_winnowing",          # MOSS fingerprints, zero-shuffle
-    "prices_macd",             # chained EMA fold, recursive oracle
     "parts_jaccard_similarity",  # co-purchase jaccard, AQE support joins
     "events_cusum",            # prefix-extremum CUSUM identity
     "orders_open_backlog",     # difference-array interval stabbing
-    "prices_ichimoku",         # shifted extrema cloud, int64
+    # (customer_purchase_cadence and prices_var_cvar demoted r13 after
+    # 2 consecutive green driver rounds, r11+r12, to fund
+    # curation_weighted_sample + dedup_edit_distance below)
     "events_cusum_incremental",  # 3-int state fold == batch
-    "customer_purchase_cadence",  # inter-order gap stats, exact days
     "embedding_power_iteration",  # matrix-free spectral, int64 iterates
-    "prices_var_cvar",         # historical VaR/CVaR, order statistics
     "events_growth_accounting",  # new/retained/resurrected/churned
     "prices_compaction",       # binpack plan + bin rewrite + replan=0
     "text_source_drift",       # per-source simhash profiles, L1 drift
@@ -555,17 +558,32 @@ SWEEP_CHECKED = [
     #   exactly-once comes from the src_batch partition layout alone
     "streaming_kmv_incremental",  # per-batch bottom-k samples, distinct
     #   union + bottom-k at read == one-pass sample set, hash-level
+    # NEW r13 wave 2 (first round checked per policy; funded by
+    # demoting prices_macd + prices_ichimoku, each 2-round-green
+    # r11+r12 — running supply consumption this round: 4 of 20):
+    "parts_skyline",           # Pareto frontier vs quadratic NOT EXISTS
+    "dq_benford",              # first-digit forensic screen, exact ints
+    # NEW r13 wave 3 (first round checked per policy; funded by
+    # demoting customer_purchase_cadence + prices_var_cvar, each
+    # 2-round-green r11+r12 — supply consumption this round: 6 of 20):
+    "curation_weighted_sample",  # A-ES top-k by u^(1/w), rand()-free
+    "dedup_edit_distance",     # prefix-blocked Levenshtein pairs
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
-    # demoted r13 to fund the two sketch-sink slots. Evidence per row:
-    # 2 consecutive green driver rounds (r11+r12, CORRECTNESS_r1{1,2}.
-    # json), pytest coverage in tests/test_r10_ops.py, and the per-CI
-    # tail-oracle gate below
+    # demoted r13 to fund the two sketch-sink slots (monthly_bars,
+    # golden_cross) and the skyline/benford slots (macd, ichimoku).
+    # Evidence per row: 2 consecutive green driver rounds (r11+r12,
+    # CORRECTNESS_r1{1,2}.json), pytest coverage (tests/test_r10_ops.py
+    # / test_r11_ops.py), and the per-CI tail-oracle gate below
     "prices_monthly_bars",
     "prices_golden_cross",
+    "prices_macd",
+    "prices_ichimoku",
+    "customer_purchase_cadence",
+    "prices_var_cvar",
     # demoted r12 to fund the nine r11 tail-first promotions, the
     # quantile-sketch re-promotion, and the five new-operator slots.
     # Evidence: the twelve rows below have 2 consecutive green driver

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.texthash import hash32, hash32_sql
+from ..functions.texthash import hash32, hash32_sql, hash60, hash60_sql
 from .dedup import _NGRAMS_SQL, _shingle_hashes, dup_components
 
 # ---------------------------------------------------------------------------
@@ -220,6 +220,85 @@ ORDER BY doc_id
 
 
 STRATIFIED_SAMPLE_SQL = _sample_sql()
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling WITHOUT replacement — A-ES (Efraimidis & Spirakis,
+# IPL 2006): key_i = u_i^(1/w_i) with u_i uniform; the k largest keys
+# are an exact weighted sample without replacement. THE one-pass
+# distributed algorithm for "sample 1M docs proportional to length/
+# quality score" at 100 TB — no total-weight pre-pass, no sequential
+# draw, merge = top-k (associative), so executors keep local top-k and
+# only k rows per partition ever move.
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 25
+WSAMPLE_SALT = "wsample"
+# hash60 space; +1 keeps u in (0, 1] so pow/ln are defined
+_HASH60_SPACE = float(1 << 60)
+
+
+def weighted_sample(docs: DataFrame, k: int = WSAMPLE_K) -> DataFrame:
+    """(rank, doc_id, lang, n_chars, aes_key): exact A-ES weighted
+    sample without replacement, weight = n_chars, u from the portable
+    md5 hash60 — rand()-free, so the sample is reproducible across
+    runs, retries, and engines (the stratified_sample discipline
+    applied to WEIGHTED draws).
+
+    Exactness: u = (hash60+1)/2^60 is one exact int-to-double cast and
+    one division; pow(u, 1/w) is a single libm call verified bit-equal
+    between the JVM and DuckDB over the whole corpus; ranking orders by
+    (key DESC, doc_id), and adjacent keys are random doubles whose gaps
+    dwarf any conceivable ulp noise.
+
+    Scale: the keying is a stateless projection (whole-stage codegen);
+    top-k plans as TakeOrderedAndProject — each task keeps k rows, the
+    driver merges; nothing else shuffles. The window that numbers the
+    final ranks runs over k rows.
+    """
+    u = (
+        hash60(
+            F.concat(
+                F.lit(WSAMPLE_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        )
+        + 1
+    ).cast("double") / F.lit(_HASH60_SPACE)
+    key = F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double"))
+    scored = docs.where(
+        F.col("n_chars").isNotNull() & (F.col("n_chars") > 0)
+    ).select("doc_id", "lang", "n_chars", key.alias("aes_key"))
+    topk = scored.orderBy(F.desc("aes_key"), F.col("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("aes_key"), F.col("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "lang", "n_chars", "aes_key")
+        .orderBy("rank")
+    )
+
+
+def _wsample_sql(k: int = WSAMPLE_K) -> str:
+    u = (
+        f"CAST(({hash60_sql(repr(WSAMPLE_SALT + ':') + ' || CAST(doc_id AS VARCHAR)')} + 1) AS DOUBLE)"
+        f" / {_HASH60_SPACE!r}"
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         pow({u}, 1.0 / CAST(n_chars AS DOUBLE)) AS aes_key
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY aes_key DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, lang, n_chars, aes_key
+FROM scored
+ORDER BY aes_key DESC, doc_id
+LIMIT {k}
+"""
+
+
+WEIGHTED_SAMPLE_SQL = _wsample_sql()
 
 
 # ---------------------------------------------------------------------------

@@ -1654,3 +1654,132 @@ LIMIT {WINNOW_PAIR_TOP_K}
 
 
 WINNOW_PAIRS_SQL = _winnow_pairs_sql()
+
+
+# ---------------------------------------------------------------------------
+# character-level fuzzy dedup: edit-distance pairs under prefix blocking
+# ---------------------------------------------------------------------------
+
+# blocking: exact match on the first LEV_BLOCK_CHARS of the ASCII-
+# sanitized text. Catches the dominant near-dup class (same document,
+# small internal edits); pairs whose edits fall inside the first 16
+# chars are out of scope BY DEFINITION of the operator (documented
+# recall trade, same contract style as the simhash chunk-banding).
+LEV_BLOCK_CHARS = 16
+LEV_PREFIX_CHARS = 64   # distance is computed over this prefix
+LEV_MAX_DIST = 8        # pair survives iff lev(prefix_a, prefix_b) <= this
+LEV_LEN_BAND = 8        # |n_chars delta| beyond this cannot be a near-dup
+LEV_BLOCK_CAP = 64      # max docs per block entering the pair join
+
+
+def _ascii_prefix(col: Column, n: int) -> Column:
+    # Spark and DuckDB disagree on levenshtein over non-ASCII (char vs
+    # byte counting), so the distance runs over an ASCII-sanitized
+    # prefix — identical semantics in both engines
+    return F.substring(
+        F.regexp_replace(col, r"[^\x20-\x7e]", ""), 1, n
+    )
+
+
+def edit_distance_pairs(docs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, lev_dist, len_a, len_b): document pairs whose
+    ASCII 64-char prefixes are within edit distance 8, candidates
+    blocked by exact 16-char-prefix match + an n_chars length band.
+
+    Where this sits in the dedup tier: minhash/jaccard see BAGS OF
+    SHINGLES (token-level), simhash sees hashed features — a single
+    in-word typo flips shingles wholesale. Edit distance is the
+    character-level complement that scores the typo/OCR-noise class
+    directly; Levenshtein itself is quadratic per pair, so the whole
+    design is about never running it outside a blocked candidate set.
+
+    Exactness: both engines run the classic unit-cost DP over
+    identical ASCII strings (cross-engine equality verified over
+    ASCII; non-ASCII diverges, hence the sanitize); everything else is
+    exact ints.
+
+    Scale: candidates are an equi-join on the 16-char block key — the
+    shuffle moves one prefix column per doc; the per-block cap (r7
+    bucket-cap discipline, deterministic doc_id order so both engines
+    cap the SAME rows) bounds the join quadratically at CAP^2 per
+    block no matter how duplicate-saturated the corpus; the length
+    band prunes before the DP runs. Uncapped brute force would be
+    O(n^2) DP calls — never executes here.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("len"),
+            _ascii_prefix(F.col("text"), LEV_PREFIX_CHARS).alias("pfx"),
+        )
+        .withColumn("blk", F.substring("pfx", 1, LEV_BLOCK_CHARS))
+    )
+    capped = (
+        base.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("blk").orderBy("doc_id")
+            ),
+        )
+        .where(F.col("rn") <= LEV_BLOCK_CAP)
+        .drop("rn")
+    )
+    a = capped.select(
+        F.col("blk"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("len").alias("len_a"),
+        F.col("pfx").alias("pfx_a"),
+    )
+    b = capped.select(
+        F.col("blk"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("len").alias("len_b"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.abs(F.col("len_a") - F.col("len_b"))
+                <= F.lit(LEV_LEN_BAND)
+            )
+        )
+        .withColumn(
+            "lev_dist", F.levenshtein(F.col("pfx_a"), F.col("pfx_b"))
+        )
+        .where(F.col("lev_dist") <= F.lit(LEV_MAX_DIST))
+        .select("doc_a", "doc_b", "lev_dist", "len_a", "len_b")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+EDIT_DISTANCE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, n_chars AS len,
+         substr(regexp_replace(text, '[^\\x20-\\x7e]', '', 'g'), 1,
+                {LEV_PREFIX_CHARS}) AS pfx
+  FROM documents
+  WHERE text IS NOT NULL
+), keyed AS (
+  SELECT doc_id, len, pfx, substr(pfx, 1, {LEV_BLOCK_CHARS}) AS blk
+  FROM base
+), capped AS (
+  SELECT doc_id, len, pfx, blk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY blk ORDER BY doc_id) AS rn
+    FROM keyed
+  ) WHERE rn <= {LEV_BLOCK_CAP}
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(levenshtein(a.pfx, b.pfx) AS INT) AS lev_dist,
+       a.len AS len_a, b.len AS len_b
+FROM capped a
+JOIN capped b
+  ON a.blk = b.blk AND a.doc_id < b.doc_id
+     AND abs(a.len - b.len) <= {LEV_LEN_BAND}
+WHERE levenshtein(a.pfx, b.pfx) <= {LEV_MAX_DIST}
+ORDER BY doc_a, doc_b
+"""

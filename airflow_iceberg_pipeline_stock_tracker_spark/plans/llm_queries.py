@@ -470,6 +470,17 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(curation.stratified_sample),
         curation.STRATIFIED_SAMPLE_SQL,
     ),
+    # r13: A-ES weighted sampling without replacement (top-k by
+    # u^(1/w) keys) and the character-level fuzzy-dedup complement to
+    # the shingle-based miners (prefix-blocked Levenshtein pairs)
+    "curation_weighted_sample": (
+        _docs(curation.weighted_sample),
+        curation.WEIGHTED_SAMPLE_SQL,
+    ),
+    "dedup_edit_distance": (
+        _docs(dedup.edit_distance_pairs),
+        dedup.EDIT_DISTANCE_SQL,
+    ),
     # split over the minhash-LSH near-dup graph (simhash drives keep_list;
     # using the other miner here exercises components over both)
     "curation_split": (

@@ -1894,6 +1894,142 @@ ORDER BY check_name
 """
 
 
+# ---------------------------------------------------------------------------
+# Skyline / Pareto frontier — dominance queries (operators/skyline.py)
+# ---------------------------------------------------------------------------
+
+
+def parts_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand Pareto frontier of parts under (MIN retailprice, MAX
+    size): every part no other same-brand part beats on both price and
+    size with one strict improvement — the preference-query operator
+    class (Börzsönyi et al., ICDE 2001) as a first-class relational op.
+
+    Differential-test value: the oracle twin runs the textbook
+    QUADRATIC ``NOT EXISTS`` dominance self-join; this plan is a
+    different algorithm entirely (collapse to per-price maxima, one
+    running-max window over strictly-cheaper rows — operators/
+    skyline.py) that must reproduce the identical set.
+
+    Exactness: dominance compares exact integer cents and int sizes —
+    nothing floats, so AQE/partial-agg ordering can never flip a hash.
+
+    Scale: one map-combinable groupBy collapses any part volume to
+    |brand x distinct price| rows; the window runs on that collapsed
+    table and the join back is a plain equi-join — the O(n^2) oracle
+    shape never executes on Spark.
+    """
+    from ..operators.skyline import skyline_min_price_max_size
+
+    part = load_table(spark, sf_dir, "part")
+    sky = skyline_min_price_max_size(
+        part, "p_brand", "p_retailprice", "p_size"
+    )
+    return sky.select(
+        "p_brand", "p_partkey", "p_name", "p_size", "price_cents"
+    ).orderBy("p_brand", "price_cents", "p_partkey")
+
+
+PARTS_SKYLINE_SQL = """
+WITH base AS (
+  SELECT p_brand, p_partkey, p_name, p_size,
+         CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_cents
+  FROM part
+  WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+)
+SELECT p.p_brand, p.p_partkey, p.p_name, p.p_size, p.price_cents
+FROM base p
+WHERE NOT EXISTS (
+  SELECT 1 FROM base q
+  WHERE q.p_brand = p.p_brand
+    AND q.price_cents <= p.price_cents
+    AND q.p_size >= p.p_size
+    AND (q.price_cents < p.price_cents OR q.p_size > p.p_size)
+)
+ORDER BY p_brand, price_cents, p_partkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit conformance — the forensic DQ screen
+# ---------------------------------------------------------------------------
+
+
+def dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of ``l_extendedprice``
+    against Benford's law (P(d) = log10(1 + 1/d)) with the per-digit
+    Pearson chi-square contribution — the forensic data-quality screen
+    for fabricated or truncated monetary columns, extending the DQ
+    tier (dq_checks, dq_referential_integrity) with a DISTRIBUTIONAL
+    check rather than a row-predicate one.
+
+    Exactness: the digit comes from integer cents rendered as a string
+    (both engines print positive bigints identically) — never
+    ``floor(log10(x))``, whose last-ulp wobble flips 1000.0 to digit 9.
+    Counts are exact int64; the only floats are the closing
+    frequencies and chi-square terms, computed with identical operator
+    order from exact ints (log10 verified bit-equal cross-engine).
+
+    Scale: one map-combinable groupBy collapses any volume to <= 9
+    rows; the total is a window over those 9 rows. Nothing else
+    touches the fact table.
+    """
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_extendedprice").isNotNull()
+        & (F.col("l_extendedprice") > 0)
+    )
+    digit = F.substring(
+        cents("l_extendedprice").cast("string"), 1, 1
+    ).cast("int")
+    prof = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_obs")
+    )
+    total = F.sum("n_obs").over(Window.partitionBy())
+    obs = F.col("n_obs").cast("double") / total.cast("double")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    chi = (
+        total.cast("double")
+        * (obs - exp)
+        * (obs - exp)
+        / exp
+    )
+    return (
+        prof.select(
+            "digit",
+            "n_obs",
+            obs.alias("obs_freq"),
+            exp.alias("exp_freq"),
+            chi.alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )
+
+
+DQ_BENFORD_SQL = """
+WITH prof AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_obs
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+  GROUP BY 1
+), t AS (
+  SELECT digit, n_obs, SUM(n_obs) OVER () AS total FROM prof
+)
+SELECT digit, n_obs,
+       CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE) AS obs_freq,
+       log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS exp_freq,
+       CAST(total AS DOUBLE)
+         * (CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE)
+            - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+         * (CAST(n_obs AS DOUBLE) / CAST(total AS DOUBLE)
+            - log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+         / log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS chi2_term
+FROM t
+ORDER BY digit
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -1930,4 +2066,9 @@ RELATIONAL_EXT_QUERIES = {
         dq_referential_integrity,
         DQ_REFERENTIAL_SQL,
     ),
+    # r13: the dominance-query operator class + a distributional DQ
+    # screen — both differential-tested against a structurally
+    # different oracle algorithm (quadratic NOT EXISTS / window-free)
+    "parts_skyline": (parts_skyline, PARTS_SKYLINE_SQL),
+    "dq_benford": (dq_benford, DQ_BENFORD_SQL),
 }

@@ -237,6 +237,10 @@ HEADLINE = [
     # --- added in round 13 ---
     "streaming_cms_incremental",
     "streaming_kmv_incremental",
+    "parts_skyline",
+    "dq_benford",
+    "curation_weighted_sample",
+    "dedup_edit_distance",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

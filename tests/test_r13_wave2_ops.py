@@ -1,0 +1,241 @@
+"""Round-13 wave-2 operators: skyline (Pareto dominance) and the
+Benford first-digit DQ screen.
+
+Reference scope: extension tier — the reference DAG
+(/root/reference/dags/dag.py) has row-predicate DQ checks only; these
+add a preference-query operator class and a distributional DQ check.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_iceberg_pipeline_stock_tracker_spark.operators.skyline import (  # noqa: E402
+    skyline_min_price_max_size,
+)
+
+_PART_SCHEMA = "p_partkey long, p_brand string, p_size int, p_retailprice double"
+
+
+def _brute_skyline(rows):
+    """Quadratic reference: the textbook dominance definition."""
+    out = []
+    for p in rows:
+        dominated = any(
+            q[1] == p[1]  # same brand
+            and round(q[3] * 100) <= round(p[3] * 100)
+            and q[2] >= p[2]
+            and (round(q[3] * 100) < round(p[3] * 100) or q[2] > p[2])
+            for q in rows
+        )
+        if not dominated:
+            out.append(p[0])
+    return sorted(out)
+
+
+def test_skyline_matches_brute_force(spark):
+    rows = [
+        # brand X: a clean staircase + dominated interior points
+        (1, "X", 10, 5.00),
+        (2, "X", 20, 8.00),
+        (3, "X", 30, 12.00),
+        (4, "X", 15, 9.00),   # dominated by 2 (cheaper, bigger)
+        (5, "X", 20, 8.00),   # exact duplicate of 2 -> BOTH kept
+        (6, "X", 5, 5.00),    # same price as 1, smaller -> dominated
+        (7, "X", 10, 4.99),   # cheaper than 1 at same size -> dominates 1
+        # brand Y: single row is trivially on the skyline
+        (8, "Y", 1, 100.00),
+    ]
+    df = spark.createDataFrame(rows, _PART_SCHEMA)
+    got = sorted(
+        r.p_partkey
+        for r in skyline_min_price_max_size(
+            df, "p_brand", "p_retailprice", "p_size"
+        ).collect()
+    )
+    assert got == _brute_skyline(rows)
+    # the duplicate pair survives together, the dominated ones are out
+    assert 2 in got and 5 in got and 1 not in got and 4 not in got
+
+
+def test_skyline_null_rows_excluded(spark):
+    rows = [(1, "X", None, 5.0), (2, "X", 10, None), (3, "X", 10, 5.0)]
+    df = spark.createDataFrame(rows, _PART_SCHEMA)
+    got = skyline_min_price_max_size(
+        df, "p_brand", "p_retailprice", "p_size"
+    ).collect()
+    assert [r.p_partkey for r in got] == [3]
+
+
+def test_skyline_hypothesis_random_tables(spark):
+    """Random small tables: window-algorithm set == quadratic set."""
+    import random
+
+    rng = random.Random(1337)
+    for trial in range(5):
+        rows = [
+            (
+                i,
+                rng.choice(["A", "B"]),
+                rng.randint(1, 8),
+                float(rng.randint(100, 120)) / 10.0,
+            )
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, _PART_SCHEMA)
+        got = sorted(
+            r.p_partkey
+            for r in skyline_min_price_max_size(
+                df, "p_brand", "p_retailprice", "p_size"
+            ).collect()
+        )
+        assert got == _brute_skyline(rows), f"trial {trial}"
+
+
+def test_benford_digits_and_chi2(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import dq_benford
+
+    out = dq_benford(spark, sf_dir).collect()
+    digits = [r.digit for r in out]
+    assert digits == sorted(digits) and set(digits) <= set(range(1, 10))
+    # frequencies are a distribution; expected freqs are Benford's law
+    assert abs(sum(r.obs_freq for r in out) - 1.0) < 1e-9
+    for r in out:
+        assert abs(r.exp_freq - math.log10(1.0 + 1.0 / r.digit)) < 1e-12
+        assert r.chi2_term >= 0.0
+
+
+def test_benford_digit_extraction_is_string_based(spark):
+    """1000.00 must land in digit 1 — floor(log10) would wobble."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.functions.money import cents
+
+    df = spark.createDataFrame(
+        [(1000.00,), (999.99,), (0.01,), (901.82,)], "x double"
+    )
+    got = [
+        r.d
+        for r in df.select(
+            F.substring(cents("x").cast("string"), 1, 1)
+            .cast("int")
+            .alias("d")
+        ).collect()
+    ]
+    assert got == [1, 9, 1, 9]
+
+
+# ---------------------------------------------------------------------------
+# wave 3: A-ES weighted sampling + edit-distance fuzzy dedup
+# ---------------------------------------------------------------------------
+
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+
+
+def _doc(i, text, n=None):
+    return (i, text, "en", "s", len(text) if n is None else n)
+
+
+def test_weighted_sample_keys_match_python_recompute(spark):
+    """aes_key must equal the Python-recomputed u^(1/w) exactly —
+    the portable-hash contract at the value level."""
+    import hashlib
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.curation import (
+        WSAMPLE_SALT,
+        weighted_sample,
+    )
+
+    rows = [_doc(i, "x" * (10 + 7 * i)) for i in range(30)]
+    out = weighted_sample(
+        spark.createDataFrame(rows, _DOC_SCHEMA), k=30
+    ).collect()
+    assert len(out) == 30
+    for r in out:
+        h = int(
+            hashlib.md5(f"{WSAMPLE_SALT}:{r.doc_id}".encode()).hexdigest()[:15],
+            16,
+        )
+        u = float(h + 1) / float(1 << 60)
+        assert r.aes_key == u ** (1.0 / float(r.n_chars))
+    # ranks strictly follow key desc
+    keys = [r.aes_key for r in sorted(out, key=lambda r: r.rank)]
+    assert keys == sorted(keys, reverse=True)
+
+
+def test_weighted_sample_huge_weight_wins(spark):
+    """w -> inf drives u^(1/w) -> 1: an overwhelming weight must rank
+    first regardless of its hash draw."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [_doc(i, "y" * 20) for i in range(50)] + [
+        (999, "big", "en", "s", 10**12)
+    ]
+    out = weighted_sample(
+        spark.createDataFrame(rows, _DOC_SCHEMA), k=5
+    ).collect()
+    assert out[0].doc_id == 999
+
+
+def test_edit_distance_finds_typo_pairs_and_respects_blocking(spark):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        _doc(1, base),
+        _doc(2, base.replace("jumps", "jumped")),   # 2 edits, same prefix
+        _doc(3, "zzz " + base),                     # same content, prefix differs -> blocked apart
+        _doc(4, "completely different text that shares nothing at all"),
+    ]
+    got = {
+        (r.doc_a, r.doc_b): r.lev_dist
+        for r in edit_distance_pairs(
+            spark.createDataFrame(rows, _DOC_SCHEMA)
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 2
+    # doc 3's 16-char block key differs: out of scope by definition
+    assert all(3 not in p for p in got)
+    assert all(4 not in p for p in got)
+
+
+def test_edit_distance_length_band_prunes(spark):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    pfx = "shared sixteen c"
+    rows = [
+        _doc(1, pfx + "x" * 10),
+        # same block, but n_chars delta 40 >> band 8: no DP runs
+        _doc(2, pfx + "x" * 50),
+    ]
+    out = edit_distance_pairs(
+        spark.createDataFrame(rows, _DOC_SCHEMA)
+    ).collect()
+    assert out == []
+
+
+def test_edit_distance_non_ascii_sanitized(spark):
+    """Non-ASCII chars are stripped before the DP (Spark and DuckDB
+    disagree on unicode levenshtein), so accented variants pair up."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        edit_distance_pairs,
+    )
+
+    a = "hello world this is a stable shared prefix for the block"
+    rows = [_doc(1, a), _doc(2, a.replace("stable", "stablé"))]
+    out = edit_distance_pairs(
+        spark.createDataFrame(rows, _DOC_SCHEMA)
+    ).collect()
+    # 'é' is stripped -> 'stabl' vs 'stable': distance 1, not a
+    # unicode-dependent value
+    assert len(out) == 1 and out[0].lev_dist == 1
