@@ -506,7 +506,10 @@ SWEEP_CHECKED = [
     # green driver rounds, r11+r12, to fund parts_skyline + dq_benford
     # below — minting stays capped at the demotion supply; the prices
     # family keeps 7+ checked rows)
-    "text_winnowing",          # MOSS fingerprints, zero-shuffle
+    # (text_winnowing and events_growth_accounting demoted r13 after 2
+    # consecutive green driver rounds, r11+r12, to fund
+    # events_stl_decompose + similarity_rrf_hybrid below; text stays
+    # represented by text_source_drift, events by a dozen rows)
     "parts_jaccard_similarity",  # co-purchase jaccard, AQE support joins
     "events_cusum",            # prefix-extremum CUSUM identity
     "orders_open_backlog",     # difference-array interval stabbing
@@ -515,7 +518,6 @@ SWEEP_CHECKED = [
     # curation_weighted_sample + dedup_edit_distance below)
     "events_cusum_incremental",  # 3-int state fold == batch
     "embedding_power_iteration",  # matrix-free spectral, int64 iterates
-    "events_growth_accounting",  # new/retained/resurrected/churned
     "prices_compaction",       # binpack plan + bin rewrite + replan=0
     "text_source_drift",       # per-source simhash profiles, L1 drift
     # PROMOTED r12: the nine r11 tail-first rows that had never had a
@@ -568,6 +570,11 @@ SWEEP_CHECKED = [
     # 2-round-green r11+r12 — supply consumption this round: 6 of 20):
     "curation_weighted_sample",  # A-ES top-k by u^(1/w), rand()-free
     "dedup_edit_distance",     # prefix-blocked Levenshtein pairs
+    # NEW r13 wave 4 (first round checked per policy; funded by
+    # demoting text_winnowing + events_growth_accounting, each
+    # 2-round-green r11+r12 — supply consumption this round: 8 of 20):
+    "events_stl_decompose",    # additive trend/seasonal/residual split
+    "similarity_rrf_hybrid",   # BM25 + cosine reciprocal-rank fusion
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -584,6 +591,8 @@ SWEEP_TAIL = [
     "prices_ichimoku",
     "customer_purchase_cadence",
     "prices_var_cvar",
+    "text_winnowing",
+    "events_growth_accounting",
     # demoted r12 to fund the nine r11 tail-first promotions, the
     # quantile-sketch re-promotion, and the five new-operator slots.
     # Evidence: the twelve rows below have 2 consecutive green driver

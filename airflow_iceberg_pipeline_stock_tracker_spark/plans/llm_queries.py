@@ -329,7 +329,133 @@ ORDER BY media_id, pr, pc
 """
 
 
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal-rank fusion of the lexical (BM25) and
+# dense (cosine) rankers — the standard production shape for RAG /
+# retrieval pipelines (Cormack et al. 2009: RRF outperforms either
+# ranker alone and needs no score calibration, only ranks).
+# ---------------------------------------------------------------------------
+
+RRF_K = 60        # the canonical damping constant from the RRF paper
+RRF_POOL = 50     # depth of each ranker's candidate list
+RRF_TOP = 20      # fused results returned
+
+
+def _rrf_term(rank_col: str):
+    from pyspark.sql import functions as F
+
+    return F.coalesce(
+        F.lit(1.0) / (F.lit(float(RRF_K)) + F.col(rank_col).cast("double")),
+        F.lit(0.0),
+    )
+
+
+def similarity_rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(rank, doc_id, lex_rank, sem_rank, rrf_score): top-20 documents
+    for ONE hybrid query under reciprocal-rank fusion of two proven
+    rankers — BM25 over the query's keyword form (text.bm25_search,
+    driver-green for 6 rounds) and brute-force cosine over its
+    embedding form (the similarity_cosine_topk scoring, vec_id 0
+    standing in for the encoded query; the fixture aligns doc_id and
+    vec_id). rrf = sum over rankers of 1/(60 + rank), computed over
+    the union of both top-50 lists; a doc missing from one list
+    contributes 0 from it. The dense ranker never returns the query
+    vector itself; the lexical ranker may return doc 0.
+
+    Exactness: both input rankings are integer ranks over quantized /
+    bit-identical scores (their own rows prove it); the fusion is two
+    exact-int-to-double divisions added in pinned order; the final
+    order is (rrf DESC, doc_id) — ties across single-list docs at the
+    same rank break on doc_id identically in both engines.
+
+    Scale: each ranker is its own proven plan (BM25: postings-only
+    explode + broadcast scalars; cosine: broadcast 1-row query,
+    embarrassingly parallel scan + TakeOrdered top-k); the fusion
+    joins two <=50-row lists — free. At 100 TB you fuse k-row lists
+    per query, never corpora.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    lex = text.bm25_search(docs, k=RRF_POOL).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+
+    emb = similarity.with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    cands = emb.where(F.col("vec_id") != 0).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+    )
+    cos = similarity._dot(
+        similarity._as_double(F.col("q_emb")),
+        similarity._as_double(F.col("c_emb")),
+    ) / (F.col("q_norm") * F.col("c_norm"))
+    scored = (
+        F.broadcast(q).crossJoin(cands).withColumn("cosine", cos)
+    )
+    top = scored.orderBy(F.desc("cosine"), F.col("doc_id")).limit(RRF_POOL)
+    wd = Window.orderBy(F.desc("cosine"), F.col("doc_id"))
+    dense = top.select(
+        "doc_id", F.row_number().over(wd).cast("int").alias("sem_rank")
+    )
+
+    fused = lex.join(dense, "doc_id", "full").withColumn(
+        "rrf_score", _rrf_term("lex_rank") + _rrf_term("sem_rank")
+    )
+    topk = fused.orderBy(F.desc("rrf_score"), F.col("doc_id")).limit(RRF_TOP)
+    w = Window.orderBy(F.desc("rrf_score"), F.col("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
+        .select("rank", "doc_id", "lex_rank", "sem_rank", "rrf_score")
+        .orderBy("rank")
+    )
+
+
+def _rrf_hybrid_sql() -> str:
+    kf = float(RRF_K)
+    return f"""
+WITH lex_full AS ({text.bm25_oracle_sql(k=RRF_POOL)}),
+lex AS (SELECT doc_id, rank AS lex_rank FROM lex_full),
+normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           AS norm
+  FROM embeddings
+  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), dense_scored AS (
+  SELECT c.vec_id AS doc_id,
+         list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+           / (q.norm * c.norm) AS cosine
+  FROM normed q JOIN normed c ON q.vec_id = 0 AND c.vec_id != 0
+), dense AS (
+  SELECT doc_id,
+         CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS INT)
+           AS sem_rank
+  FROM dense_scored
+  ORDER BY cosine DESC, doc_id LIMIT {RRF_POOL}
+), fused AS (
+  SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         l.lex_rank, d.sem_rank,
+         COALESCE(1.0 / ({kf!r} + CAST(l.lex_rank AS DOUBLE)), 0.0)
+           + COALESCE(1.0 / ({kf!r} + CAST(d.sem_rank AS DOUBLE)), 0.0)
+           AS rrf_score
+  FROM lex l FULL OUTER JOIN dense d ON d.doc_id = l.doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+         AS rank,
+       doc_id, lex_rank, sem_rank, rrf_score
+FROM fused
+ORDER BY rrf_score DESC, doc_id LIMIT {RRF_TOP}
+"""
+
+
 LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
+    "similarity_rrf_hybrid": (similarity_rrf_hybrid, _rrf_hybrid_sql()),
     "dedup_exact": (_docs(dedup.exact_dedup), dedup.EXACT_DEDUP_SQL),
     "dedup_minhash_lsh": (
         lambda spark, sf: _mined_pairs("minhash", spark, sf),

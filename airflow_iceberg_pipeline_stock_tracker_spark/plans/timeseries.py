@@ -2799,6 +2799,111 @@ def _cms_heavy_hitters_oracle_sql() -> str:
     return cms_topk_sql("events", "user_id", k=20)
 
 
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition (additive): y = trend + seasonal + resid
+# ---------------------------------------------------------------------------
+
+
+def events_stl_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, dow, y, trend, seasonal, residual): classical additive
+    decomposition of the daily event-count series — trend from a
+    centered 7-day moving average, seasonal as zero-centered
+    day-of-week means of the detrended series, residual as what's
+    left. The decomposition every capacity model and anomaly detector
+    runs before comparing days to days (the weekly-cycle complement to
+    events_hourofweek_seasonality's 168-cell profile).
+
+    Semantics pinned down: the trend is defined ONLY where the
+    centered window holds 7 CALENDAR-contiguous days (frame row-count
+    == 7 AND max(epoch_day)-min(epoch_day) == 6) — edge days and days
+    next to gaps carry NULL trend/residual rather than a silently
+    lopsided average. Day-of-week is epoch-day arithmetic ((ed+4)%7,
+    0=Sunday), immune to both engines' locale conventions.
+
+    Exactness: y is an exact count; the trend is sum-of-7-exact-ints /
+    7 (one division); seasonal means average doubles whose summation
+    order differs between engines by last-ulp only — absorbed by the
+    gate's 9-significant-digit canon, the same discipline every
+    avg-of-double row relies on.
+
+    Scale: one map-combinable groupBy collapses any event volume to
+    |dates| rows; everything after runs on that dimension-bounded
+    series (the unpartitioned window is over days — thousands of rows
+    for years of data — never over events). The dow means are a 7-row
+    aggregate; the grand mean is a broadcast 1-row cross join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("y"))
+        .withColumn(
+            "ed", F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
+        )
+        .withColumn("dow", ((F.col("ed") + 4) % 7).cast("int"))
+    )
+    w = Window.orderBy("ed").rowsBetween(-3, 3)
+    full = (F.count(F.lit(1)).over(w) == 7) & (
+        (F.max("ed").over(w) - F.min("ed").over(w)) == 6
+    )
+    trended = daily.withColumn(
+        "trend",
+        F.when(full, F.sum("y").over(w).cast("double") / F.lit(7.0)),
+    ).withColumn("detr", F.col("y").cast("double") - F.col("trend"))
+    dow_means = (
+        trended.where(F.col("detr").isNotNull())
+        .groupBy("dow")
+        .agg(F.avg("detr").alias("raw_s"))
+    )
+    grand = dow_means.agg(F.avg("raw_s").alias("g"))
+    seas = dow_means.crossJoin(F.broadcast(grand)).select(
+        "dow", (F.col("raw_s") - F.col("g")).alias("seasonal")
+    )
+    return (
+        trended.join(F.broadcast(seas), "dow")
+        .select(
+            "d",
+            "dow",
+            "y",
+            "trend",
+            "seasonal",
+            (F.col("y").cast("double") - F.col("trend") - F.col("seasonal")).alias(
+                "residual"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+EVENTS_STL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y,
+         datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS ed,
+         CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+              AS INT) AS dow
+  FROM events GROUP BY 1
+), trended AS (
+  SELECT d, dow, y,
+         CASE WHEN COUNT(*) OVER w = 7
+               AND MAX(ed) OVER w - MIN(ed) OVER w = 6
+              THEN CAST(SUM(y) OVER w AS DOUBLE) / 7.0 END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY ed ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+), detr AS (
+  SELECT *, CAST(y AS DOUBLE) - trend AS dt FROM trended
+), dow_means AS (
+  SELECT dow, AVG(dt) AS raw_s FROM detr WHERE dt IS NOT NULL GROUP BY 1
+), grand AS (
+  SELECT AVG(raw_s) AS g FROM dow_means
+), seas AS (
+  SELECT dow, raw_s - g AS seasonal FROM dow_means CROSS JOIN grand
+)
+SELECT t.d, t.dow, t.y, t.trend, s.seasonal,
+       CAST(t.y AS DOUBLE) - t.trend - s.seasonal AS residual
+FROM detr t JOIN seas s ON s.dow = t.dow
+ORDER BY t.d
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -2841,6 +2946,7 @@ TIMESERIES_QUERIES = {
     # in-range set algebra) and Count-Min (pure-int frequency), both
     # graded against exact counts; twins parity-pinned by
     # tests/test_kmv.py / test_cms.py against DuckDB directly
+    "events_stl_decompose": (events_stl_decompose, EVENTS_STL_SQL),
     "events_kmv_distinct": (events_kmv_distinct, _kmv_distinct_oracle_sql()),
     "events_kmv_overlap": (events_kmv_overlap, _kmv_overlap_oracle_sql()),
     "events_cms_heavy_hitters": (

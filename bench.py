@@ -241,6 +241,8 @@ HEADLINE = [
     "dq_benford",
     "curation_weighted_sample",
     "dedup_edit_distance",
+    "events_stl_decompose",
+    "similarity_rrf_hybrid",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two

@@ -239,3 +239,109 @@ def test_edit_distance_non_ascii_sanitized(spark):
     # 'é' is stripped -> 'stabl' vs 'stable': distance 1, not a
     # unicode-dependent value
     assert len(out) == 1 and out[0].lev_dist == 1
+
+
+# ---------------------------------------------------------------------------
+# wave 4: classical seasonal decomposition + RRF hybrid retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_stl_reconstruction_identity_and_centering(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_stl_decompose,
+    )
+
+    out = events_stl_decompose(spark, sf_dir).collect()
+    assert len(out) > 0
+    interior = [r for r in out if r.trend is not None]
+    assert interior, "expected at least one full centered window"
+    for r in interior:
+        # additive identity: y = trend + seasonal + residual
+        assert abs(r.y - (r.trend + r.seasonal + r.residual)) < 1e-9
+    # seasonal indices are zero-centered over the distinct dows
+    seas = {r.dow: r.seasonal for r in out}
+    assert abs(sum(seas.values())) < 1e-9 * max(1.0, max(abs(v) for v in seas.values()))
+    # edge rows (first/last 3 days of a contiguous series) carry NULLs
+    assert out[0].trend is None and out[0].residual is None
+    assert out[-1].trend is None
+
+
+def test_stl_gap_voids_the_window(spark, tmp_path):
+    """A missing calendar day must NULL the trend for every window that
+    spans it — row-count alone would silently average a lopsided week."""
+    import datetime as dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_stl_decompose,
+    )
+
+    days = [dt.datetime(2024, 1, d, 12, 0) for d in (
+        1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11,   # contiguous
+        13, 14, 15, 16, 17, 18, 19,          # gap at the 12th
+    )]
+    rows = [
+        (i * 10 + k, ts, k, "t", 1.0, "{}")
+        for i, ts in enumerate(days)
+        for k in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r.d.isoformat(): r.trend
+        for r in events_stl_decompose(spark, str(tmp_path)).collect()
+    }
+    # windows centered at Jan 9..15 span the missing 12th -> NULL trend
+    for d in range(9, 16):
+        key = f"2024-01-{d:02d}"
+        if key in out:
+            assert out[key] is None, key
+    # a fully interior day away from the gap keeps its trend
+    assert out["2024-01-05"] is not None
+
+
+def test_rrf_fusion_math_and_rank_shape(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.llm_queries import (
+        RRF_K,
+        RRF_TOP,
+        similarity_rrf_hybrid,
+    )
+
+    out = similarity_rrf_hybrid(spark, sf_dir).collect()
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+    assert len(out) <= RRF_TOP
+    scores = []
+    for r in out:
+        expect = 0.0
+        if r.lex_rank is not None:
+            expect += 1.0 / (float(RRF_K) + float(r.lex_rank))
+        if r.sem_rank is not None:
+            expect += 1.0 / (float(RRF_K) + float(r.sem_rank))
+        assert r.rrf_score == expect
+        assert r.lex_rank is not None or r.sem_rank is not None
+        scores.append(r.rrf_score)
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_both_lists_beat_single_list_at_same_rank(spark, sf_dir):
+    """A doc ranked r in BOTH lists must outscore a doc ranked r in
+    only one — the fusion property that makes RRF hybrid retrieval."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.llm_queries import (
+        similarity_rrf_hybrid,
+    )
+
+    out = similarity_rrf_hybrid(spark, sf_dir).collect()
+    both = [r for r in out if r.lex_rank is not None and r.sem_rank is not None]
+    single = [r for r in out if (r.lex_rank is None) != (r.sem_rank is None)]
+    if both and single:
+        # any dual-list doc with ranks (a, b) beats a single-list doc
+        # whose one rank is >= min(a, b)
+        b = both[0]
+        lo = min(b.lex_rank, b.sem_rank)
+        for s in single:
+            r = s.lex_rank if s.lex_rank is not None else s.sem_rank
+            if r >= lo:
+                assert b.rrf_score > s.rrf_score
