@@ -434,6 +434,18 @@ SCALE_TREND = {
     # r13 new sinks ship WITH trend evidence
     "streaming_cms_incremental": "events",
     "streaming_kmv_incremental": "events",
+    # r13 wave 2-4 operators ship WITH trend evidence. parts_skyline is
+    # EXEMPT: part is a dimension table _build_scale_dir deliberately
+    # keeps constant (replica facts reference the same catalog), so
+    # there is no honest 10x input for it — its at-scale stance is the
+    # collapse-to-|brand x price| groupBy documented in
+    # operators/skyline.py, the same dimension-bounded class as
+    # parts_hierarchy_rollup
+    "dq_benford": "lineitem",
+    "events_stl_decompose": "events",
+    "curation_weighted_sample": "documents",
+    "dedup_edit_distance": "documents",
+    "similarity_rrf_hybrid": "documents",
 }
 SCALE_FACTOR = 10
 
@@ -622,6 +634,42 @@ SCALE_TREND_NOTES = {
         "proof's one user-scale stage is the one-pass bottom_k "
         "grader (proof tier: includes stream startup/drain fixed "
         "cost both scales)"
+    ),
+    "dq_benford": (
+        "one map-combinable groupBy collapses any lineitem volume to "
+        "<= 9 digit rows; the window/chi-square math runs on those 9 "
+        "rows — out_ratio 1.0 by construction, and because replicas "
+        "repeat the base price distribution the per-digit frequencies "
+        "are IDENTICAL at 10x (only counts scale)"
+    ),
+    "events_stl_decompose": (
+        "the daily groupBy collapses events to |dates| rows (replicas "
+        "land in the SAME dates, so the series length is constant and "
+        "y scales by exactly 10); trend/seasonal/residual all run on "
+        "that calendar-bounded series — out_ratio 1.0, and the "
+        "unpartitioned window is over days, never events"
+    ),
+    "curation_weighted_sample": (
+        "stateless keying projection + TakeOrderedAndProject: each "
+        "task keeps k=25 rows, so the only 10x cost is the linear "
+        "scan/pow pass; out stays 25 rows. Replica doc_ids hash to "
+        "fresh u draws, so replicas compete fairly in the sample"
+    ),
+    "dedup_edit_distance": (
+        "replicas are EXACT duplicates, so every 16-char-prefix block "
+        "grows 10x and within-block pairs grow ~C(10,2)x per base "
+        "group — the minhash_lsh out_ratio caveat applies; the "
+        "per-block cap (64, deterministic doc_id order) bounds the "
+        "DP join at CAP^2 per block no matter how duplicate-saturated "
+        "the corpus, so time tracks the capped pair count, not the "
+        "quadratic uncapped one"
+    ),
+    "similarity_rrf_hybrid": (
+        "both rankers are linear passes at fixed query count (BM25: "
+        "postings-only explode + broadcast df/scalars; cosine: "
+        "broadcast 1-row query + TakeOrdered top-50); the fusion "
+        "joins two <=50-row lists, so it is scale-INVARIANT by "
+        "construction — time_ratio reads the two underlying scans"
     ),
 }
 
