@@ -510,8 +510,10 @@ SWEEP_CHECKED = [
     # consecutive green driver rounds, r11+r12, to fund
     # events_stl_decompose + similarity_rrf_hybrid below; text stays
     # represented by text_source_drift, events by a dozen rows)
+    # (events_cusum demoted r13 after 2 consecutive green driver
+    # rounds, r11+r12, to fund dedup_prefix_filter below; the CUSUM
+    # state-fold stays checked via events_cusum_incremental)
     "parts_jaccard_similarity",  # co-purchase jaccard, AQE support joins
-    "events_cusum",            # prefix-extremum CUSUM identity
     "orders_open_backlog",     # difference-array interval stabbing
     # (customer_purchase_cadence and prices_var_cvar demoted r13 after
     # 2 consecutive green driver rounds, r11+r12, to fund
@@ -575,6 +577,10 @@ SWEEP_CHECKED = [
     # 2-round-green r11+r12 — supply consumption this round: 8 of 20):
     "events_stl_decompose",    # additive trend/seasonal/residual split
     "similarity_rrf_hybrid",   # BM25 + cosine reciprocal-rank fusion
+    # NEW r13 wave 5 (first round checked per policy; funded by
+    # demoting events_cusum, 2-round-green r11+r12 — supply
+    # consumption this round: 9 of 20):
+    "dedup_prefix_filter",     # PPJoin prefixes: exact recall at J>=1/2
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -593,6 +599,7 @@ SWEEP_TAIL = [
     "prices_var_cvar",
     "text_winnowing",
     "events_growth_accounting",
+    "events_cusum",
     # demoted r12 to fund the nine r11 tail-first promotions, the
     # quantile-sketch re-promotion, and the five new-operator slots.
     # Evidence: the twelve rows below have 2 consecutive green driver

@@ -1783,3 +1783,170 @@ JOIN capped b
 WHERE levenshtein(a.pfx, b.pfx) <= {LEV_MAX_DIST}
 ORDER BY doc_a, doc_b
 """
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtering set-similarity join (PPJoin-lite, Xiao et al. 2008) —
+# the EXACT-recall scale path for Jaccard >= t
+# ---------------------------------------------------------------------------
+
+# Jaccard threshold as an exact rational p/q so the prefix length is
+# pure integer arithmetic in both engines
+PREFIX_T_P = 1
+PREFIX_T_Q = 2  # t = 0.5, matching ngram_jaccard's threshold
+
+
+def prefix_filter_pairs(
+    docs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, inter, size_a, size_b, jaccard): ALL pairs with
+    Jaccard >= 1/2 over the same distinct word-3-gram sets as
+    ngram_jaccard_pairs — found via PREFIX FILTERING instead of a
+    posting cap.
+
+    The guarantee the rest of the dedup tier trades away: order every
+    doc's shingles by ascending global document frequency (rarest
+    first, h tiebreak — one TOTAL order shared by all docs); if two
+    sets have Jaccard >= t, each must contain at least one of the
+    other's first |d| - ceil(t*|d|) + 1 shingles in that order
+    (dropping more would leave < t*|d| possible overlap). So joining
+    only the PREFIXES finds every qualifying pair — exact recall by
+    theorem, not by fixture luck — while the join never touches the
+    common shingles that make the full inverted index quadratic
+    (boilerplate grams sit at the END of the df order and enter no
+    prefix unless a doc is tiny). Contrast: ngram_jaccard's max_df cap
+    bounds the join by DROPPING hot postings (recall loss documented
+    there); minhash-LSH bounds it probabilistically. This operator is
+    the one that misses nothing at threshold, the right default when
+    a curation pipeline must CERTIFY a corpus Jaccard-clean.
+
+    Exactness: df ranks, prefix lengths (integer ceil via
+    (p*size + q - 1) // q), intersections and set sizes are all exact
+    ints; jaccard is one closing int/int division, identical op order
+    in the twin.
+
+    Scale: three shuffles do the work — the df count (map-combinable),
+    one doc_id window that ranks and measures each set in a single
+    exchange, and the prefix self-join whose volume is the whole
+    point: sum over PREFIX postings of fanout, with hot grams excluded
+    by construction. Verification joins fan out candidate x set_size
+    rows — linear in candidates, never in corpus^2. Duplicate
+    saturation (k exact replicas) still yields the C(k,2) true pairs;
+    that is the answer, not a blowup.
+    """
+    from pyspark.sql import Window
+
+    owns_cache = shingles is None
+    sh = _shingle_hashes(docs).persist() if owns_cache else shingles
+    if owns_cache:
+        sh.count()
+    dfrel = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfrel, "h")
+        .withColumn("set_size", F.count(F.lit(1)).over(wdoc))
+        .withColumn(
+            "rn",
+            F.row_number().over(wdoc.orderBy("df", "h")),
+        )
+    )
+    pfx_len = (
+        F.col("set_size")
+        - F.expr(
+            f"({PREFIX_T_P} * set_size + {PREFIX_T_Q} - 1) "
+            f"div {PREFIX_T_Q}"
+        )
+        + F.lit(1)
+    )
+    prefix = ranked.where(F.col("rn") <= pfx_len).select("doc_id", "h")
+    cands = (
+        prefix.alias("a")
+        .hint("shuffle_hash")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cands.join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+    )
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter")
+            / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+        )
+        .where(
+            F.col("inter") * F.lit(PREFIX_T_Q)
+            >= (F.col("size_a") + F.col("size_b") - F.col("inter"))
+            * F.lit(PREFIX_T_P)
+        )
+        .select("doc_a", "doc_b", "inter", "size_a", "size_b", "jaccard")
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    if owns_cache:
+        sh.unpersist()
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+PREFIX_FILTER_SQL = f"""
+WITH shingles AS ({_SHINGLES_SQL}),
+dfrel AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS df FROM shingles GROUP BY 1
+),
+ranked AS (
+  SELECT s.doc_id, s.h,
+         COUNT(*) OVER (PARTITION BY s.doc_id) AS set_size,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.h)
+           AS rn
+  FROM shingles s JOIN dfrel d ON d.h = s.h
+),
+prefix AS (
+  SELECT doc_id, h FROM ranked
+  WHERE rn <= set_size
+              - (({PREFIX_T_P} * set_size + {PREFIX_T_Q} - 1)
+                 // {PREFIX_T_Q}) + 1
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM prefix a JOIN prefix b ON a.h = b.h AND a.doc_id < b.doc_id
+),
+inter AS (
+  SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+  FROM cands c
+  JOIN shingles x ON x.doc_id = c.doc_a
+  JOIN shingles y ON y.doc_id = c.doc_b AND y.h = x.h
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS set_size
+  FROM shingles GROUP BY 1
+)
+SELECT doc_a, doc_b, inter, sa.set_size AS size_a, sb.set_size AS size_b,
+       inter / (sa.set_size + sb.set_size - inter) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE inter * {PREFIX_T_Q} >= (sa.set_size + sb.set_size - inter) * {PREFIX_T_P}
+ORDER BY doc_a, doc_b
+"""

@@ -472,6 +472,16 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         ),
         dedup.NGRAM_JACCARD_SQL,
     ),
+    # r13: PPJoin-lite prefix filtering over the SAME shingle universe —
+    # exact recall at Jaccard >= 1/2 by theorem (rarest-first prefixes
+    # must collide), vs ngram_jaccard's max_df cap and minhash's bands
+    "dedup_prefix_filter": (
+        lambda spark, sf: dedup.prefix_filter_pairs(
+            load_table(spark, sf, "documents"),
+            shingles=_shingles(spark, sf),
+        ),
+        dedup.PREFIX_FILTER_SQL,
+    ),
     # transitive closure of the simhash pair set -> actionable dedup
     "dedup_components": (
         lambda spark, sf: _simhash_components(spark, sf),

@@ -243,6 +243,7 @@ HEADLINE = [
     "dedup_edit_distance",
     "events_stl_decompose",
     "similarity_rrf_hybrid",
+    "dedup_prefix_filter",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -446,6 +447,7 @@ SCALE_TREND = {
     "curation_weighted_sample": "documents",
     "dedup_edit_distance": "documents",
     "similarity_rrf_hybrid": "documents",
+    "dedup_prefix_filter": "documents",
 }
 SCALE_FACTOR = 10
 
@@ -670,6 +672,15 @@ SCALE_TREND_NOTES = {
         "broadcast 1-row query + TakeOrdered top-50); the fusion "
         "joins two <=50-row lists, so it is scale-INVARIANT by "
         "construction — time_ratio reads the two underlying scans"
+    ),
+    "dedup_prefix_filter": (
+        "replicas are EXACT duplicates, so TRUE J>=1/2 pairs grow "
+        "~C(10,2)x per base group and exact recall means the output "
+        "MUST grow with them — read time against out_ratio. The "
+        "filter's own claim is candidate volume: prefixes exclude "
+        "common shingles by construction, so candidates track true "
+        "pairs + rare-shingle collisions, never the hot-posting "
+        "quadratic of the uncapped inverted index"
     ),
 }
 

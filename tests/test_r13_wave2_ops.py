@@ -345,3 +345,101 @@ def test_rrf_both_lists_beat_single_list_at_same_rank(spark, sf_dir):
             r = s.lex_rank if s.lex_rank is not None else s.sem_rank
             if r >= lo:
                 assert b.rrf_score > s.rrf_score
+
+
+# ---------------------------------------------------------------------------
+# wave 5: prefix-filtering set-similarity join (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_equals_uncapped_inverted_index(spark, sf_dir):
+    """Exact-recall theorem check on the real fixture: the prefix-join
+    pair set must equal the UNCAPPED inverted-index pair set at the
+    same threshold (both are exact; they get there differently)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    brute = {
+        (r.doc_a, r.doc_b): (r.inter, r.size_a, r.size_b)
+        for r in ngram_jaccard_pairs(docs, max_df=10**9).collect()
+    }
+    pf = {
+        (r.doc_a, r.doc_b): (r.inter, r.size_a, r.size_b)
+        for r in prefix_filter_pairs(docs).collect()
+    }
+    assert pf == brute
+
+
+def test_prefix_filter_finds_duplicate_groups(spark):
+    """k exact replicas must yield all C(k,2) pairs at jaccard 1.0 —
+    exact recall under duplicate saturation, where capped miners rely
+    on the cap ordering to keep group members together."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    text = " ".join(f"tok{i}" for i in range(30))
+    other = " ".join(f"zzz{i}" for i in range(30))
+    rows = [(i, text, "en", "s", len(text)) for i in range(5)] + [
+        (99, other, "en", "s", len(other))
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = prefix_filter_pairs(df).collect()
+    got = {(r.doc_a, r.doc_b) for r in out}
+    want = {(a, b) for a in range(5) for b in range(5) if a < b}
+    assert got == want
+    assert all(r.jaccard == 1.0 for r in out)
+
+
+def test_prefix_filter_prefixes_exclude_hot_shingles(spark):
+    """A boilerplate shingle shared by every doc must enter no doc's
+    prefix (it is the LAST in df order) unless the doc is tiny — the
+    candidate-volume claim the operator's scale story rests on."""
+    from pyspark.sql import functions as F
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        PREFIX_T_P,
+        PREFIX_T_Q,
+        _shingle_hashes,
+    )
+
+    # every doc ends with the same boilerplate sentence; bodies disjoint
+    boiler = "all rights reserved worldwide"
+    rows = [
+        (i, " ".join(f"w{i}_{j}" for j in range(20)) + " " + boiler,
+         "en", "s", 0)
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    from pyspark.sql import Window
+
+    sh = _shingle_hashes(df)
+    dfrel = sh.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    wdoc = Window.partitionBy("doc_id")
+    ranked = (
+        sh.join(dfrel, "h")
+        .withColumn("set_size", F.count(F.lit(1)).over(wdoc))
+        .withColumn("rn", F.row_number().over(wdoc.orderBy("df", "h")))
+    )
+    pfx_len = (
+        F.col("set_size")
+        - F.expr(f"({PREFIX_T_P} * set_size + {PREFIX_T_Q} - 1) div {PREFIX_T_Q}")
+        + F.lit(1)
+    )
+    prefix = ranked.where(F.col("rn") <= pfx_len)
+    # shared shingles (df == 8) never make a prefix here: each doc has
+    # ~22 distinct shingles, prefix ~12, and 8+ rare body shingles
+    hot_in_prefix = (
+        prefix.join(dfrel.where(F.col("df") == 8).select("h"), "h").count()
+    )
+    assert hot_in_prefix == 0
