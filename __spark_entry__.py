@@ -486,7 +486,6 @@ SWEEP_CHECKED = [
     # 2-round-green r9+r10):
     "dedup_winnowing_pairs",   # shared-fingerprint join, capped postings
     "prices_donchian",         # prior-window channel extrema + breakouts
-    "events_hourofweek_seasonality",  # 168-cell profile, epoch-day dow
     "orders_ship_sla",         # exact histogram percentiles, no sort
     # PROMOTED r11: the fifteen r10 tail-first rows that had never had
     # a real driver round (r10 verdict ask #1 — the only open
@@ -513,8 +512,11 @@ SWEEP_CHECKED = [
     # (events_cusum demoted r13 after 2 consecutive green driver
     # rounds, r11+r12, to fund dedup_prefix_filter below; the CUSUM
     # state-fold stays checked via events_cusum_incremental)
+    # (orders_open_backlog and events_hourofweek_seasonality demoted
+    # r13 after 2 consecutive green driver rounds, r11+r12, to fund
+    # dq_profile + curation_score_calibration below; orders stays
+    # represented by orders_ship_sla + orders_basket_rules)
     "parts_jaccard_similarity",  # co-purchase jaccard, AQE support joins
-    "orders_open_backlog",     # difference-array interval stabbing
     # (customer_purchase_cadence and prices_var_cvar demoted r13 after
     # 2 consecutive green driver rounds, r11+r12, to fund
     # curation_weighted_sample + dedup_edit_distance below)
@@ -581,6 +583,11 @@ SWEEP_CHECKED = [
     # demoting events_cusum, 2-round-green r11+r12 — supply
     # consumption this round: 9 of 20):
     "dedup_prefix_filter",     # PPJoin prefixes: exact recall at J>=1/2
+    # NEW r13 wave 6 (first round checked per policy; funded by
+    # demoting orders_open_backlog + events_hourofweek_seasonality,
+    # each 2-round-green r11+r12 — supply consumption: 11 of 20):
+    "dq_profile",              # 11-column profile in ONE scan, stack
+    "curation_score_calibration",  # per-source median vs global cutoff
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -600,6 +607,8 @@ SWEEP_TAIL = [
     "text_winnowing",
     "events_growth_accounting",
     "events_cusum",
+    "orders_open_backlog",
+    "events_hourofweek_seasonality",
     # demoted r12 to fund the nine r11 tail-first promotions, the
     # quantile-sketch re-promotion, and the five new-operator slots.
     # Evidence: the twelve rows below have 2 consecutive green driver

@@ -795,3 +795,163 @@ FROM ranked JOIN quotas USING (source)
 WHERE rk <= quota
 ORDER BY source, rk
 """
+
+
+# ---------------------------------------------------------------------------
+# per-source quality-score calibration: median thresholds, not one
+# global cutoff
+# ---------------------------------------------------------------------------
+
+
+def score_calibration(docs: DataFrame) -> DataFrame:
+    """(source, n_docs, global_threshold, source_threshold, kept_global,
+    kept_calibrated): what a single corpus-wide quality cutoff does to
+    each source's survival vs a per-source cutoff — the calibration
+    check every mixed-corpus curation run needs, because quality scores
+    are NOT comparable across sources (a clean-wiki source's median
+    beats a web-crawl's P90) and one global threshold silently deletes
+    whole sources.
+
+    Score = the corpus-bigram LM score (text.lm_score, driver-proven).
+    Threshold = the DISCRETE median: the smallest score s where
+    2 * (docs with score <= s) >= n — pure integer arithmetic, no
+    interpolation flavor to disagree on. kept = score >= threshold,
+    computed once against the global median and once against the
+    source's own.
+
+    Exactness: every output column is an exact int64 (counts and
+    millibit scores); nothing floats.
+
+    Scale: scoring is lm_score's proven plan; everything after runs on
+    the (source, score) HISTOGRAM — map-combinable collapse, windows
+    over |sources| x |distinct scores| rows, never a global sort of
+    raw docs (the histogram-threshold shape, same discipline as
+    orders_ship_sla's exact percentiles).
+    """
+    from .text import lm_score
+
+    scores = lm_score(docs).where(
+        F.col("lm_score_millibits").isNotNull()
+    )
+    j = docs.select("doc_id", "source").join(scores, "doc_id")
+    hist = j.groupBy("source", "lm_score_millibits").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+    # global median over the score histogram
+    ghist = hist.groupBy("lm_score_millibits").agg(F.sum("n").alias("gn"))
+    wg = Window.orderBy("lm_score_millibits").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gcum = ghist.withColumn("cum", F.sum("gn").over(wg)).withColumn(
+        "total", F.sum("gn").over(Window.partitionBy())
+    )
+    g_thresh = gcum.where(2 * F.col("cum") >= F.col("total")).agg(
+        F.min("lm_score_millibits").alias("global_threshold")
+    )
+
+    # per-source medians, same construction partitioned by source
+    ws = (
+        Window.partitionBy("source")
+        .orderBy("lm_score_millibits")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    scum = hist.withColumn("cum", F.sum("n").over(ws)).withColumn(
+        "stotal", F.sum("n").over(Window.partitionBy("source"))
+    )
+    s_thresh = (
+        scum.where(2 * F.col("cum") >= F.col("stotal"))
+        .groupBy("source")
+        .agg(F.min("lm_score_millibits").alias("source_threshold"))
+    )
+
+    enriched = (
+        hist.crossJoin(F.broadcast(g_thresh))
+        .join(F.broadcast(s_thresh), "source")
+    )
+    return (
+        enriched.groupBy("source", "global_threshold", "source_threshold")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.sum(
+                F.when(
+                    F.col("lm_score_millibits")
+                    >= F.col("global_threshold"),
+                    F.col("n"),
+                ).otherwise(F.lit(0))
+            ).alias("kept_global"),
+            F.sum(
+                F.when(
+                    F.col("lm_score_millibits")
+                    >= F.col("source_threshold"),
+                    F.col("n"),
+                ).otherwise(F.lit(0))
+            ).alias("kept_calibrated"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "global_threshold",
+            "source_threshold",
+            "kept_global",
+            "kept_calibrated",
+        )
+        .orderBy("source")
+    )
+
+
+def _score_calibration_sql() -> str:
+    from .text import LM_SCORE_SQL
+
+    return f"""
+WITH scores AS ({LM_SCORE_SQL}),
+j AS (
+  SELECT d.source, s.lm_score_millibits
+  FROM documents d JOIN scores s ON s.doc_id = d.doc_id
+  WHERE s.lm_score_millibits IS NOT NULL
+),
+hist AS (
+  SELECT source, lm_score_millibits, CAST(COUNT(*) AS BIGINT) AS n
+  FROM j GROUP BY 1, 2
+),
+gcum AS (
+  SELECT lm_score_millibits,
+         SUM(gn) OVER (ORDER BY lm_score_millibits
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(gn) OVER () AS total
+  FROM (SELECT lm_score_millibits, SUM(n) AS gn FROM hist GROUP BY 1)
+),
+g_thresh AS (
+  SELECT MIN(lm_score_millibits) AS global_threshold
+  FROM gcum WHERE 2 * cum >= total
+),
+scum AS (
+  SELECT source, lm_score_millibits, n,
+         SUM(n) OVER (PARTITION BY source ORDER BY lm_score_millibits
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(n) OVER (PARTITION BY source) AS stotal
+  FROM hist
+),
+s_thresh AS (
+  SELECT source, MIN(lm_score_millibits) AS source_threshold
+  FROM scum WHERE 2 * cum >= stotal GROUP BY 1
+)
+SELECT h.source,
+       CAST(SUM(h.n) AS BIGINT) AS n_docs,
+       g.global_threshold,
+       s.source_threshold,
+       CAST(SUM(CASE WHEN h.lm_score_millibits >= g.global_threshold
+                     THEN h.n ELSE 0 END) AS BIGINT) AS kept_global,
+       CAST(SUM(CASE WHEN h.lm_score_millibits >= s.source_threshold
+                     THEN h.n ELSE 0 END) AS BIGINT) AS kept_calibrated
+FROM hist h
+CROSS JOIN g_thresh g
+JOIN s_thresh s ON s.source = h.source
+GROUP BY h.source, g.global_threshold, s.source_threshold
+ORDER BY h.source
+"""
+
+
+SCORE_CALIBRATION_SQL = _score_calibration_sql()

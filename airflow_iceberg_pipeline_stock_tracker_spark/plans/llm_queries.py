@@ -613,6 +613,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(curation.weighted_sample),
         curation.WEIGHTED_SAMPLE_SQL,
     ),
+    # r13: per-source median calibration of the LM quality score —
+    # exact-int histogram thresholds, the mixed-corpus survival check
+    "curation_score_calibration": (
+        _docs(curation.score_calibration),
+        curation.SCORE_CALIBRATION_SQL,
+    ),
     "dedup_edit_distance": (
         _docs(dedup.edit_distance_pairs),
         dedup.EDIT_DISTANCE_SQL,

@@ -2030,6 +2030,142 @@ ORDER BY digit
 """
 
 
+# ---------------------------------------------------------------------------
+# single-pass relational profiler — every column's stats in ONE scan
+# ---------------------------------------------------------------------------
+
+# (column, class): class picks the exact-integer normalization for
+# min/max — money doubles go through cents, timestamps through epoch
+# micros, so no float or string-rendering divergence can reach the hash
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("l_orderkey", "int"),
+    ("l_partkey", "int"),
+    ("l_suppkey", "int"),
+    ("l_linenumber", "int"),
+    ("l_quantity", "money"),
+    ("l_extendedprice", "money"),
+    ("l_discount", "money"),
+    ("l_tax", "money"),
+    ("l_returnflag", "str"),
+    ("l_linestatus", "str"),
+    ("l_shipdate", "ts"),
+]
+
+
+def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(col_name, n_total, n_null, n_distinct, min_int, max_int,
+    min_str, max_str): the whole-table column profile — the first thing
+    a data platform computes on any new table — for all 11 lineitem
+    columns in ONE scan.
+
+    The point is the plan shape: a naive profiler runs C scans (one per
+    column); this one computes every column's null count, exact
+    distinct count, and normalized min/max inside a single aggregate,
+    then unpivots the 1-row result with ``stack`` — the fact table is
+    touched once. Numeric min/max are normalized to exact int64 (raw
+    ints, cents for money, epoch-micros for timestamps); string min/max
+    stay strings (binary collation in both engines); each class leaves
+    the other columns NULL, so the output schema is fixed and typed.
+
+    Exactness: counts are exact int64 (n_null = n_total - count(col),
+    both engines ignore NULLs in count(col) and count(distinct));
+    nothing floats anywhere.
+
+    Scale: one pass, map-combinable except the 11 exact
+    COUNT(DISTINCT)s, which Catalyst plans as Expand (11x map-side
+    fan-out, the documented price of exactness in one pass — the same
+    trade events_cube makes). At 100 TB swap exact distincts for the
+    HLL registers this repo already ships (events_hll_distinct) and
+    the profile becomes fully map-combinable; the exact version IS the
+    oracle-checkable one.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    n_total = F.count(F.lit(1)).alias("n_total")
+    aggs = [n_total]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(F.count(c).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+        if kind == "int":
+            lo, hi = F.min(c), F.max(c)
+        elif kind == "money":
+            lo, hi = F.min(cents(c)), F.max(cents(c))
+        elif kind == "ts":
+            lo = F.min(F.unix_micros(F.col(c).cast("timestamp")))
+            hi = F.max(F.unix_micros(F.col(c).cast("timestamp")))
+        else:  # str: min/max land in the string slots instead
+            lo, hi = F.min(c), F.max(c)
+        aggs.append(lo.alias(f"lo_{c}"))
+        aggs.append(hi.alias(f"hi_{c}"))
+    one = li.agg(*aggs)
+    cells = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "str":
+            mini, maxi = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
+            mins, maxs = f"lo_{c}", f"hi_{c}"
+        else:
+            mini, maxi = f"CAST(lo_{c} AS BIGINT)", f"CAST(hi_{c} AS BIGINT)"
+            mins, maxs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        cells.append(
+            f"'{c}', n_total - nn_{c}, nd_{c}, {mini}, {maxi}, {mins}, {maxs}"
+        )
+    stacked = one.selectExpr(
+        "n_total",
+        f"stack({len(_PROFILE_COLS)}, {', '.join(cells)}) AS "
+        "(col_name, n_null, n_distinct, min_int, max_int, min_str, max_str)",
+    )
+    return stacked.select(
+        "col_name",
+        "n_total",
+        "n_null",
+        "n_distinct",
+        "min_int",
+        "max_int",
+        "min_str",
+        "max_str",
+    ).orderBy("col_name")
+
+
+def _dq_profile_sql() -> str:
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n_total"]
+    for c, kind in _PROFILE_COLS:
+        aggs.append(f"CAST(COUNT({c}) AS BIGINT) AS nn_{c}")
+        aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        if kind == "int":
+            lo, hi = f"MIN({c})", f"MAX({c})"
+        elif kind == "money":
+            lo = f"MIN(CAST(ROUND({c} * 100) AS BIGINT))"
+            hi = f"MAX(CAST(ROUND({c} * 100) AS BIGINT))"
+        elif kind == "ts":
+            lo, hi = f"MIN(epoch_us({c}))", f"MAX(epoch_us({c}))"
+        else:
+            lo, hi = f"MIN({c})", f"MAX({c})"
+        aggs.append(f"{lo} AS lo_{c}")
+        aggs.append(f"{hi} AS hi_{c}")
+    rows = []
+    for c, kind in _PROFILE_COLS:
+        if kind == "str":
+            mini, maxi = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
+            mins, maxs = f"lo_{c}", f"hi_{c}"
+        else:
+            mini, maxi = f"CAST(lo_{c} AS BIGINT)", f"CAST(hi_{c} AS BIGINT)"
+            mins, maxs = "CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"
+        rows.append(
+            f"SELECT '{c}' AS col_name, n_total, n_total - nn_{c} AS n_null, "
+            f"nd_{c} AS n_distinct, {mini} AS min_int, {maxi} AS max_int, "
+            f"{mins} AS min_str, {maxs} AS max_str FROM one"
+        )
+    return (
+        "WITH one AS (SELECT "
+        + ", ".join(aggs)
+        + " FROM lineitem)\n"
+        + "\nUNION ALL\n".join(rows)
+        + "\nORDER BY col_name"
+    )
+
+
+DQ_PROFILE_SQL = _dq_profile_sql()
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -2071,4 +2207,5 @@ RELATIONAL_EXT_QUERIES = {
     # different oracle algorithm (quadratic NOT EXISTS / window-free)
     "parts_skyline": (parts_skyline, PARTS_SKYLINE_SQL),
     "dq_benford": (dq_benford, DQ_BENFORD_SQL),
+    "dq_profile": (dq_profile, DQ_PROFILE_SQL),
 }

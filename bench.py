@@ -244,6 +244,8 @@ HEADLINE = [
     "events_stl_decompose",
     "similarity_rrf_hybrid",
     "dedup_prefix_filter",
+    "dq_profile",
+    "curation_score_calibration",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -448,6 +450,8 @@ SCALE_TREND = {
     "dedup_edit_distance": "documents",
     "similarity_rrf_hybrid": "documents",
     "dedup_prefix_filter": "documents",
+    "dq_profile": "lineitem",
+    "curation_score_calibration": "documents",
 }
 SCALE_FACTOR = 10
 
@@ -681,6 +685,20 @@ SCALE_TREND_NOTES = {
         "common shingles by construction, so candidates track true "
         "pairs + rare-shingle collisions, never the hot-posting "
         "quadratic of the uncapped inverted index"
+    ),
+    "dq_profile": (
+        "one aggregate over the fact table (Expand fan-out for the 11 "
+        "exact distincts is the documented price of one-pass "
+        "exactness); output is always 11 rows — out_ratio 1.0 by "
+        "construction, null counts and totals scale by exactly 10"
+    ),
+    "curation_score_calibration": (
+        "scoring is lm_score's proven linear plan (replica docs keep "
+        "the closed vocabulary, so the bigram LM tables stay "
+        "vocab-bounded); everything after runs on the (source, score) "
+        "histogram — dimension-scale windows, out stays |sources| rows. "
+        "Replicas repeat the base score distribution, so both "
+        "thresholds and the kept/total RATIOS are identical at 10x"
     ),
 }
 

@@ -95,6 +95,9 @@ _BROADCAST_NLJ_ALLOWED = frozenset(
         # non-equi (source_a < source_b) pair join over the |sources|-row
         # broadcast profile table — dimension-scale by construction
         "text_source_drift",
+        # broadcast 1-row query vector (dense side) + BM25's broadcast
+        # 1-row corpus scalars — both the O(n*1) scalar-attach class
+        "similarity_rrf_hybrid",
     }
 )
 

@@ -443,3 +443,103 @@ def test_prefix_filter_prefixes_exclude_hot_shingles(spark):
         prefix.join(dfrel.where(F.col("df") == 8).select("h"), "h").count()
     )
     assert hot_in_prefix == 0
+
+
+# ---------------------------------------------------------------------------
+# wave 6: single-pass profiler + per-source score calibration
+# ---------------------------------------------------------------------------
+
+
+def test_dq_profile_stats_are_exact(spark, sf_dir):
+    import duckdb
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        dq_profile,
+    )
+
+    out = {r.col_name: r for r in dq_profile(spark, sf_dir).collect()}
+    assert len(out) == 11
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM '{sf_dir}/lineitem.parquet'"
+    )
+    # spot-check three columns against independent single-column queries
+    n, nn, nd, lo, hi = con.execute(
+        "SELECT COUNT(*), COUNT(l_orderkey), COUNT(DISTINCT l_orderkey), "
+        "MIN(l_orderkey), MAX(l_orderkey) FROM lineitem"
+    ).fetchone()
+    r = out["l_orderkey"]
+    assert (r.n_total, r.n_null, r.n_distinct, r.min_int, r.max_int) == (
+        n, n - nn, nd, lo, hi,
+    )
+    assert r.min_str is None and r.max_str is None
+    r = out["l_returnflag"]
+    lo_s, hi_s = con.execute(
+        "SELECT MIN(l_returnflag), MAX(l_returnflag) FROM lineitem"
+    ).fetchone()
+    assert (r.min_str, r.max_str) == (lo_s, hi_s)
+    assert r.min_int is None and r.max_int is None
+    r = out["l_extendedprice"]
+    lo_c, hi_c = con.execute(
+        "SELECT MIN(CAST(ROUND(l_extendedprice*100) AS BIGINT)), "
+        "MAX(CAST(ROUND(l_extendedprice*100) AS BIGINT)) FROM lineitem"
+    ).fetchone()
+    assert (r.min_int, r.max_int) == (lo_c, hi_c)
+
+
+def test_dq_profile_is_one_scan(spark, sf_dir):
+    """The profiler's contract: ONE scan of the fact table (the naive
+    per-column profiler runs 11)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        dq_profile,
+    )
+
+    plan = (
+        dq_profile(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Scan parquet") == 1
+
+
+def test_score_calibration_thresholds_are_medians(spark, sf_dir):
+    """Each source's threshold must be the discrete median of ITS score
+    distribution, and kept_calibrated ~ half of n_docs by construction
+    (>= half, since kept includes the median bucket)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.curation import (
+        score_calibration,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import lm_score
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = score_calibration(docs).collect()
+    assert len(out) > 1
+    scores = {
+        r.doc_id: r.lm_score_millibits
+        for r in lm_score(docs).collect()
+        if r.lm_score_millibits is not None
+    }
+    srcs = {
+        r.doc_id: r.source
+        for r in docs.select("doc_id", "source").collect()
+    }
+    for row in out:
+        vals = sorted(
+            s for d, s in scores.items() if srcs.get(d) == row.source
+        )
+        # discrete median: smallest s with 2*|{x <= s}| >= n
+        import bisect
+
+        med = next(
+            s for s in vals
+            if 2 * (bisect.bisect_right(vals, s)) >= len(vals)
+        )
+        assert row.source_threshold == med
+        assert row.n_docs == len(vals)
+        assert row.kept_calibrated == sum(1 for v in vals if v >= med)
+        # kept-calibrated is always the top half-ish of ITS OWN source
+        assert 2 * row.kept_calibrated >= row.n_docs - 1
+    # global threshold identical across rows
+    assert len({r.global_threshold for r in out}) == 1
