@@ -484,8 +484,10 @@ SWEEP_CHECKED = [
     # last four r9 supply rows — events_holt_forecast,
     # events_attribution, orders_cohort_ltv, text_collocations, each
     # 2-round-green r9+r10):
-    "dedup_winnowing_pairs",   # shared-fingerprint join, capped postings
-    "prices_donchian",         # prior-window channel extrema + breakouts
+    # (dedup_winnowing_pairs and prices_donchian demoted r13 after 2
+    # consecutive green driver rounds, r11+r12, to fund orders_ivm_join
+    # + curation_token_budget below; dedup stays represented by
+    # dedup_edit_distance + dedup_prefix_filter, prices by 5+ rows)
     "orders_ship_sla",         # exact histogram percentiles, no sort
     # PROMOTED r11: the fifteen r10 tail-first rows that had never had
     # a real driver round (r10 verdict ask #1 — the only open
@@ -588,11 +590,24 @@ SWEEP_CHECKED = [
     # each 2-round-green r11+r12 — supply consumption: 11 of 20):
     "dq_profile",              # 11-column profile in ONE scan, stack
     "curation_score_calibration",  # per-source median vs global cutoff
+    # NEW r13 wave 7 (first round checked per policy; funded by
+    # demoting dedup_winnowing_pairs + prices_donchian, each
+    # 2-round-green r11+r12 — supply consumption: 13 of 20):
+    "orders_ivm_join",         # delta algebra == full recompute (oracle
+    #   IS the recompute, so the hash gate is the IVM proof)
+    "curation_token_budget",   # closed-form capped waterfill, int64
+    #   surface except the water level itself
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
+    # demoted r13 wave 7 to fund orders_ivm_join +
+    # curation_token_budget. Evidence per row: 2 consecutive green
+    # driver rounds (r11+r12), pytest coverage (tests/test_r11_ops.py),
+    # and the per-CI tail-oracle gate below
+    "dedup_winnowing_pairs",
+    "prices_donchian",
     # demoted r13 to fund the two sketch-sink slots (monthly_bars,
     # golden_cross) and the skyline/benford slots (macd, ichimoku).
     # Evidence per row: 2 consecutive green driver rounds (r11+r12,

@@ -955,3 +955,229 @@ ORDER BY h.source
 
 
 SCORE_CALIBRATION_SQL = _score_calibration_sql()
+
+
+# ---------------------------------------------------------------------------
+# token-budget allocation across sources (capped waterfill, closed form)
+# ---------------------------------------------------------------------------
+
+# budget = total corpus tokens DIV 2 (integer-exact); per-source cap =
+# MAX_EPOCHS x the source's own tokens (you can repeat a source at most
+# twice before memorization outweighs the data).
+TOKEN_BUDGET_MAX_EPOCHS = 2
+
+
+def token_budget(docs: DataFrame) -> DataFrame:
+    """(source, tokens, weight_deciq, cap, allocation, epochs,
+    saturated): how many tokens of each source to draw for a fixed
+    global training budget — allocated proportionally to a quality
+    weight, capped at TOKEN_BUDGET_MAX_EPOCHS epochs of the source's own
+    supply. The data-mixing step that turns per-source quality scores
+    into an actual sampling plan (the practical half of DoReMi-style
+    mixture design: weights in, epochs out).
+
+    The capped-proportional problem  max Σ a_s  s.t.  a_s = min(λ·w_s,
+    c_s), Σ a_s = B  has a CLOSED FORM — no iteration: sort sources by
+    r_s = c_s / w_s ascending; the first position m where the water
+    level λ_m = (B - Σ_{j<m} c_j) / Σ_{j>=m} w_j drops to <= r_m splits
+    saturated (j < m: a_j = c_j) from proportional (j >= m: a_j =
+    λ_m·w_j). Mediant algebra gives λ_m > r_j for all j < m, so the
+    split is self-consistent, and Σ a = B exactly by construction.
+
+    Exactness: tokens/weights/caps are exact int64 (weight = per-doc
+    quality in DECIquality units, round(quality*10) — integer-summable
+    in any partial-agg order); B = total DIV 2 is integer; only λ and
+    the allocations are doubles, computed by one pinned expression per
+    row. Zero-weight sources are excluded from the fill (identical
+    guard both engines) and emitted with allocation 0.
+
+    Scale: per-doc scoring is quality_score's single-scan projection;
+    everything after runs on the |sources|-row aggregate — the window
+    sort orders ~dozens of rows, never documents. At 100 TB this is one
+    map-combinable groupBy + a driver-sized plan table.
+    """
+    from .text import quality_score
+
+    q = quality_score(docs).select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.col("quality") * 10, 0).cast("bigint").alias("wq"),
+    )
+    per_src = (
+        docs.select("doc_id", "source")
+        .join(q, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("tokens"),
+            F.sum("wq").cast("bigint").alias("weight_deciq"),
+        )
+        .withColumn(
+            "cap",
+            (F.lit(TOKEN_BUDGET_MAX_EPOCHS) * F.col("tokens")).cast("bigint"),
+        )
+    )
+    pos = per_src.where(F.col("weight_deciq") > 0)
+    zeros = per_src.where(F.col("weight_deciq") <= 0)
+
+    # global scalars: B = (all tokens) DIV 2, clamped at the feasible
+    # supply (sum of positive-weight caps) — 1-row broadcast cross join
+    totals = per_src.agg(
+        F.expr("CAST(SUM(tokens) DIV 2 AS BIGINT)").alias("b_raw")
+    )
+    supply = pos.agg(F.sum("cap").cast("bigint").alias("cap_supply"))
+    scal = totals.crossJoin(supply).select(
+        F.least("b_raw", "cap_supply").alias("budget")
+    )
+
+    w_ord = Window.orderBy("r", "source")
+    wall = Window.partitionBy(F.lit(1))
+    cum = (
+        pos.crossJoin(F.broadcast(scal))
+        .withColumn(
+            "r", F.col("cap").cast("double") / F.col("weight_deciq")
+        )
+        .withColumn("rank", F.row_number().over(w_ord))
+        .withColumn(
+            "c_prev",
+            F.sum("cap").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+            - F.col("cap"),
+        )
+        .withColumn(
+            "w_rem",
+            F.sum("weight_deciq").over(
+                w_ord.rowsBetween(0, Window.unboundedFollowing)
+            ),
+        )
+        .withColumn(
+            "lam",
+            (F.col("budget") - F.col("c_prev")).cast("double")
+            / F.col("w_rem"),
+        )
+    )
+    solved = (
+        cum.withColumn(
+            "m_star",
+            F.min(F.when(F.col("lam") <= F.col("r"), F.col("rank"))).over(
+                wall
+            ),
+        )
+        .withColumn(
+            "lam_star",
+            F.max(
+                F.when(F.col("rank") == F.col("m_star"), F.col("lam"))
+            ).over(wall),
+        )
+        .withColumn(
+            "saturated",
+            F.col("m_star").isNull() | (F.col("rank") < F.col("m_star")),
+        )
+        .withColumn(
+            "allocation",
+            F.when(F.col("saturated"), F.col("cap").cast("double")).otherwise(
+                F.col("lam_star") * F.col("weight_deciq")
+            ),
+        )
+    )
+    filled = solved.select(
+        "source", "tokens", "weight_deciq", "cap", "allocation", "saturated"
+    )
+    rest = zeros.select(
+        "source",
+        "tokens",
+        "weight_deciq",
+        "cap",
+        F.lit(0.0).alias("allocation"),
+        F.lit(False).alias("saturated"),
+    )
+    return (
+        filled.unionByName(rest)
+        .withColumn(
+            "epochs",
+            F.col("allocation") / F.greatest(F.col("tokens"), F.lit(1)),
+        )
+        .select(
+            "source",
+            "tokens",
+            "weight_deciq",
+            "cap",
+            "allocation",
+            "epochs",
+            "saturated",
+        )
+        .orderBy("source")
+    )
+
+
+def _token_budget_sql() -> str:
+    from .text import QUALITY_SQL
+
+    me = TOKEN_BUDGET_MAX_EPOCHS
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+per_src AS (
+  SELECT d.source,
+         CAST(SUM(q.n_tokens) AS BIGINT) AS tokens,
+         CAST(SUM(CAST(ROUND(q.quality * 10) AS BIGINT)) AS BIGINT)
+           AS weight_deciq,
+         CAST({me} * SUM(q.n_tokens) AS BIGINT) AS cap
+  FROM documents d JOIN q ON q.doc_id = d.doc_id
+  GROUP BY d.source
+),
+scal AS (
+  SELECT LEAST(
+           (SELECT CAST(SUM(tokens) // 2 AS BIGINT) FROM per_src),
+           (SELECT CAST(SUM(cap) AS BIGINT) FROM per_src
+            WHERE weight_deciq > 0)
+         ) AS budget
+),
+cum AS (
+  SELECT p.*, s.budget,
+         CAST(p.cap AS DOUBLE) / p.weight_deciq AS r,
+         ROW_NUMBER() OVER ord AS rank,
+         SUM(p.cap) OVER (ORDER BY CAST(p.cap AS DOUBLE) / p.weight_deciq,
+                          p.source
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - p.cap AS c_prev,
+         SUM(p.weight_deciq)
+           OVER (ORDER BY CAST(p.cap AS DOUBLE) / p.weight_deciq, p.source
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS w_rem
+  FROM per_src p CROSS JOIN scal s
+  WHERE p.weight_deciq > 0
+  WINDOW ord AS (ORDER BY CAST(p.cap AS DOUBLE) / p.weight_deciq, p.source)
+),
+lamd AS (
+  SELECT *, CAST(budget - c_prev AS DOUBLE) / w_rem AS lam FROM cum
+),
+marked AS (
+  SELECT *, MIN(CASE WHEN lam <= r THEN rank END) OVER () AS m_star
+  FROM lamd
+),
+solved AS (
+  SELECT *,
+         MAX(CASE WHEN rank = m_star THEN lam END) OVER () AS lam_star
+  FROM marked
+),
+filled AS (
+  SELECT source, tokens, weight_deciq, cap,
+         CASE WHEN m_star IS NULL OR rank < m_star
+              THEN CAST(cap AS DOUBLE)
+              ELSE lam_star * weight_deciq END AS allocation,
+         (m_star IS NULL OR rank < m_star) AS saturated
+  FROM solved
+),
+rest AS (
+  SELECT source, tokens, weight_deciq, cap, 0.0 AS allocation,
+         FALSE AS saturated
+  FROM per_src WHERE weight_deciq <= 0
+),
+unioned AS (
+  SELECT * FROM filled UNION ALL SELECT * FROM rest
+)
+SELECT source, tokens, weight_deciq, cap, allocation,
+       allocation / GREATEST(tokens, 1) AS epochs, saturated
+FROM unioned
+ORDER BY source
+"""
+
+
+TOKEN_BUDGET_SQL = _token_budget_sql()

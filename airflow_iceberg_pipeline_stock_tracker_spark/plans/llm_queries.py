@@ -619,6 +619,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(curation.score_calibration),
         curation.SCORE_CALIBRATION_SQL,
     ),
+    # r13 wave 7: closed-form capped waterfill — quality weights in,
+    # per-source epochs out; exact-int surface except λ itself
+    "curation_token_budget": (
+        _docs(curation.token_budget),
+        curation.TOKEN_BUDGET_SQL,
+    ),
     "dedup_edit_distance": (
         _docs(dedup.edit_distance_pairs),
         dedup.EDIT_DISTANCE_SQL,

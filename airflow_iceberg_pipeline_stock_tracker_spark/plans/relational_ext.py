@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.money import cents, dollars
+from ..functions.money import cents, cents_sql, dollars
 from ..operators.merge import merge_upsert
 from ..sources.tables import load_table
 
@@ -2166,6 +2166,105 @@ def _dq_profile_sql() -> str:
 DQ_PROFILE_SQL = _dq_profile_sql()
 
 
+# ---------------------------------------------------------------------------
+# incremental view maintenance: delta algebra over a join-aggregate view
+# ---------------------------------------------------------------------------
+
+# Both relations receive independent late-arriving deltas: orders split
+# by o_orderdate, lineitem by l_shipdate. Dates are chosen so all three
+# delta join terms are non-empty at every SF (pinned by pytest) — the
+# proof is vacuous if a term never fires.
+_IVM_O_CUT = "2000-01-01"
+_IVM_L_CUT = "2000-06-01"
+
+
+def orders_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, line_cnt, revenue_cents): revenue-per-customer over
+    orders JOIN lineitem, maintained INCREMENTALLY and proven equal to
+    the full recompute (the oracle IS the recompute, so the driver's
+    hash gate is the proof).
+
+    The view-maintenance identity every materialized-view engine runs:
+    with O = O_base ⊎ ΔO (split on o_orderdate) and L = L_base ⊎ ΔL
+    (split on l_shipdate — late-shipping lines of old orders),
+
+      V(O ⋈ L) = V_base  ⊕  V(ΔO ⋈ L_base)  ⊕  V(O_base ⋈ ΔL)
+                         ⊕  V(ΔO ⋈ ΔL)
+
+    because the aggregates (COUNT, SUM of exact integer cents) are
+    commutative monoids — ⊕ is a re-aggregation of partial rows, and
+    the four terms partition the joined row set exactly (each joined
+    row lands in exactly one term by its (o-side, l-side) membership).
+
+    Scale: this is THE pattern that avoids rescanning a 100 TB fact
+    table to refresh a view. The base view is an already-materialized
+    aggregate (|custkeys| rows); each delta term joins a day's ingest
+    against the other side with the DELTA broadcast, so the only big-
+    side work is one pruned probe of base lineitem by ΔO's orderkeys
+    (runtime-filterable: lineitem_bloom_semi_join is the same probe) —
+    never base ⋈ base again. Integer-cents partials make ⊕ safe under
+    any partial-aggregation order (functions/money.py).
+    """
+    o_cut = F.lit(_IVM_O_CUT).cast("date")
+    l_cut = F.lit(_IVM_L_CUT).cast("date")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("o_d"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_c"
+        ),
+        F.col("l_shipdate").cast("date").alias("l_d"),
+    )
+    o_base = orders.where(F.col("o_d") < o_cut)
+    o_delta = orders.where(F.col("o_d") >= o_cut)
+    l_base = li.where(F.col("l_d") < l_cut)
+    l_delta = li.where(F.col("l_d") >= l_cut)
+
+    def part(o: DataFrame, li_side: DataFrame) -> DataFrame:
+        # one partial-view term: aggregate to (custkey, cnt, cents)
+        return (
+            o.join(li_side, o.o_orderkey == li_side.l_orderkey)
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("line_cnt"),
+                F.sum("rev_c").alias("revenue_cents"),
+            )
+        )
+
+    base_view = part(o_base, l_base)  # materialized before the deltas land
+    delta_terms = (
+        part(F.broadcast(o_delta), l_base)
+        .unionByName(part(o_base, F.broadcast(l_delta)))
+        .unionByName(part(F.broadcast(o_delta), l_delta))
+    )
+    return (
+        base_view.unionByName(delta_terms)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("line_cnt").cast("bigint").alias("line_cnt"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+# The oracle is the FULL recompute — hash equality against it is the
+# correctness statement of the delta algebra, not a re-derivation of it.
+ORDERS_IVM_SQL = f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS line_cnt,
+       CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
 RELATIONAL_EXT_QUERIES = {
     "q4_order_priority": (q4_order_priority, Q4_SQL),
     "q13_customer_distribution": (q13_customer_distribution, Q13_SQL),
@@ -2208,4 +2307,7 @@ RELATIONAL_EXT_QUERIES = {
     "parts_skyline": (parts_skyline, PARTS_SKYLINE_SQL),
     "dq_benford": (dq_benford, DQ_BENFORD_SQL),
     "dq_profile": (dq_profile, DQ_PROFILE_SQL),
+    # r13 wave 7: incremental view maintenance — the oracle is the full
+    # recompute, so driver hash equality proves the delta algebra
+    "orders_ivm_join": (orders_ivm_join, ORDERS_IVM_SQL),
 }

@@ -55,13 +55,25 @@ def test_new_operators_are_inside_the_checked_prefix():
     # r12 first-rounders held for their SECOND consecutive green round
     # (r12 verdict ask #1 — the 9 promoted r11 tail-first rows, the
     # events_quantile_sketch re-promotion, and the 5 r12-new ops) plus
-    # the two r13-new sketch sinks (minting capped at the round's
-    # demotion supply: 2 consumed against 20 available two-round-green
-    # rows — the 19 r11 first-rounders + orders_basket_rules).
+    # every r13-new operator (minting capped at the round's demotion
+    # supply: 13 consumed against 20 available two-round-green rows —
+    # the 19 r11 first-rounders + orders_basket_rules).
     promoted = {
         # r13-new, first round (r12 verdict ask #5)
         "streaming_cms_incremental",
         "streaming_kmv_incremental",
+        # r13-new waves 2-7, first round
+        "parts_skyline",
+        "dq_benford",
+        "curation_weighted_sample",
+        "dedup_edit_distance",
+        "events_stl_decompose",
+        "similarity_rrf_hybrid",
+        "dedup_prefix_filter",
+        "dq_profile",
+        "curation_score_calibration",
+        "orders_ivm_join",
+        "curation_token_budget",
         # r12-new, second round
         "streaming_hll_incremental",
         "prices_aroon",

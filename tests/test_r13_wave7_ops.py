@@ -1,0 +1,195 @@
+"""Round-13 wave-7 operators: incremental view maintenance over a
+join-aggregate view and the token-budget waterfill allocator.
+
+Reference scope: extension tier — the reference DAG
+(/root/reference/dags/dag.py) recomputes its cumulative table per run;
+IVM is the pattern that avoids exactly that rescan at 100 TB, and the
+token budget is the mixing step a training-data pipeline runs after
+per-source quality scoring.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from airflow_iceberg_pipeline_stock_tracker_spark.functions.money import cents  # noqa: E402
+from airflow_iceberg_pipeline_stock_tracker_spark.operators.curation import (  # noqa: E402
+    TOKEN_BUDGET_MAX_EPOCHS,
+    token_budget,
+)
+from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (  # noqa: E402
+    _IVM_L_CUT,
+    _IVM_O_CUT,
+    orders_ivm_join,
+)
+from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import load_table  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# orders_ivm_join
+# ---------------------------------------------------------------------------
+
+
+def _full_recompute(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev_c"),
+    )
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("line_cnt"),
+            F.sum("rev_c").cast("bigint").alias("revenue_cents"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+def test_ivm_equals_full_recompute(spark, sf_dir):
+    got = orders_ivm_join(spark, sf_dir).collect()
+    want = _full_recompute(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_ivm_all_three_delta_terms_fire(spark, sf_dir):
+    """The proof is vacuous if a delta term is empty — pin the cutoffs."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("o_d")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("l_d")
+    )
+    o_cut = F.lit(_IVM_O_CUT).cast("date")
+    l_cut = F.lit(_IVM_L_CUT).cast("date")
+    o_base = orders.where(F.col("o_d") < o_cut)
+    o_delta = orders.where(F.col("o_d") >= o_cut)
+    l_base = li.where(F.col("l_d") < l_cut)
+    l_delta = li.where(F.col("l_d") >= l_cut)
+    terms = {
+        "dO_Lbase": o_delta.join(l_base, o_delta.o_orderkey == l_base.l_orderkey),
+        "Obase_dL": o_base.join(l_delta, o_base.o_orderkey == l_delta.l_orderkey),
+        "dO_dL": o_delta.join(l_delta, o_delta.o_orderkey == l_delta.l_orderkey),
+    }
+    for name, df in terms.items():
+        assert df.limit(1).count() == 1, f"delta term {name} is empty"
+
+
+def test_ivm_splits_partition_both_tables(spark, sf_dir):
+    """base/delta must be a PARTITION (no dropped or doubled rows) —
+    a NULL date would silently fall out of both sides."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    o_d = F.col("o_orderdate").cast("date")
+    l_d = F.col("l_shipdate").cast("date")
+    o_cut = F.lit(_IVM_O_CUT).cast("date")
+    l_cut = F.lit(_IVM_L_CUT).cast("date")
+    assert orders.where(o_d.isNull()).count() == 0
+    assert li.where(l_d.isNull()).count() == 0
+    assert (
+        orders.where(o_d < o_cut).count() + orders.where(o_d >= o_cut).count()
+        == orders.count()
+    )
+    assert (
+        li.where(l_d < l_cut).count() + li.where(l_d >= l_cut).count()
+        == li.count()
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_token_budget
+# ---------------------------------------------------------------------------
+
+
+def test_token_budget_invariants(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = token_budget(docs).collect()
+    assert rows, "no sources"
+    tok_all = sum(r.tokens for r in rows)
+    cap_pos = sum(r.cap for r in rows if r.weight_deciq > 0)
+    budget = min(tok_all // 2, cap_pos)
+    got_total = sum(r.allocation for r in rows)
+    assert abs(got_total - budget) <= 1e-6 * max(budget, 1)
+    for r in rows:
+        assert r.cap == TOKEN_BUDGET_MAX_EPOCHS * r.tokens
+        assert -1e-9 <= r.allocation <= r.cap * (1 + 1e-12) + 1e-9
+        if r.saturated:
+            assert abs(r.allocation - r.cap) < 1e-6
+        if r.weight_deciq <= 0:
+            assert r.allocation == 0.0
+        assert abs(r.epochs - r.allocation / max(r.tokens, 1)) < 1e-12
+
+
+def test_token_budget_matches_numeric_waterfill(spark, sf_dir):
+    """The closed form vs a blind bisection on the water level λ:
+    Σ min(λ·w_s, c_s) = B has a monotone LHS, so bisection converges to
+    the unique level — allocations must agree to float tolerance."""
+    docs = load_table(spark, sf_dir, "documents")
+    rows = token_budget(docs).collect()
+    pos = [(r.source, r.weight_deciq, r.cap) for r in rows if r.weight_deciq > 0]
+    tok_all = sum(r.tokens for r in rows)
+    budget = min(tok_all // 2, sum(c for _, _, c in pos))
+
+    def filled(lam):
+        return sum(min(lam * w, c) for _, w, c in pos)
+
+    lo, hi = 0.0, max(c / w for _, w, c in pos) + 1.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if filled(mid) < budget:
+            lo = mid
+        else:
+            hi = mid
+    lam = (lo + hi) / 2
+    want = {s: min(lam * w, c) for s, w, c in pos}
+    for r in rows:
+        if r.weight_deciq > 0:
+            assert abs(r.allocation - want[r.source]) <= 1e-4 * max(
+                want[r.source], 1.0
+            ), r.source
+
+
+def test_token_budget_zero_weight_source_gets_nothing(spark):
+    """A source of pure punctuation scores quality 0 on every doc →
+    weight 0 → excluded from the fill, allocation exactly 0."""
+    good = " ".join(["the quick brown fox jumps over a lazy dog now then"] * 3)
+    rows = [(i, good, "en", "clean", len(good)) for i in range(5)] + [
+        (100 + i, "!", "en", "junk", 1) for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in token_budget(docs).collect()}
+    assert out["junk"].weight_deciq == 0
+    assert out["junk"].allocation == 0.0 and not out["junk"].saturated
+    assert out["clean"].allocation > 0
+
+
+def test_token_budget_saturation_boundary(spark):
+    """Hand-built corpus where one tiny high-quality source must
+    saturate at its cap while a large source absorbs the rest."""
+    # saturation needs weight share > 4x token share (cap = 2x own
+    # tokens, budget = T/2): many SHORT quality-1.0 docs against a few
+    # HUGE quality-0.6 docs
+    hi = "a fine short document with the common words of it all"
+    lo_txt = " ".join(["x" * 30] * 2000)  # long tokens: shape+stop fail
+    rows = [(i, hi, "en", "tiny_hi", len(hi)) for i in range(20)] + [
+        (100 + i, lo_txt, "en", "big_lo", len(lo_txt)) for i in range(5)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.source: r for r in token_budget(docs).collect()}
+    # budget = half the corpus, tiny_hi's cap is far below its
+    # proportional share (its r = cap/weight is smallest) -> saturated
+    assert out["tiny_hi"].saturated
+    assert abs(out["tiny_hi"].allocation - out["tiny_hi"].cap) < 1e-9
+    total = sum(r.allocation for r in out.values())
+    tok_all = sum(r.tokens for r in out.values())
+    assert abs(total - tok_all // 2) <= 1e-6 * tok_all
