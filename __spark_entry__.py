@@ -518,12 +518,14 @@ SWEEP_CHECKED = [
     # r13 after 2 consecutive green driver rounds, r11+r12, to fund
     # dq_profile + curation_score_calibration below; orders stays
     # represented by orders_ship_sla + orders_basket_rules)
-    "parts_jaccard_similarity",  # co-purchase jaccard, AQE support joins
+    # (parts_jaccard_similarity and embedding_power_iteration demoted
+    # r13 after 2 consecutive green driver rounds, r11+r12, to fund
+    # similarity_matryoshka_recall + embedding_outlier_lof below; parts
+    # stays represented by parts_skyline, embeddings by three rows)
     # (customer_purchase_cadence and prices_var_cvar demoted r13 after
     # 2 consecutive green driver rounds, r11+r12, to fund
     # curation_weighted_sample + dedup_edit_distance below)
     "events_cusum_incremental",  # 3-int state fold == batch
-    "embedding_power_iteration",  # matrix-free spectral, int64 iterates
     "prices_compaction",       # binpack plan + bin rewrite + replan=0
     "text_source_drift",       # per-source simhash profiles, L1 drift
     # PROMOTED r12: the nine r11 tail-first rows that had never had a
@@ -597,6 +599,11 @@ SWEEP_CHECKED = [
     #   IS the recompute, so the hash gate is the IVM proof)
     "curation_token_budget",   # closed-form capped waterfill, int64
     #   surface except the water level itself
+    # NEW r13 wave 8 (first round checked per policy; funded by
+    # demoting parts_jaccard_similarity + embedding_power_iteration,
+    # each 2-round-green r11+r12 — supply consumption: 15 of 20):
+    "similarity_matryoshka_recall",  # prefix-dim recall vs full top-k
+    "embedding_outlier_lof",   # density-based outliers on the kNN graph
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -608,6 +615,10 @@ SWEEP_TAIL = [
     # and the per-CI tail-oracle gate below
     "dedup_winnowing_pairs",
     "prices_donchian",
+    # demoted r13 wave 8 to fund similarity_matryoshka_recall +
+    # embedding_outlier_lof — same 2-round-green evidence class
+    "parts_jaccard_similarity",
+    "embedding_power_iteration",
     # demoted r13 to fund the two sketch-sink slots (monthly_bars,
     # golden_cross) and the skyline/benford slots (macd, ichimoku).
     # Evidence per row: 2 consecutive green driver rounds (r11+r12,

@@ -1694,3 +1694,263 @@ ORDER BY rank
 
 
 EMBEDDING_POWER_SQL = _power_sql()
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka (prefix-dim) retrieval ablation: recall@k of truncated
+# embeddings vs the full-dim exact top-k — the evaluation every
+# MRL-style embedding deployment runs before choosing a serving dim.
+# ---------------------------------------------------------------------------
+
+MATRYOSHKA_DIMS = [8, 16, 32, 64]  # last entry must be EMBED_DIM
+MATRYOSHKA_QUERIES = 16
+MATRYOSHKA_K = 10
+
+
+def matryoshka_recall(
+    emb_raw: DataFrame,
+    n_queries: int = MATRYOSHKA_QUERIES,
+    k: int = MATRYOSHKA_K,
+) -> DataFrame:
+    """(query_id, dim, hits, recall): for each query and each prefix
+    dimension, how many of the full-dim exact top-k cosine neighbors
+    the truncated embedding's top-k recovers. dim = EMBED_DIM rows are
+    the tautological recall-1.0 baseline that pins the join.
+
+    One scan: the (vec_id, dim, prefix) relation is a 4-way explode of
+    a single projection (F.slice stays JVM-side), then the same
+    broadcast-queries x candidates shape as cosine_topk per dim.
+    Zero-prefix vectors (a vector CAN be all-zero in its first d
+    components while nonzero overall) are dropped per-dim with the
+    same `dot > 0` guard as with_norm, mirrored in the oracle.
+
+    Scale: work is |dims| x the brute-force pass at fixed query count —
+    linear in the corpus; the per-(query, dim) top-k is a
+    WindowGroupLimit (partial top-k before the exchange). At serving
+    scale the point of the ablation is to pick the SMALLEST dim whose
+    recall holds, then run IVF/PQ at that dim.
+    """
+    sliced = emb_raw.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).cast("int").alias("dim"),
+                        F.slice(_as_double(F.col("embedding")), 1, d).alias(
+                            "v"
+                        ),
+                    )
+                    for d in MATRYOSHKA_DIMS
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", F.col("s.dim").alias("dim"), F.col("s.v").alias("v"))
+    normed = sliced.withColumn(
+        "sq", F.aggregate("v", F.lit(0.0), lambda acc, x: acc + x * x)
+    ).where(F.col("sq") > 0.0)
+    queries = normed.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        "dim",
+        F.col("v").alias("qv"),
+        F.sqrt("sq").alias("q_norm"),
+    )
+    cands = normed.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "dim",
+        F.col("v").alias("cv"),
+        F.sqrt("sq").alias("c_norm"),
+    )
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("q_norm") * F.col("c_norm"))
+    w = Window.partitionBy("query_id", "dim").orderBy(
+        F.desc("cosine"), F.col("neighbor_id")
+    )
+    topk = (
+        F.broadcast(queries)
+        .join(cands, "dim")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "dim", "neighbor_id")
+    )
+    full_set = topk.where(F.col("dim") == MATRYOSHKA_DIMS[-1]).select(
+        F.col("query_id").alias("fq"),
+        F.col("neighbor_id").alias("full_neighbor"),
+    )
+    return (
+        topk.join(
+            F.broadcast(full_set),
+            (F.col("query_id") == F.col("fq"))
+            & (F.col("neighbor_id") == F.col("full_neighbor")),
+            "left",
+        )
+        .groupBy("query_id", "dim")
+        .agg(
+            F.sum(
+                F.when(F.col("full_neighbor").isNotNull(), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("hits")
+        )
+        .withColumn("recall", F.col("hits") / F.lit(float(k)))
+        .orderBy("query_id", "dim")
+    )
+
+
+def matryoshka_recall_sql(
+    n_queries: int = MATRYOSHKA_QUERIES, k: int = MATRYOSHKA_K
+) -> str:
+    dims = ", ".join(str(d) for d in MATRYOSHKA_DIMS)
+    return f"""
+WITH dims AS (SELECT UNNEST([{dims}]) AS dim),
+sliced AS (
+  SELECT e.vec_id, CAST(d.dim AS INT) AS dim,
+         list_slice(e.embedding::DOUBLE[], 1, d.dim) AS v
+  FROM embeddings e CROSS JOIN dims d
+),
+normed AS (
+  SELECT vec_id, dim, v, sqrt(list_dot_product(v, v)) AS norm
+  FROM sliced WHERE list_dot_product(v, v) > 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, q.dim, c.vec_id AS neighbor_id,
+         list_dot_product(q.v, c.v) / (q.norm * c.norm) AS cosine
+  FROM normed q JOIN normed c
+    ON q.dim = c.dim AND q.vec_id < {n_queries} AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id, dim
+                               ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+),
+topk AS (
+  SELECT query_id, dim, neighbor_id FROM ranked WHERE rank <= {k}
+),
+full_set AS (
+  SELECT query_id, neighbor_id FROM topk WHERE dim = {MATRYOSHKA_DIMS[-1]}
+)
+SELECT t.query_id, t.dim,
+       CAST(SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       SUM(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+         / {float(k)} AS recall
+FROM topk t
+LEFT JOIN full_set f
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY t.query_id, t.dim
+ORDER BY t.query_id, t.dim
+"""
+
+
+MATRYOSHKA_RECALL_SQL = matryoshka_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# Local Outlier Factor (Breunig et al. 2000) over the k-NN graph — the
+# density-based outlier score used to flag mislabeled / noisy
+# embeddings before they poison contrastive training.
+# ---------------------------------------------------------------------------
+
+
+def lof_scores(emb_raw: DataFrame, k: int = KNN_K) -> DataFrame:
+    """(vec_id, k_dist, avg_reach, lof): density-based outlier scores
+    over the SAME RP-LSH k-NN graph the similarity_knn_graph row
+    grades — reach-distance smoothing then the lrd ratio:
+
+      dist(p,o)   = max(0, 1 - cosine)         (cosine distance)
+      k_dist(o)   = max dist over o's k edges
+      reach(p,o)  = max(k_dist(o), dist(p,o))
+      lrd(p)      = 1 / avg_o reach(p,o)
+      LOF(p)      = avg_o lrd(o) / lrd(p)
+
+    LOF ~ 1 means as dense as neighbors; >> 1 means isolated. EVERY
+    scored node is emitted (no float top-N membership boundary to
+    disagree on); nodes whose neighbors all lack an lrd (no outgoing
+    edges of their own) carry NULL lof, identically in both engines;
+    an all-duplicate neighborhood (avg reach 0) is dropped by the same
+    `> 0` guard both sides.
+
+    Scale: the expensive step is the k-NN graph itself (LSH-bucketed,
+    never all-pairs — similarity_knn_graph's proven plan); everything
+    here is three joins over the k-bounded EDGE SET (|V| x k rows),
+    map-combinable aggregates, broadcast-sized intermediates.
+    """
+    return lof_from_edges(knn_graph_df(emb_raw, k=k))
+
+
+def lof_from_edges(edge_df: DataFrame) -> DataFrame:
+    """LOF over an explicit (src, dst, cosine) edge set — split out so
+    the formula is testable on handcrafted graphs independent of the
+    LSH candidate geometry."""
+    edges = edge_df.select(
+        "src",
+        "dst",
+        F.greatest(F.lit(0.0), F.lit(1.0) - F.col("cosine")).alias("dist"),
+    )
+    kdist = edges.groupBy(F.col("src").alias("node")).agg(
+        F.max("dist").alias("k_dist")
+    )
+    reach = (
+        edges.join(
+            kdist.select(
+                F.col("node").alias("dst"), F.col("k_dist").alias("kd_o")
+            ),
+            "dst",
+        )
+        .withColumn("reach", F.greatest(F.col("kd_o"), F.col("dist")))
+    )
+    lrd = (
+        reach.groupBy("src")
+        .agg(F.avg("reach").alias("avg_reach"))
+        .where(F.col("avg_reach") > 0.0)
+        .withColumn("lrd", F.lit(1.0) / F.col("avg_reach"))
+    )
+    neigh_lrd = edges.join(
+        lrd.select(F.col("src").alias("dst"), F.col("lrd").alias("lrd_o")),
+        "dst",
+    ).groupBy("src").agg(F.avg("lrd_o").alias("avg_lrd_o"))
+    return (
+        lrd.join(neigh_lrd, "src")
+        .join(kdist.withColumnRenamed("node", "src"), "src")
+        .select(
+            F.col("src").alias("vec_id"),
+            "k_dist",
+            "avg_reach",
+            (F.col("avg_lrd_o") / F.col("lrd")).alias("lof"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def lof_scores_sql(k: int = KNN_K) -> str:
+    return f"""
+WITH edges_raw AS ({knn_graph_sql(k)}),
+edges AS (
+  SELECT src, dst, GREATEST(0.0, 1.0 - cosine) AS dist FROM edges_raw
+),
+kdist AS (
+  SELECT src AS node, MAX(dist) AS k_dist FROM edges GROUP BY src
+),
+reach AS (
+  SELECT e.src, e.dst, GREATEST(kd.k_dist, e.dist) AS reach
+  FROM edges e JOIN kdist kd ON kd.node = e.dst
+),
+lrd AS (
+  SELECT src, AVG(reach) AS avg_reach, 1.0 / AVG(reach) AS lrd
+  FROM reach GROUP BY src HAVING AVG(reach) > 0.0
+),
+neigh_lrd AS (
+  SELECT e.src, AVG(l.lrd) AS avg_lrd_o
+  FROM edges e JOIN lrd l ON l.src = e.dst
+  GROUP BY e.src
+)
+SELECT l.src AS vec_id, kd.k_dist, l.avg_reach, n.avg_lrd_o / l.lrd AS lof
+FROM lrd l
+JOIN neigh_lrd n ON n.src = l.src
+JOIN kdist kd ON kd.node = l.src
+ORDER BY vec_id
+"""
+
+
+LOF_SCORES_SQL = lof_scores_sql()

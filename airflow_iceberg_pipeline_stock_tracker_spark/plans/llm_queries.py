@@ -536,6 +536,21 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         ),
         similarity.KNN_GRAPH_SQL,
     ),
+    # r13 wave 8: the serving-dim ablation (prefix-dim recall vs the
+    # full-dim exact top-k) and density-based outlier scoring over the
+    # same LSH-bucketed k-NN graph the knn row grades
+    "similarity_matryoshka_recall": (
+        lambda spark, sf_dir: similarity.matryoshka_recall(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+        similarity.MATRYOSHKA_RECALL_SQL,
+    ),
+    "embedding_outlier_lof": (
+        lambda spark, sf_dir: similarity.lof_scores(
+            load_table(spark, sf_dir, "embeddings")
+        ),
+        similarity.LOF_SCORES_SQL,
+    ),
     "embedding_near_dup": (
         similarity.embedding_near_dup_pairs,
         similarity.EMBEDDING_NEAR_DUP_SQL,

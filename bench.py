@@ -248,6 +248,8 @@ HEADLINE = [
     "curation_score_calibration",
     "orders_ivm_join",
     "curation_token_budget",
+    "similarity_matryoshka_recall",
+    "embedding_outlier_lof",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -459,6 +461,8 @@ SCALE_TREND = {
     # the token budget collapses to a |sources|-row waterfill
     "orders_ivm_join": "lineitem",
     "curation_token_budget": "documents",
+    "similarity_matryoshka_recall": "embeddings",
+    "embedding_outlier_lof": "embeddings",
 }
 SCALE_FACTOR = 10
 
@@ -726,6 +730,21 @@ SCALE_TREND_NOTES = {
         "every source's tokens and weight by 10, so r_s ordering, the "
         "saturation split, and epochs are IDENTICAL at 10x — "
         "allocations scale by exactly 10"
+    ),
+    "similarity_matryoshka_recall": (
+        "|dims| x the brute-force pass at fixed query count — linear "
+        "in corpus by construction (the same baseline class as "
+        "similarity_cosine_topk); per-(query,dim) top-k is a "
+        "WindowGroupLimit. The ablation's at-scale point is to pick "
+        "the smallest dim whose recall holds, then serve IVF/PQ there"
+    ),
+    "embedding_outlier_lof": (
+        "cost is the LSH-bucketed k-NN graph build (knn_graph's proven "
+        "never-all-pairs plan; replicas being exact duplicates makes "
+        "buckets 10x denser, so candidate volume grows superlinearly "
+        "— read against the knn row's own trend); the LOF algebra "
+        "after it is three joins over the k-bounded edge set, "
+        "|V| x k rows"
     ),
 }
 
