@@ -479,7 +479,10 @@ SWEEP_CHECKED = [
     # green): the support joins dropped their hard F.broadcast hints on
     # the full-part-dimension side (plans/relational_ext.py — the r10
     # verdict's jaccard fix applied to this sibling too)
-    "orders_basket_rules",       # confidence/lift over the pair topology
+    # (orders_basket_rules demoted r13 wave 9 after 2 consecutive green
+    # driver rounds on its r11-changed support joins, r11+r12;
+    # orders_ship_sla likewise — both fund the wave-9 slots below, and
+    # orders stays represented by orders_ivm_join)
     # NEW r11 (first round checked per policy; funded by demoting the
     # last four r9 supply rows — events_holt_forecast,
     # events_attribution, orders_cohort_ltv, text_collocations, each
@@ -488,7 +491,6 @@ SWEEP_CHECKED = [
     # consecutive green driver rounds, r11+r12, to fund orders_ivm_join
     # + curation_token_budget below; dedup stays represented by
     # dedup_edit_distance + dedup_prefix_filter, prices by 5+ rows)
-    "orders_ship_sla",         # exact histogram percentiles, no sort
     # PROMOTED r11: the fifteen r10 tail-first rows that had never had
     # a real driver round (r10 verdict ask #1 — the only open
     # correctness-evidence gap). Funded by demoting fifteen of the
@@ -604,6 +606,11 @@ SWEEP_CHECKED = [
     # each 2-round-green r11+r12 — supply consumption: 15 of 20):
     "similarity_matryoshka_recall",  # prefix-dim recall vs full top-k
     "embedding_outlier_lof",   # density-based outliers on the kNN graph
+    # NEW r13 wave 9 (first round checked per policy; funded by
+    # demoting orders_basket_rules + orders_ship_sla, each
+    # 2-round-green r11+r12 — supply consumption: 17 of 20):
+    "dq_mutual_information",   # pinned-fold entropies, exact joint counts
+    "events_forecast_backtest",  # rolling-origin eval vs naive baselines
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -619,6 +626,10 @@ SWEEP_TAIL = [
     # embedding_outlier_lof — same 2-round-green evidence class
     "parts_jaccard_similarity",
     "embedding_power_iteration",
+    # demoted r13 wave 9 to fund dq_mutual_information +
+    # events_forecast_backtest — same 2-round-green evidence class
+    "orders_basket_rules",
+    "orders_ship_sla",
     # demoted r13 to fund the two sketch-sink slots (monthly_bars,
     # golden_cross) and the skyline/benford slots (macd, ichimoku).
     # Evidence per row: 2 consecutive green driver rounds (r11+r12,

@@ -2252,6 +2252,154 @@ def orders_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# pairwise mutual information between categorical columns (DQ profiling)
+# ---------------------------------------------------------------------------
+
+# (pair label, x expression, y expression) — SQL spelled once, reused
+# verbatim in both engines so the derived categories match bit-for-bit
+# expressions are cast to string by each engine's own wrapper (STRING
+# vs VARCHAR); FLOOR keeps the bucket integer-valued in both, so the
+# string categories match byte-for-byte
+_MI_PAIRS: list[tuple[str, str, str]] = [
+    ("returnflag_linestatus", "l_returnflag", "l_linestatus"),
+    (
+        "returnflag_shipyear",
+        "l_returnflag",
+        "EXTRACT(YEAR FROM CAST(l_shipdate AS DATE))",
+    ),
+    (
+        "qtybucket_linestatus",
+        "CAST(FLOOR(l_quantity / 10) AS BIGINT)",
+        "l_linestatus",
+    ),
+]
+
+
+def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pair, n, h_x, h_y, h_xy, mi): Shannon entropies (nats) and the
+    mutual information I(X;Y) = H(X)+H(Y)-H(XY) for three column pairs
+    of lineitem — the dependence screen univariate profiling
+    (dq_profile) cannot see. MI ~ 0 means the columns are independent;
+    MI ~ min(H) means one determines the other (returnflag/linestatus
+    is TPC-H's canonical dependent pair — both are driven by shipdate).
+
+    Entropy is computed from exact int64 joint counts as
+    H = ln(n) - (Σ c·ln c)/n. MI subtracts entropies that nearly
+    cancel (near-independent pairs sit at ~1e-7 nats), so an
+    order-dependent Σ would amplify last-ulp noise past the gate's
+    9-significant-digit canon — instead Σ c·ln c is a PINNED
+    sequential fold over the sorted count list (the char_entropy
+    discipline: identical op order in both engines makes every double
+    bit-equal, cancellation included).
+
+    Scale: one scan fans out 3x map-side (the stack), collapses to
+    |pair| x |X| x |Y| joint rows (dozens) via map-combinable groupBy;
+    every later stage runs on that dimension-bounded table.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(
+        f"'{name}', CAST(({x}) AS STRING), CAST(({y}) AS STRING)"
+        for name, x, y in _MI_PAIRS
+    )
+    pairs = li.selectExpr(
+        f"stack({len(_MI_PAIRS)}, {stack_args}) AS (pair, x, y)"
+    )
+    joint = pairs.groupBy("pair", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+
+    def _ent(df: DataFrame, out: str) -> DataFrame:
+        # H = ln(n) - (fold of c*ln c over SORTED counts)/n: the fold
+        # order is pinned so both engines produce bit-equal doubles
+        agg = df.groupBy("pair").agg(
+            F.sum("c").cast("bigint").alias("n"),
+            F.sort_array(
+                F.collect_list(F.col("c").cast("double"))
+            ).alias("cs"),
+        )
+        clogc = F.aggregate(
+            "cs", F.lit(0.0), lambda acc, x: acc + x * F.log(x)
+        )
+        return agg.select(
+            "pair",
+            F.col("n").alias(f"{out}_n"),
+            (F.log("n") - clogc / F.col("n")).alias(out),
+        )
+
+    hx = _ent(
+        joint.groupBy("pair", "x").agg(F.sum("c").alias("c")), "h_x"
+    )
+    hy = _ent(
+        joint.groupBy("pair", "y").agg(F.sum("c").alias("c")), "h_y"
+    )
+    hxy = _ent(joint, "h_xy")
+    return (
+        hxy.join(hx, "pair")
+        .join(hy, "pair")
+        .select(
+            "pair",
+            F.col("h_xy_n").alias("n"),
+            "h_x",
+            "h_y",
+            "h_xy",
+            (F.col("h_x") + F.col("h_y") - F.col("h_xy")).alias("mi"),
+        )
+        .orderBy("pair")
+    )
+
+
+def _dq_mutual_information_sql() -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS pair, CAST(({x}) AS VARCHAR) AS x,"
+        f" CAST(({y}) AS VARCHAR) AS y FROM lineitem"
+        for name, x, y in _MI_PAIRS
+    )
+    return f"""
+WITH pairs AS ({selects}),
+joint AS (
+  SELECT pair, x, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2, 3
+),
+hx AS (
+  SELECT pair, n,
+         ln(CAST(n AS DOUBLE))
+           - list_reduce(list_transform(cs, v -> v * ln(v)),
+                         (a, b) -> a + b) / n AS h_x
+  FROM (SELECT pair, CAST(SUM(c) AS BIGINT) AS n,
+               list(CAST(c AS DOUBLE) ORDER BY c) AS cs
+        FROM (SELECT pair, x, SUM(c) AS c FROM joint GROUP BY 1, 2)
+        GROUP BY pair)
+),
+hy AS (
+  SELECT pair,
+         ln(CAST(n AS DOUBLE))
+           - list_reduce(list_transform(cs, v -> v * ln(v)),
+                         (a, b) -> a + b) / n AS h_y
+  FROM (SELECT pair, CAST(SUM(c) AS BIGINT) AS n,
+               list(CAST(c AS DOUBLE) ORDER BY c) AS cs
+        FROM (SELECT pair, y, SUM(c) AS c FROM joint GROUP BY 1, 2)
+        GROUP BY pair)
+),
+hxy AS (
+  SELECT pair, n,
+         ln(CAST(n AS DOUBLE))
+           - list_reduce(list_transform(cs, v -> v * ln(v)),
+                         (a, b) -> a + b) / n AS h_xy
+  FROM (SELECT pair, CAST(SUM(c) AS BIGINT) AS n,
+               list(CAST(c AS DOUBLE) ORDER BY c) AS cs
+        FROM joint GROUP BY pair)
+)
+SELECT hxy.pair, hxy.n, hx.h_x, hy.h_y, hxy.h_xy,
+       hx.h_x + hy.h_y - hxy.h_xy AS mi
+FROM hxy JOIN hx ON hx.pair = hxy.pair JOIN hy ON hy.pair = hxy.pair
+ORDER BY hxy.pair
+"""
+
+
+DQ_MUTUAL_INFORMATION_SQL = _dq_mutual_information_sql()
+
+
 # The oracle is the FULL recompute — hash equality against it is the
 # correctness statement of the delta algebra, not a re-derivation of it.
 ORDERS_IVM_SQL = f"""
@@ -2310,4 +2458,10 @@ RELATIONAL_EXT_QUERIES = {
     # r13 wave 7: incremental view maintenance — the oracle is the full
     # recompute, so driver hash equality proves the delta algebra
     "orders_ivm_join": (orders_ivm_join, ORDERS_IVM_SQL),
+    # r13 wave 9: the column-dependence screen univariate profiling
+    # can't see — exact joint counts, entropies in nats
+    "dq_mutual_information": (
+        dq_mutual_information,
+        DQ_MUTUAL_INFORMATION_SQL,
+    ),
 }

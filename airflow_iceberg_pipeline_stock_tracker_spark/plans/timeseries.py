@@ -2904,6 +2904,133 @@ ORDER BY t.d
 """
 
 
+# ---------------------------------------------------------------------------
+# rolling-origin forecast backtest: seasonal-naive vs trailing-mean
+# ---------------------------------------------------------------------------
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, model, n_eval, mae, mape): rolling-origin backtest
+    of two zero-parameter forecasters over the daily per-type count
+    series — 'seasonal_naive' (same weekday last week, y[t-7]) and
+    'trailing_mean' (mean of the 7 days strictly before t). The
+    evaluation harness that belongs NEXT TO forecasters
+    (events_holt_forecast, events_stl_decompose): before shipping any
+    model you measure it against the naive baselines on held-out days.
+
+    Protocol pinned exactly: the series is DENSE over the calendar
+    spine (missing days are real zeros, not gaps — same discipline as
+    events_gapfill); eval days are the last 7 calendar dates; a row
+    scores only when the actual y > 0 (MAPE undefined at zero,
+    identical filter both engines) and the full 7-day history window
+    exists. MAE sums |f - y| where both are exact counts for the naive
+    model; the trailing mean divides an exact 7-day int sum once.
+
+    Scale: one map-combinable groupBy collapses events to |dates| x
+    |types| rows; the spine, lags, windows, and both error aggregates
+    all run on that dimension-bounded grid (years of days x dozens of
+    types), never on raw events.
+    """
+    return forecast_backtest_df(load_table(spark, sf_dir, "events"))
+
+
+def forecast_backtest_df(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of events_forecast_backtest (testable on
+    synthetic event streams)."""
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .localCheckpoint(eager=True)
+    )
+    bounds = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("d"), "hi"
+    )
+    types = daily.select("event_type").distinct()
+    dense = (
+        types.crossJoin(F.broadcast(spine))
+        .join(daily, ["event_type", "d"], "left")
+        .withColumn("y", F.coalesce("y", F.lit(0)).cast("bigint"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    hist = w.rowsBetween(-7, -1)
+    scored = (
+        dense.withColumn("f_naive", F.lag("y", 7).over(w).cast("double"))
+        .withColumn("n_hist", F.count(F.lit(1)).over(hist))
+        .withColumn(
+            "f_mean", F.sum("y").over(hist).cast("double") / F.lit(7.0)
+        )
+        .where(
+            (F.col("d") > F.date_sub(F.col("hi"), 7))
+            & (F.col("n_hist") == 7)
+            & F.col("f_naive").isNotNull()
+            & (F.col("y") > 0)
+        )
+    )
+    stacked = scored.selectExpr(
+        "event_type",
+        "y",
+        "stack(2, 'seasonal_naive', f_naive, 'trailing_mean', f_mean)"
+        " AS (model, f)",
+    )
+    return (
+        stacked.groupBy("event_type", "model")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval"),
+            F.avg(F.abs(F.col("f") - F.col("y"))).alias("mae"),
+            F.avg(
+                F.abs(F.col("f") - F.col("y")) / F.col("y").cast("double")
+            ).alias("mape"),
+        )
+        .orderBy("event_type", "model")
+    )
+
+
+EVENTS_BACKTEST_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily
+), spine AS (
+  SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d,
+         hi
+  FROM bounds
+), dense AS (
+  SELECT ty.event_type, s.d, s.hi,
+         CAST(COALESCE(dl.y, 0) AS BIGINT) AS y
+  FROM (SELECT DISTINCT event_type FROM daily) ty
+  CROSS JOIN spine s
+  LEFT JOIN daily dl ON dl.event_type = ty.event_type AND dl.d = s.d
+), scored AS (
+  SELECT *,
+         CAST(LAG(y, 7) OVER w AS DOUBLE) AS f_naive,
+         COUNT(*) OVER hist AS n_hist,
+         CAST(SUM(y) OVER hist AS DOUBLE) / 7.0 AS f_mean
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY d),
+         hist AS (PARTITION BY event_type ORDER BY d
+                  ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), eval_rows AS (
+  SELECT * FROM scored
+  WHERE d > hi - INTERVAL 7 DAY AND n_hist = 7
+    AND f_naive IS NOT NULL AND y > 0
+), stacked AS (
+  SELECT event_type, y, 'seasonal_naive' AS model, f_naive AS f
+  FROM eval_rows
+  UNION ALL
+  SELECT event_type, y, 'trailing_mean' AS model, f_mean AS f
+  FROM eval_rows
+)
+SELECT event_type, model, CAST(COUNT(*) AS BIGINT) AS n_eval,
+       AVG(ABS(f - y)) AS mae,
+       AVG(ABS(f - y) / CAST(y AS DOUBLE)) AS mape
+FROM stacked
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -2947,6 +3074,12 @@ TIMESERIES_QUERIES = {
     # graded against exact counts; twins parity-pinned by
     # tests/test_kmv.py / test_cms.py against DuckDB directly
     "events_stl_decompose": (events_stl_decompose, EVENTS_STL_SQL),
+    # r13 wave 9: the backtest harness that grades forecasters against
+    # the naive baselines on held-out calendar days
+    "events_forecast_backtest": (
+        events_forecast_backtest,
+        EVENTS_BACKTEST_SQL,
+    ),
     "events_kmv_distinct": (events_kmv_distinct, _kmv_distinct_oracle_sql()),
     "events_kmv_overlap": (events_kmv_overlap, _kmv_overlap_oracle_sql()),
     "events_cms_heavy_hitters": (

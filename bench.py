@@ -250,6 +250,8 @@ HEADLINE = [
     "curation_token_budget",
     "similarity_matryoshka_recall",
     "embedding_outlier_lof",
+    "dq_mutual_information",
+    "events_forecast_backtest",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -463,6 +465,8 @@ SCALE_TREND = {
     "curation_token_budget": "documents",
     "similarity_matryoshka_recall": "embeddings",
     "embedding_outlier_lof": "embeddings",
+    "dq_mutual_information": "lineitem",
+    "events_forecast_backtest": "events",
 }
 SCALE_FACTOR = 10
 
@@ -745,6 +749,20 @@ SCALE_TREND_NOTES = {
         "— read against the knn row's own trend); the LOF algebra "
         "after it is three joins over the k-bounded edge set, "
         "|V| x k rows"
+    ),
+    "dq_mutual_information": (
+        "one scan fans out 3x map-side (stack) and collapses to "
+        "|pair| x |X| x |Y| joint rows; replicas repeat the base "
+        "distribution so every joint count scales by exactly 10 and "
+        "the entropies/MI are IDENTICAL at 10x — out_ratio 1.0 and "
+        "value-identity are both evidence"
+    ),
+    "events_forecast_backtest": (
+        "one map-combinable groupBy collapses events to the "
+        "|dates| x |types| grid (calendar-bounded); replica events "
+        "land on the same days, so daily counts scale by 10 and both "
+        "models' MAPE is scale-invariant — only the first aggregate "
+        "widens at 10x"
     ),
 }
 
