@@ -215,6 +215,19 @@ def _q_prices_snapshot_rollback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_prices_snapshot_expire(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """expire_snapshots + orphan cleanup (pipeline.snapshot_expire_demo):
+    four appends, vacuum(keep_last=2), current table untouched, retained
+    snapshot still time-travels, expired versions raise, dirs gone."""
+    import tempfile
+
+    from airflow_iceberg_pipeline_stock_tracker_spark import pipeline as _pl
+
+    return _pl.snapshot_expire_demo(
+        spark, tempfile.mkdtemp(prefix="graft_expire_")
+    )
+
+
 def _q_prices_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binpack maintenance (pipeline.snapshot_compaction_demo): three
     small append commits planned into one bin from manifest metadata,
@@ -527,8 +540,12 @@ SWEEP_CHECKED = [
     # (customer_purchase_cadence and prices_var_cvar demoted r13 after
     # 2 consecutive green driver rounds, r11+r12, to fund
     # curation_weighted_sample + dedup_edit_distance below)
-    "events_cusum_incremental",  # 3-int state fold == batch
-    "prices_compaction",       # binpack plan + bin rewrite + replan=0
+    # (events_cusum_incremental and prices_compaction demoted r13 wave
+    # 10 after 2 consecutive green driver rounds, r11+r12, to fund
+    # prices_snapshot_expire + events_changepoint below; the fold==batch
+    # class stays checked via the three streaming sketch sinks +
+    # events_ohlc_incremental, the maintenance class via the new expire
+    # row)
     "text_source_drift",       # per-source simhash profiles, L1 drift
     # PROMOTED r12: the nine r11 tail-first rows that had never had a
     # real driver round (r11 verdict ask #1 — the recurring evidence
@@ -611,6 +628,12 @@ SWEEP_CHECKED = [
     # 2-round-green r11+r12 — supply consumption: 17 of 20):
     "dq_mutual_information",   # pinned-fold entropies, exact joint counts
     "events_forecast_backtest",  # rolling-origin eval vs naive baselines
+    # NEW r13 wave 10 (first round checked per policy; funded by
+    # demoting events_cusum_incremental + prices_compaction, each
+    # 2-round-green r11+r12 — supply consumption: 19 of 20):
+    "prices_snapshot_expire",  # expire_snapshots + orphan cleanup, the
+    #   retention lifecycle (append-only histories provably remove 0)
+    "events_changepoint",      # binseg argmax split, exact-int cumsums
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -630,6 +653,10 @@ SWEEP_TAIL = [
     # events_forecast_backtest — same 2-round-green evidence class
     "orders_basket_rules",
     "orders_ship_sla",
+    # demoted r13 wave 10 to fund prices_snapshot_expire +
+    # events_changepoint — same 2-round-green evidence class
+    "events_cusum_incremental",
+    "prices_compaction",
     # demoted r13 to fund the two sketch-sink slots (monthly_bars,
     # golden_cross) and the skyline/benford slots (macd, ichimoku).
     # Evidence per row: 2 consecutive green driver rounds (r11+r12,
@@ -907,6 +934,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_partition_evolution": _q_prices_partition_evolution,
         "prices_compaction": _q_prices_compaction,
         "prices_snapshot_rollback": _q_prices_snapshot_rollback,
+        "prices_snapshot_expire": _q_prices_snapshot_expire,
         "prices_monthly_bars": _q_prices_monthly_bars,
         "prices_golden_cross": _q_prices_golden_cross,
         "prices_macd": _q_prices_macd,
@@ -1042,6 +1070,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "prices_compaction": _pl.snapshot_compaction_oracle_sql(),
         "prices_snapshot_rollback": _pl.snapshot_rollback_oracle_sql(),
+        "prices_snapshot_expire": _pl.snapshot_expire_oracle_sql(),
         "prices_standin": PRICES_ORACLE_SQL,
         "dq_checks": prices_cte
         + dq_checks_oracle_sql(DEFAULT_DS, STANDIN_TICKERS).replace(

@@ -35,6 +35,7 @@ run still touches 8 date partitions.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -940,6 +941,117 @@ SELECT ticker,
        CAST(4 AS INTEGER) AS final_head,
        CAST(4 AS INTEGER) AS n_history,
        TRUE AS bad_still_readable
+FROM bars
+GROUP BY ticker
+ORDER BY ticker
+"""
+
+
+# EVOLUTION_DATES (defined below) + one more day: four snapshots so
+# keep_last=2 genuinely expires history
+EXPIRE_DATES = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+
+
+def snapshot_expire_demo(spark: SparkSession, table_dir: str) -> DataFrame:
+    """SNAPSHOT EXPIRY exercised end-to-end (sources/snapshots.py
+    vacuum — Iceberg's ``expire_snapshots`` + orphan-file cleanup, the
+    retention job every production lakehouse schedules):
+
+      1. days 1-2 land as appends (snapshots 1-2); day 3's load is a
+         compacting OVERWRITE rewriting days 1-3 into one dir
+         (snapshot 3 — an append-only history retains every dir
+         forever, the Iceberg-correct no-op case this demo must NOT
+         be); day 4 appends (snapshot 4);
+      2. ``vacuum(keep_last=2)`` trims history to snapshots 3-4 and
+         physically deletes the two pre-overwrite dirs ONLY the
+         expired snapshots could reach (manifest CAS-published FIRST,
+         so a crash can only orphan dirs, never dangle the manifest);
+      3. the CURRENT table is untouched (equals the flat 4-day
+         recompute — the oracle), the RETAINED older snapshot 3 still
+         time-travels, an EXPIRED version raises the same
+         not-in-history error as any unknown version, and every
+         removed dir is gone from disk.
+
+    Surface: per-ticker aggregates over the final table + the
+    lifecycle evidence (history length before/after, dirs removed,
+    expired-unreadable / retained-readable / orphans-deleted booleans
+    — all deterministic).
+    """
+    import shutil
+
+    from .sources import snapshots
+    from .sources.stock_api import DeterministicBarClient, bars_to_df, fetch_bars
+
+    shutil.rmtree(table_dir, ignore_errors=True)
+    client = DeterministicBarClient()
+
+    def _bars(ds_list: list[str]) -> DataFrame:
+        dfs = [
+            bars_to_df(spark, fetch_bars(client, ds)).drop(
+                "insertion_timestamp"
+            )
+            for ds in ds_list
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    heads = [
+        snapshots.commit(_bars(EXPIRE_DATES[:1]), table_dir, mode="append"),
+        snapshots.commit(_bars(EXPIRE_DATES[1:2]), table_dir, mode="append"),
+        # compacting rewrite of days 1-3: the retained history stops
+        # referencing the two append dirs, making them expirable
+        snapshots.commit(_bars(EXPIRE_DATES[:3]), table_dir, mode="overwrite"),
+        snapshots.commit(_bars(EXPIRE_DATES[3:]), table_dir, mode="append"),
+    ]
+    n_before = len(snapshots.history(table_dir))
+    removed = snapshots.vacuum(table_dir, keep_last=2)
+    n_after = len(snapshots.history(table_dir))
+    expired_unreadable = False
+    try:
+        snapshots.read(spark, table_dir, version=heads[0]).count()
+    except Exception:
+        expired_unreadable = True
+    retained_readable = (
+        snapshots.read(spark, table_dir, version=heads[2]).count() > 0
+    )
+    orphans_deleted = bool(removed) and all(
+        not os.path.exists(os.path.join(table_dir, d)) for d in removed
+    )
+    return (
+        snapshots.read(spark, table_dir)
+        .groupBy("ticker")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("volume").alias("sum_volume"),
+        )
+        .withColumn("n_history_before", F.lit(n_before))
+        .withColumn("n_history_after", F.lit(n_after))
+        .withColumn("n_dirs_removed", F.lit(len(removed)))
+        .withColumn("expired_unreadable", F.lit(expired_unreadable))
+        .withColumn("retained_readable", F.lit(retained_readable))
+        .withColumn("orphans_deleted", F.lit(orphans_deleted))
+        .orderBy("ticker")
+    )
+
+
+def snapshot_expire_oracle_sql(tickers: list[str] | None = None) -> str:
+    """DuckDB twin of :func:`snapshot_expire_demo`: retention never
+    changes the current table, so the oracle is the flat 4-day
+    recompute with the lifecycle evidence as literals (the day-1 and
+    day-2 append dirs are unreachable after the overwrite, so vacuum
+    removes exactly 2)."""
+    return _bars_cte_sql(EXPIRE_DATES, tickers) + """
+SELECT ticker,
+       COUNT(*) AS n_rows,
+       CAST(SUM(volume) AS BIGINT) AS sum_volume,
+       CAST(4 AS INTEGER) AS n_history_before,
+       CAST(2 AS INTEGER) AS n_history_after,
+       CAST(2 AS INTEGER) AS n_dirs_removed,
+       TRUE AS expired_unreadable,
+       TRUE AS retained_readable,
+       TRUE AS orphans_deleted
 FROM bars
 GROUP BY ticker
 ORDER BY ticker

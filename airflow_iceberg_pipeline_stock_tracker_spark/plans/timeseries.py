@@ -3031,6 +3031,131 @@ ORDER BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# offline changepoint: binary-segmentation argmax split per series
+# ---------------------------------------------------------------------------
+
+
+def events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, split_d, i, n_days, gain, mean_before, mean_after):
+    the single best mean-shift changepoint per type over the daily
+    count series — the split t maximizing the variance-reduction gain
+
+      gain(t) = SSE(1..n) - SSE(1..t) - SSE(t+1..n),
+      SSE(l..r) = Q - S^2/len   (Q = Σy^2, S = Σy over the segment)
+
+    i.e. one step of binary segmentation with the CUSUM-of-squares
+    statistic — the OFFLINE complement to events_cusum's sequential
+    detector (retrospective 'when did the level shift' vs online
+    'alert me when it drifts').
+
+    Determinism: S, Q, and every prefix sum are exact int64 window
+    sums; each candidate's gain is a fixed expression over those ints
+    (three IEEE divisions, no order-dependent float summation), so
+    gains are bit-equal across engines and the argmax (ties broken by
+    earliest date) cannot flip. split_d is the LAST day of the left
+    segment.
+
+    Scale: events collapse to |dates| x |types| rows map-side; the
+    candidate scan is one pass over that dimension-bounded series per
+    type — O(days), never O(days^2) — and the argmax is a
+    WindowGroupLimit-shaped row_number filter.
+    """
+    return changepoint_df(load_table(spark, sf_dir, "events"))
+
+
+def changepoint_df(ev: DataFrame) -> DataFrame:
+    """DataFrame-level core of events_changepoint (testable on
+    synthetic event streams)."""
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy("event_type")
+    yy = F.col("y") * F.col("y")
+    cum = (
+        daily.withColumn("i", F.row_number().over(w).cast("bigint"))
+        .withColumn("s", F.sum("y").over(wcum))
+        .withColumn("q", F.sum(yy).over(wcum))
+        .withColumn("n", F.count(F.lit(1)).over(wall).cast("bigint"))
+        .withColumn("st", F.sum("y").over(wall))
+        .withColumn("qt", F.sum(yy).over(wall))
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    sse_total = d("qt") - d("st") * d("st") / d("n")
+    sse_left = d("q") - d("s") * d("s") / d("i")
+    sse_right = (d("qt") - d("q")) - (d("st") - d("s")) * (
+        d("st") - d("s")
+    ) / (d("n") - d("i"))
+    cand = (
+        cum.where((F.col("i") >= 1) & (F.col("i") < F.col("n")))
+        .withColumn("gain", sse_total - sse_left - sse_right)
+        .withColumn("mean_before", d("s") / d("i"))
+        .withColumn(
+            "mean_after", (d("st") - d("s")) / (d("n") - d("i"))
+        )
+    )
+    pick = Window.partitionBy("event_type").orderBy(F.desc("gain"), "d")
+    return (
+        cand.withColumn("rk", F.row_number().over(pick))
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("d").alias("split_d"),
+            "i",
+            F.col("n").alias("n_days"),
+            "gain",
+            "mean_before",
+            "mean_after",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, d, y,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS i,
+         SUM(y) OVER wc AS s,
+         SUM(y * y) OVER wc AS q,
+         CAST(COUNT(*) OVER wa AS BIGINT) AS n,
+         SUM(y) OVER wa AS st,
+         SUM(y * y) OVER wa AS qt
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY d),
+         wc AS (PARTITION BY event_type ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wa AS (PARTITION BY event_type)
+), cand AS (
+  SELECT event_type, d, i, n,
+         (CAST(qt AS DOUBLE) - CAST(st AS DOUBLE) * CAST(st AS DOUBLE)
+            / CAST(n AS DOUBLE))
+         - (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+              / CAST(i AS DOUBLE))
+         - ((CAST(qt AS DOUBLE) - CAST(q AS DOUBLE))
+            - (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+              * (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+              / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE))) AS gain,
+         CAST(s AS DOUBLE) / CAST(i AS DOUBLE) AS mean_before,
+         (CAST(st AS DOUBLE) - CAST(s AS DOUBLE))
+           / (CAST(n AS DOUBLE) - CAST(i AS DOUBLE)) AS mean_after
+  FROM cum WHERE i >= 1 AND i < n
+), picked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY gain DESC, d) AS rk
+  FROM cand
+)
+SELECT event_type, d AS split_d, i, n AS n_days, gain,
+       mean_before, mean_after
+FROM picked WHERE rk = 1
+ORDER BY event_type
+"""
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -3080,6 +3205,9 @@ TIMESERIES_QUERIES = {
         events_forecast_backtest,
         EVENTS_BACKTEST_SQL,
     ),
+    # r13 wave 10: offline mean-shift changepoint (binary segmentation,
+    # exact-int cumulative-sum surface so the argmax can't flip)
+    "events_changepoint": (events_changepoint, EVENTS_CHANGEPOINT_SQL),
     "events_kmv_distinct": (events_kmv_distinct, _kmv_distinct_oracle_sql()),
     "events_kmv_overlap": (events_kmv_overlap, _kmv_overlap_oracle_sql()),
     "events_cms_heavy_hitters": (

@@ -252,6 +252,8 @@ HEADLINE = [
     "embedding_outlier_lof",
     "dq_mutual_information",
     "events_forecast_backtest",
+    "prices_snapshot_expire",
+    "events_changepoint",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -467,6 +469,11 @@ SCALE_TREND = {
     "embedding_outlier_lof": "embeddings",
     "dq_mutual_information": "lineitem",
     "events_forecast_backtest": "events",
+    # prices_snapshot_expire is EXEMPT like every prices_* lifecycle
+    # row (pipeline-generated bars, not fact-table input); its at-scale
+    # claim is structural — vacuum touches manifests + unreachable dirs
+    # only, never data proportional to table size
+    "events_changepoint": "events",
 }
 SCALE_FACTOR = 10
 
@@ -763,6 +770,14 @@ SCALE_TREND_NOTES = {
         "land on the same days, so daily counts scale by 10 and both "
         "models' MAPE is scale-invariant — only the first aggregate "
         "widens at 10x"
+    ),
+    "events_changepoint": (
+        "same collapse-to-daily-grid shape: the candidate scan is one "
+        "window pass over |dates| rows per type. Replica events scale "
+        "every daily count by 10, so S and Q scale by 10 and 100, "
+        "gain by exactly 100, and the ARGMAX SPLIT DAY is identical "
+        "at 10x — out_ratio 1.0 plus split-day identity are the "
+        "evidence"
     ),
 }
 

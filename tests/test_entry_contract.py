@@ -56,7 +56,7 @@ def test_new_operators_are_inside_the_checked_prefix():
     # (r12 verdict ask #1 — the 9 promoted r11 tail-first rows, the
     # events_quantile_sketch re-promotion, and the 5 r12-new ops) plus
     # every r13-new operator (minting capped at the round's demotion
-    # supply: 17 consumed against 20 available two-round-green rows —
+    # supply: 19 consumed against 20 available two-round-green rows —
     # the 19 r11 first-rounders + orders_basket_rules).
     promoted = {
         # r13-new, first round (r12 verdict ask #5)
@@ -78,6 +78,8 @@ def test_new_operators_are_inside_the_checked_prefix():
         "embedding_outlier_lof",
         "dq_mutual_information",
         "events_forecast_backtest",
+        "prices_snapshot_expire",
+        "events_changepoint",
         # r12-new, second round
         "streaming_hll_incremental",
         "prices_aroon",
