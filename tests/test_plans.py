@@ -98,6 +98,12 @@ _BROADCAST_NLJ_ALLOWED = frozenset(
         # broadcast 1-row query vector (dense side) + BM25's broadcast
         # 1-row corpus scalars — both the O(n*1) scalar-attach class
         "similarity_rrf_hybrid",
+        # broadcast 1-row global-median threshold attached to the
+        # |sources| x |scores| histogram — O(hist x 1) scalar-attach
+        "curation_score_calibration",
+        # broadcast 1-row (budget) scalar attached to the |sources|-row
+        # aggregate before the waterfill windows — O(|sources| x 1)
+        "curation_token_budget",
     }
 )
 
