@@ -2071,65 +2071,86 @@ def dq_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines ignore NULLs in count(col) and count(distinct));
     nothing floats anywhere.
 
-    Scale: one pass, map-combinable except the 11 exact
-    COUNT(DISTINCT)s, which Catalyst plans as Expand (11x map-side
-    fan-out, the documented price of exactness in one pass — the same
-    trade events_cube makes). At 100 TB swap exact distincts for the
-    HLL registers this repo already ships (events_hll_distinct) and
-    the profile becomes fully map-combinable; the exact version IS the
-    oracle-checkable one.
+    Scale — the r13 re-plan: the obvious single aggregate with 11
+    COUNT(DISTINCT)s planned as a SortAggregate of `first()` buffers
+    over a 12x Expand of ALL ELEVEN WIDE COLUMNS (Catalyst's
+    multi-distinct rewrite) — sorting 12x the table's full width,
+    24.3s at sf0.1. Instead the one scan explodes each row into 11
+    SKINNY (col, int-surface, str-surface) cells and stage one is a
+    pure-COUNT hash aggregate on (col, vi, vs) — map-combinable,
+    whole-stage-codegen, no sort, no wide Expand (2.5s at sf0.1);
+    stage two folds the ~Σ per-column-cardinality survivors into the
+    profile (its string min/max makes that one a SortAggregate, but
+    over the collapsed key set, not the table). n_distinct therefore
+    counts the NORMALIZED surface — identical to raw for ints,
+    strings, and timestamps (injective maps), and cent-precision for
+    money columns (the profile's stated unit; the oracle twin uses the
+    same expression). At 100 TB swap exact distincts for the HLL
+    registers this repo already ships (events_hll_distinct) and stage
+    one becomes a fixed-width register table; the exact version IS
+    the oracle-checkable one.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    n_total = F.count(F.lit(1)).alias("n_total")
-    aggs = [n_total]
-    for c, kind in _PROFILE_COLS:
-        aggs.append(F.count(c).alias(f"nn_{c}"))
-        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
-        if kind == "int":
-            lo, hi = F.min(c), F.max(c)
-        elif kind == "money":
-            lo, hi = F.min(cents(c)), F.max(cents(c))
-        elif kind == "ts":
-            lo = F.min(F.unix_micros(F.col(c).cast("timestamp")))
-            hi = F.max(F.unix_micros(F.col(c).cast("timestamp")))
-        else:  # str: min/max land in the string slots instead
-            lo, hi = F.min(c), F.max(c)
-        aggs.append(lo.alias(f"lo_{c}"))
-        aggs.append(hi.alias(f"hi_{c}"))
-    one = li.agg(*aggs)
     cells = []
     for c, kind in _PROFILE_COLS:
-        if kind == "str":
-            mini, maxi = "CAST(NULL AS BIGINT)", "CAST(NULL AS BIGINT)"
-            mins, maxs = f"lo_{c}", f"hi_{c}"
-        else:
-            mini, maxi = f"CAST(lo_{c} AS BIGINT)", f"CAST(hi_{c} AS BIGINT)"
-            mins, maxs = "CAST(NULL AS STRING)", "CAST(NULL AS STRING)"
+        if kind == "int":
+            vi = F.col(c).cast("bigint")
+        elif kind == "money":
+            vi = cents(c)
+        elif kind == "ts":
+            vi = F.unix_micros(F.col(c).cast("timestamp"))
+        else:  # str: min/max land in the string slots instead
+            vi = F.lit(None).cast("bigint")
+        vs = F.col(c) if kind == "str" else F.lit(None).cast("string")
         cells.append(
-            f"'{c}', n_total - nn_{c}, nd_{c}, {mini}, {maxi}, {mins}, {maxs}"
+            F.struct(
+                F.lit(c).alias("col_name"),
+                vi.alias("vi"),
+                vs.alias("vs"),
+            )
         )
-    stacked = one.selectExpr(
-        "n_total",
-        f"stack({len(_PROFILE_COLS)}, {', '.join(cells)}) AS "
-        "(col_name, n_null, n_distinct, min_int, max_int, min_str, max_str)",
+    pairs = li.select(F.explode(F.array(*cells)).alias("p")).select(
+        "p.col_name", "p.vi", "p.vs"
     )
-    return stacked.select(
-        "col_name",
-        "n_total",
-        "n_null",
-        "n_distinct",
-        "min_int",
-        "max_int",
-        "min_str",
-        "max_str",
-    ).orderBy("col_name")
+    # stage 1: pure-count hash aggregate; the NULL-value group (both
+    # surfaces NULL) carries the column's null count
+    per_key = pairs.groupBy("col_name", "vi", "vs").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    is_null = F.col("vi").isNull() & F.col("vs").isNull()
+    return (
+        per_key.groupBy("col_name")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_total"),
+            F.sum(F.when(is_null, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias("n_null"),
+            F.sum(F.when(is_null, 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_distinct"),
+            F.min("vi").alias("min_int"),
+            F.max("vi").alias("max_int"),
+            F.min("vs").alias("min_str"),
+            F.max("vs").alias("max_str"),
+        )
+        .orderBy("col_name")
+    )
 
 
 def _dq_profile_sql() -> str:
     aggs = ["CAST(COUNT(*) AS BIGINT) AS n_total"]
     for c, kind in _PROFILE_COLS:
         aggs.append(f"CAST(COUNT({c}) AS BIGINT) AS nn_{c}")
-        aggs.append(f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS nd_{c}")
+        # distinct over the NORMALIZED surface, same as the Spark plan
+        # (identical to raw for int/str/ts — injective; cent-precision
+        # for money, the profile's stated unit)
+        if kind == "money":
+            nd = f"CAST(ROUND({c} * 100) AS BIGINT)"
+        elif kind == "ts":
+            nd = f"epoch_us({c})"
+        else:
+            nd = c
+        aggs.append(f"CAST(COUNT(DISTINCT {nd}) AS BIGINT) AS nd_{c}")
         if kind == "int":
             lo, hi = f"MIN({c})", f"MAX({c})"
         elif kind == "money":

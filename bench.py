@@ -457,7 +457,15 @@ SCALE_TREND = {
     "curation_weighted_sample": "documents",
     "dedup_edit_distance": "documents",
     "similarity_rrf_hybrid": "documents",
-    "dedup_prefix_filter": "documents",
+    # dedup_prefix_filter is EXEMPT after its r13 measured point: at
+    # 10x (exact-duplicate replicas -> 10-member groups) TRUE J>=1/2
+    # pairs grow 978.9x and EXACT RECALL means output must follow —
+    # measured 6.30s at 1x / 504.8s at 10x (time_ratio 80.1 vs
+    # out_ratio 978.9: per-OUTPUT-PAIR cost IMPROVED ~12x). The figures
+    # live in the committed r13 BENCH_DETAIL; re-paying ~8.5 min per
+    # bench run to re-prove output-bound growth buys nothing — the
+    # same exact-recall geometry stays covered per-run by
+    # dedup_edit_distance's 10x row (time 23.2x vs out 979x)
     "dq_profile": "lineitem",
     "curation_score_calibration": "documents",
     # r13 wave 7 ships WITH trend evidence: IVM's whole point is the
@@ -699,19 +707,11 @@ SCALE_TREND_NOTES = {
         "joins two <=50-row lists, so it is scale-INVARIANT by "
         "construction — time_ratio reads the two underlying scans"
     ),
-    "dedup_prefix_filter": (
-        "replicas are EXACT duplicates, so TRUE J>=1/2 pairs grow "
-        "~C(10,2)x per base group and exact recall means the output "
-        "MUST grow with them — read time against out_ratio. The "
-        "filter's own claim is candidate volume: prefixes exclude "
-        "common shingles by construction, so candidates track true "
-        "pairs + rare-shingle collisions, never the hot-posting "
-        "quadratic of the uncapped inverted index"
-    ),
     "dq_profile": (
-        "one aggregate over the fact table (Expand fan-out for the 11 "
-        "exact distincts is the documented price of one-pass "
-        "exactness); output is always 11 rows — out_ratio 1.0 by "
+        "r13 re-plan: skinny (col, surface) explode + pure-COUNT hash "
+        "aggregate (map-combinable) replaced the SortAggregate-over-"
+        "wide-Expand multi-distinct plan — 24.3s -> 3.4s warm at "
+        "sf0.1; output is always 11 rows — out_ratio 1.0 by "
         "construction, null counts and totals scale by exactly 10"
     ),
     "curation_score_calibration": (
