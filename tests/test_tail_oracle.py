@@ -48,6 +48,10 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     # re-promotion + 5 new checked-first ops, against 15 demotions =
     # the 12 two-round-green r10 rows + the 3 three-round-green r9
     # code-changed rows), so no operator registered tail-first.
+    # r13: STILL EMPTY — all nineteen r13-new operators registered
+    # checked-first, funded by 19 of the 20 two-round-green demotion
+    # slots (the r11 first-rounders + orders_basket_rules); one slot
+    # was left unconsumed rather than minting past the evidence.
     # Any FUTURE tail-first registration must be added here until its
     # first rotation.
 ]
