@@ -140,3 +140,48 @@ def test_changepoint_finds_planted_level_shift(spark):
     # perfect two-level series: gain explains ALL the variance —
     # n * var = 20 * (52 - 36) = 320, both segment SSEs exactly 0
     assert abs(r.gain - 320.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: changepoint vs brute force on random series (incl. gain
+# ties, which must break to the earliest date in both)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# per type: 2-12 days of counts 1-5 (small ints keep the float gains
+# exactly reproducible in the python brute force)
+_series = st.lists(st.integers(1, 5), min_size=2, max_size=12)
+
+
+@given(a=_series, b=_series)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_changepoint_hypothesis_vs_brute_force(spark, a, b):
+    rows = []
+    eid = 0
+    base = dt.datetime(2024, 7, 1)
+    for typ, series in (("a", a), ("b", b)):
+        for day, n in enumerate(series):
+            for k in range(n):
+                rows.append(
+                    (eid, base + dt.timedelta(days=day, minutes=k), 1, typ, 1.0, "{}")
+                )
+                eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {r.event_type: r for r in changepoint_df(ev).collect()}
+    for typ, series in (("a", a), ("b", b)):
+        counts = {
+            (base + dt.timedelta(days=i)).date(): n for i, n in enumerate(series)
+        }
+        d, gain, mb, ma, i = _python_changepoint(counts)
+        r = got[typ]
+        assert r.split_d == d, (typ, series)
+        assert r.i == i
+        assert abs(r.gain - gain) < 1e-9
+        assert abs(r.mean_before - mb) < 1e-12
+        assert abs(r.mean_after - ma) < 1e-12

@@ -193,3 +193,65 @@ def test_token_budget_saturation_boundary(spark):
     total = sum(r.allocation for r in out.values())
     tok_all = sum(r.tokens for r in out.values())
     assert abs(total - tok_all // 2) <= 1e-6 * tok_all
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: waterfill vs blind bisection on random mixed corpora
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_GOOD = "a fine short document with the common words of it all"
+_MED = " ".join(["x" * 30] * 12)  # length ok, shape/stop fail -> q=0.6
+_BAD = "!"  # q = 0.0
+
+# (source 0-3, doc kind 0-2, repeats 1-3): mixes produce source weights
+# with real variance, including all-saturated, single-source, and
+# tied-r corpora (two sources with identical mixes)
+_corpora = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 2), st.integers(1, 3)),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(_corpora)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_token_budget_hypothesis_vs_bisection(spark, corpus):
+    rows = []
+    did = 0
+    for src, kind, rep in corpus:
+        text = [_GOOD, _MED, _BAD][kind]
+        for _ in range(rep):
+            rows.append((did, text, "en", f"s{src}", len(text)))
+            did += 1
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = token_budget(docs).collect()
+    pos = [(r.source, r.weight_deciq, r.cap) for r in out if r.weight_deciq > 0]
+    tok_all = sum(r.tokens for r in out)
+    budget = min(tok_all // 2, sum(c for _, _, c in pos))
+    if not pos:
+        assert all(r.allocation == 0.0 for r in out)
+        return
+    # blind bisection on the monotone fill function
+    lo, hi = 0.0, max(c / w for _, w, c in pos) + 1.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if sum(min(mid * w, c) for _, w, c in pos) < budget:
+            lo = mid
+        else:
+            hi = mid
+    lam = (lo + hi) / 2
+    for r in out:
+        if r.weight_deciq > 0:
+            want = min(lam * r.weight_deciq, r.cap)
+            assert abs(r.allocation - want) <= 1e-4 * max(want, 1.0), (
+                r.source,
+                r.allocation,
+                want,
+            )
+    total = sum(r.allocation for r in out)
+    assert abs(total - budget) <= 1e-6 * max(budget, 1)
