@@ -1195,6 +1195,78 @@ def _deep_events_point(spark, sf_dir: str, queries) -> dict:
     return out, acc
 
 
+# r13: the relational tier's two-decade check — dq_profile's re-planned
+# skinny-explode hash aggregate (the row that motivated killing the
+# wide-Expand SortAggregate) and the IVM rebuild, both lineitem-driven.
+# orders replicate with the join-consistent orderkey stride so every
+# replica's lines join its own orders (the 10x builder's construction).
+DEEP_LINEITEM_QUERIES = ("dq_profile", "orders_ivm_join")
+
+
+def _deep_lineitem_point(spark, sf_dir: str, queries) -> dict:
+    """100x lineitem+orders point (joint key-shifted replicas, the 10x
+    builder's join-consistent strides); min-of-2 timings."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scale_trend",
+        f"{base}-lineitem-x{DEEP_FACTOR}",
+    )
+    marker = os.path.join(out_dir, "_BUILT")
+    want = f"lineitem+orders={DEEP_FACTOR}\n"
+    built = os.path.exists(marker) and open(marker).read() == want
+    if not built:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        for pth in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            name = os.path.basename(pth)
+            if name not in ("lineitem.parquet", "orders.parquet"):
+                os.symlink(pth, os.path.join(out_dir, name))
+        reps = spark.range(DEEP_FACTOR).withColumnRenamed("id", "rep")
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        (
+            li.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.col("rep") * F.lit(10**9)
+            )
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "lineitem.parquet"))
+        )
+        od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        (
+            od.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.col("rep") * F.lit(10**9)
+            )
+            .withColumn(
+                "o_custkey", F.col("o_custkey") + F.col("rep") * F.lit(10**7)
+            )
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "orders.parquet"))
+        )
+        with open(marker, "w") as f:
+            f.write(want)
+    out = {}
+    for name in DEEP_LINEITEM_QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = _time.time()
+            queries[name](spark, out_dir).count()
+            t = round(_time.time() - t0, 3)
+            best = t if best is None else min(best, t)
+        out[name] = best
+    return out
+
+
 def _deep_docs_point(spark, sf_dir: str, queries) -> dict:
     """100x-documents point for the corpus-scaling text ops (r7 ask: one
     decade can't separate amortized fixed overhead from a genuine
@@ -1368,6 +1440,15 @@ def main() -> None:
             f"# 100x events point: {deep_ev} accuracy: {deep_acc}",
             file=sys.stderr,
         )
+        deep_li = _deep_lineitem_point(spark, sf_dir, queries)
+        for name, sec in deep_li.items():
+            e = scale_trend.get(name)
+            if e:
+                e["sec_100x"] = sec
+                e["time_ratio_100x_vs_10x"] = (
+                    round(sec / e["sec_10x"], 2) if e["sec_10x"] else None
+                )
+        print(f"# 100x lineitem point: {deep_li}", file=sys.stderr)
     finally:
         # the ONE-JSON-line stdout contract must survive any mid-bench
         # exception — restore stdout unconditionally

@@ -503,6 +503,30 @@ def test_dq_profile_is_one_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1
 
 
+def test_dq_profile_distinct_stage_is_hash_aggregate(spark, sf_dir):
+    """The r13 re-plan's contract: the distinct-collapsing stage is a
+    pure-COUNT HashAggregate on the skinny (col, vi, vs) triple — NOT
+    Catalyst's multi-distinct rewrite, which plans a SortAggregate of
+    first() buffers over a 12x Expand of all eleven wide columns
+    (measured 24.3s vs 3.4s at sf0.1). A SortAggregate is still
+    allowed for the final 11-group fold (string min/max buffers are
+    immutable), but it must run on the collapsed key set: the plan
+    must contain NO Expand node and a HashAggregate keyed on the
+    triple."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        dq_profile,
+    )
+
+    plan = (
+        dq_profile(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan
+    assert "HashAggregate(keys=[col_name" in plan
+
+
 def test_score_calibration_thresholds_are_medians(spark, sf_dir):
     """Each source's threshold must be the discrete median of ITS score
     distribution, and kept_calibrated ~ half of n_docs by construction
