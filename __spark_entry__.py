@@ -557,13 +557,16 @@ SWEEP_CHECKED = [
     "events_mad_anomaly",      # median-of-histogram twice, 3*MAD flags
     "events_burst_episodes",   # gaps-and-islands on the hour index
     "dq_referential_integrity",  # six anti-join integrity checks
-    "prices_heikin_ashi",      # ha_open recursion, bit-equal op order
+    # (prices_heikin_ashi and similarity_cluster_balance demoted r14
+    # after 2 consecutive green driver rounds, r12+r13, to fund the two
+    # CODE-CHANGED re-promotions at the bottom — similarity_knn_graph +
+    # embedding_near_dup on the r14 duplicate-collapse plan; prices
+    # keeps 5 checked lifecycle rows, similarity/embeddings keep 4)
     "prices_snapshot_rollback",  # rollback_to_snapshot lifecycle
     "events_hll_distinct",     # exact-int HLL registers vs exact count
     "events_hll_reagg",        # daily-register max-merge == one-pass
     "events_hll_setops",       # pair union/intersection algebra (r12:
     #   BNLJ-free plan — pair spine exploded, union grader equi-joined)
-    "similarity_cluster_balance",  # per-cluster quota sampling
     # RE-PROMOTED r12 (code-changed, must be driver-green on the new
     # plan): the (lo, hi) scalar now attaches once and q_pct is an
     # exploded literal — 7 BNLJs -> 1 (r11 verdict ask #8)
@@ -634,11 +637,28 @@ SWEEP_CHECKED = [
     "prices_snapshot_expire",  # expire_snapshots + orphan cleanup, the
     #   retention lifecycle (append-only histories provably remove 0)
     "events_changepoint",      # binseg argmax split, exact-int cumsums
+    # RE-PROMOTED r14 (CODE-CHANGED — the r13 verdict's one `weak`,
+    # must be driver-green on the new plan): the RP-LSH band self-join
+    # now collapses exact-duplicate embeddings to representatives and
+    # fans results back per group (operators/similarity.py::_dup_groups
+    # — exactness-preserving, oracles unchanged; pinned collapsed ==
+    # direct by tests/test_r14_collapse.py). Funded by demoting
+    # prices_heikin_ashi + similarity_cluster_balance, each
+    # 2-round-green r12+r13 — supply consumption this round: 2 of 16
+    # (the 15 two-round-green r12 rows + r13's one unconsumed slot):
+    "similarity_knn_graph",    # per-source top-k over collapsed bands
+    "embedding_near_dup",      # banded near-dup pairs, group fan-out
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
+    # demoted r14 to fund the two duplicate-collapse re-promotions
+    # (similarity_knn_graph + embedding_near_dup). Evidence per row: 2
+    # consecutive green driver rounds (r12+r13), pytest coverage, and
+    # the per-CI tail-oracle gate below
+    "prices_heikin_ashi",
+    "similarity_cluster_balance",
     # demoted r13 wave 7 to fund orders_ivm_join +
     # curation_token_budget. Evidence per row: 2 consecutive green
     # driver rounds (r11+r12), pytest coverage (tests/test_r11_ops.py),
@@ -763,7 +783,8 @@ SWEEP_TAIL = [
     "events_sketch_reagg",
     "events_json_props",
     "curation_mixture_sample",
-    "similarity_knn_graph",
+    # (similarity_knn_graph re-promoted r14 on the duplicate-collapse
+    # plan — see SWEEP_CHECKED)
     "events_hourly_corr",
     "parts_hierarchy_rollup",
     "events_heavy_hitters",
@@ -866,7 +887,8 @@ SWEEP_TAIL = [
     "dedup_ngram_jaccard",
     "dedup_components",
     "dedup_keep_list",
-    "embedding_near_dup",
+    # (embedding_near_dup re-promoted r14 on the duplicate-collapse
+    # plan — see SWEEP_CHECKED)
     "similarity_cosine_topk",
     "similarity_rp_lsh_topk",
     "embedding_kmeans",

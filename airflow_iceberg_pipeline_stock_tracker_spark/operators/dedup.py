@@ -1681,7 +1681,7 @@ def _ascii_prefix(col: Column, n: int) -> Column:
     )
 
 
-def edit_distance_pairs(docs: DataFrame) -> DataFrame:
+def edit_distance_pairs(docs: DataFrame, cap: int = LEV_BLOCK_CAP) -> DataFrame:
     """(doc_a, doc_b, lev_dist, len_a, len_b): document pairs whose
     ASCII 64-char prefixes are within edit distance 8, candidates
     blocked by exact 16-char-prefix match + an n_chars length band.
@@ -1724,7 +1724,7 @@ def edit_distance_pairs(docs: DataFrame) -> DataFrame:
                 Window.partitionBy("blk").orderBy("doc_id")
             ),
         )
-        .where(F.col("rn") <= LEV_BLOCK_CAP)
+        .where(F.col("rn") <= cap)
         .drop("rn")
     )
     a = capped.select(
@@ -1754,6 +1754,75 @@ def edit_distance_pairs(docs: DataFrame) -> DataFrame:
         .where(F.col("lev_dist") <= F.lit(LEV_MAX_DIST))
         .select("doc_a", "doc_b", "lev_dist", "len_a", "len_b")
         .orderBy("doc_a", "doc_b")
+    )
+
+
+def edit_distance_pair_ranks(
+    docs: DataFrame, doc_sample_mod: int | None = None
+) -> DataFrame:
+    """(doc_a, doc_b, max_rn): every UNCAPPED qualifying pair (same
+    16-char block, length band, prefix lev <= LEV_MAX_DIST) tagged with
+    the larger of the two docs' deterministic block ranks — the rank
+    LEV_BLOCK_CAP cuts on. A pair survives cap c in edit_distance_pairs
+    iff max_rn <= c, so ONE uncapped pass grades every cap (bench's
+    r14 lev cap-recall sweep, the winnowing-recall treatment from r12
+    applied to this operator per the r13 verdict's ask #4).
+
+    doc_sample_mod: ranks are computed over the FULL corpus blocks
+    BEFORE sampling (so a sampled pair's cap survival equals its
+    survival in the full computation — unbiased, the winnowing-sweep
+    construction), then both sides are restricted to doc_id % mod == 0
+    to bound the uncapped DP join on duplicate-saturated corpora.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("len"),
+            _ascii_prefix(F.col("text"), LEV_PREFIX_CHARS).alias("pfx"),
+        )
+        .withColumn("blk", F.substring("pfx", 1, LEV_BLOCK_CHARS))
+    )
+    ranked = base.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("blk").orderBy("doc_id")),
+    )
+    if doc_sample_mod is not None:
+        ranked = ranked.where(F.col("doc_id") % doc_sample_mod == 0)
+    a = ranked.select(
+        F.col("blk"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("len").alias("len_a"),
+        F.col("pfx").alias("pfx_a"),
+        F.col("rn").alias("rn_a"),
+    )
+    b = ranked.select(
+        F.col("blk"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("len").alias("len_b"),
+        F.col("pfx").alias("pfx_b"),
+        F.col("rn").alias("rn_b"),
+    )
+    return (
+        a.join(b, "blk")
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (
+                F.abs(F.col("len_a") - F.col("len_b"))
+                <= F.lit(LEV_LEN_BAND)
+            )
+        )
+        .where(
+            F.levenshtein(F.col("pfx_a"), F.col("pfx_b"))
+            <= F.lit(LEV_MAX_DIST)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.greatest("rn_a", "rn_b").alias("max_rn"),
+        )
     )
 
 

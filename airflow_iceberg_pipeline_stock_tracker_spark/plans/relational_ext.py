@@ -2219,12 +2219,21 @@ def orders_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: this is THE pattern that avoids rescanning a 100 TB fact
     table to refresh a view. The base view is an already-materialized
-    aggregate (|custkeys| rows); each delta term joins a day's ingest
-    against the other side with the DELTA broadcast, so the only big-
-    side work is one pruned probe of base lineitem by ΔO's orderkeys
-    (runtime-filterable: lineitem_bloom_semi_join is the same probe) —
-    never base ⋈ base again. Integer-cents partials make ⊕ safe under
-    any partial-aggregation order (functions/money.py).
+    aggregate (|custkeys| rows); each delta term joins the ingest
+    against the other side, so the only big-side work is one pruned
+    probe of base lineitem by ΔO's orderkeys (runtime-filterable:
+    lineitem_bloom_semi_join is the same probe) — never base ⋈ base
+    again. Integer-cents partials make ⊕ safe under any partial-
+    aggregation order (functions/money.py).
+
+    Join strategy (r13 advice): the demo's date cuts make the deltas
+    scale-PROPORTIONAL slices (~20% of lineitem), not the day's-ingest
+    sliver the production claim describes — a hard F.broadcast on them
+    would ship ~12M rows through the driver at the 100x deep point and
+    OOM beyond. So no hints: AQE picks broadcast exactly when a delta
+    is actually small (the production shape) and falls back to a
+    shuffle join when it isn't (this demo at 100x) — the same fix r11
+    applied to parts_jaccard_similarity's support joins.
     """
     o_cut = F.lit(_IVM_O_CUT).cast("date")
     l_cut = F.lit(_IVM_L_CUT).cast("date")
@@ -2258,9 +2267,9 @@ def orders_ivm_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     base_view = part(o_base, l_base)  # materialized before the deltas land
     delta_terms = (
-        part(F.broadcast(o_delta), l_base)
-        .unionByName(part(o_base, F.broadcast(l_delta)))
-        .unionByName(part(F.broadcast(o_delta), l_delta))
+        part(o_delta, l_base)
+        .unionByName(part(o_base, l_delta))
+        .unionByName(part(o_delta, l_delta))
     )
     return (
         base_view.unionByName(delta_terms)

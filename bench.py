@@ -475,6 +475,12 @@ SCALE_TREND = {
     "curation_token_budget": "documents",
     "similarity_matryoshka_recall": "embeddings",
     "embedding_outlier_lof": "embeddings",
+    # r14: the duplicate-collapse re-promotion ships WITH trend
+    # evidence — the r13 verdict's `weak` was exactly this row's shape
+    # (10x exact-duplicate replicas -> 10-member groups saturating the
+    # band buckets), so the collapsed plan's time_ratio at 10x IS the
+    # fix's receipt
+    "similarity_knn_graph": "embeddings",
     "dq_mutual_information": "lineitem",
     "events_forecast_backtest": "events",
     # prices_snapshot_expire is EXEMPT like every prices_* lifecycle
@@ -749,13 +755,24 @@ SCALE_TREND_NOTES = {
         "WindowGroupLimit. The ablation's at-scale point is to pick "
         "the smallest dim whose recall holds, then serve IVF/PQ there"
     ),
+    "similarity_knn_graph": (
+        "r14 duplicate-collapse plan (the r13 `weak`, closed): the "
+        "band self-join runs on one representative per DISTINCT "
+        "embedding value and fans edges back per group — candidate "
+        "volume is quadratic in distinct values, LINEAR in duplicate "
+        "multiplicity, so the 10x exact-replica corpus (10-member "
+        "groups) leaves the rep join at BASE size and the expansion "
+        "output-bound. EXACTNESS-preserving, not a cap: collapsed == "
+        "direct pinned by tests/test_r14_collapse.py and the "
+        "unchanged driver oracle"
+    ),
     "embedding_outlier_lof": (
-        "cost is the LSH-bucketed k-NN graph build (knn_graph's proven "
-        "never-all-pairs plan; replicas being exact duplicates makes "
-        "buckets 10x denser, so candidate volume grows superlinearly "
-        "— read against the knn row's own trend); the LOF algebra "
-        "after it is three joins over the k-bounded edge set, "
-        "|V| x k rows"
+        "cost is the LSH-bucketed k-NN graph build — since r14 the "
+        "duplicate-COLLAPSED plan (see similarity_knn_graph's row: "
+        "rep-level band join, per-group fan-out, exactness-preserving)"
+        " — so 10x exact-duplicate replicas no longer densify the "
+        "buckets; the LOF algebra after it is three joins over the "
+        "k-bounded edge set, |V| x k rows"
     ),
     "dq_mutual_information": (
         "one scan fans out 3x map-side (stack) and collapses to "
@@ -1093,6 +1110,73 @@ def _winnow_cap_sweep(spark, sf_dir: str) -> dict:
     return out
 
 
+LEV_CAP_SWEEP = (32, 64, 128)  # 64 is the production LEV_BLOCK_CAP
+
+
+def _lev_cap_sweep(spark, sf_dir: str) -> dict:
+    """r13 verdict ask #4: dedup_edit_distance's 23.7x trend ratio is
+    capped-pair growth (CAP^2 per block) — report what LEV_BLOCK_CAP
+    COSTS in recall next to what it buys in runtime, the winnowing-
+    recall treatment. Truth = the UNCAPPED qualifying pairs (blocking
+    + length band + lev <= 8 are the operator's DEFINITION; only the
+    cap is a scalability knob). One uncapped rank-tagged pass grades
+    every cap (a pair survives cap c iff max(rank_a, rank_b) <= c);
+    the 10x truth runs over the deterministic 10% doc sample with
+    ranks computed on FULL-corpus blocks first, so sampled survival
+    equals full-computation survival — unbiased at ~1% of the join
+    cost. Timings re-run the real operator per cap on the 10x corpus,
+    min-of-2, the scale-trend protocol."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        edit_distance_pair_ranks,
+        edit_distance_pairs,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    big_dir = _build_scale_dir(spark, sf_dir)
+    docs10 = load_table(spark, big_dir, "documents")
+    out = {}
+    for cap in LEV_CAP_SWEEP:
+        best = None
+        for _ in range(2):
+            t0 = _time.time()
+            edit_distance_pairs(docs10, cap=cap).count()
+            t = round(_time.time() - t0, 3)
+            best = t if best is None else min(best, t)
+        out[f"sec_10x_cap_{cap}"] = best
+    base_docs = load_table(spark, sf_dir, "documents")
+    for label, corpus, mod in (("base", base_docs, None), ("10x", docs10, 10)):
+        ranks = edit_distance_pair_ranks(corpus, doc_sample_mod=mod)
+        hist = {
+            int(r.max_rn): r.n
+            for r in ranks.groupBy("max_rn")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_truth = sum(hist.values())
+        out[f"true_pairs_{label}"] = n_truth
+        for cap in LEV_CAP_SWEEP:
+            n_hit = sum(n for rn, n in hist.items() if rn <= cap)
+            out[f"recall_{label}_cap_{cap}"] = (
+                round(n_hit / n_truth, 4) if n_truth else None
+            )
+    out["recall_note"] = (
+        "truth = uncapped pairs under the operator's own blocking "
+        "(16-char block + length band + prefix lev <= 8); 10x rows "
+        "estimated over the deterministic 10% doc sample with ranks "
+        "from full-corpus blocks (unbiased). The 10x corpus is 90% "
+        "exact duplicates, so block membership saturates the cap by "
+        "construction — recall there prices the cap against the "
+        "worst-case shape, the base row against the realistic one"
+    )
+    return out
+
+
 DEEP_FACTOR = 100
 # winnowing joined r11: the repo's purest linear citizen (zero-shuffle
 # per-row selection) gets the two-decade check its flatness claim needs
@@ -1192,7 +1276,121 @@ def _deep_events_point(spark, sf_dir: str, queries) -> dict:
             acc[name] = round(
                 max(abs(r[err_col]) / r[denom_col] for r in rows), 4
             )
-    return out, acc
+    extras = {
+        "events_kmv_distinct": {
+            "grader_split_100x": _kmv_grader_split(spark, out_dir)
+        },
+        "events_cms_heavy_hitters": {
+            "rank_agreement_100x": _cms_rank_agreement(spark, out_dir)
+        },
+    }
+    return out, acc, extras
+
+
+def _kmv_grader_split(spark, deep_dir: str) -> dict:
+    """r13 verdict ask #7: events_kmv_distinct's 13.8s 100x point needed
+    attribution — the registered row times sketch + GRADER (an exact
+    per-type COUNT(DISTINCT user_id), the one legitimately user-scale
+    stage, present only to grade the sketch). Time the sketch-only
+    pipeline (bottom-k via WindowGroupLimit + the estimate projection)
+    on the SAME 100x dir, min-of-2: full_row_sec - sketch_only_sec is
+    the grader's bill, the proof-tier split-out discipline."""
+    import time as _time
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import kmv
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    best = None
+    for _ in range(2):
+        t0 = _time.time()
+        ev = load_table(spark, deep_dir, "events")
+        sk = kmv.bottom_k(ev, ["event_type"], "user_id")
+        kmv.kmv_estimate(sk, ["event_type"]).count()
+        t = round(_time.time() - t0, 3)
+        best = t if best is None else min(best, t)
+    return {
+        "sketch_only_sec_100x": best,
+        "note": (
+            "the registered events_kmv_distinct row also computes the "
+            "exact COUNT(DISTINCT) grader; its 100x time minus this "
+            "sketch-only time is the grader's share (distinct users "
+            "grow 100x by construction, the sketch table stays "
+            "|types| x k)"
+        ),
+    }
+
+
+def _cms_rank_agreement(spark, deep_dir: str) -> dict:
+    """r13 verdict ask #3: CMS's contract is heavy-hitter
+    IDENTIFICATION, not per-item counts — width 1024's 2N/w bound
+    legitimately swamps per-item error at 100x (the honest
+    max_rel_err_100x: 100.87 recorded in r13). Grade the actual
+    contract: probe EVERY distinct user through the sketch, take the
+    top-20 by (cms_est desc, user_id), and score (a) identification
+    recall against the exact top-20 and (b) Kendall tau-a rank
+    agreement of cms_est vs exact_n within the exact top-20."""
+    from pyspark.sql import functions as F
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import cms
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    ev = load_table(spark, deep_dir, "events")
+    sketch = cms.cms_build(ev, "user_id").localCheckpoint(eager=True)
+    exact = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
+    ).persist()
+    exact_top = exact.orderBy(F.desc("exact_n"), "user_id").limit(20).collect()
+    cms_top = (
+        cms.cms_estimate(sketch, exact.select("user_id"), "user_id")
+        .orderBy(F.desc("cms_est"), "user_id")
+        .limit(20)
+        .collect()
+    )
+    exact_ids = [r.user_id for r in exact_top]
+    cms_ids = {r.user_id for r in cms_top}
+    recall = len(set(exact_ids) & cms_ids) / 20.0
+    # Kendall tau-a within the exact top-20: concordant - discordant
+    # over all C(20,2) pairs, comparing cms_est order to exact_n order
+    est_of = {
+        r.user_id: r.cms_est
+        for r in cms.cms_estimate(
+            sketch,
+            spark.createDataFrame(
+                [(i,) for i in exact_ids], "user_id bigint"
+            ),
+            "user_id",
+        ).collect()
+    }
+    exact_of = {r.user_id: r.exact_n for r in exact_top}
+    conc = disc = 0
+    for i in range(len(exact_ids)):
+        for j in range(i + 1, len(exact_ids)):
+            a, b = exact_ids[i], exact_ids[j]
+            de = exact_of[a] - exact_of[b]
+            dc = est_of[a] - est_of[b]
+            if de * dc > 0:
+                conc += 1
+            elif de * dc < 0:
+                disc += 1
+    n_pairs = len(exact_ids) * (len(exact_ids) - 1) // 2
+    exact.unpersist()
+    return {
+        "top20_identification_recall": round(recall, 4),
+        "kendall_tau_a_top20": (
+            round((conc - disc) / n_pairs, 4) if n_pairs else None
+        ),
+        "note": (
+            "contract-matched 100x grader: identification = |exact "
+            "top-20 ∩ cms-est top-20 over ALL users| / 20; tau-a over "
+            "the exact top-20's C(20,2) pairs (ties count neither way)"
+        ),
+    }
 
 
 # r13: the relational tier's two-decade check — dq_profile's re-planned
@@ -1417,6 +1615,14 @@ def main() -> None:
         wp_row = scale_trend.get("dedup_winnowing_pairs")
         if wp_row is not None:
             wp_row["cap_sweep_sec_10x"] = cap_sweep
+        # r13 verdict ask #4: the LEV_BLOCK_CAP recall/runtime sweep
+        # lives INSIDE the edit-distance trend row, so the 23.7x time
+        # ratio reads against what the cap costs in recall
+        lev_sweep = _lev_cap_sweep(spark, sf_dir)
+        print(f"# lev cap sweep @10x: {lev_sweep}", file=sys.stderr)
+        lev_row = scale_trend.get("dedup_edit_distance")
+        if lev_row is not None:
+            lev_row["cap_sweep_10x"] = lev_sweep
         deep = _deep_docs_point(spark, sf_dir, queries)
         for name, sec in deep.items():
             e = scale_trend.get(name)
@@ -1426,7 +1632,9 @@ def main() -> None:
                     round(sec / e["sec_10x"], 2) if e["sec_10x"] else None
                 )
         print(f"# 100x documents point: {deep}", file=sys.stderr)
-        deep_ev, deep_acc = _deep_events_point(spark, sf_dir, queries)
+        deep_ev, deep_acc, deep_extras = _deep_events_point(
+            spark, sf_dir, queries
+        )
         for name, sec in deep_ev.items():
             e = scale_trend.get(name)
             if e:
@@ -1436,8 +1644,15 @@ def main() -> None:
                 )
                 if name in deep_acc:
                     e["max_rel_err_100x"] = deep_acc[name]
+        # r13 verdict asks #3 + #7: the contract-matched CMS grader and
+        # the KMV sketch/grader time split live INSIDE their trend rows
+        for name, extra in deep_extras.items():
+            e = scale_trend.get(name)
+            if e:
+                e.update(extra)
         print(
-            f"# 100x events point: {deep_ev} accuracy: {deep_acc}",
+            f"# 100x events point: {deep_ev} accuracy: {deep_acc} "
+            f"extras: {deep_extras}",
             file=sys.stderr,
         )
         deep_li = _deep_lineitem_point(spark, sf_dir, queries)

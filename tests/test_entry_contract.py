@@ -51,18 +51,19 @@ def test_every_query_is_oracle_paired_or_documented_rows_only():
 
 def test_new_operators_are_inside_the_checked_prefix():
     # the r4 lesson: new operators must not ship driver-unchecked.
-    # Pins the CURRENT round's must-be-checked set (r13): the fifteen
-    # r12 first-rounders held for their SECOND consecutive green round
-    # (r12 verdict ask #1 — the 9 promoted r11 tail-first rows, the
-    # events_quantile_sketch re-promotion, and the 5 r12-new ops) plus
-    # every r13-new operator (minting capped at the round's demotion
-    # supply: 19 consumed against 20 available two-round-green rows —
-    # the 19 r11 first-rounders + orders_basket_rules).
+    # Pins the CURRENT round's must-be-checked set (r14): the nineteen
+    # r13 first-rounders held for their SECOND consecutive green round
+    # (r13 verdict ask #6), plus the two r14 CODE-CHANGED re-promotions
+    # (duplicate-collapse plan) and every r14-new operator — minting
+    # capped at the round's demotion supply of 16 (the 15 two-round-
+    # green r12 rows + r13's one unconsumed slot).
     promoted = {
-        # r13-new, first round (r12 verdict ask #5)
+        # r14 re-promotions (code-changed: duplicate-collapse band join)
+        "similarity_knn_graph",
+        "embedding_near_dup",
+        # r13-new, held for their second consecutive driver round
         "streaming_cms_incremental",
         "streaming_kmv_incremental",
-        # r13-new waves 2-7, first round
         "parts_skyline",
         "dq_benford",
         "curation_weighted_sample",
@@ -80,25 +81,6 @@ def test_new_operators_are_inside_the_checked_prefix():
         "events_forecast_backtest",
         "prices_snapshot_expire",
         "events_changepoint",
-        # r12-new, second round
-        "streaming_hll_incremental",
-        "prices_aroon",
-        "events_kmv_distinct",
-        "events_kmv_overlap",
-        "events_cms_heavy_hitters",
-        # r12 code-changed re-promotion (7 BNLJs -> 1), second round
-        "events_quantile_sketch",
-        # promoted r11 tail-first rows, second driver round
-        # (events_hll_setops also carries the r12 BNLJ-free plan)
-        "events_mad_anomaly",
-        "events_burst_episodes",
-        "dq_referential_integrity",
-        "prices_heikin_ashi",
-        "prices_snapshot_rollback",
-        "events_hll_distinct",
-        "events_hll_reagg",
-        "events_hll_setops",
-        "similarity_cluster_balance",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)
 

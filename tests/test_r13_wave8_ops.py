@@ -145,14 +145,16 @@ def test_lof_matches_python_recompute(spark, sf_dir):
     rows = lof_scores(emb, k=KNN_K).collect()
     assert rows
     got_ids = {r.vec_id for r in rows}
-    assert got_ids == set(lrd)
+    # on the k-NN substrate every node has k out-edges, so every lrd
+    # node keeps >= 1 scored neighbor and nothing is omitted
+    assert got_ids == set(lrd) == set(lof)
     for r in rows:
+        # lof is never NULL: a node whose neighbors all lack an lrd is
+        # omitted by the inner join, not emitted (r13 advice)
+        assert r.lof is not None
         assert abs(r.k_dist - k_dist[r.vec_id]) < 1e-9
         assert abs(1.0 / r.avg_reach - lrd[r.vec_id]) < 1e-6
-        if r.lof is not None:
-            assert abs(r.lof - lof[r.vec_id]) < 1e-6
-        else:
-            assert r.vec_id not in lof
+        assert abs(r.lof - lof[r.vec_id]) < 1e-6
 
 
 def test_lof_flags_planted_outlier(spark):
@@ -169,10 +171,35 @@ def test_lof_flags_planted_outlier(spark):
     ]
     edges = spark.createDataFrame(raw, "src long, dst long, cosine double")
     scored = {r.vec_id: r.lof for r in lof_from_edges(edges).collect()}
-    assert scored[9] is not None and scored[9] > 10 * max(
-        v for k, v in scored.items() if k != 9 and v is not None
+    assert all(v is not None for v in scored.values())  # never NULL
+    assert scored[9] > 10 * max(
+        v for k, v in scored.items() if k != 9
     ), scored
     # clique members sit at density parity with their neighbors
     for k, v in scored.items():
-        if k in (0, 1, 2) and v is not None:
+        if k in (0, 1, 2):
             assert 0.5 < v < 1.5, scored
+
+
+def test_lof_asymmetric_edges(spark):
+    """The documented asymmetric-edge-set contract (r13 advice): an edge
+    whose dst has no outgoing edges contributes nothing to reach (its
+    src's lrd averages fewer than k neighbors), and a node whose
+    neighbors ALL lack out-edges is omitted entirely — never NULL."""
+    tight = 1.0 - 0.1
+    raw = [
+        # 0 and 1 point at each other (both have out-edges)...
+        (0, 1, tight), (1, 0, tight),
+        # ...and both also point at 7, a pure sink (no out-edges)
+        (0, 7, tight), (1, 7, tight),
+        # 5 points ONLY at sinks -> all its neighbors lack an lrd
+        (5, 7, tight), (5, 8, tight),
+    ]
+    edges = spark.createDataFrame(raw, "src long, dst long, cosine double")
+    rows = {r.vec_id: r for r in lof_from_edges(edges).collect()}
+    # 5 is omitted (all-sink neighborhood); the sinks 7/8 have no lrd
+    assert set(rows) == {0, 1}
+    # 0's reach set is {1} only — the (0,7) edge dropped by the kdist
+    # inner join, so avg_reach averages ONE neighbor, not two
+    assert abs(rows[0].avg_reach - 0.1) < 1e-12
+    assert abs(rows[0].lof - 1.0) < 1e-12  # symmetric pair: parity

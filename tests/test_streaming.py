@@ -595,3 +595,51 @@ def test_capacity_knee_never_publishes_inconclusive_as_failed(monkeypatch):
     assert knee["max_sustained_rows_per_sec"] == 100
     assert knee["first_failed_offer"] is None
     assert knee["inconclusive_offer"] == 200
+
+
+def test_capacity_knee_retries_and_flags_under_load(monkeypatch):
+    """r13 verdict ask #2: when the 1-min loadavg exceeds 1 at ladder
+    start the knee re-runs the whole ladder once, keeps the attempt
+    with the HIGHER sustained rate (load only deflates the number),
+    records both attempts' loadavg, and flags inconclusive_load when
+    even the kept attempt started busy."""
+    import os as _os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import throughput
+
+    # attempt 1 (loaded): sustains 100; attempt 2 (quiet): sustains 200
+    ladders = iter(
+        [
+            {100: True, 200: False, 150: False},
+            {100: True, 200: True, 400: False, 300: False},
+        ]
+    )
+    current = {}
+
+    def fake(spark, rows_per_sec=0, run_sec=0.0, num_partitions=0):
+        return {
+            "pinned_rows_per_sec": rows_per_sec,
+            "achieved_rows_per_sec": float(rows_per_sec),
+            "kept_up": current["m"][rows_per_sec],
+            "input_rows": 0,
+            "result_rows": 0,
+        }
+
+    real_ladder = throughput._knee_ladder
+
+    def switching_ladder(*a, **kw):
+        current["m"] = next(ladders)
+        return real_ladder(*a, **kw)
+
+    monkeypatch.setattr(throughput, "rate_tumbling_throughput", fake)
+    monkeypatch.setattr(throughput, "_knee_ladder", switching_ladder)
+    loads = iter([2.4, 2.4, 0.2, 0.2, 0.2])  # busy first attempt, quiet retry
+    monkeypatch.setattr(
+        _os, "getloadavg", lambda: (next(loads, 0.2), 0.0, 0.0)
+    )
+    knee = throughput.capacity_knee(None, start_rows_per_sec=100, max_steps=4)
+    assert knee["max_sustained_rows_per_sec"] == 200  # the quiet retry won
+    assert knee["retry_of_loaded_attempt"] is True
+    assert knee["inconclusive_load"] is False  # kept attempt started quiet
+    assert knee["discarded_attempt"]["max_sustained_rows_per_sec"] == 100
+    assert knee["loadavg_1m"]["start"] == 0.2
