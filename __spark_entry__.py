@@ -564,7 +564,10 @@ SWEEP_CHECKED = [
     # keeps 5 checked lifecycle rows, similarity/embeddings keep 4)
     "prices_snapshot_rollback",  # rollback_to_snapshot lifecycle
     "events_hll_distinct",     # exact-int HLL registers vs exact count
-    "events_hll_reagg",        # daily-register max-merge == one-pass
+    # (events_hll_reagg demoted r14 after 2 consecutive green driver
+    # rounds, r12+r13, to fund dedup_prefix_filter_composed below; the
+    # HLL family keeps hll_distinct + hll_setops +
+    # streaming_hll_incremental checked)
     "events_hll_setops",       # pair union/intersection algebra (r12:
     #   BNLJ-free plan — pair spine exploded, union grader equi-joined)
     # RE-PROMOTED r12 (code-changed, must be driver-green on the new
@@ -648,17 +651,22 @@ SWEEP_CHECKED = [
     # (the 15 two-round-green r12 rows + r13's one unconsumed slot):
     "similarity_knn_graph",    # per-source top-k over collapsed bands
     "embedding_near_dup",      # banded near-dup pairs, group fan-out
+    # NEW r14 (first round checked per policy; r13 verdict ask #5 —
+    # supply consumption this round: 3 of 16):
+    "dedup_prefix_filter_composed",  # exact-collapse -> rep PPJoin ->
+    #   arithmetic pair expansion; oracle IS the direct PPJoin SQL
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
     # demoted r14 to fund the two duplicate-collapse re-promotions
-    # (similarity_knn_graph + embedding_near_dup). Evidence per row: 2
-    # consecutive green driver rounds (r12+r13), pytest coverage, and
-    # the per-CI tail-oracle gate below
+    # (similarity_knn_graph + embedding_near_dup) and the composed
+    # PPJoin row. Evidence per row: 2 consecutive green driver rounds
+    # (r12+r13), pytest coverage, and the per-CI tail-oracle gate below
     "prices_heikin_ashi",
     "similarity_cluster_balance",
+    "events_hll_reagg",
     # demoted r13 wave 7 to fund orders_ivm_join +
     # curation_token_budget. Evidence per row: 2 consecutive green
     # driver rounds (r11+r12), pytest coverage (tests/test_r11_ops.py),

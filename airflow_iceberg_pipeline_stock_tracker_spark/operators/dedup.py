@@ -1978,6 +1978,123 @@ def prefix_filter_pairs(
     return pairs.orderBy("doc_a", "doc_b")
 
 
+def prefix_filter_pairs_composed(
+    docs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
+    """prefix_filter_pairs' PRODUCTION composition (r13 verdict ask #5):
+    exact-dedup FIRST — collapse docs with identical distinct-shingle
+    SETS to their min-id representative — run the PPJoin on
+    representatives only, then expand pairs per group ARITHMETICALLY.
+    Output is IDENTICAL to the direct PPJoin (same schema, same rows,
+    same floats):
+
+      * a cross-group qualifying pair is a property of the two SETS, so
+        the rep-level PPJoin finds exactly the qualifying group pairs
+        (the prefix-filtering theorem holds for any consistent df
+        order, including the rep corpus's own), and (inter, sizes,
+        jaccard) are constant across member combinations;
+      * within-group pairs are C(k,2) per k-member group with
+        inter = size_a = size_b = |set| and jaccard = inter/(sa+sb-i)
+        = 1.0 — derivable, not joinable, which is the whole point: on
+        a duplicate-saturated corpus the direct join's 978.9x output
+        growth (r13's measured 504.8s 10x point) becomes expansion-
+        -only work, while the PPJoin itself runs at DISTINCT-set size.
+
+    The exact-recall certificate is unchanged — nothing is capped or
+    sampled. Equality with the direct path is pinned by
+    tests/test_r14_collapse.py on a duplicate-saturated corpus, and
+    the registered oracle IS the direct SQL (PREFIX_FILTER_SQL), so
+    the driver hash gate re-proves the composition every round.
+    """
+    from pyspark.sql import Window
+
+    owns_cache = shingles is None
+    sh = _shingle_hashes(docs).persist() if owns_cache else shingles
+    if owns_cache:
+        sh.count()
+    # group docs by their exact distinct-shingle set (value equality on
+    # the sorted hash array — no fingerprint, no collision caveat)
+    sig = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("sig")
+    )
+    wg = Window.partitionBy("sig")
+    members = (
+        sig.withColumn("gid", F.min("doc_id").over(wg))
+        .withColumn("gsize", F.count(F.lit(1)).over(wg))
+        .select("doc_id", "gid", "gsize")
+        .persist()
+    )
+    members.count()
+    rep_ids = members.where(F.col("doc_id") == F.col("gid")).select("doc_id")
+    # the rep shingles feed prefix_filter_pairs' several consumers (df
+    # counts, ranking, both verification sides) — materialize once
+    sh_reps = sh.join(rep_ids, "doc_id").persist()
+    sh_reps.count()
+    # prefix_filter_pairs checkpoints its pairs eagerly, so sh_reps is
+    # fully consumed by the time the call returns
+    rep_pairs = prefix_filter_pairs(docs, shingles=sh_reps)
+    rp = rep_pairs.select(
+        F.col("doc_a").alias("ga"),
+        F.col("doc_b").alias("gb"),
+        "inter",
+        F.col("size_a").alias("sz_a"),
+        F.col("size_b").alias("sz_b"),
+        "jaccard",
+    )
+    # within-group pairs: inter = both sizes = |set|; spell jaccard with
+    # the direct path's own closing expression (bigint/bigint division)
+    # so the floats are bit-equal
+    sizes = sh_reps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
+    selfg = (
+        members.where(
+            (F.col("gsize") >= 2) & (F.col("doc_id") == F.col("gid"))
+        )
+        .select("gid")
+        .join(sizes.withColumnRenamed("doc_id", "gid"), "gid")
+        .select(
+            F.col("gid").alias("ga"),
+            F.col("gid").alias("gb"),
+            F.col("set_size").alias("inter"),
+            F.col("set_size").alias("sz_a"),
+            F.col("set_size").alias("sz_b"),
+            (
+                F.col("set_size")
+                / (F.col("set_size") + F.col("set_size") - F.col("set_size"))
+            ).alias("jaccard"),
+        )
+    )
+    ma = members.select(F.col("gid").alias("ga"), F.col("doc_id").alias("m_a"))
+    mb = members.select(F.col("gid").alias("gb"), F.col("doc_id").alias("m_b"))
+    pairs = (
+        rp.unionByName(selfg)
+        .join(ma, "ga")
+        .join(mb, "gb")
+        # cross-group: every member combination once (groups are
+        # disjoint id sets); self-pair: ordered member pairs only
+        .where((F.col("ga") != F.col("gb")) | (F.col("m_a") < F.col("m_b")))
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "inter",
+            # sizes follow the (doc_a, doc_b) orientation, which flips
+            # when the B-side member carries the smaller id
+            F.when(F.col("m_a") < F.col("m_b"), F.col("sz_a"))
+            .otherwise(F.col("sz_b"))
+            .alias("size_a"),
+            F.when(F.col("m_a") < F.col("m_b"), F.col("sz_b"))
+            .otherwise(F.col("sz_a"))
+            .alias("size_b"),
+            "jaccard",
+        )
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    members.unpersist()
+    sh_reps.unpersist()
+    if owns_cache:
+        sh.unpersist()
+    return pairs.orderBy("doc_a", "doc_b")
+
+
 PREFIX_FILTER_SQL = f"""
 WITH shingles AS ({_SHINGLES_SQL}),
 dfrel AS (

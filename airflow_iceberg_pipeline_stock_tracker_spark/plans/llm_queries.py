@@ -482,6 +482,19 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         ),
         dedup.PREFIX_FILTER_SQL,
     ),
+    # r14 (r13 verdict ask #5): the production composition — exact-dedup
+    # first, PPJoin on set representatives, per-group arithmetic pair
+    # expansion. The oracle IS the direct PPJoin SQL, so the driver's
+    # hash gate re-proves output identity every round; on duplicate-
+    # saturated corpora the join runs at DISTINCT-set size while the
+    # C(k,2) within-group pairs become expansion-only work
+    "dedup_prefix_filter_composed": (
+        lambda spark, sf: dedup.prefix_filter_pairs_composed(
+            load_table(spark, sf, "documents"),
+            shingles=_shingles(spark, sf),
+        ),
+        dedup.PREFIX_FILTER_SQL,
+    ),
     # transitive closure of the simhash pair set -> actionable dedup
     "dedup_components": (
         lambda spark, sf: _simhash_components(spark, sf),

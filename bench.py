@@ -254,6 +254,8 @@ HEADLINE = [
     "events_forecast_backtest",
     "prices_snapshot_expire",
     "events_changepoint",
+    # --- r14 ---
+    "dedup_prefix_filter_composed",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -481,6 +483,10 @@ SCALE_TREND = {
     # band buckets), so the collapsed plan's time_ratio at 10x IS the
     # fix's receipt
     "similarity_knn_graph": "embeddings",
+    # r14 (r13 verdict ask #5): the composed PPJoin's whole claim is
+    # the 10x duplicate-saturated point — the rep join runs at base
+    # size and only the arithmetic expansion tracks the 978.9x output
+    "dedup_prefix_filter_composed": "documents",
     "dq_mutual_information": "lineitem",
     "events_forecast_backtest": "events",
     # prices_snapshot_expire is EXEMPT like every prices_* lifecycle
@@ -754,6 +760,16 @@ SCALE_TREND_NOTES = {
         "similarity_cosine_topk); per-(query,dim) top-k is a "
         "WindowGroupLimit. The ablation's at-scale point is to pick "
         "the smallest dim whose recall holds, then serve IVF/PQ there"
+    ),
+    "dedup_prefix_filter_composed": (
+        "exact-dedup first, PPJoin on distinct-set representatives, "
+        "C(k,2) within-group pairs expanded arithmetically — output "
+        "hash-IDENTICAL to the direct PPJoin (oracle IS the direct "
+        "SQL; tests/test_r14_collapse.py pins it on the saturated "
+        "corpus), so time_ratio here reads against the direct path's "
+        "retired 80.1x (6.30s -> 504.8s, r13 BENCH_DETAIL): the join "
+        "is distinct-set-bound and only the expansion tracks the "
+        "978.9x pair output"
     ),
     "similarity_knn_graph": (
         "r14 duplicate-collapse plan (the r13 `weak`, closed): the "

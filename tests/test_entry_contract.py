@@ -61,6 +61,8 @@ def test_new_operators_are_inside_the_checked_prefix():
         # r14 re-promotions (code-changed: duplicate-collapse band join)
         "similarity_knn_graph",
         "embedding_near_dup",
+        # r14-new, first round
+        "dedup_prefix_filter_composed",
         # r13-new, held for their second consecutive driver round
         "streaming_cms_incremental",
         "streaming_kmv_incremental",

@@ -96,6 +96,57 @@ def test_near_dup_collapse_identical_on_saturated_corpus(saturated_emb):
     assert len(within) == base_n * REPS * (REPS - 1) // 2
 
 
+def test_composed_ppjoin_matches_direct_on_saturated_corpus(spark, sf_dir):
+    """r13 verdict ask #5: the composed PPJoin (exact-collapse -> rep
+    join -> arithmetic expansion) must produce the direct PPJoin's pair
+    set EXACTLY — rows, sizes, and jaccard floats — on the duplicate-
+    saturated replica corpus (the 10x construction in miniature)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = spark.range(REPS).withColumnRenamed("id", "rep")
+    saturated = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10**9))
+        .drop("rep")
+    )
+
+    def rows(df):
+        return {
+            (r.doc_a, r.doc_b, r.inter, r.size_a, r.size_b, r.jaccard)
+            for r in df.collect()
+        }
+
+    direct = rows(dedup.prefix_filter_pairs(saturated))
+    composed = rows(dedup.prefix_filter_pairs_composed(saturated))
+    assert composed == direct
+    # the saturation actually exercised the expansion: every base doc
+    # with >= 1 shingle owes its C(REPS,2) within-group pairs
+    within = {p for p in composed if p[0] % 10**9 == p[1] % 10**9}
+    assert len(within) >= docs.count() * REPS * (REPS - 1) // 2 * 9 // 10
+    for _, _, inter, sa, sb, j in within:
+        assert inter == sa == sb and j == 1.0
+
+
+def test_composed_ppjoin_matches_direct_on_plain_corpus(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = {
+        tuple(r) for r in dedup.prefix_filter_pairs(docs).collect()
+    }
+    composed = {
+        tuple(r) for r in dedup.prefix_filter_pairs_composed(docs).collect()
+    }
+    assert composed == direct
+
+
 def test_dup_groups_shape(saturated_emb):
     members, reps = similarity._dup_groups(saturated_emb)
     n = saturated_emb.count()
