@@ -554,8 +554,10 @@ SWEEP_CHECKED = [
     # three demotions fund the quantile-sketch re-promotion and the two
     # new operators below — minting capped at the demotion supply, so
     # _NEVER_DRIVER_CHECKED ends the round EMPTY (r11 verdict ask #2):
-    "events_mad_anomaly",      # median-of-histogram twice, 3*MAD flags
-    "events_burst_episodes",   # gaps-and-islands on the hour index
+    # (events_mad_anomaly and events_burst_episodes demoted r14 after 2
+    # consecutive green driver rounds, r12+r13, to fund the wave-1
+    # mints below — orders_ivm_delete + dq_fd_violations; the events
+    # family keeps a dozen checked rows)
     "dq_referential_integrity",  # six anti-join integrity checks
     # (prices_heikin_ashi and similarity_cluster_balance demoted r14
     # after 2 consecutive green driver rounds, r12+r13, to fund the two
@@ -655,6 +657,12 @@ SWEEP_CHECKED = [
     # supply consumption this round: 3 of 16):
     "dedup_prefix_filter_composed",  # exact-collapse -> rep PPJoin ->
     #   arithmetic pair expansion; oracle IS the direct PPJoin SQL
+    # NEW r14 wave 1 (first round checked per policy; funded by
+    # demoting events_mad_anomaly + events_burst_episodes, each
+    # 2-round-green r12+r13 — supply consumption: 5 of 16):
+    "orders_ivm_delete",       # IVM retraction: negative multiplicities,
+    #   zero-support groups vanish; oracle = recompute on O \ D
+    "dq_fd_violations",        # Kivinen-Mannila g3 FD screen, exact ints
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -667,6 +675,8 @@ SWEEP_TAIL = [
     "prices_heikin_ashi",
     "similarity_cluster_balance",
     "events_hll_reagg",
+    "events_mad_anomaly",
+    "events_burst_episodes",
     # demoted r13 wave 7 to fund orders_ivm_join +
     # curation_token_budget. Evidence per row: 2 consecutive green
     # driver rounds (r11+r12), pytest coverage (tests/test_r11_ops.py),

@@ -2430,6 +2430,218 @@ ORDER BY hxy.pair
 DQ_MUTUAL_INFORMATION_SQL = _dq_mutual_information_sql()
 
 
+# ---------------------------------------------------------------------------
+# incremental view maintenance under DELETES (negative multiplicities)
+# ---------------------------------------------------------------------------
+
+# the retraction batch, spelled once and reused verbatim in both engines.
+# The o_custkey % 7 disjunct deletes ~1/7 of customers ENTIRELY (every
+# order they own), so the zero-multiplicity path — a group whose counts
+# cancel to exactly 0 must VANISH from the view, not linger as a zero
+# row — fires deterministically at every SF; the date disjunct retracts
+# a partial slice of everyone else's orders.
+_IVM_DELETE_PRED = (
+    "(o_custkey % 7 = 0) "
+    "OR (CAST(o_orderdate AS DATE) >= DATE '1997-07-01')"
+)
+
+
+def orders_ivm_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(o_custkey, line_cnt, revenue_cents): the orders_ivm_join view
+    maintained under a DELETE batch — retraction as NEGATIVE
+    multiplicities, the other half of textbook IVM (DBToaster-style
+    delta rules; orders_ivm_join covers inserts):
+
+      V(O \\ D ⋈ L) = V(O ⋈ L) ⊕ (-1)·V(D ⋈ L)
+
+    because COUNT and SUM-of-int-cents form a commutative GROUP (not
+    just a monoid — every partial has an inverse), so re-aggregating
+    the base view with the deleted rows' NEGATED partials reproduces
+    the post-delete state. The one subtlety every IVM engine must get
+    right: a group whose multiplicity reaches zero must be DELETED
+    from the view, not kept as a (0, 0) row — the HAVING-style
+    line_cnt > 0 filter after the merge (exact int cancellation makes
+    the zero test safe; no float epsilon anywhere).
+
+    The oracle IS the full recompute on O \\ D, so the driver's hash
+    gate — including the ABSENCE of the vanished custkeys — is the
+    retraction proof. Deletes partition on the reference's own
+    partition column (the reference swaps whole o_orderdate partitions
+    via DELETE + INSERT, /root/reference/dags/dag.py:243-258; this is
+    that operation's view-maintenance face).
+
+    Scale: the retraction term joins ONLY the deleted orders against
+    lineitem (runtime-filterable by orderkey, the bloom-semi-join
+    probe); the base view is an already-materialized |custkeys|-row
+    aggregate — never base ⋈ base, and never a rescan of the 100 TB
+    fact table. No broadcast hints: the demo delta is a scale-
+    proportional slice, AQE decides (the orders_ivm_join discipline).
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev_c"
+        ),
+    )
+    deleted = orders.where(F.expr(_IVM_DELETE_PRED))
+
+    def view(o: DataFrame, sign: int) -> DataFrame:
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey)
+            .groupBy("o_custkey")
+            .agg(
+                (F.count(F.lit(1)) * sign).cast("bigint").alias("line_cnt"),
+                (F.sum("rev_c") * sign).cast("bigint").alias("revenue_cents"),
+            )
+        )
+
+    base_view = view(orders, 1)  # the pre-delete materialized aggregate
+    retraction = view(deleted, -1)
+    return (
+        base_view.unionByName(retraction)
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("line_cnt").cast("bigint").alias("line_cnt"),
+            F.sum("revenue_cents").cast("bigint").alias("revenue_cents"),
+        )
+        .where(F.col("line_cnt") > 0)
+        .orderBy("o_custkey")
+    )
+
+
+# the oracle is the FULL recompute on the surviving orders — hash
+# equality (including the vanished custkeys' absence) proves the
+# negative-multiplicity algebra
+ORDERS_IVM_DELETE_SQL = f"""
+SELECT o_custkey,
+       CAST(COUNT(*) AS BIGINT) AS line_cnt,
+       CAST(SUM({cents_sql('l_extendedprice * (1 - l_discount)')}) AS BIGINT)
+         AS revenue_cents
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE NOT ({_IVM_DELETE_PRED})
+GROUP BY o_custkey
+ORDER BY o_custkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# approximate functional-dependency discovery (g3 violation rate)
+# ---------------------------------------------------------------------------
+
+# candidate FDs X -> Y, spelled once and reused verbatim in both
+# engines (the _MI_PAIRS discipline: each engine wraps the expression
+# in its own string cast, so the derived categories match byte-for-byte)
+_FD_CANDIDATES: list[tuple[str, str, str]] = [
+    # y is a pure function of x — an EXACT FD (g3 = 0.0) by
+    # construction, the control row that proves the metric can reach
+    # zero. (The synthetic testdata does NOT keep (l_orderkey,
+    # l_linenumber) unique, so the textbook PK control is unavailable —
+    # pinned by tests/test_r14_ops.py.)
+    (
+        "shipdate_to_shipyear",
+        "CAST(l_shipdate AS DATE)",
+        "EXTRACT(YEAR FROM CAST(l_shipdate AS DATE))",
+    ),
+    # near-FDs with real violation mass in TPC-H
+    ("orderkey_to_suppkey", "l_orderkey", "l_suppkey"),
+    ("orderkey_to_returnflag", "l_orderkey", "l_returnflag"),
+    ("partkey_to_suppkey", "l_partkey", "l_suppkey"),
+    ("shipdate_to_linestatus", "CAST(l_shipdate AS DATE)", "l_linestatus"),
+]
+
+
+def dq_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(fd, n_rows, n_groups, n_kept, n_violations, g3): approximate
+    functional-dependency screen over candidate X -> Y pairs — the g3
+    measure of Kivinen & Mannila (the TANE-family standard): the
+    MINIMUM number of rows to delete so X -> Y holds exactly, i.e.
+    n - Σ_x max_y count(x, y), reported as a rate. g3 = 0 certifies an
+    exact dependency (the PK control row); small g3 flags a
+    dependency-with-defects, the profile signal that drives both
+    schema inference and DQ rules (dq_mutual_information sees
+    correlation strength; this sees the deterministic claim and its
+    exact defect count).
+
+    Exactness: joint counts, per-x maxima, and all the sums are exact
+    int64; g3 is ONE closing int/int division with identical op order
+    in the twin — no entropy, no float accumulation at all.
+
+    Scale: one scan fans out |FD|x map-side (stack), collapses via a
+    map-combinable (fd, x, y) groupBy, then a second groupBy to
+    (fd, x) and a third to |FD| rows — each stage strictly smaller;
+    high-cardinality X (the orderkey rows) just means the
+    intermediates stay fact-shaped and distributed, never collected.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    stack_args = ", ".join(
+        f"'{name}', CAST(({x}) AS STRING), CAST(({y}) AS STRING)"
+        for name, x, y in _FD_CANDIDATES
+    )
+    pairs = li.selectExpr(
+        f"stack({len(_FD_CANDIDATES)}, {stack_args}) AS (fd, x, y)"
+    )
+    joint = pairs.groupBy("fd", "x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    perx = joint.groupBy("fd", "x").agg(
+        F.sum("c").cast("bigint").alias("cx"),
+        F.max("c").cast("bigint").alias("mx"),
+    )
+    return (
+        perx.groupBy("fd")
+        .agg(
+            F.sum("cx").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("mx").cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "fd",
+            "n_rows",
+            "n_groups",
+            "n_kept",
+            (F.col("n_rows") - F.col("n_kept")).alias("n_violations"),
+            (
+                (F.col("n_rows") - F.col("n_kept")) / F.col("n_rows")
+            ).alias("g3"),
+        )
+        .orderBy("fd")
+    )
+
+
+def _dq_fd_violations_sql() -> str:
+    selects = "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS fd, CAST(({x}) AS VARCHAR) AS x,"
+        f" CAST(({y}) AS VARCHAR) AS y FROM lineitem"
+        for name, x, y in _FD_CANDIDATES
+    )
+    return f"""
+WITH pairs AS ({selects}),
+joint AS (
+  SELECT fd, x, y, CAST(COUNT(*) AS BIGINT) AS c
+  FROM pairs GROUP BY 1, 2, 3
+),
+perx AS (
+  SELECT fd, x, CAST(SUM(c) AS BIGINT) AS cx, CAST(MAX(c) AS BIGINT) AS mx
+  FROM joint GROUP BY 1, 2
+)
+SELECT fd,
+       CAST(SUM(cx) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(mx) AS BIGINT) AS n_kept,
+       CAST(SUM(cx) - SUM(mx) AS BIGINT) AS n_violations,
+       CAST(SUM(cx) - SUM(mx) AS BIGINT) / CAST(SUM(cx) AS BIGINT) AS g3
+FROM perx
+GROUP BY fd
+ORDER BY fd
+"""
+
+
+DQ_FD_VIOLATIONS_SQL = _dq_fd_violations_sql()
+
+
 # The oracle is the FULL recompute — hash equality against it is the
 # correctness statement of the delta algebra, not a re-derivation of it.
 ORDERS_IVM_SQL = f"""
@@ -2494,4 +2706,10 @@ RELATIONAL_EXT_QUERIES = {
         dq_mutual_information,
         DQ_MUTUAL_INFORMATION_SQL,
     ),
+    # r14: IVM's other half — retraction as negative multiplicities,
+    # zero-support groups vanishing; oracle = full recompute on O \ D
+    "orders_ivm_delete": (orders_ivm_delete, ORDERS_IVM_DELETE_SQL),
+    # r14: approximate FD discovery (Kivinen-Mannila g3) — the
+    # deterministic-dependency screen next to MI's correlation screen
+    "dq_fd_violations": (dq_fd_violations, DQ_FD_VIOLATIONS_SQL),
 }

@@ -256,6 +256,8 @@ HEADLINE = [
     "events_changepoint",
     # --- r14 ---
     "dedup_prefix_filter_composed",
+    "orders_ivm_delete",
+    "dq_fd_violations",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -487,6 +489,11 @@ SCALE_TREND = {
     # the 10x duplicate-saturated point — the rep join runs at base
     # size and only the arithmetic expansion tracks the 978.9x output
     "dedup_prefix_filter_composed": "documents",
+    # r14 wave 1: both lineitem-driven (the 10x dir replicates orders
+    # with the join-consistent orderkey stride, so the retraction term
+    # and the recompute oracle both scale honestly)
+    "orders_ivm_delete": "lineitem",
+    "dq_fd_violations": "lineitem",
     "dq_mutual_information": "lineitem",
     "events_forecast_backtest": "events",
     # prices_snapshot_expire is EXEMPT like every prices_* lifecycle
@@ -760,6 +767,19 @@ SCALE_TREND_NOTES = {
         "similarity_cosine_topk); per-(query,dim) top-k is a "
         "WindowGroupLimit. The ablation's at-scale point is to pick "
         "the smallest dim whose recall holds, then serve IVF/PQ there"
+    ),
+    "orders_ivm_delete": (
+        "the retraction term joins ONLY the deleted orders against "
+        "lineitem (10x both sides, co-partitioned orderkey join); the "
+        "merge + zero-filter run on the |custkeys| aggregate — same "
+        "delta-term shape as orders_ivm_join's trend row"
+    ),
+    "dq_fd_violations": (
+        "one scan fanned out |FD|x map-side; the (fd, x, y) joint and "
+        "per-x maxima are map-combinable, so 10x rows widen the "
+        "counting passes while the output stays |FD| rows — the "
+        "orderkey-keyed FDs keep the intermediates fact-shaped but "
+        "never collected"
     ),
     "dedup_prefix_filter_composed": (
         "exact-dedup first, PPJoin on distinct-set representatives, "

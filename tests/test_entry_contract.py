@@ -63,6 +63,8 @@ def test_new_operators_are_inside_the_checked_prefix():
         "embedding_near_dup",
         # r14-new, first round
         "dedup_prefix_filter_composed",
+        "orders_ivm_delete",
+        "dq_fd_violations",
         # r13-new, held for their second consecutive driver round
         "streaming_cms_incremental",
         "streaming_kmv_incremental",
