@@ -558,13 +558,16 @@ SWEEP_CHECKED = [
     # consecutive green driver rounds, r12+r13, to fund the wave-1
     # mints below — orders_ivm_delete + dq_fd_violations; the events
     # family keeps a dozen checked rows)
-    "dq_referential_integrity",  # six anti-join integrity checks
+    # (dq_referential_integrity and prices_snapshot_rollback demoted
+    # r14 after 2 consecutive green driver rounds, r12+r13, to fund the
+    # wave-2 mints below — similarity_semdedup + text_classifier_score;
+    # the DQ family keeps dq_checks + 4 r13/r14 rows checked, the
+    # snapshot lifecycle keeps time-travel/incremental/wap/expire)
     # (prices_heikin_ashi and similarity_cluster_balance demoted r14
     # after 2 consecutive green driver rounds, r12+r13, to fund the two
     # CODE-CHANGED re-promotions at the bottom — similarity_knn_graph +
     # embedding_near_dup on the r14 duplicate-collapse plan; prices
     # keeps 5 checked lifecycle rows, similarity/embeddings keep 4)
-    "prices_snapshot_rollback",  # rollback_to_snapshot lifecycle
     "events_hll_distinct",     # exact-int HLL registers vs exact count
     # (events_hll_reagg demoted r14 after 2 consecutive green driver
     # rounds, r12+r13, to fund dedup_prefix_filter_composed below; the
@@ -663,6 +666,13 @@ SWEEP_CHECKED = [
     "orders_ivm_delete",       # IVM retraction: negative multiplicities,
     #   zero-support groups vanish; oracle = recompute on O \ D
     "dq_fd_violations",        # Kivinen-Mannila g3 FD screen, exact ints
+    # NEW r14 wave 2 (first round checked per policy; funded by
+    # demoting dq_referential_integrity + prices_snapshot_rollback,
+    # each 2-round-green r12+r13 — supply consumption: 7 of 16):
+    "similarity_semdedup",     # in-cluster smaller-id prune rule over
+    #   the exact kmeans + collapsed band join (Abbas et al. 2023)
+    "text_classifier_score",   # hashed linear classifier inference,
+    #   weight table as a pure expression, integer decision boundary
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -677,6 +687,8 @@ SWEEP_TAIL = [
     "events_hll_reagg",
     "events_mad_anomaly",
     "events_burst_episodes",
+    "dq_referential_integrity",
+    "prices_snapshot_rollback",
     # demoted r13 wave 7 to fund orders_ivm_join +
     # curation_token_budget. Evidence per row: 2 consecutive green
     # driver rounds (r11+r12), pytest coverage (tests/test_r11_ops.py),

@@ -1080,6 +1080,92 @@ CLUSTER_BALANCE_SQL = CLUSTER_BALANCE_SQL.replace(
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside k-means clusters (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_THRESHOLD = 0.4  # the fixture's near-dup band (near-orthogonal data)
+
+
+def similarity_semdedup(
+    spark: SparkSession, sf_dir: str, threshold: float = SEMDEDUP_THRESHOLD
+) -> DataFrame:
+    """(vec_id, cluster, pruned): SemDeDup-style semantic deduplication —
+    cluster the corpus (the exact quantized k-means), then inside each
+    cluster prune every vector that has a SMALLER-id neighbor at
+    cosine >= threshold. The curation pass that removes semantically
+    redundant training documents where exact/minhash dedup sees nothing
+    (Abbas et al. 2023 prune 50% of LAION this way).
+
+    Pinned-down rule (vs the paper's order-dependent greedy sweep):
+    pruned(v) := EXISTS u (u < v, same cluster, cosine(u, v) >= t) —
+    pairwise and order-free, so it is SQL-expressible, distributed-
+    friendly, and both engines agree exactly. Deliberate difference
+    from the greedy chain documented here: greedy would KEEP v when its
+    only near neighbor u was itself pruned; this rule still prunes v
+    (any epsilon-neighbor with a smaller id disqualifies). Candidates
+    come from the duplicate-collapsed banded RP-LSH near-dup join, so
+    recall of the prune set is the banded trade-off; precision is 1.
+
+    Scale: kmeans is the train-small/score-big shape (codebook
+    collected, O(k x dim)); the pair mining is the collapsed band join
+    (quadratic in distinct values only); the verdict table is one
+    |V|-row left join. Nothing here is all-pairs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = embedding_kmeans(spark, sf_dir)
+    pairs = embedding_near_dup_pairs_df(emb, threshold)
+    ca = assign.select(
+        F.col("vec_id").alias("vec_a"), F.col("cluster").alias("cl_a")
+    )
+    cb = assign.select(
+        F.col("vec_id").alias("vec_b"), F.col("cluster").alias("cl_b")
+    )
+    pruned = (
+        pairs.join(ca, "vec_a")
+        .join(cb, "vec_b")
+        .where(F.col("cl_a") == F.col("cl_b"))
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        assign.join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("hit"), F.lit(False)).alias("pruned"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _semdedup_sql() -> str:
+    return f"""
+WITH assign AS (SELECT * FROM ({{kmeans_sql}})),
+nd AS (SELECT * FROM ({{neardup_sql}})),
+pruned AS (
+  SELECT DISTINCT nd.vec_b AS vec_id
+  FROM nd
+  JOIN assign a ON a.vec_id = nd.vec_a
+  JOIN assign b ON b.vec_id = nd.vec_b
+  WHERE a.cluster = b.cluster
+)
+SELECT a.vec_id, a.cluster, (p.vec_id IS NOT NULL) AS pruned
+FROM assign a LEFT JOIN pruned p ON p.vec_id = a.vec_id
+ORDER BY a.vec_id
+"""
+
+
+# composes the kmeans and near-dup oracles (plain replace, not
+# .format(): the embedded SQL may contain braces)
+SIMILARITY_SEMDEDUP_SQL = (
+    _semdedup_sql()
+    .replace("{kmeans_sql}", EMBEDDING_KMEANS_SQL)
+    .replace("{neardup_sql}", EMBEDDING_NEAR_DUP_SQL)
+)
+
+
+# ---------------------------------------------------------------------------
 # k-NN graph: per-vector top-k neighbors over the banded-LSH candidates
 # ---------------------------------------------------------------------------
 

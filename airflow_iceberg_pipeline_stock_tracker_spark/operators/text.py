@@ -1459,3 +1459,97 @@ SELECT doc_id,
 FROM winnowed
 ORDER BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fastText-style inference, r14)
+# ---------------------------------------------------------------------------
+
+# The hashing-trick weight table every fastText-family quality filter
+# (CCNet, DCLM) serves at inference: token -> bucket via a hash, bucket
+# -> weight via a shared table. Here the "trained" weights are a
+# deterministic function of the bucket id (md5-derived milli-units in
+# [-1000, 1000]) so BOTH engines materialize the identical table from
+# thin air — the Spark-side plumbing (explode, bucket, weight lookup as
+# a pure codegen expression, map-combinable per-doc sum) is exactly the
+# production inference plan; swapping real trained weights in means
+# joining a broadcast (bucket, weight) relation instead of deriving it.
+CLF_BUCKETS = 4096
+
+
+def _clf_weight_milli(tok: Column) -> Column:
+    """Integer weight in [-1000, 1000] for the token's hash bucket."""
+    from ..functions.texthash import hash60
+
+    bucket = hash32(tok) % CLF_BUCKETS
+    return (
+        hash60(F.concat(F.lit("clfw:"), bucket.cast("string"))) % 2001
+    ) - 1000
+
+
+def classifier_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, logit_milli, logit, label): linear text
+    classifier over hashed bag-of-words — the inference half of the
+    fastText-style quality filters LLM curation pipelines run over
+    every crawl document (label = 'keep' iff the summed weight is
+    positive).
+
+    Exactness: bucket ids and weights are md5-derived exact int64
+    (functions/texthash — identical in both engines); the per-doc sum
+    is an exact integer in milli-units; `logit` is ONE closing
+    int/int division and `label` compares the INTEGER sum, so the
+    keep/drop boundary cannot float-flip cross-engine.
+
+    Scale: tokenize + bucket + weight are a single narrow codegen
+    projection (no UDF, no weight-table shuffle — the table is an
+    expression); the only exchange is the map-combinable per-doc sum.
+    At 100 TB this is the same one-scan shape as quality_score.
+    """
+    toks = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    agg = toks.select(
+        "doc_id", _clf_weight_milli(F.col("tok")).alias("w_milli")
+    ).groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("w_milli").cast("bigint").alias("logit_milli"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "logit_milli",
+        (F.col("logit_milli") / (F.lit(1000) * F.col("n_tokens"))).alias(
+            "logit"
+        ),
+        F.when(F.col("logit_milli") > 0, F.lit("keep"))
+        .otherwise(F.lit("drop"))
+        .alias("label"),
+    ).orderBy("doc_id")
+
+
+def _classifier_sql() -> str:
+    from ..functions.texthash import TOKENS_SQL, hash60_sql
+
+    toks = TOKENS_SQL.format(expr="text")
+    bucket = f"({hash32_sql('tok')} % {CLF_BUCKETS})"
+    keyed = f"CONCAT('clfw:', CAST({bucket} AS VARCHAR))"
+    w = f"(({hash60_sql(keyed)} % 2001) - 1000)"
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({toks}) AS tok
+  FROM documents WHERE text IS NOT NULL
+), agg AS (
+  SELECT doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM({w}) AS BIGINT) AS logit_milli
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, logit_milli,
+       logit_milli / (1000 * n_tokens) AS logit,
+       CASE WHEN logit_milli > 0 THEN 'keep' ELSE 'drop' END AS label
+FROM agg
+ORDER BY doc_id
+"""
+
+
+CLASSIFIER_SQL = _classifier_sql()

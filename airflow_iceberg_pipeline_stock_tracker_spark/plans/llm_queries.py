@@ -594,8 +594,23 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         similarity.power_iteration_scores,
         similarity.EMBEDDING_POWER_SQL,
     ),
+    # r14: SemDeDup — semantic dedup inside k-means clusters, composed
+    # from the exact kmeans + the collapsed banded near-dup join; the
+    # pairwise smaller-id prune rule is order-free so both engines
+    # agree exactly (difference from the paper's greedy sweep
+    # documented in the operator)
+    "similarity_semdedup": (
+        similarity.similarity_semdedup,
+        similarity.SIMILARITY_SEMDEDUP_SQL,
+    ),
     "text_language_id": (_docs(text.language_id), text.LANGUAGE_ID_SQL),
     "text_quality_score": (_docs(text.quality_score), text.QUALITY_SQL),
+    # r14: fastText-style hashed linear classifier inference — the
+    # quality-filter scoring pass, weight table as a pure expression
+    "text_classifier_score": (
+        _docs(text.classifier_score),
+        text.CLASSIFIER_SQL,
+    ),
     "text_token_stats": (_docs(text.token_stats), text.TOKEN_STATS_SQL),
     "text_fingerprints": (_docs(text.fingerprints), text.FINGERPRINTS_SQL),
     # winnowing (MOSS): rightmost-min-per-window k-gram selection with

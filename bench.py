@@ -258,6 +258,8 @@ HEADLINE = [
     "dedup_prefix_filter_composed",
     "orders_ivm_delete",
     "dq_fd_violations",
+    "similarity_semdedup",
+    "text_classifier_score",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -494,6 +496,11 @@ SCALE_TREND = {
     # and the recompute oracle both scale honestly)
     "orders_ivm_delete": "lineitem",
     "dq_fd_violations": "lineitem",
+    # r14 wave 2: semdedup rides the collapsed band join + the
+    # train-small/score-big kmeans; the classifier is a one-scan
+    # projection + map-combinable per-doc sum
+    "similarity_semdedup": "embeddings",
+    "text_classifier_score": "documents",
     "dq_mutual_information": "lineitem",
     "events_forecast_backtest": "events",
     # prices_snapshot_expire is EXEMPT like every prices_* lifecycle
@@ -767,6 +774,19 @@ SCALE_TREND_NOTES = {
         "similarity_cosine_topk); per-(query,dim) top-k is a "
         "WindowGroupLimit. The ablation's at-scale point is to pick "
         "the smallest dim whose recall holds, then serve IVF/PQ there"
+    ),
+    "similarity_semdedup": (
+        "kmeans assignment is train-small/score-big (codebook collected "
+        "at O(k x dim), scoring one numpy matmul per Arrow batch); pair "
+        "mining is the r14 duplicate-collapsed band join, so the 10x "
+        "exact-replica corpus keeps the rep join at base size; verdict "
+        "table is one |V|-row left join"
+    ),
+    "text_classifier_score": (
+        "tokenize + hash-bucket + weight are one narrow codegen "
+        "projection (the weight table is an EXPRESSION, nothing "
+        "shuffled); 10x docs widen only the map-combinable per-doc "
+        "sum — the quality_score linear class"
     ),
     "orders_ivm_delete": (
         "the retraction term joins ONLY the deleted orders against "

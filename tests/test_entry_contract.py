@@ -65,6 +65,8 @@ def test_new_operators_are_inside_the_checked_prefix():
         "dedup_prefix_filter_composed",
         "orders_ivm_delete",
         "dq_fd_violations",
+        "similarity_semdedup",
+        "text_classifier_score",
         # r13-new, held for their second consecutive driver round
         "streaming_cms_incremental",
         "streaming_kmv_incremental",

