@@ -570,15 +570,12 @@ SWEEP_CHECKED = [
     # keeps 5 checked lifecycle rows, similarity/embeddings keep 4)
     "events_hll_distinct",     # exact-int HLL registers vs exact count
     # (events_hll_reagg demoted r14 after 2 consecutive green driver
-    # rounds, r12+r13, to fund dedup_prefix_filter_composed below; the
-    # HLL family keeps hll_distinct + hll_setops +
-    # streaming_hll_incremental checked)
-    "events_hll_setops",       # pair union/intersection algebra (r12:
-    #   BNLJ-free plan — pair spine exploded, union grader equi-joined)
-    # RE-PROMOTED r12 (code-changed, must be driver-green on the new
-    # plan): the (lo, hi) scalar now attaches once and q_pct is an
-    # exploded literal — 7 BNLJs -> 1 (r11 verdict ask #8)
-    "events_quantile_sketch",
+    # rounds, r12+r13, to fund dedup_prefix_filter_composed below;
+    # events_hll_setops and events_quantile_sketch demoted r14 on the
+    # same evidence to fund the wave-3 mints — events_ab_cuped +
+    # curation_ppl_buckets; the HLL family keeps hll_distinct +
+    # streaming_hll_incremental checked, the quantile machinery stays
+    # pytest-pinned and sketch-graded via events_kmv/cms rows)
     # NEW r12 (first round checked per policy; minting stays capped at
     # the demotion supply — 15 consumed = 9 promotions + 1
     # re-promotion + 5 new ops, against 15 demotions = the 12
@@ -673,6 +670,13 @@ SWEEP_CHECKED = [
     #   the exact kmeans + collapsed band join (Abbas et al. 2023)
     "text_classifier_score",   # hashed linear classifier inference,
     #   weight table as a pure expression, integer decision boundary
+    # NEW r14 wave 3 (first round checked per policy; funded by
+    # demoting events_hll_setops + events_quantile_sketch, each
+    # 2-round-green r12+r13 — supply consumption: 9 of 16):
+    "events_ab_cuped",         # CUPED-adjusted A/B readout, closing
+    #   floats over exact int sums, window not scalar-cross-join
+    "curation_ppl_buckets",    # CCNet head/middle/tail terciles per
+    #   source, integer cross-multiplied cuts over millibit LM scores
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -689,6 +693,8 @@ SWEEP_TAIL = [
     "events_burst_episodes",
     "dq_referential_integrity",
     "prices_snapshot_rollback",
+    "events_hll_setops",
+    "events_quantile_sketch",
     # demoted r13 wave 7 to fund orders_ivm_join +
     # curation_token_budget. Evidence per row: 2 consecutive green
     # driver rounds (r11+r12), pytest coverage (tests/test_r11_ops.py),

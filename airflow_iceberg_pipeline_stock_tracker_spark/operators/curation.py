@@ -1181,3 +1181,80 @@ ORDER BY source
 
 
 TOKEN_BUDGET_SQL = _token_budget_sql()
+
+
+# ---------------------------------------------------------------------------
+# CCNet perplexity buckets (head / middle / tail, r14)
+# ---------------------------------------------------------------------------
+
+
+def ppl_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, lm_score_millibits, bucket): CCNet's
+    head/middle/tail split (Wenzek et al. 2020) — rank every document
+    WITHIN ITS SOURCE by language-model score and cut the ranking into
+    terciles. CCNet keeps 'head' (most corpus-typical) for training and
+    drops or down-weights 'tail'; per-source ranking is the point — a
+    niche source's best third survives even when its absolute scores
+    trail a mainstream source's.
+
+    Exactness: the score is text.lm_score's exact integer millibits;
+    ranks are ROW_NUMBER over (score DESC, doc_id) — fully
+    deterministic; tercile cuts are the cross-multiplied integer
+    comparisons 3*rn <= n and 3*rn <= 2*n (no float thirds, the
+    ship-SLA percentile discipline), so the boundary cannot flip.
+
+    Scale: lm_score is two corpus-count joins (exact bigram LM) that
+    stay token-shaped and distributed; the ranking is one window per
+    source — the same shape as curation_split. The bucket table then
+    drives sampling weights downstream.
+    """
+    from .text import lm_score
+
+    scored = lm_score(docs).select("doc_id", "lm_score_millibits")
+    src = docs.select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("lm_score_millibits"), "doc_id"
+    )
+    ranked = (
+        src.join(scored, "doc_id")
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("source"))
+        )
+    )
+    bucket = (
+        F.when(3 * F.col("rn") <= F.col("n"), F.lit("head"))
+        .when(3 * F.col("rn") <= 2 * F.col("n"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.select("doc_id", "source", "lm_score_millibits",
+                      bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
+
+
+def _ppl_buckets_sql() -> str:
+    from .text import LM_SCORE_SQL
+
+    return f"""
+WITH scored AS (SELECT * FROM ({LM_SCORE_SQL})),
+ranked AS (
+  SELECT d.doc_id, d.source, s.lm_score_millibits,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.source
+           ORDER BY s.lm_score_millibits DESC, d.doc_id
+         ) AS BIGINT) AS rn,
+         COUNT(*) OVER (PARTITION BY d.source) AS n
+  FROM documents d JOIN scored s ON s.doc_id = d.doc_id
+)
+SELECT doc_id, source, lm_score_millibits,
+       CASE WHEN 3 * rn <= n THEN 'head'
+            WHEN 3 * rn <= 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM ranked
+ORDER BY doc_id
+"""
+
+
+PPL_BUCKETS_SQL = _ppl_buckets_sql()

@@ -645,6 +645,13 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(curation.mixture_sample),
         curation.MIXTURE_SAMPLE_SQL,
     ),
+    # r14: CCNet's head/middle/tail perplexity split — per-SOURCE
+    # terciles of the exact-millibit LM score, integer-cross-multiplied
+    # cuts (the ship-SLA percentile discipline)
+    "curation_ppl_buckets": (
+        _docs(curation.ppl_buckets),
+        curation.PPL_BUCKETS_SQL,
+    ),
     "curation_stratified_sample": (
         _docs(curation.stratified_sample),
         curation.STRATIFIED_SAMPLE_SQL,

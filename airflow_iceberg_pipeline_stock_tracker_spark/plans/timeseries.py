@@ -3156,6 +3156,135 @@ ORDER BY event_type
 """
 
 
+# ---------------------------------------------------------------------------
+# A/B effect estimation with CUPED variance reduction (r14)
+# ---------------------------------------------------------------------------
+
+# deterministic unit assignment + period split, spelled once for both
+# engines. Pre-period activity is the CUPED covariate; the experiment
+# metric is post-period activity per user.
+_AB_CUT = "2024-01-16"  # events span 2024-01-01..01-30 at every SF
+
+
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(arm, n_users, sum_x, sum_y, mean_y, adj_mean_y): per-arm A/B
+    readout with CUPED variance reduction (Deng et al. 2013) — the
+    experiment-analysis pass every product analytics stack runs:
+    assign each user an arm by a deterministic hash, take Y = the
+    user's post-cut event count and X = the pre-cut count (the
+    covariate), estimate theta = cov(X,Y)/var(X) over ALL users, and
+    report each arm's adjusted mean  mean(Y) - theta*(mean(X) - E[X]).
+    Under a hash assignment the true effect is 0, so the two arms'
+    adj_mean_y converging is the readout's own sanity check.
+
+    Exactness: X/Y are exact per-user int counts; theta's numerator
+    N·Σxy − Σx·Σy and denominator N·Σxx − (Σx)² are exact int64
+    (per-user counts are small; products bounded far below 2^63 at
+    fixture scales — at petabyte scale promote to DECIMAL(38)); every
+    float is a CLOSING expression over those integers with the op
+    order spelled identically in the twin — no order-dependent double
+    accumulation anywhere.
+
+    Scale: one map-combinable per-user aggregate, then a 2-row arm
+    aggregate; the global sums attach via a window over the 2-row
+    frame (no scalar cross join, no BNLJ).
+    """
+    from ..functions.texthash import hash60
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    cut = F.lit(_AB_CUT).cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, 1).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    )
+    arm = F.when(
+        hash60(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))) % 2
+        == 0,
+        F.lit("treatment"),
+    ).otherwise(F.lit("control"))
+    arms = (
+        per_user.withColumn("arm", arm)
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("x").cast("bigint").alias("sum_x"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+            F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sum_xx"),
+            F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sum_xy"),
+        )
+    )
+    w = Window.partitionBy()  # the 2-row arm frame
+    n_all = F.sum("n_users").over(w)
+    sx_all = F.sum("sum_x").over(w)
+    sy_all = F.sum("sum_y").over(w)
+    sxx_all = F.sum("sum_xx").over(w)
+    sxy_all = F.sum("sum_xy").over(w)
+    theta = (n_all * sxy_all - sx_all * sy_all) / (
+        n_all * sxx_all - sx_all * sx_all
+    )
+    mean_y = F.col("sum_y") / F.col("n_users")
+    adj = mean_y - theta * (
+        F.col("sum_x") / F.col("n_users") - sx_all / n_all
+    )
+    return (
+        arms.select(
+            "arm",
+            "n_users",
+            "sum_x",
+            "sum_y",
+            mean_y.alias("mean_y"),
+            adj.alias("adj_mean_y"),
+        )
+        .orderBy("arm")
+    )
+
+
+def _ab_cuped_sql() -> str:
+    from ..functions.texthash import hash60_sql
+
+    arm_expr = hash60_sql("CONCAT('ab:', CAST(user_id AS VARCHAR))")
+    return f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN ts <  TIMESTAMP '{_AB_CUT}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN ts >= TIMESTAMP '{_AB_CUT}' THEN 1 ELSE 0 END)
+              AS BIGINT) AS y
+  FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+), arms AS (
+  SELECT CASE WHEN ({arm_expr}) % 2 = 0
+              THEN 'treatment' ELSE 'control' END AS arm,
+         CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(x) AS BIGINT) AS sum_x,
+         CAST(SUM(y) AS BIGINT) AS sum_y,
+         CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+         CAST(SUM(x * y) AS BIGINT) AS sum_xy
+  FROM per_user GROUP BY 1
+)
+SELECT arm, n_users, sum_x, sum_y,
+       sum_y / n_users AS mean_y,
+       sum_y / n_users
+         - ((SUM(n_users) OVER () * SUM(sum_xy) OVER ()
+             - SUM(sum_x) OVER () * SUM(sum_y) OVER ())
+            / (SUM(n_users) OVER () * SUM(sum_xx) OVER ()
+               - SUM(sum_x) OVER () * SUM(sum_x) OVER ()))
+           * (sum_x / n_users
+              - SUM(sum_x) OVER () / SUM(n_users) OVER ())
+         AS adj_mean_y
+FROM arms
+ORDER BY arm
+"""
+
+
+EVENTS_AB_CUPED_SQL = _ab_cuped_sql()
+
+
 TIMESERIES_QUERIES = {
     "events_gapfill": (events_gapfill, EVENTS_GAPFILL_SQL),
     "events_time_range_window": (events_time_range_window, EVENTS_TIME_RANGE_SQL),
@@ -3208,6 +3337,10 @@ TIMESERIES_QUERIES = {
     # r13 wave 10: offline mean-shift changepoint (binary segmentation,
     # exact-int cumulative-sum surface so the argmax can't flip)
     "events_changepoint": (events_changepoint, EVENTS_CHANGEPOINT_SQL),
+    # r14: A/B readout with CUPED variance reduction — theta and both
+    # adjusted means are closing floats over exact int sums (window
+    # over the 2-row arm frame, no scalar cross join)
+    "events_ab_cuped": (events_ab_cuped, EVENTS_AB_CUPED_SQL),
     "events_kmv_distinct": (events_kmv_distinct, _kmv_distinct_oracle_sql()),
     "events_kmv_overlap": (events_kmv_overlap, _kmv_overlap_oracle_sql()),
     "events_cms_heavy_hitters": (

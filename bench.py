@@ -260,6 +260,8 @@ HEADLINE = [
     "dq_fd_violations",
     "similarity_semdedup",
     "text_classifier_score",
+    "events_ab_cuped",
+    "curation_ppl_buckets",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -501,6 +503,11 @@ SCALE_TREND = {
     # projection + map-combinable per-doc sum
     "similarity_semdedup": "embeddings",
     "text_classifier_score": "documents",
+    # r14 wave 3: CUPED is two map-combinable aggregates (per-user,
+    # then 2-row arms); ppl_buckets rides lm_score's corpus-count
+    # joins + one per-source window
+    "events_ab_cuped": "events",
+    "curation_ppl_buckets": "documents",
     "dq_mutual_information": "lineitem",
     "events_forecast_backtest": "events",
     # prices_snapshot_expire is EXEMPT like every prices_* lifecycle
@@ -774,6 +781,17 @@ SCALE_TREND_NOTES = {
         "similarity_cosine_topk); per-(query,dim) top-k is a "
         "WindowGroupLimit. The ablation's at-scale point is to pick "
         "the smallest dim whose recall holds, then serve IVF/PQ there"
+    ),
+    "events_ab_cuped": (
+        "per-user x/y counts are ONE map-combinable aggregate (10x "
+        "disjoint replica users -> 10x groups, flat state per key); "
+        "everything after runs on the 2-row arm table — out stays 2 "
+        "rows at any scale"
+    ),
+    "curation_ppl_buckets": (
+        "lm_score's bigram-count joins stay token-shaped (closed "
+        "vocabulary on replicas, the text_lm_score class); the tercile "
+        "window is one exchange per source; out stays |docs| rows"
     ),
     "similarity_semdedup": (
         "kmeans assignment is train-small/score-big (codebook collected "

@@ -67,6 +67,8 @@ def test_new_operators_are_inside_the_checked_prefix():
         "dq_fd_violations",
         "similarity_semdedup",
         "text_classifier_score",
+        "events_ab_cuped",
+        "curation_ppl_buckets",
         # r13-new, held for their second consecutive driver round
         "streaming_cms_incremental",
         "streaming_kmv_incremental",

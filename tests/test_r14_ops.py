@@ -268,3 +268,109 @@ def test_semdedup_prunes_planted_duplicate(spark, sf_dir, tmp_path):
     # ...if it already had a smaller-id neighbor in the base fixture;
     # the planted copy can never cause it (1_000_000 > 7)
     assert out[1_000_000].cluster == out[7].cluster
+
+
+# ---------------------------------------------------------------------------
+# events_ab_cuped
+# ---------------------------------------------------------------------------
+
+
+def test_ab_cuped_matches_python_recompute(spark, sf_dir):
+    import datetime as dt
+    import hashlib
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        _AB_CUT,
+        events_ab_cuped,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    cut = dt.datetime.fromisoformat(_AB_CUT)
+    per_user = {}
+    for r in ev.select("user_id", "ts").collect():
+        x, y = per_user.get(r.user_id, (0, 0))
+        if r.ts < cut:
+            x += 1
+        else:
+            y += 1
+        per_user[r.user_id] = (x, y)
+
+    def arm_of(uid):
+        h = int(hashlib.md5(f"ab:{uid}".encode()).hexdigest()[:15], 16)
+        return "treatment" if h % 2 == 0 else "control"
+
+    import collections
+
+    sums = collections.defaultdict(lambda: [0, 0, 0, 0, 0])  # n,sx,sy,sxx,sxy
+    for uid, (x, y) in per_user.items():
+        s = sums[arm_of(uid)]
+        s[0] += 1
+        s[1] += x
+        s[2] += y
+        s[3] += x * x
+        s[4] += x * y
+    n = sum(s[0] for s in sums.values())
+    sx = sum(s[1] for s in sums.values())
+    sy = sum(s[2] for s in sums.values())
+    sxx = sum(s[3] for s in sums.values())
+    sxy = sum(s[4] for s in sums.values())
+    theta = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    got = {r.arm: r for r in events_ab_cuped(spark, sf_dir).collect()}
+    assert set(got) == {"treatment", "control"}
+    for arm, s in sums.items():
+        r = got[arm]
+        assert (r.n_users, r.sum_x, r.sum_y) == (s[0], s[1], s[2])
+        mean_y = s[2] / s[0]
+        adj = mean_y - theta * (s[1] / s[0] - sx / n)
+        assert abs(r.mean_y - mean_y) < 1e-12
+        assert abs(r.adj_mean_y - adj) < 1e-9
+    # hash assignment => true effect 0: CUPED tightens the arm gap on
+    # a covariate-correlated metric or at worst leaves it comparable
+    raw_gap = abs(got["treatment"].mean_y - got["control"].mean_y)
+    adj_gap = abs(got["treatment"].adj_mean_y - got["control"].adj_mean_y)
+    assert adj_gap <= raw_gap * 1.5 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# curation_ppl_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ppl_buckets_matches_python_terciles(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.curation import (
+        ppl_buckets,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.text import (
+        lm_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        r.doc_id: r.lm_score_millibits for r in lm_score(docs).collect()
+    }
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    got = {r.doc_id: r for r in ppl_buckets(docs).collect()}
+    import collections
+
+    by_src = collections.defaultdict(list)
+    for d, s in src.items():
+        if d in scores:
+            by_src[s].append(d)
+    for s, ids in by_src.items():
+        ids.sort(key=lambda d: (-scores[d], d))
+        n = len(ids)
+        for i, d in enumerate(ids, start=1):
+            want = (
+                "head"
+                if 3 * i <= n
+                else ("middle" if 3 * i <= 2 * n else "tail")
+            )
+            assert got[d].bucket == want, (s, d, i, n)
+            assert got[d].lm_score_millibits == scores[d]
+    # every source contributes all three buckets (non-vacuous split)
+    seen = collections.defaultdict(set)
+    for r in got.values():
+        seen[r.source].add(r.bucket)
+    assert all(v == {"head", "middle", "tail"} for v in seen.values())
