@@ -132,6 +132,18 @@ def _q_prices_macd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return macd(prices_standin(spark, sf_dir))
 
 
+def _q_prices_kalman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman filter (local-level model) folded per ticker in
+    pinned date order (operators/finance.py:kalman_filter); the oracle
+    is a recursive CTE running the identical IEEE op sequence —
+    bit-equal doubles (the macd/holt discipline)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        kalman_filter,
+    )
+
+    return kalman_filter(prices_standin(spark, sf_dir))
+
+
 def _q_prices_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ichimoku lines in doubled/quadrupled cent space — window extrema
     midpoints + 26-bar shifts, full windows only, zero division
@@ -583,9 +595,12 @@ SWEEP_CHECKED = [
     # code-changed rows):
     "streaming_hll_incremental",  # per-batch register partials, merged
     #   at read == one-pass build, register-level (r11 verdict ask #6)
-    "prices_aroon",            # packed-int window argmax, exact ints
+    # (prices_aroon and events_kmv_overlap demoted r14 after 2
+    # consecutive green driver rounds, r12+r13, to fund the wave-4
+    # mints below — orders_ivm_outer + prices_kalman; prices keeps 5+
+    # checked rows, the KMV algebra stays checked via
+    # events_kmv_distinct + streaming_kmv_incremental)
     "events_kmv_distinct",     # bottom-k sample sketch vs exact count
-    "events_kmv_overlap",      # in-range intersections via sample algebra
     "events_cms_heavy_hitters",  # count-min, pure-int one-sided estimates
     # NEW r13 (first round checked per policy; r12 verdict ask #5 —
     # funded by demoting prices_monthly_bars + prices_golden_cross,
@@ -677,6 +692,13 @@ SWEEP_CHECKED = [
     #   floats over exact int sums, window not scalar-cross-join
     "curation_ppl_buckets",    # CCNet head/middle/tail terciles per
     #   source, integer cross-multiplied cuts over millibit LM scores
+    # NEW r14 wave 4 (first round checked per policy; funded by
+    # demoting prices_aroon + events_kmv_overlap, each 2-round-green
+    # r12+r13 — supply consumption: 11 of 16):
+    "orders_ivm_outer",        # LEFT-join IVM: NULL-padding retraction
+    #   correction term; oracle = direct LEFT JOIN on full orders
+    "prices_kalman",           # 1-D Kalman fold, recursive-CTE oracle,
+    #   bit-equal doubles (the macd/holt discipline)
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -695,6 +717,8 @@ SWEEP_TAIL = [
     "prices_snapshot_rollback",
     "events_hll_setops",
     "events_quantile_sketch",
+    "prices_aroon",
+    "events_kmv_overlap",
     # demoted r13 wave 7 to fund orders_ivm_join +
     # curation_token_budget. Evidence per row: 2 consecutive green
     # driver rounds (r11+r12), pytest coverage (tests/test_r11_ops.py),
@@ -996,6 +1020,7 @@ def queries() -> dict[str, QueryFn]:
         "prices_monthly_bars": _q_prices_monthly_bars,
         "prices_golden_cross": _q_prices_golden_cross,
         "prices_macd": _q_prices_macd,
+        "prices_kalman": _q_prices_kalman,
         "prices_ichimoku": _q_prices_ichimoku,
         "prices_var_cvar": _q_prices_var_cvar,
         "prices_atr": _q_prices_atr,
@@ -1063,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         DRAWDOWN_SQL,
         GOLDEN_CROSS_SQL,
         ICHIMOKU_SQL,
+        KALMAN_SQL,
         MACD_SQL,
         MONTHLY_BARS_SQL,
         OBV_SQL,
@@ -1103,6 +1129,11 @@ def oracle_sql() -> dict[str, str]:
             "WITH prices", "WITH RECURSIVE prices", 1
         )
         + MACD_SQL,
+        # the Kalman recursion needs the same WITH RECURSIVE chain
+        "prices_kalman": prices_cte.replace(
+            "WITH prices", "WITH RECURSIVE prices", 1
+        )
+        + KALMAN_SQL,
         "prices_atr": prices_cte + ATR_SQL.replace("WITH c AS", ", c AS", 1),
         "prices_stochastic": prices_cte
         + STOCH_SQL.replace("WITH c AS", ", c AS", 1),

@@ -1534,3 +1534,113 @@ FROM k
 WHERE rn > {AROON_PERIOD}
 ORDER BY ticker, date
 """
+
+
+# ---------------------------------------------------------------------------
+# 1-D Kalman filter (constant-level model) per ticker — r14
+# ---------------------------------------------------------------------------
+
+# process / observation variances in cents^2 — exact double literals
+# shared with the oracle
+KALMAN_Q = 25.0
+KALMAN_R = 400.0
+
+
+def kalman_filter(prices: DataFrame) -> DataFrame:
+    """(ticker, n_days, kalman_level_c, kalman_var_c, last_close_c,
+    resid_c): the steady-state of a 1-D Kalman filter (local-level
+    model, fixed Q/R) folded over each ticker's close series — the
+    classical optimal denoiser the EWMA family approximates, with the
+    gain ADAPTING from the prior variance instead of a fixed alpha:
+
+        p1 = p + Q
+        k  = p1 / (p1 + R)
+        m' = m + k * (x - m)          (seed: m = x_0, p = R)
+        p' = (1 - k) * p1
+
+    Determinism: the same pinned-(date) array fold as macd/holt — the
+    recursion uses only +, -, *, / (each correctly rounded) in an op
+    sequence written IDENTICALLY in the recursive-CTE oracle, so the
+    doubles are bit-equal (DuckDB's list_reduce struct fold is
+    unusable — the r9 Holt lesson — hence the row-wise recursion).
+    Inputs are cents-as-doubles (exact ints < 2^53); Q/R are exact
+    double literals.
+
+    Scale: one shuffle on ticker; per-ticker state is the recursion's
+    intrinsic need and bounded by TIME (daily bars), the documented
+    finance-tier class. kalman_var_c converging to the fixed point of
+    p' = (1-k)(p+Q) is the filter's own sanity check (pytest pins it).
+    """
+    close_c = cents("close")
+    per_t = prices.groupBy("ticker").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("date"), close_c.cast("double").alias("x"))
+            )
+        ).alias("ordered"),
+    )
+    q, r = KALMAN_Q, KALMAN_R
+    fold = F.expr(
+        f"""
+        aggregate(
+          ordered,
+          named_struct('m', cast(null as double), 'p', cast(null as double),
+                       'x', cast(null as double)),
+          (acc, o) -> if(
+            acc.m is null,
+            named_struct('m', o.x, 'p', cast({r} as double), 'x', o.x),
+            named_struct(
+              'm', acc.m + ((acc.p + {q}) / ((acc.p + {q}) + {r}))
+                     * (o.x - acc.m),
+              'p', (1 - ((acc.p + {q}) / ((acc.p + {q}) + {r})))
+                     * (acc.p + {q}),
+              'x', o.x))
+        )
+        """
+    )
+    return (
+        per_t.select("ticker", "n_days", fold.alias("s"))
+        .select(
+            "ticker",
+            "n_days",
+            F.col("s.m").alias("kalman_level_c"),
+            F.col("s.p").alias("kalman_var_c"),
+            F.col("s.x").alias("last_close_c"),
+            (F.col("s.x") - F.col("s.m")).alias("resid_c"),
+        )
+        .orderBy("ticker")
+    )
+
+
+# continues the shared prices CTE; needs WITH RECURSIVE on the chain
+# (the prices_macd assembly rule in __spark_entry__.oracle_sql)
+KALMAN_SQL = f"""
+, c AS (
+  SELECT ticker, date,
+         CAST(CAST(ROUND(close * 100) AS BIGINT) AS DOUBLE) AS x
+  FROM prices
+), ord AS MATERIALIZED (
+  SELECT ticker, date, x,
+         ROW_NUMBER() OVER (PARTITION BY ticker ORDER BY date) AS rn,
+         COUNT(*) OVER (PARTITION BY ticker) AS n_days
+  FROM c
+), r AS (
+  SELECT ticker, rn, n_days, x,
+         x AS m, CAST({KALMAN_R} AS DOUBLE) AS p
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.ticker, o.rn, o.n_days, o.x,
+         r.m + ((r.p + {KALMAN_Q}) / ((r.p + {KALMAN_Q}) + {KALMAN_R}))
+             * (o.x - r.m),
+         (1 - ((r.p + {KALMAN_Q}) / ((r.p + {KALMAN_Q}) + {KALMAN_R})))
+             * (r.p + {KALMAN_Q})
+  FROM r JOIN ord o ON o.ticker = r.ticker AND o.rn = r.rn + 1
+)
+SELECT ticker, CAST(n_days AS BIGINT) AS n_days,
+       m AS kalman_level_c, p AS kalman_var_c,
+       x AS last_close_c, x - m AS resid_c
+FROM r
+WHERE rn = n_days
+ORDER BY ticker
+"""

@@ -2528,6 +2528,93 @@ ORDER BY o_custkey
 
 
 # ---------------------------------------------------------------------------
+# incremental view maintenance of a row-level LEFT OUTER join
+# ---------------------------------------------------------------------------
+
+# the insert batch: the %5 disjunct makes ~1/5 of customers receive
+# their FIRST-ever order from the delta (every order they own arrives
+# in it), so the outer join's NULL-padding retraction — the correction
+# term inner-join IVM doesn't have — fires deterministically at every
+# SF; the date disjunct is an ordinary late-arriving slice.
+_IVM_OUTER_PRED = (
+    "(o_custkey % 5 = 3) "
+    "OR (CAST(o_orderdate AS DATE) >= DATE '1997-07-01')"
+)
+
+
+def orders_ivm_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, o_orderkey, o_total_cents): the row-level view
+    customer LEFT JOIN orders, maintained incrementally under an
+    INSERT batch ΔO — the outer-join delta rule inner-join IVM
+    (orders_ivm_join/_delete) doesn't need:
+
+      V_new = V_base ⊖ {NULL-padded rows of customers matched for the
+                        FIRST time by ΔO}  ⊕  (ΔO ⋈ customer)
+
+    A LEFT JOIN materializes a NULL-extended row for every unmatched
+    customer; when a delta brings a customer its first order, simply
+    appending the new joined rows would leave the stale NULL row in
+    the view — the retraction term is what makes outer-join views
+    maintainable (the DBToaster/Materialize correction). Customers
+    unmatched in BOTH base and delta keep their NULL row untouched.
+
+    The oracle IS the direct LEFT JOIN over the full orders table, so
+    hash equality — including the exact set of surviving NULL rows —
+    proves the correction. Exactness: keys + int cents only.
+
+    Scale: the base view is already materialized; the correction term
+    touches only ΔO's custkeys anti-joined against base-matched ones
+    (delta-sized), and the insert term joins ΔO against the customer
+    dimension — never a rescan of the base view's fact side. No
+    broadcast hints (AQE decides; the demo delta is scale-
+    proportional).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        cents(F.col("o_totalprice")).alias("o_total_cents"),
+    )
+    o_base = orders.where(~F.expr(_IVM_OUTER_PRED))
+    o_delta = orders.where(F.expr(_IVM_OUTER_PRED))
+    # the pre-existing materialized view: row-level LEFT JOIN on base
+    base_view = cust.join(
+        o_base, cust.c_custkey == o_base.o_custkey, "left"
+    ).select("c_custkey", "o_orderkey", "o_total_cents")
+    # correction: NULL rows of customers ΔO matches for the first time
+    first_matched = (
+        o_delta.select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+        .join(
+            o_base.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .withColumn("newly_matched", F.lit(True))
+    )
+    retained = base_view.join(first_matched, "c_custkey", "left").where(
+        ~(F.col("o_orderkey").isNull() & F.col("newly_matched").isNotNull())
+    ).select("c_custkey", "o_orderkey", "o_total_cents")
+    inserts = cust.join(
+        o_delta, cust.c_custkey == o_delta.o_custkey
+    ).select("c_custkey", "o_orderkey", "o_total_cents")
+    return retained.unionByName(inserts).orderBy(
+        "c_custkey", "o_orderkey"
+    )
+
+
+# the oracle is the direct LEFT JOIN over the FULL orders table —
+# hash equality (surviving NULL rows included) proves the correction
+ORDERS_IVM_OUTER_SQL = f"""
+SELECT c.c_custkey, o.o_orderkey,
+       {cents_sql('o.o_totalprice')} AS o_total_cents
+FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+ORDER BY c.c_custkey, o.o_orderkey
+"""
+
+
+# ---------------------------------------------------------------------------
 # approximate functional-dependency discovery (g3 violation rate)
 # ---------------------------------------------------------------------------
 
@@ -2712,4 +2799,7 @@ RELATIONAL_EXT_QUERIES = {
     # r14: approximate FD discovery (Kivinen-Mannila g3) — the
     # deterministic-dependency screen next to MI's correlation screen
     "dq_fd_violations": (dq_fd_violations, DQ_FD_VIOLATIONS_SQL),
+    # r14 wave 4: the OUTER-join delta rule (NULL-padding retraction);
+    # oracle = direct LEFT JOIN over the full orders table
+    "orders_ivm_outer": (orders_ivm_outer, ORDERS_IVM_OUTER_SQL),
 }

@@ -262,6 +262,8 @@ HEADLINE = [
     "text_classifier_score",
     "events_ab_cuped",
     "curation_ppl_buckets",
+    "orders_ivm_outer",
+    "prices_kalman",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -508,6 +510,11 @@ SCALE_TREND = {
     # joins + one per-source window
     "events_ab_cuped": "events",
     "curation_ppl_buckets": "documents",
+    # r14 wave 4: the outer-join IVM is lineitem-class (orders
+    # replicate join-consistently in the 10x dir); prices_kalman is
+    # EXEMPT like every prices_* row (pipeline-generated bars, state
+    # bounded by TIME — the documented finance-tier class)
+    "orders_ivm_outer": "orders",
     "dq_mutual_information": "lineitem",
     "events_forecast_backtest": "events",
     # prices_snapshot_expire is EXEMPT like every prices_* lifecycle
@@ -781,6 +788,13 @@ SCALE_TREND_NOTES = {
         "similarity_cosine_topk); per-(query,dim) top-k is a "
         "WindowGroupLimit. The ablation's at-scale point is to pick "
         "the smallest dim whose recall holds, then serve IVF/PQ there"
+    ),
+    "orders_ivm_outer": (
+        "the correction term is delta-custkey-sized (distinct + "
+        "anti-join), the insert term joins the delta against the "
+        "customer dimension, and the base view is already "
+        "materialized — out_rows track |orders| + orderless customers "
+        "by construction"
     ),
     "events_ab_cuped": (
         "per-user x/y counts are ONE map-combinable aggregate (10x "

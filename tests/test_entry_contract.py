@@ -69,6 +69,8 @@ def test_new_operators_are_inside_the_checked_prefix():
         "text_classifier_score",
         "events_ab_cuped",
         "curation_ppl_buckets",
+        "orders_ivm_outer",
+        "prices_kalman",
         # r13-new, held for their second consecutive driver round
         "streaming_cms_incremental",
         "streaming_kmv_incremental",

@@ -374,3 +374,144 @@ def test_ppl_buckets_matches_python_terciles(spark, sf_dir):
     for r in got.values():
         seen[r.source].add(r.bucket)
     assert all(v == {"head", "middle", "tail"} for v in seen.values())
+
+
+# ---------------------------------------------------------------------------
+# orders_ivm_outer
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_outer_equals_direct_left_join(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        orders_ivm_outer,
+    )
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders")
+    want = {
+        (r.c_custkey, r.o_orderkey)
+        for r in cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left"
+        )
+        .select("c_custkey", "o_orderkey")
+        .collect()
+    }
+    got_rows = orders_ivm_outer(spark, sf_dir).collect()
+    got = {(r.c_custkey, r.o_orderkey) for r in got_rows}
+    assert got == want
+    # the correction path fired: %5==3 customers exist, own orders, and
+    # carry NO NULL row in the maintained view (their base NULL row was
+    # retracted when the delta brought their first order)
+    matched = {c for c, o in got if o is not None}
+    mod5 = {c for c in matched if c % 5 == 3}
+    assert mod5
+    null_rows = {c for c, o in got if o is None}
+    assert not (null_rows & matched)
+    # the fixture has NO orderless customers (every custkey owns >= 1
+    # order at every SF), so surviving NULL rows are exercised by the
+    # planted test below, not here
+    assert null_rows == set()
+
+
+def test_ivm_outer_never_matched_customer_keeps_null_row(
+    spark, sf_dir, tmp_path
+):
+    """A planted customer with zero orders must keep exactly its
+    NULL-padded row through the maintenance pass."""
+    import os as _os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.relational_ext import (
+        orders_ivm_outer,
+    )
+
+    cust = load_table(spark, sf_dir, "customer")
+    extra = spark.createDataFrame(
+        [(999_999,)], "c_custkey bigint"
+    ).withColumns(
+        {
+            c: F.lit(None).cast(dict(cust.dtypes)[c])
+            for c in cust.columns
+            if c != "c_custkey"
+        }
+    )
+    cust.unionByName(extra.select(cust.columns)).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "customer.parquet"))
+    _os.symlink(f"{sf_dir}/orders.parquet", str(tmp_path / "orders.parquet"))
+    got = {
+        (r.c_custkey, r.o_orderkey)
+        for r in orders_ivm_outer(spark, str(tmp_path)).collect()
+    }
+    assert (999_999, None) in got
+    assert sum(1 for c, _ in got if c == 999_999) == 1
+
+
+# ---------------------------------------------------------------------------
+# prices_kalman
+# ---------------------------------------------------------------------------
+
+
+def test_kalman_matches_python_fold(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        KALMAN_Q,
+        KALMAN_R,
+        kalman_filter,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.prices import (
+        prices_standin,
+    )
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.functions.money import (
+        cents,
+    )
+
+    prices = prices_standin(spark, sf_dir)
+    series = {}
+    # take the cents surface from the engine itself: Spark ROUND is
+    # HALF_UP while Python round() is banker's — the fold, not the
+    # rounding rule, is what this test pins
+    for r in prices.select(
+        "ticker", "date", cents("close").cast("double").alias("x")
+    ).collect():
+        series.setdefault(r.ticker, []).append((r.date, r.x))
+    got = {r.ticker: r for r in kalman_filter(prices).collect()}
+    assert set(got) == set(series)
+    for t, pts in series.items():
+        pts.sort()
+        m, p = pts[0][1], KALMAN_R
+        for _, x in pts[1:]:
+            p1 = p + KALMAN_Q
+            k = p1 / (p1 + KALMAN_R)
+            m = m + k * (x - m)
+            p = (1 - k) * p1
+        r = got[t]
+        assert r.n_days == len(pts)
+        assert r.kalman_level_c == m  # bit-equal fold
+        assert r.kalman_var_c == p
+        assert r.last_close_c == pts[-1][1]
+        assert r.resid_c == pts[-1][1] - m
+
+
+def test_kalman_variance_converges_to_riccati_fixed_point(spark, sf_dir):
+    """p* solves p = (1 - (p+Q)/((p+Q)+R)) * (p+Q); after hundreds of
+    bars every ticker's posterior variance sits at the fixed point."""
+    import math
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.finance import (
+        KALMAN_Q,
+        KALMAN_R,
+        kalman_filter,
+    )
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.prices import (
+        prices_standin,
+    )
+
+    q, rr = KALMAN_Q, KALMAN_R
+    # fixed point of the scalar Riccati recursion: p = (p+q)r/((p+q)+r)
+    # => p^2 + p*q - q*r = 0
+    p_star = (-q + math.sqrt(q * q + 4 * q * rr)) / 2
+    rows = kalman_filter(prices_standin(spark, sf_dir)).collect()
+    assert rows
+    for r in rows:
+        assert r.n_days > 100
+        assert abs(r.kalman_var_c - p_star) < 1e-9, (r.ticker, r.kalman_var_c)
