@@ -600,8 +600,11 @@ SWEEP_CHECKED = [
     # mints below — orders_ivm_outer + prices_kalman; prices keeps 5+
     # checked rows, the KMV algebra stays checked via
     # events_kmv_distinct + streaming_kmv_incremental)
-    "events_kmv_distinct",     # bottom-k sample sketch vs exact count
-    "events_cms_heavy_hitters",  # count-min, pure-int one-sided estimates
+    # (events_kmv_distinct and events_cms_heavy_hitters demoted r14
+    # after 2 consecutive green driver rounds, r12+r13, to fund the
+    # wave-5 mints below — events_holt_winters + similarity_dup_groups;
+    # the sketch family keeps events_hll_distinct + all three r13
+    # streaming sketch sinks checked)
     # NEW r13 (first round checked per policy; r12 verdict ask #5 —
     # funded by demoting prices_monthly_bars + prices_golden_cross,
     # each 2-round-green r11+r12; supply this round was 20, consumed 2):
@@ -699,6 +702,12 @@ SWEEP_CHECKED = [
     #   correction term; oracle = direct LEFT JOIN on full orders
     "prices_kalman",           # 1-D Kalman fold, recursive-CTE oracle,
     #   bit-equal doubles (the macd/holt discipline)
+    # NEW r14 wave 5 (first round checked per policy; funded by
+    # demoting events_kmv_distinct + events_cms_heavy_hitters, each
+    # 2-round-green r12+r13 — supply consumption: 13 of 16):
+    "events_holt_winters",     # additive HW, dyadic recursion, weekly
+    #   season indexed by calendar dow; recursive-CTE oracle
+    "similarity_dup_groups",   # duplicate-group census over _dup_groups
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -719,6 +728,8 @@ SWEEP_TAIL = [
     "events_quantile_sketch",
     "prices_aroon",
     "events_kmv_overlap",
+    "events_kmv_distinct",
+    "events_cms_heavy_hitters",
     # demoted r13 wave 7 to fund orders_ivm_join +
     # curation_token_budget. Evidence per row: 2 consecutive green
     # driver rounds (r11+r12), pytest coverage (tests/test_r11_ops.py),

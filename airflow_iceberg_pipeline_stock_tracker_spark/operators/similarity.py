@@ -1080,6 +1080,53 @@ CLUSTER_BALANCE_SQL = CLUSTER_BALANCE_SQL.replace(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-group census (r14): the collapse machinery as a driver row
+# ---------------------------------------------------------------------------
+
+
+def similarity_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gsize, n_groups, n_vectors): histogram of exact-duplicate
+    embedding group sizes — the corpus-duplication census a curation
+    pipeline reads BEFORE choosing dedup strategy (a 10x-replicated
+    crawl shows up as one gsize=10 bar), and the driver-checked face of
+    _dup_groups, the grouping every collapsed band join (knn / near-dup
+    / LOF / SemDeDup) now rests on.
+
+    Exactness: pure integer counting grouped by the embedding VALUE
+    (arrays compare element-wise identically in both engines).
+    Scale: one exchange keyed by the vector value, then a histogram on
+    the |distinct-sizes|-row result.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    members, _reps = _dup_groups(emb)
+    sizes = members.where(F.col("vec_id") == F.col("gid")).select("gsize")
+    return (
+        sizes.groupBy("gsize")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_groups"))
+        .select(
+            "gsize",
+            "n_groups",
+            (F.col("gsize") * F.col("n_groups"))
+            .cast("bigint")
+            .alias("n_vectors"),
+        )
+        .orderBy("gsize")
+    )
+
+
+SIMILARITY_DUP_GROUPS_SQL = """
+WITH g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS gsize
+  FROM embeddings GROUP BY embedding
+)
+SELECT gsize, CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(gsize * COUNT(*) AS BIGINT) AS n_vectors
+FROM g GROUP BY gsize
+ORDER BY gsize
+"""
+
+
+# ---------------------------------------------------------------------------
 # SemDeDup: semantic dedup inside k-means clusters (Abbas et al. 2023)
 # ---------------------------------------------------------------------------
 

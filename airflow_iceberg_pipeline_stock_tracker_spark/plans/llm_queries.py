@@ -603,6 +603,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         similarity.similarity_semdedup,
         similarity.SIMILARITY_SEMDEDUP_SQL,
     ),
+    # r14 wave 5: the duplicate-group census — the collapse machinery
+    # (_dup_groups) as its own driver-checked row
+    "similarity_dup_groups": (
+        similarity.similarity_dup_groups,
+        similarity.SIMILARITY_DUP_GROUPS_SQL,
+    ),
     "text_language_id": (_docs(text.language_id), text.LANGUAGE_ID_SQL),
     "text_quality_score": (_docs(text.quality_score), text.QUALITY_SQL),
     # r14: fastText-style hashed linear classifier inference — the

@@ -3157,6 +3157,191 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
+# Holt-Winters additive seasonal smoothing (triple exponential, r14)
+# ---------------------------------------------------------------------------
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_days, level, trend, s0..s6, forecast_1,
+    forecast_7): additive Holt-Winters (triple-exponential) smoothing
+    of each type's daily-count series with a weekly season, alpha =
+    beta = gamma = 1/2 — the seasonal rung above events_holt_forecast
+    (level+trend) and the FITTED counterpart of events_stl_decompose's
+    one-shot decomposition:
+
+      l' = ((x - s[dow]) + (l + t)) / 2
+      t' = ((l' - l) + t) / 2
+      s'[dow] = ((x - l') + s[dow]) / 2
+
+    seeded from the first observed week (l0 = mean of the 7 counts,
+    one division; s[dow_j] = x_j - l0; t0 = 0), then folded over the
+    rest of the series in pinned date order. The season indexes by
+    CALENDAR day-of-week ((epoch_day + 4) % 7, the stl convention), so
+    a gap day skips updates instead of rotating the season out of
+    phase. Types without a dense first week or < 8 days are dropped
+    (documented contract; the fixture's types all qualify).
+
+    Determinism: the recursion is add/subtract/halve only (every op
+    exact-rounded), written as the IDENTICAL sequence in the
+    recursive-CTE oracle — the macd/holt/heikin discipline — so all
+    ten doubles per type are bit-equal cross-engine. forecast_h =
+    (l + t*h) + s[(dow_last + h) % 7].
+
+    Scale: one shuffle to (type, day) counts (map-combinable), one
+    shuffle on type; per-type state is O(days) — bounded by TIME, the
+    finance-fold class.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    dow = (F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + 4) % 7
+    daily = (
+        ev.select(F.to_date("ts").alias("d"), dow.alias("dow"), "event_type")
+        .groupBy("event_type", "d", "dow")
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+    )
+    per_t = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("d", F.col("dow").cast("int").alias("dow"), "x")
+            )
+        ).alias("ordered"),
+    )
+    qualified = per_t.where(
+        (F.col("n_days") >= 8)
+        & (
+            F.size(
+                F.array_distinct(
+                    F.expr("transform(slice(ordered, 1, 7), e -> e.dow)")
+                )
+            )
+            == 7
+        )
+    )
+    # the recursion body, spelled once (Spark fold; the SQL twin is
+    # generated from the same sub-expressions below)
+    lnew = "(((o.x - element_at(acc.s, o.dow + 1)) + (acc.l + acc.t)) / 2)"
+    fold = F.expr(
+        f"""
+        aggregate(
+          slice(ordered, 8, cast(n_days as int) - 7),
+          named_struct(
+            'l', aggregate(transform(slice(ordered, 1, 7), e -> e.x),
+                           cast(0.0 as double), (a, v) -> a + v) / 7.0,
+            't', cast(0.0 as double),
+            's', transform(sequence(0, 6), j ->
+                   element_at(slice(ordered, 1, 7),
+                     cast(array_position(
+                       transform(slice(ordered, 1, 7), e -> e.dow), j)
+                       as int)).x
+                   - aggregate(transform(slice(ordered, 1, 7), e -> e.x),
+                               cast(0.0 as double), (a, v) -> a + v) / 7.0)
+          ),
+          (acc, o) -> named_struct(
+            'l', {lnew},
+            't', ((({lnew}) - acc.l) + acc.t) / 2,
+            's', transform(acc.s, (v, j) ->
+                   if(j = o.dow, ((o.x - ({lnew})) + v) / 2, v))
+          )
+        )
+        """
+    )
+    last_dow = F.expr("element_at(ordered, cast(n_days as int)).dow")
+    out = qualified.select(
+        "event_type",
+        "n_days",
+        fold.alias("st"),
+        last_dow.alias("last_dow"),
+    )
+    s_cols = [
+        F.expr(f"element_at(st.s, {j + 1})").alias(f"s{j}") for j in range(7)
+    ]
+    f1 = F.expr(
+        "(st.l + st.t) + element_at(st.s, ((last_dow + 1) % 7) + 1)"
+    )
+    f7 = F.expr("(st.l + st.t * 7.0) + element_at(st.s, last_dow + 1)")
+    return out.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level"),
+        F.col("st.t").alias("trend"),
+        *s_cols,
+        f1.alias("forecast_1"),
+        f7.alias("forecast_7"),
+    ).orderBy("event_type")
+
+
+def _holt_winters_sql() -> str:
+    sidx = (
+        "CASE o.dow WHEN 0 THEN r.s0 WHEN 1 THEN r.s1 WHEN 2 THEN r.s2 "
+        "WHEN 3 THEN r.s3 WHEN 4 THEN r.s4 WHEN 5 THEN r.s5 "
+        "ELSE r.s6 END"
+    )
+    lnew = f"(((o.x - {sidx}) + (r.l + r.t)) / 2)"
+    s_updates = ",\n         ".join(
+        f"CASE WHEN o.dow = {j} "
+        f"THEN ((o.x - ({lnew})) + {sidx}) / 2 ELSE r.s{j} END"
+        for j in range(7)
+    )
+    seed_s = ", ".join(
+        f"f7x[list_position(f7d, {j})] - l0 AS s{j}" for j in range(7)
+    )
+    s_final = "CASE (dows[CAST(n_days AS INT)] + 1) % 7 " + " ".join(
+        f"WHEN {j} THEN s{j}" for j in range(7)
+    ) + " END"
+    s_same = "CASE dows[CAST(n_days AS INT)] " + " ".join(
+        f"WHEN {j} THEN s{j}" for j in range(7)
+    ) + " END"
+    return f"""
+WITH RECURSIVE daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS d,
+         CAST((datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 4) % 7
+              AS INT) AS dow,
+         CAST(COUNT(*) AS DOUBLE) AS x
+  FROM events GROUP BY 1, 2, 3
+), per_t AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         list(x ORDER BY d) AS xs,
+         list(dow ORDER BY d) AS dows
+  FROM daily GROUP BY 1
+), seeded AS (
+  SELECT event_type, n_days, xs, dows,
+         xs[1:7] AS f7x, dows[1:7] AS f7d,
+         list_reduce(xs[1:7], (a, b) -> a + b) / 7.0 AS l0
+  FROM per_t
+  WHERE n_days >= 8 AND len(list_distinct(dows[1:7])) = 7
+), seeds AS (
+  SELECT event_type, n_days, xs, dows, l0, {seed_s}
+  FROM seeded
+), ord AS MATERIALIZED (
+  SELECT event_type,
+         CAST(dows[i] AS INT) AS dow, xs[i] AS x, i AS rn
+  FROM seeded, UNNEST(range(8, CAST(n_days AS INT) + 1)) AS t(i)
+), r AS (
+  SELECT event_type, n_days, dows, CAST(7 AS BIGINT) AS rn,
+         l0 AS l, CAST(0.0 AS DOUBLE) AS t,
+         s0, s1, s2, s3, s4, s5, s6
+  FROM seeds
+  UNION ALL
+  SELECT r.event_type, r.n_days, r.dows, r.rn + 1,
+         {lnew},
+         ((({lnew}) - r.l) + r.t) / 2,
+         {s_updates}
+  FROM r JOIN ord o ON o.event_type = r.event_type AND o.rn = r.rn + 1
+)
+SELECT event_type, n_days, l AS level, t AS trend,
+       s0, s1, s2, s3, s4, s5, s6,
+       (l + t) + ({s_final}) AS forecast_1,
+       (l + t * 7.0) + ({s_same}) AS forecast_7
+FROM r
+WHERE rn = n_days
+ORDER BY event_type
+"""
+
+
+EVENTS_HOLT_WINTERS_SQL = _holt_winters_sql()
+
+
+# ---------------------------------------------------------------------------
 # A/B effect estimation with CUPED variance reduction (r14)
 # ---------------------------------------------------------------------------
 
@@ -3341,6 +3526,9 @@ TIMESERIES_QUERIES = {
     # adjusted means are closing floats over exact int sums (window
     # over the 2-row arm frame, no scalar cross join)
     "events_ab_cuped": (events_ab_cuped, EVENTS_AB_CUPED_SQL),
+    # r14 wave 5: triple-exponential seasonal smoothing — the dyadic
+    # add/sub/halve recursion folded per type, recursive-CTE oracle
+    "events_holt_winters": (events_holt_winters, EVENTS_HOLT_WINTERS_SQL),
     "events_kmv_distinct": (events_kmv_distinct, _kmv_distinct_oracle_sql()),
     "events_kmv_overlap": (events_kmv_overlap, _kmv_overlap_oracle_sql()),
     "events_cms_heavy_hitters": (

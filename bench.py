@@ -264,6 +264,8 @@ HEADLINE = [
     "curation_ppl_buckets",
     "orders_ivm_outer",
     "prices_kalman",
+    "events_holt_winters",
+    "similarity_dup_groups",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -515,6 +517,10 @@ SCALE_TREND = {
     # EXEMPT like every prices_* row (pipeline-generated bars, state
     # bounded by TIME — the documented finance-tier class)
     "orders_ivm_outer": "orders",
+    # r14 wave 5: HW is two map-combinable aggregates + a per-type
+    # fold bounded by TIME; dup_groups is one value-keyed exchange
+    "events_holt_winters": "events",
+    "similarity_dup_groups": "embeddings",
     "dq_mutual_information": "lineitem",
     "events_forecast_backtest": "events",
     # prices_snapshot_expire is EXEMPT like every prices_* lifecycle
@@ -788,6 +794,17 @@ SCALE_TREND_NOTES = {
         "similarity_cosine_topk); per-(query,dim) top-k is a "
         "WindowGroupLimit. The ablation's at-scale point is to pick "
         "the smallest dim whose recall holds, then serve IVF/PQ there"
+    ),
+    "events_holt_winters": (
+        "the (type, day) count aggregate absorbs 10x input map-side; "
+        "the fold runs on a types-by-days table UNCHANGED at 10x "
+        "(replica events land on the same days) — the events_cusum "
+        "time-bounded class"
+    ),
+    "similarity_dup_groups": (
+        "one exchange keyed by the embedding value: 10x exact replicas "
+        "shuffle 10x rows but collapse to the SAME group table (gsize "
+        "10x) — the histogram is |distinct sizes| rows"
     ),
     "orders_ivm_outer": (
         "the correction term is delta-custkey-sized (distinct + "

@@ -71,6 +71,8 @@ def test_new_operators_are_inside_the_checked_prefix():
         "curation_ppl_buckets",
         "orders_ivm_outer",
         "prices_kalman",
+        "events_holt_winters",
+        "similarity_dup_groups",
         # r13-new, held for their second consecutive driver round
         "streaming_cms_incremental",
         "streaming_kmv_incremental",

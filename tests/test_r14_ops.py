@@ -515,3 +515,90 @@ def test_kalman_variance_converges_to_riccati_fixed_point(spark, sf_dir):
     for r in rows:
         assert r.n_days > 100
         assert abs(r.kalman_var_c - p_star) < 1e-9, (r.ticker, r.kalman_var_c)
+
+
+# ---------------------------------------------------------------------------
+# events_holt_winters
+# ---------------------------------------------------------------------------
+
+
+def test_holt_winters_matches_python_fold(spark, sf_dir):
+    import collections
+    import datetime as dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_holt_winters,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = collections.defaultdict(lambda: collections.defaultdict(int))
+    for r in ev.select("event_type", F.to_date("ts").alias("d")).collect():
+        daily[r.event_type][r.d] += 1
+    got = {r.event_type: r for r in events_holt_winters(spark, sf_dir).collect()}
+    epoch = dt.date(1970, 1, 1)
+    for typ, by_day in daily.items():
+        days = sorted(by_day)
+        if len(days) < 8:
+            assert typ not in got
+            continue
+        dows = [((d - epoch).days + 4) % 7 for d in days]
+        if len(set(dows[:7])) != 7:
+            assert typ not in got
+            continue
+        xs = [float(by_day[d]) for d in days]
+        l = sum(xs[:7]) / 7.0  # fixture counts are small ints: exact sum
+        t = 0.0
+        s = [0.0] * 7
+        for j, x in zip(dows[:7], xs[:7]):
+            s[j] = x - l
+        for dw, x in zip(dows[7:], xs[7:]):
+            l_new = ((x - s[dw]) + (l + t)) / 2
+            t = ((l_new - l) + t) / 2
+            s[dw] = ((x - l_new) + s[dw]) / 2
+            l = l_new
+        r = got[typ]
+        assert r.n_days == len(days)
+        assert r.level == l and r.trend == t
+        for j in range(7):
+            assert getattr(r, f"s{j}") == s[j]
+        nd = (dows[-1] + 1) % 7
+        assert r.forecast_1 == (l + t) + s[nd]
+        assert r.forecast_7 == (l + t * 7.0) + s[dows[-1]]
+    assert got  # non-vacuous
+
+
+def test_holt_winters_tracks_planted_seasonal_series(spark, tmp_path):
+    """A pure weekly pattern with zero trend: after a few seasons the
+    seasonal state reproduces the pattern and forecasts are near-exact."""
+    import datetime as dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_holt_winters,
+    )
+
+    rows = []
+    eid = 0
+    pattern = [10, 20, 30, 40, 30, 20, 10]  # by position in the week
+    t0 = dt.datetime(2024, 1, 1)
+    for day in range(49):  # 7 full weeks
+        n = pattern[day % 7]
+        for _ in range(n):
+            rows.append(
+                (eid, t0 + dt.timedelta(days=day, hours=1), 1, "w", 1.0, None)
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = events_holt_winters(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # level converges to the weekly mean, trend to ~0, and the 1-step
+    # forecast lands near the next day's true count
+    week_mean = sum(pattern) / 7.0
+    assert abs(r.level - week_mean) < 2.0
+    assert abs(r.trend) < 0.5
+    next_count = pattern[49 % 7]
+    assert abs(r.forecast_1 - next_count) < 3.0
