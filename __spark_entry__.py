@@ -593,8 +593,10 @@ SWEEP_CHECKED = [
     # re-promotion + 5 new ops, against 15 demotions = the 12
     # two-round-green r10 rows + the 3 three-round-green r9
     # code-changed rows):
-    "streaming_hll_incremental",  # per-batch register partials, merged
-    #   at read == one-pass build, register-level (r11 verdict ask #6)
+    # (streaming_hll_incremental demoted r14 after 2 consecutive green
+    # driver rounds, r12+r13, to fund the wave-6 mint below; its
+    # fold==batch class stays checked via the two r13 streaming sketch
+    # sinks + events_ohlc_incremental, and HLL via events_hll_distinct)
     # (prices_aroon and events_kmv_overlap demoted r14 after 2
     # consecutive green driver rounds, r12+r13, to fund the wave-4
     # mints below — orders_ivm_outer + prices_kalman; prices keeps 5+
@@ -708,6 +710,11 @@ SWEEP_CHECKED = [
     "events_holt_winters",     # additive HW, dyadic recursion, weekly
     #   season indexed by calendar dow; recursive-CTE oracle
     "similarity_dup_groups",   # duplicate-group census over _dup_groups
+    # NEW r14 wave 6 (first round checked per policy; funded by
+    # demoting streaming_hll_incremental, 2-round-green r12+r13 —
+    # supply consumption: 14 of 16, two slots left unconsumed):
+    "events_survival_km",      # Kaplan-Meier with real right-censoring,
+    #   pinned survival product; censored-at-t-still-at-risk pinned
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -730,6 +737,7 @@ SWEEP_TAIL = [
     "events_kmv_overlap",
     "events_kmv_distinct",
     "events_cms_heavy_hitters",
+    "streaming_hll_incremental",
     # demoted r13 wave 7 to fund orders_ivm_join +
     # curation_token_budget. Evidence per row: 2 consecutive green
     # driver rounds (r11+r12), pytest coverage (tests/test_r11_ops.py),

@@ -3157,8 +3157,152 @@ ORDER BY event_type
 
 
 # ---------------------------------------------------------------------------
-# Holt-Winters additive seasonal smoothing (triple exponential, r14)
+# Kaplan-Meier survival curve (right-censored time-to-event, r14)
 # ---------------------------------------------------------------------------
+
+# administrative end of observation: events at ts >= this are invisible,
+# and subjects without the target event by then are right-censored at
+# the last fully observed day. Chosen so censoring is NON-VACUOUS at
+# every SF (6/15 subjects censored at sf0.001; '2024-01-20' left zero).
+_KM_CUT = "2024-01-05"
+
+
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t, n_risk, d_events, c_censored, survival): the Kaplan-Meier
+    estimator of time-to-first-purchase after signup, right-censored at
+    the end of observation — THE survival-analysis primitive (churn,
+    activation, time-to-conversion) that plain conversion rates get
+    wrong by ignoring censoring:
+
+      S(t) = Π_{t_i <= t} (n_i - d_i) / n_i
+
+    Subjects are users whose first signup precedes the cut; duration is
+    whole days from signup to the first later purchase before the cut,
+    or to the last observed day (censored) otherwise. Standard
+    convention pinned: subjects censored at t are still AT RISK for
+    events at t (d and c reduce the risk set only after the step).
+
+    Exactness: risk counts and d/c are exact int64; the survival
+    product multiplies one (n-d)/n factor per step in pinned ascending-
+    t order — the identical op sequence in the recursive-CTE oracle
+    (the macd discipline), so every S(t) is bit-equal; steps with d=0
+    multiply by n/n = 1.0 exactly (no branch to disagree on).
+
+    Scale: two map-combinable per-user aggregates, then the step table
+    — bounded by the OBSERVATION CALENDAR (<= horizon-days rows), never
+    by user count — carries the fold. The one global collect is that
+    calendar-bounded step list.
+    """
+    cut = F.lit(_KM_CUT).cast("timestamp")
+    last_day = F.date_sub(F.lit(_KM_CUT).cast("date"), 1)
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull() & (F.col("ts") < cut)
+    )
+    s0 = (
+        ev.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s0, "user_id")
+        .where(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    subj = s0.join(p, "user_id", "left").select(
+        F.when(
+            F.col("tp").isNotNull(),
+            F.datediff(F.to_date("tp"), F.to_date("t0")),
+        )
+        .otherwise(F.datediff(last_day, F.to_date("t0")))
+        .cast("int")
+        .alias("t"),
+        F.col("tp").isNotNull().alias("evt"),
+    )
+    steps = subj.groupBy("t").agg(
+        F.sum(F.when(F.col("evt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+        F.sum(F.when(F.col("evt"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("c"),
+    )
+    packed = steps.groupBy().agg(
+        F.sum(F.col("d") + F.col("c")).cast("bigint").alias("total"),
+        F.array_sort(F.collect_list(F.struct("t", "d", "c"))).alias("st"),
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          st,
+          named_struct(
+            'risk', total, 's', cast(1.0 as double),
+            'rows', cast(array() as array<struct<
+              t:int, n_risk:bigint, d_events:bigint,
+              c_censored:bigint, survival:double>>)),
+          (acc, o) -> named_struct(
+            'risk', acc.risk - (o.d + o.c),
+            's', acc.s * ((acc.risk - o.d) / acc.risk),
+            'rows', array_append(acc.rows, named_struct(
+              't', o.t, 'n_risk', acc.risk, 'd_events', o.d,
+              'c_censored', o.c,
+              'survival', acc.s * ((acc.risk - o.d) / acc.risk))))
+        ).rows
+        """
+    )
+    return (
+        packed.select(F.explode(fold).alias("r"))
+        .select("r.t", "r.n_risk", "r.d_events", "r.c_censored", "r.survival")
+        .orderBy("t")
+    )
+
+
+EVENTS_SURVIVAL_KM_SQL = f"""
+WITH RECURSIVE base AS (
+  SELECT * FROM events
+  WHERE user_id IS NOT NULL AND ts < TIMESTAMP '{_KM_CUT}'
+), s0 AS (
+  SELECT user_id, MIN(ts) AS t0 FROM base
+  WHERE event_type = 'signup' GROUP BY 1
+), p AS (
+  SELECT b.user_id, MIN(b.ts) AS tp
+  FROM base b JOIN s0 ON s0.user_id = b.user_id
+  WHERE b.event_type = 'purchase' AND b.ts > s0.t0
+  GROUP BY 1
+), subj AS (
+  SELECT CAST(CASE WHEN p.tp IS NOT NULL
+              THEN datediff('day', CAST(s0.t0 AS DATE), CAST(p.tp AS DATE))
+              ELSE datediff('day', CAST(s0.t0 AS DATE),
+                            DATE '{_KM_CUT}' - 1) END AS INT) AS t,
+         (p.tp IS NOT NULL) AS evt
+  FROM s0 LEFT JOIN p ON p.user_id = s0.user_id
+), steps AS (
+  SELECT t,
+         CAST(SUM(CASE WHEN evt THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN evt THEN 0 ELSE 1 END) AS BIGINT) AS c,
+         CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n_steps
+  FROM subj GROUP BY t
+), tot AS (
+  SELECT CAST(SUM(d + c) AS BIGINT) AS total FROM steps
+), r AS (
+  SELECT s.rn, s.t, tot.total AS risk_before, s.d, s.c,
+         1.0 * ((tot.total - s.d) / tot.total) AS surv
+  FROM steps s, tot WHERE s.rn = 1
+  UNION ALL
+  SELECT o.rn, o.t,
+         r.risk_before - (r.d + r.c),
+         o.d, o.c,
+         r.surv * (((r.risk_before - (r.d + r.c)) - o.d)
+                   / (r.risk_before - (r.d + r.c)))
+  FROM r JOIN steps o ON o.rn = r.rn + 1
+)
+SELECT t, risk_before AS n_risk, d AS d_events, c AS c_censored,
+       surv AS survival
+FROM r
+ORDER BY t
+"""
 
 
 def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3529,6 +3673,9 @@ TIMESERIES_QUERIES = {
     # r14 wave 5: triple-exponential seasonal smoothing — the dyadic
     # add/sub/halve recursion folded per type, recursive-CTE oracle
     "events_holt_winters": (events_holt_winters, EVENTS_HOLT_WINTERS_SQL),
+    # r14 wave 6: Kaplan-Meier time-to-conversion with real right-
+    # censoring; pinned-order survival product, recursive-CTE oracle
+    "events_survival_km": (events_survival_km, EVENTS_SURVIVAL_KM_SQL),
     "events_kmv_distinct": (events_kmv_distinct, _kmv_distinct_oracle_sql()),
     "events_kmv_overlap": (events_kmv_overlap, _kmv_overlap_oracle_sql()),
     "events_cms_heavy_hitters": (

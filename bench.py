@@ -266,6 +266,7 @@ HEADLINE = [
     "prices_kalman",
     "events_holt_winters",
     "similarity_dup_groups",
+    "events_survival_km",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -521,6 +522,7 @@ SCALE_TREND = {
     # fold bounded by TIME; dup_groups is one value-keyed exchange
     "events_holt_winters": "events",
     "similarity_dup_groups": "embeddings",
+    "events_survival_km": "events",
     "dq_mutual_information": "lineitem",
     "events_forecast_backtest": "events",
     # prices_snapshot_expire is EXEMPT like every prices_* lifecycle
@@ -794,6 +796,12 @@ SCALE_TREND_NOTES = {
         "similarity_cosine_topk); per-(query,dim) top-k is a "
         "WindowGroupLimit. The ablation's at-scale point is to pick "
         "the smallest dim whose recall holds, then serve IVF/PQ there"
+    ),
+    "events_survival_km": (
+        "two per-user aggregates absorb 10x input map-side (disjoint "
+        "replica users -> 10x subjects); the survival fold runs on the "
+        "step table, bounded by the OBSERVATION CALENDAR (<= horizon "
+        "days rows) at any scale"
     ),
     "events_holt_winters": (
         "the (type, day) count aggregate absorbs 10x input map-side; "

@@ -73,6 +73,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         "prices_kalman",
         "events_holt_winters",
         "similarity_dup_groups",
+        "events_survival_km",
         # r13-new, held for their second consecutive driver round
         "streaming_cms_incremental",
         "streaming_kmv_incremental",

@@ -602,3 +602,96 @@ def test_holt_winters_tracks_planted_seasonal_series(spark, tmp_path):
     assert abs(r.trend) < 0.5
     next_count = pattern[49 % 7]
     assert abs(r.forecast_1 - next_count) < 3.0
+
+
+# ---------------------------------------------------------------------------
+# events_survival_km
+# ---------------------------------------------------------------------------
+
+
+def test_survival_km_matches_python_recompute(spark, sf_dir):
+    import collections
+    import datetime as dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        _KM_CUT,
+        events_survival_km,
+    )
+
+    cut = dt.datetime.fromisoformat(_KM_CUT)
+    last_day = cut.date() - dt.timedelta(days=1)
+    ev = [
+        r
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type", "ts")
+        .collect()
+        if r.user_id is not None and r.ts < cut
+    ]
+    t0 = {}
+    for r in ev:
+        if r.event_type == "signup":
+            if r.user_id not in t0 or r.ts < t0[r.user_id]:
+                t0[r.user_id] = r.ts
+    tp = {}
+    for r in ev:
+        if r.event_type == "purchase" and r.user_id in t0 and r.ts > t0[r.user_id]:
+            if r.user_id not in tp or r.ts < tp[r.user_id]:
+                tp[r.user_id] = r.ts
+    subjects = []
+    for u, s in t0.items():
+        if u in tp:
+            subjects.append(((tp[u].date() - s.date()).days, True))
+        else:
+            subjects.append(((last_day - s.date()).days, False))
+    steps = collections.defaultdict(lambda: [0, 0])
+    for t, evt in subjects:
+        steps[t][0 if evt else 1] += 1
+    got = events_survival_km(spark, sf_dir).collect()
+    assert got
+    risk = len(subjects)
+    s = 1.0
+    want = []
+    for t in sorted(steps):
+        d, c = steps[t]
+        s = s * ((risk - d) / risk)
+        want.append((t, risk, d, c, s))
+        risk -= d + c
+    assert [
+        (r.t, r.n_risk, r.d_events, r.c_censored, r.survival) for r in got
+    ] == want
+    # censoring is genuinely exercised on the fixture, and the curve is
+    # a proper non-increasing survival function
+    assert sum(c for _, _, _, c, _ in want) > 0
+    assert all(
+        want[i][4] >= want[i + 1][4] for i in range(len(want) - 1)
+    )
+
+
+def test_survival_km_censored_at_t_still_at_risk(spark, tmp_path):
+    """The pinned convention: a subject censored at t counts in n_risk
+    for events at the same t."""
+    import datetime as dt
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.timeseries import (
+        events_survival_km,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 8)
+    rows = [
+        # user 1: signup day 0, purchase day 1 (event at t=1)
+        (1, t0, 1, "signup", 1.0, None),
+        (2, t0 + dt.timedelta(days=1), 1, "purchase", 1.0, None),
+        # user 2: signup day 3 -> censored at last observed day (t=1)
+        (3, t0 + dt.timedelta(days=2), 2, "signup", 1.0, None),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {r.t: r for r in events_survival_km(spark, str(tmp_path)).collect()}
+    assert set(got) == {1}
+    r = got[1]
+    # both subjects at risk at t=1 even though user 2 is censored there
+    assert r.n_risk == 2 and r.d_events == 1 and r.c_censored == 1
+    assert r.survival == 1.0 * ((2 - 1) / 2)
