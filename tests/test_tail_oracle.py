@@ -52,6 +52,10 @@ _NEVER_DRIVER_CHECKED: list[str] = [
     # checked-first, funded by 19 of the 20 two-round-green demotion
     # slots (the r11 first-rounders + orders_basket_rules); one slot
     # was left unconsumed rather than minting past the evidence.
+    # r14: STILL EMPTY — all twelve r14-new operators registered
+    # checked-first and the two collapse-rewritten rows re-promoted,
+    # funded by 14 of the 16 available slots (the 15 two-round-green
+    # r12 rows + r13's unconsumed slot); two slots left unconsumed.
     # Any FUTURE tail-first registration must be added here until its
     # first rotation.
 ]
