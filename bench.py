@@ -1428,9 +1428,12 @@ def _kmv_grader_split(spark, deep_dir: str) -> dict:
         "note": (
             "the registered events_kmv_distinct row also computes the "
             "exact COUNT(DISTINCT) grader; its 100x time minus this "
-            "sketch-only time is the grader's share (distinct users "
-            "grow 100x by construction, the sketch table stays "
-            "|types| x k)"
+            "sketch-only time is the grader's share. r14 finding: the "
+            "sketch side itself dominates (~80% of the row's 100x "
+            "time) — the cost is the full-scan bottom-k window's "
+            "per-partition partial top-k sort, not the grader; the "
+            "sketch TABLE still stays |types| x k, it is the scan "
+            "that scales, as it must"
         ),
     }
 
@@ -1440,10 +1443,16 @@ def _cms_rank_agreement(spark, deep_dir: str) -> dict:
     IDENTIFICATION, not per-item counts — width 1024's 2N/w bound
     legitimately swamps per-item error at 100x (the honest
     max_rel_err_100x: 100.87 recorded in r13). Grade the actual
-    contract: probe EVERY distinct user through the sketch, take the
-    top-20 by (cms_est desc, user_id), and score (a) identification
-    recall against the exact top-20 and (b) Kendall tau-a rank
-    agreement of cms_est vs exact_n within the exact top-20."""
+    contract, TIE-AWARE: the 100x replica corpus makes every count
+    level a 100-way tie (each user repeats once per disjoint replica),
+    so "the" exact top-20 is an arbitrary id-tiebroken pick from a tie
+    class — identification is scored against the CLOSURE {u: exact(u)
+    >= 20th count} instead, and tau-a reports how many of the exact
+    top-20's C(20,2) pairs were comparable at all (count ties compare
+    neither way). The diagnostics (top/median count, closure size)
+    make the verdict self-reading: this corpus has NO separated heavy
+    hitters, so a 2N/w >> top-median gap means identification fails AT
+    ANY plausible width — the failure mode, not a tuning miss."""
     from pyspark.sql import functions as F
 
     from airflow_iceberg_pipeline_stock_tracker_spark.operators import cms
@@ -1459,17 +1468,26 @@ def _cms_rank_agreement(spark, deep_dir: str) -> dict:
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_n"))
     ).persist()
     exact_top = exact.orderBy(F.desc("exact_n"), "user_id").limit(20).collect()
+    c20 = min(r.exact_n for r in exact_top)
+    closure = {
+        r.user_id
+        for r in exact.where(F.col("exact_n") >= c20)
+        .select("user_id")
+        .collect()
+    }
+    n_total = exact.count()
+    p50 = exact.agg(
+        F.expr("percentile(exact_n, 0.5)").alias("p")
+    ).collect()[0].p
     cms_top = (
         cms.cms_estimate(sketch, exact.select("user_id"), "user_id")
         .orderBy(F.desc("cms_est"), "user_id")
         .limit(20)
         .collect()
     )
-    exact_ids = [r.user_id for r in exact_top]
     cms_ids = {r.user_id for r in cms_top}
-    recall = len(set(exact_ids) & cms_ids) / 20.0
-    # Kendall tau-a within the exact top-20: concordant - discordant
-    # over all C(20,2) pairs, comparing cms_est order to exact_n order
+    recall = len(cms_ids & closure) / 20.0
+    exact_ids = [r.user_id for r in exact_top]
     est_of = {
         r.user_id: r.cms_est
         for r in cms.cms_estimate(
@@ -1481,27 +1499,37 @@ def _cms_rank_agreement(spark, deep_dir: str) -> dict:
         ).collect()
     }
     exact_of = {r.user_id: r.exact_n for r in exact_top}
-    conc = disc = 0
+    conc = disc = comparable = 0
     for i in range(len(exact_ids)):
         for j in range(i + 1, len(exact_ids)):
             a, b = exact_ids[i], exact_ids[j]
             de = exact_of[a] - exact_of[b]
             dc = est_of[a] - est_of[b]
-            if de * dc > 0:
-                conc += 1
-            elif de * dc < 0:
-                disc += 1
-    n_pairs = len(exact_ids) * (len(exact_ids) - 1) // 2
+            if de != 0:
+                comparable += 1
+                if de * dc > 0:
+                    conc += 1
+                elif de * dc < 0:
+                    disc += 1
     exact.unpersist()
     return {
-        "top20_identification_recall": round(recall, 4),
+        "top20_identification_recall_tie_aware": round(recall, 4),
         "kendall_tau_a_top20": (
-            round((conc - disc) / n_pairs, 4) if n_pairs else None
+            round((conc - disc) / comparable, 4) if comparable else None
         ),
+        "comparable_pairs_of_190": comparable,
+        "tie_class_size_at_20th_count": len(closure),
+        "top_count": int(max(r.exact_n for r in exact_top)),
+        "median_count": float(p50),
+        "n_distinct_users": int(n_total),
         "note": (
-            "contract-matched 100x grader: identification = |exact "
-            "top-20 ∩ cms-est top-20 over ALL users| / 20; tau-a over "
-            "the exact top-20's C(20,2) pairs (ties count neither way)"
+            "tie-aware contract grader: recall = |cms-est top-20 over "
+            "ALL users ∩ {u: exact >= 20th count}| / 20; tau-a only "
+            "over count-distinct pairs. The replica corpus has no "
+            "separated heavy hitters (every level is a 100-way tie, "
+            "top barely above median), so 2N/w noise swamps the gap "
+            "at ANY plausible width — the recorded failure is the "
+            "distribution's, matching r13's honest per-item error"
         ),
     }
 
@@ -1689,10 +1717,16 @@ def main() -> None:
     _stdout = sys.stdout
     sys.stdout = sys.stderr
     try:
-        _measure(spark, queries, sf_dir, cold, timings, all_times)
-        # Sustained-rate streaming capacity: step the offered rate until
-        # the watermarked tumbling pipeline stops keeping up and report
-        # the knee — an absorbable single rate is a test that can't fail.
+        # Sustained-rate streaming capacity FIRST (r14, closing the r13
+        # knee adjudication): the knee is the registry's most load-
+        # sensitive measurement, and running it after ~250s of bench
+        # work measured it on a host the bench itself had heated
+        # (loadavg 3+ at knee start, 24+ at end — the r14 first run
+        # reproduced the r13 driver's 4x understatement mechanism
+        # in-process). Probing it before the measurement passes runs it
+        # at the preflight loadavg; the probe still records its own
+        # loadavg, retries once if it starts busy, and flags
+        # inconclusive_load (streaming/throughput.py).
         from airflow_iceberg_pipeline_stock_tracker_spark.streaming.throughput import (
             capacity_knee,
         )
@@ -1705,6 +1739,7 @@ def main() -> None:
             spark, start_rows_per_sec=1_600_000, run_sec=6.0, max_steps=9
         )
         print(f"# streaming capacity knee: {knee}", file=sys.stderr)
+        _measure(spark, queries, sf_dir, cold, timings, all_times)
         scale_trend = _scale_trend(spark, sf_dir, queries, timings)
         print(f"# scale trend: {scale_trend}", file=sys.stderr)
         ivf_amort = _ivf_amortization_point(spark, sf_dir)
