@@ -877,7 +877,11 @@ SCALE_TREND_NOTES = {
         "groups) leaves the rep join at BASE size and the expansion "
         "output-bound. EXACTNESS-preserving, not a cap: collapsed == "
         "direct pinned by tests/test_r14_collapse.py and the "
-        "unchanged driver oracle"
+        "unchanged driver oracle. Deliberate 1x cost: the _dup_groups "
+        "value-keyed exchange adds ~1.3s on a duplicate-FREE corpus "
+        "(this row and embedding_near_dup read ~1.7x their r13 1x "
+        "absolutes) — the price of flat scaling where the old plan "
+        "was quadratic; the 100x deep point is the receipt"
     ),
     "embedding_outlier_lof": (
         "cost is the LSH-bucketed k-NN graph build — since r14 the "
@@ -1534,6 +1538,67 @@ def _cms_rank_agreement(spark, deep_dir: str) -> dict:
     }
 
 
+# r14: the duplicate-collapse fix's two-decade check — a 100x-embeddings
+# replica dir is 100-member exact-duplicate groups, the shape that made
+# the pre-r14 band self-join quadratic. With the collapse, the rep join
+# runs at BASE size at any multiplicity: knn/LOF should grow roughly
+# with the linear member fan-out, never with C(100,2) candidate pairs.
+DEEP_EMBEDDINGS_QUERIES = (
+    "similarity_knn_graph",
+    "embedding_outlier_lof",
+    "similarity_dup_groups",
+)
+
+
+def _deep_embeddings_point(spark, sf_dir: str, queries) -> dict:
+    """100x-embeddings point (exact-duplicate replicas under shifted
+    vec_ids — the 10x builder's construction); min-of-2 timings."""
+    import glob
+    import shutil
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scale_trend",
+        f"{base}-emb-x{DEEP_FACTOR}",
+    )
+    marker = os.path.join(out_dir, "_BUILT")
+    want = f"embeddings={DEEP_FACTOR}\n"
+    built = os.path.exists(marker) and open(marker).read() == want
+    if not built:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        for pth in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            name = os.path.basename(pth)
+            if name != "embeddings.parquet":
+                os.symlink(pth, os.path.join(out_dir, name))
+        reps = spark.range(DEEP_FACTOR).withColumnRenamed("id", "rep")
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        (
+            emb.crossJoin(F.broadcast(reps))
+            .withColumn("vec_id", F.col("vec_id") + F.col("rep") * F.lit(10**9))
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "embeddings.parquet"))
+        )
+        with open(marker, "w") as f:
+            f.write(want)
+    out = {}
+    for name in DEEP_EMBEDDINGS_QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = _time.time()
+            queries[name](spark, out_dir).count()
+            t = round(_time.time() - t0, 3)
+            best = t if best is None else min(best, t)
+        out[name] = best
+    return out
+
+
 # r13: the relational tier's two-decade check — dq_profile's re-planned
 # skinny-explode hash aggregate (the row that motivated killing the
 # wide-Expand SortAggregate) and the IVM rebuild, both lineitem-driven.
@@ -1812,6 +1877,17 @@ def main() -> None:
                     round(sec / e["sec_10x"], 2) if e["sec_10x"] else None
                 )
         print(f"# 100x lineitem point: {deep_li}", file=sys.stderr)
+        # r14: the duplicate-collapse two-decade receipt — 100-member
+        # exact-duplicate groups, the pre-r14 quadratic shape
+        deep_emb = _deep_embeddings_point(spark, sf_dir, queries)
+        for name, sec in deep_emb.items():
+            e = scale_trend.get(name)
+            if e:
+                e["sec_100x"] = sec
+                e["time_ratio_100x_vs_10x"] = (
+                    round(sec / e["sec_10x"], 2) if e["sec_10x"] else None
+                )
+        print(f"# 100x embeddings point: {deep_emb}", file=sys.stderr)
     finally:
         # the ONE-JSON-line stdout contract must survive any mid-bench
         # exception — restore stdout unconditionally
