@@ -157,14 +157,25 @@ def capacity_knee(
     first = _knee_ladder(spark, start_rows_per_sec, run_sec, max_steps)
     first["loadavg_1m"] = {"start": load0, "end": round(os.getloadavg()[0], 2)}
     picked = first
-    if load0 > 1.0:
+    # retry the whole ladder once when the first attempt is suspect:
+    # it STARTED on a busy host (load deflates the number), or it
+    # ENDED inconclusive without observing a failing offer (the
+    # bracket above the last sustained rate is simply unmeasured — a
+    # floor, not a knee; one retry is cheap and usually resolves it)
+    ended_inconclusive = (
+        first["first_failed_offer"] is None
+        and first["inconclusive_offer"] is not None
+    )
+    if load0 > 1.0 or ended_inconclusive:
         load1 = round(os.getloadavg()[0], 2)
         retry = _knee_ladder(spark, start_rows_per_sec, run_sec, max_steps)
         retry["loadavg_1m"] = {
             "start": load1,
             "end": round(os.getloadavg()[0], 2),
         }
-        retry["retry_of_loaded_attempt"] = True
+        retry["retry_reason"] = (
+            "loaded_start" if load0 > 1.0 else "inconclusive_ladder_end"
+        )
         if (
             retry["max_sustained_rows_per_sec"]
             > first["max_sustained_rows_per_sec"]

@@ -639,7 +639,48 @@ def test_capacity_knee_retries_and_flags_under_load(monkeypatch):
     )
     knee = throughput.capacity_knee(None, start_rows_per_sec=100, max_steps=4)
     assert knee["max_sustained_rows_per_sec"] == 200  # the quiet retry won
-    assert knee["retry_of_loaded_attempt"] is True
+    assert knee["retry_reason"] == "loaded_start"
     assert knee["inconclusive_load"] is False  # kept attempt started quiet
     assert knee["discarded_attempt"]["max_sustained_rows_per_sec"] == 100
     assert knee["loadavg_1m"]["start"] == 0.2
+
+
+def test_capacity_knee_retries_inconclusive_ladder_end(monkeypatch):
+    """A ladder that ends on an inconclusive offer (kept_up None, no
+    observed failure) published a FLOOR — r14 retries it once even on a
+    quiet host and keeps the better attempt."""
+    import os as _os
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.streaming import throughput
+
+    ladders = iter(
+        [
+            {100: True, 200: None},               # floor: 100, 200 unmeasured
+            {100: True, 200: True, 400: False, 300: False},
+        ]
+    )
+    current = {}
+
+    def fake(spark, rows_per_sec=0, run_sec=0.0, num_partitions=0):
+        return {
+            "pinned_rows_per_sec": rows_per_sec,
+            "achieved_rows_per_sec": float(rows_per_sec),
+            "kept_up": current["m"][rows_per_sec],
+            "input_rows": 0,
+            "result_rows": 0,
+        }
+
+    real_ladder = throughput._knee_ladder
+
+    def switching_ladder(*a, **kw):
+        current["m"] = next(ladders)
+        return real_ladder(*a, **kw)
+
+    monkeypatch.setattr(throughput, "rate_tumbling_throughput", fake)
+    monkeypatch.setattr(throughput, "_knee_ladder", switching_ladder)
+    monkeypatch.setattr(_os, "getloadavg", lambda: (0.1, 0.0, 0.0))
+    knee = throughput.capacity_knee(None, start_rows_per_sec=100, max_steps=4)
+    assert knee["max_sustained_rows_per_sec"] == 200
+    assert knee["first_failed_offer"] == 300  # bisected
+    assert knee["retry_reason"] == "inconclusive_ladder_end"
+    assert knee["discarded_attempt"]["inconclusive_offer"] == 200
