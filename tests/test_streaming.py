@@ -638,17 +638,20 @@ def test_capacity_knee_retries_and_flags_under_load(monkeypatch):
         _os, "getloadavg", lambda: (next(loads, 0.2), 0.0, 0.0)
     )
     knee = throughput.capacity_knee(None, start_rows_per_sec=100, max_steps=4)
-    assert knee["max_sustained_rows_per_sec"] == 200  # the quiet retry won
-    assert knee["retry_reason"] == "loaded_start"
+    assert knee["max_sustained_rows_per_sec"] == 200  # the quiet attempt won
+    assert knee["n_attempts"] == 2
     assert knee["inconclusive_load"] is False  # kept attempt started quiet
-    assert knee["discarded_attempt"]["max_sustained_rows_per_sec"] == 100
+    assert (
+        knee["discarded_attempts"][0]["max_sustained_rows_per_sec"] == 100
+    )
     assert knee["loadavg_1m"]["start"] == 0.2
 
 
 def test_capacity_knee_retries_inconclusive_ladder_end(monkeypatch):
     """A ladder that ends on an inconclusive offer (kept_up None, no
-    observed failure) published a FLOOR — r14 retries it once even on a
-    quiet host and keeps the better attempt."""
+    observed failure) publishes a FLOOR — the always-2-attempts policy
+    keeps the better ladder, and a still-suspect best triggers a
+    third."""
     import os as _os
 
     from airflow_iceberg_pipeline_stock_tracker_spark.streaming import throughput
@@ -682,5 +685,5 @@ def test_capacity_knee_retries_inconclusive_ladder_end(monkeypatch):
     knee = throughput.capacity_knee(None, start_rows_per_sec=100, max_steps=4)
     assert knee["max_sustained_rows_per_sec"] == 200
     assert knee["first_failed_offer"] == 300  # bisected
-    assert knee["retry_reason"] == "inconclusive_ladder_end"
-    assert knee["discarded_attempt"]["inconclusive_offer"] == 200
+    assert knee["n_attempts"] == 2
+    assert knee["discarded_attempts"][0]["inconclusive_offer"] == 200
