@@ -1769,10 +1769,14 @@ def edit_distance_pair_ranks(
     applied to this operator per the r13 verdict's ask #4).
 
     doc_sample_mod: ranks are computed over the FULL corpus blocks
-    BEFORE sampling (so a sampled pair's cap survival equals its
-    survival in the full computation — unbiased, the winnowing-sweep
-    construction), then both sides are restricted to doc_id % mod == 0
-    to bound the uncapped DP join on duplicate-saturated corpora.
+    BEFORE sampling, so each sampled pair's CAP SURVIVAL is exact —
+    identical to its survival in the full computation; the AGGREGATE
+    recall is then estimated over the deterministic doc sample (a
+    conditional estimate — it conditions on both endpoints being
+    ≡ 0 mod `mod` while block ranks are doc_id-ordered — not a
+    uniformly random one; r14 advice). Both sides are restricted to
+    doc_id % mod == 0 to bound the uncapped DP join on duplicate-
+    saturated corpora.
     """
     from pyspark.sql import Window
 

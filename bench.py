@@ -1239,9 +1239,11 @@ def _lev_cap_sweep(spark, sf_dir: str) -> dict:
     cap is a scalability knob). One uncapped rank-tagged pass grades
     every cap (a pair survives cap c iff max(rank_a, rank_b) <= c);
     the 10x truth runs over the deterministic 10% doc sample with
-    ranks computed on FULL-corpus blocks first, so sampled survival
-    equals full-computation survival — unbiased at ~1% of the join
-    cost. Timings re-run the real operator per cap on the 10x corpus,
+    ranks computed on FULL-corpus blocks first, so each sampled pair's
+    cap survival is exact (the aggregate recall is a deterministic-
+    sample estimate, conditional on the mod-10 endpoints — r14
+    advice) at ~1% of the join cost. Timings re-run the real
+    operator per cap on the 10x corpus,
     min-of-2, the scale-trend protocol."""
     import time as _time
 
@@ -1286,7 +1288,10 @@ def _lev_cap_sweep(spark, sf_dir: str) -> dict:
         "truth = uncapped pairs under the operator's own blocking "
         "(16-char block + length band + prefix lev <= 8); 10x rows "
         "estimated over the deterministic 10% doc sample with ranks "
-        "from full-corpus blocks (unbiased). The 10x corpus is 90% "
+        "from full-corpus blocks (per-pair cap survival exact; the "
+        "aggregate recall is a deterministic-sample estimate, "
+        "conditional on both endpoints being ≡0 mod 10). The 10x "
+        "corpus is 90% "
         "exact duplicates, so block membership saturates the cap by "
         "construction — recall there prices the cap against the "
         "worst-case shape, the base row against the realistic one"
@@ -1919,6 +1924,16 @@ def main() -> None:
                 "sf": sf,
                 "queries": timings,
                 "cold": cold,
+                # r14 advice: since r14 the capacity-knee probe runs
+                # FIRST (before the measurement passes), so "cold" pass
+                # timings run on a JVM the knee already warmed
+                # (codegen/JIT) — do not read cold deltas vs pre-r14
+                # rounds as regressions/improvements
+                "cold_note": (
+                    "cold pass measured AFTER the capacity-knee probe "
+                    "since r14 (knee needs the quiet host more); cold "
+                    "numbers are knee-warmed vs r13-and-earlier"
+                ),
                 "spread": spread,
                 "throughput": {"capacity_knee": knee},
                 "scale_trend": scale_trend,

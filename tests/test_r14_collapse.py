@@ -147,6 +147,57 @@ def test_composed_ppjoin_matches_direct_on_plain_corpus(spark, sf_dir):
     assert composed == direct
 
 
+def test_dup_groups_signed_zero_and_nan_pinned_cross_engine(
+    spark, sf_dir, tmp_path
+):
+    """r14 advice: _dup_groups partitions by the raw float-array value,
+    and the census oracle GROUP BYs the same column in DuckDB — pin that
+    BOTH engines equate -0.0 with 0.0 and NaN with NaN in grouping, so
+    the similarity_dup_groups census cannot diverge on such values.
+    (Verified semantics: Spark normalizes -0.0 and equates NaNs in
+    grouping keys; DuckDB's hash-aggregate does the same — this test is
+    the tripwire if either engine ever changes.)"""
+    import duckdb
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        SIMILARITY_DUP_GROUPS_SQL,
+        similarity_dup_groups,
+    )
+
+    nan = float("nan")
+    rows = [
+        (1, [0.0, 1.0]),
+        (2, [-0.0, 1.0]),  # same group as 1 iff -0.0 == 0.0 in grouping
+        (3, [nan, 2.0]),
+        (4, [nan, 2.0]),  # same group as 3 iff NaN == NaN in grouping
+        (5, [3.0, 3.0]),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>"
+    )
+    emb.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    got = {
+        (r.gsize, r.n_groups, r.n_vectors)
+        for r in similarity_dup_groups(spark, str(tmp_path)).collect()
+    }
+    # grouping equates -0.0/0.0 and NaN/NaN: two 2-groups + one 1-group
+    assert got == {(1, 1, 1), (2, 2, 4)}
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet/*.parquet')"
+    )
+    oracle = {tuple(r) for r in con.sql(SIMILARITY_DUP_GROUPS_SQL).fetchall()}
+    assert oracle == got
+    # the collapse itself also equates them: members/reps agree
+    members, reps = similarity._dup_groups(
+        load_table(spark, str(tmp_path), "embeddings")
+    )
+    assert reps.count() == 3
+    gid_of = {r.vec_id: r.gid for r in members.collect()}
+    assert gid_of[2] == gid_of[1] and gid_of[4] == gid_of[3]
+
+
 def test_dup_groups_shape(saturated_emb):
     members, reps = similarity._dup_groups(saturated_emb)
     n = saturated_emb.count()

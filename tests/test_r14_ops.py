@@ -264,9 +264,30 @@ def test_semdedup_prunes_planted_duplicate(spark, sf_dir, tmp_path):
         r.vec_id: r for r in similarity_semdedup(spark, str(tmp_path)).collect()
     }
     assert out[1_000_000].pruned is True
-    assert out[7].pruned is False or out[7].pruned is True  # 7 pruned only
-    # ...if it already had a smaller-id neighbor in the base fixture;
-    # the planted copy can never cause it (1_000_000 > 7)
+    # 7 is pruned iff it has a SMALLER-id same-cluster neighbor at
+    # cosine >= threshold on the augmented corpus (the planted copy can
+    # never cause it: 1_000_000 > 7). Compute the exact expected boolean
+    # from the operator's own definition via its two ingredients
+    # (r14 advice: the previous `is False or is True` was vacuous).
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        embedding_kmeans,
+        embedding_near_dup_pairs_df,
+    )
+
+    aug = load_table(spark, str(tmp_path), "embeddings")
+    cluster = {
+        r.vec_id: r.cluster
+        for r in embedding_kmeans(spark, str(tmp_path)).collect()
+    }
+    want_7 = any(
+        r.vec_a < 7 and cluster[r.vec_a] == cluster[7]
+        for r in embedding_near_dup_pairs_df(
+            aug, SEMDEDUP_THRESHOLD
+        ).collect()
+        if r.vec_b == 7
+    )
+    assert out[7].pruned is want_7
     assert out[1_000_000].cluster == out[7].cluster
 
 
