@@ -66,6 +66,10 @@ def _pair_rows(emb, collapse):
 
 
 def test_knn_collapse_identical_on_plain_corpus(plain_emb):
+    # "force" pins the COLLAPSED plan itself on a plain corpus; True is
+    # the adaptive production path (r15), which detects max(gsize)==1
+    # and takes the direct plan — all three must agree bit-for-bit
+    assert _knn_rows(plain_emb, "force") == _knn_rows(plain_emb, False)
     assert _knn_rows(plain_emb, True) == _knn_rows(plain_emb, False)
 
 
@@ -81,6 +85,9 @@ def test_knn_collapse_identical_on_saturated_corpus(saturated_emb):
 
 
 def test_near_dup_collapse_identical_on_plain_corpus(plain_emb):
+    # "force" pins the collapsed plan; True (adaptive, r15) falls back
+    # to the direct plan on a duplicate-free corpus — same rows
+    assert _pair_rows(plain_emb, "force") == _pair_rows(plain_emb, False)
     assert _pair_rows(plain_emb, True) == _pair_rows(plain_emb, False)
 
 
