@@ -624,12 +624,19 @@ SWEEP_CHECKED = [
     # demoting customer_purchase_cadence + prices_var_cvar, each
     # 2-round-green r11+r12 — supply consumption this round: 6 of 20):
     "curation_weighted_sample",  # A-ES top-k by u^(1/w), rand()-free
-    "dedup_edit_distance",     # prefix-blocked Levenshtein pairs
+    # (dedup_edit_distance demoted r15 after 2 consecutive green driver
+    # rounds, r13+r14, to fund dedup_edit_distance_composed below — the
+    # r14 verdict's top ask. The direct path's logic stays driver-
+    # proven every round: the composed row's oracle IS the direct
+    # blocked-Levenshtein SQL, so a hash-green round re-proves both)
     # NEW r13 wave 4 (first round checked per policy; funded by
     # demoting text_winnowing + events_growth_accounting, each
     # 2-round-green r11+r12 — supply consumption this round: 8 of 20):
-    "events_stl_decompose",    # additive trend/seasonal/residual split
-    "similarity_rrf_hybrid",   # BM25 + cosine reciprocal-rank fusion
+    # (events_stl_decompose and similarity_rrf_hybrid demoted r15 after
+    # 2 consecutive green driver rounds, r13+r14, to fund the r15
+    # wave-2 mints below — text_classifier_train + text_bpe_encode;
+    # events keeps a dozen checked rows, similarity keeps knn_graph /
+    # near_dup / semdedup / dup_groups / matryoshka checked)
     # NEW r13 wave 5 (first round checked per policy; funded by
     # demoting events_cusum, 2-round-green r11+r12 — supply
     # consumption this round: 9 of 20):
@@ -715,11 +722,41 @@ SWEEP_CHECKED = [
     # supply consumption: 14 of 16, two slots left unconsumed):
     "events_survival_km",      # Kaplan-Meier with real right-censoring,
     #   pinned survival product; censored-at-t-still-at-risk pinned
+    # NEW r15 (first round checked per policy; r14 verdict ask #1 —
+    # funded by demoting dedup_edit_distance itself, 2-round-green
+    # r13+r14; minting stays capped at the demotion supply — this
+    # round consumes 3 demotions for 3 mints, out of 21 eligible rows
+    # (the 19 two-round-green r13 mints + the 2 rights r14 left
+    # unconsumed), leaving 18 eligible rows held):
+    "dedup_edit_distance_composed",  # cap -> exact (pfx,len)-collapse
+    #   -> rep Levenshtein join -> arithmetic pair expansion; oracle IS
+    #   the direct blocked-Levenshtein SQL
+    # NEW r15 wave 2 (first round checked per policy; r14 verdict asks
+    # #4 + #7 — funded by demoting events_stl_decompose +
+    # similarity_rrf_hybrid, each 2-round-green r13+r14):
+    "text_classifier_train",   # quantized-GD logistic fit over hashed
+    #   features, exact-int gradient partials, unrolled-CTE oracle
+    "text_bpe_encode",         # corpus encoding under the trained merge
+    #   table: per-token ids hash-matched against the unrolled oracle
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
+    # demoted r15 to fund dedup_edit_distance_composed (r14 verdict ask
+    # #1). Evidence: 2 consecutive green driver rounds (r13+r14),
+    # pytest coverage (tests/test_r13_wave2_ops.py + the r15 composed-
+    # parity pins in tests/test_r14_collapse.py), the per-CI tail-
+    # oracle gate below — AND the composed row's oracle is this row's
+    # own direct SQL, so every hash-green driver round re-proves it
+    "dedup_edit_distance",
+    # demoted r15 to fund the wave-2 mints (text_classifier_train +
+    # text_bpe_encode, r14 verdict asks #4 + #7). Evidence per row: 2
+    # consecutive green driver rounds (r13+r14), pytest coverage
+    # (tests/test_r13_wave{2,4}_ops.py), and the per-CI tail-oracle
+    # gate below
+    "events_stl_decompose",
+    "similarity_rrf_hybrid",
     # demoted r14 to fund the two duplicate-collapse re-promotions
     # (similarity_knn_graph + embedding_near_dup) and the composed
     # PPJoin row. Evidence per row: 2 consecutive green driver rounds

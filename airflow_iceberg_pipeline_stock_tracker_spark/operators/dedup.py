@@ -1830,6 +1830,130 @@ def edit_distance_pair_ranks(
     )
 
 
+def edit_distance_pairs_composed(
+    docs: DataFrame, cap: int = LEV_BLOCK_CAP
+) -> DataFrame:
+    """edit_distance_pairs' PRODUCTION composition (r14 verdict ask #1,
+    the dedup_prefix_filter_composed discipline applied to the
+    registry's worst remaining trend ratio): the pair predicate (same
+    16-char block, length band, prefix lev <= LEV_MAX_DIST) and the
+    reported columns are functions of each doc's (pfx, len) VALUE
+    alone, so after the cap window — which must run on RAW doc ranks
+    to reproduce the direct operator's capped doc set exactly — docs
+    collapse to one representative per distinct (pfx, len), the
+    blocked Levenshtein join runs on representatives only, and pairs
+    expand back arithmetically:
+
+      * cross-group qualifying pairs carry the group-level
+        (lev_dist, len) values to every member combination;
+      * within-group pairs are C(k,2) per k-member group with
+        lev_dist = 0 and both lens equal — derivable, not joinable.
+
+    Output is IDENTICAL to the direct path — same rows, same ints —
+    pinned by tests/test_r14_collapse.py on plain AND duplicate-
+    saturated corpora, and the registered oracle IS the direct SQL
+    (EDIT_DISTANCE_SQL), so the driver hash gate re-proves the
+    composition every round.
+
+    Scale: on a duplicate-saturated corpus (the realistic crawl shape)
+    the direct path's CAP^2-per-block DP calls collapse to
+    distinct^2-per-block — the DP runs once per distinct (pfx, len)
+    pair, never per duplicate pair; the capped-pair plateau that made
+    the direct row's 10x trend 18.14x becomes expansion-only work.
+    The cap window itself is the same one exchange the direct path
+    pays (linear), plus one (pfx, len)-keyed grouping exchange.
+    """
+    from pyspark.sql import Window
+
+    base = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.col("n_chars").alias("len"),
+            _ascii_prefix(F.col("text"), LEV_PREFIX_CHARS).alias("pfx"),
+        )
+        .withColumn("blk", F.substring("pfx", 1, LEV_BLOCK_CHARS))
+    )
+    # cap on RAW doc ranks first — identical doc survivor set as the
+    # direct operator (the cap is rank-based, not value-based, so
+    # collapsing before it would change which docs it keeps)
+    capped = (
+        base.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("blk").orderBy("doc_id")),
+        )
+        .where(F.col("rn") <= cap)
+        .drop("rn")
+    )
+    wg = Window.partitionBy("pfx", "len")
+    m = capped.withColumn("gid", F.min("doc_id").over(wg)).withColumn(
+        "gsize", F.count(F.lit(1)).over(wg)
+    )
+    members = m.select("doc_id", "gid", "gsize", "len").persist()
+    members.count()  # eager: both expansion sides read the cache
+    reps = m.where(F.col("doc_id") == F.col("gid"))
+    a = reps.select(
+        "blk",
+        F.col("gid").alias("ga"),
+        F.col("len").alias("len_ga"),
+        F.col("pfx").alias("pfx_a"),
+    )
+    b = reps.select(
+        "blk",
+        F.col("gid").alias("gb"),
+        F.col("len").alias("len_gb"),
+        F.col("pfx").alias("pfx_b"),
+    )
+    gpairs = (
+        a.join(b, "blk")
+        .where(
+            (F.col("ga") < F.col("gb"))
+            & (F.abs(F.col("len_ga") - F.col("len_gb")) <= F.lit(LEV_LEN_BAND))
+        )
+        .withColumn("lev_dist", F.levenshtein(F.col("pfx_a"), F.col("pfx_b")))
+        .where(F.col("lev_dist") <= F.lit(LEV_MAX_DIST))
+        .select("ga", "gb", "lev_dist", "len_ga", "len_gb")
+    )
+    # within-group pairs: identical (pfx, len) means lev 0 and a free
+    # pass through the length band — C(k,2) per group, no DP call
+    selfg = (
+        members.where((F.col("gsize") >= 2) & (F.col("doc_id") == F.col("gid")))
+        .select(
+            F.col("gid").alias("ga"),
+            F.col("gid").alias("gb"),
+            F.lit(0).cast("int").alias("lev_dist"),
+            F.col("len").alias("len_ga"),
+            F.col("len").alias("len_gb"),
+        )
+    )
+    ma = members.select(F.col("gid").alias("ga"), F.col("doc_id").alias("m_a"))
+    mb = members.select(F.col("gid").alias("gb"), F.col("doc_id").alias("m_b"))
+    pairs = (
+        gpairs.unionByName(selfg)
+        .join(ma, "ga")
+        .join(mb, "gb")
+        # cross-group: every member combination once (groups are
+        # disjoint id sets); self-pair: ordered member pairs only
+        .where((F.col("ga") != F.col("gb")) | (F.col("m_a") < F.col("m_b")))
+        .select(
+            F.least("m_a", "m_b").alias("doc_a"),
+            F.greatest("m_a", "m_b").alias("doc_b"),
+            "lev_dist",
+            # lens follow the (doc_a, doc_b) orientation, which flips
+            # when the B-side member carries the smaller id
+            F.when(F.col("m_a") < F.col("m_b"), F.col("len_ga"))
+            .otherwise(F.col("len_gb"))
+            .alias("len_a"),
+            F.when(F.col("m_a") < F.col("m_b"), F.col("len_gb"))
+            .otherwise(F.col("len_ga"))
+            .alias("len_b"),
+        )
+    )
+    pairs = pairs.localCheckpoint(eager=True)
+    members.unpersist()
+    return pairs.orderBy("doc_a", "doc_b")
+
+
 EDIT_DISTANCE_SQL = f"""
 WITH base AS (
   SELECT doc_id, n_chars AS len,

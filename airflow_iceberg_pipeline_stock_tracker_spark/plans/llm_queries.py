@@ -617,6 +617,15 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(text.classifier_score),
         text.CLASSIFIER_SQL,
     ),
+    # r15 (r14 verdict ask #4): the training half — quantized full-
+    # batch GD over hashed bag-of-words, ALL-int64 op sequence (exact
+    # per-mille features, truncating-div weight updates verified
+    # identical in both engines), fit + final-weights scoring in one
+    # row; oracle = the same T iterations unrolled as MATERIALIZED CTEs
+    "text_classifier_train": (
+        _docs(text.classifier_train),
+        text.CLASSIFIER_TRAIN_SQL,
+    ),
     "text_token_stats": (_docs(text.token_stats), text.TOKEN_STATS_SQL),
     "text_fingerprints": (_docs(text.fingerprints), text.FINGERPRINTS_SQL),
     # winnowing (MOSS): rightmost-min-per-window k-gram selection with
@@ -683,6 +692,17 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     ),
     "dedup_edit_distance": (
         _docs(dedup.edit_distance_pairs),
+        dedup.EDIT_DISTANCE_SQL,
+    ),
+    # r15 (r14 verdict ask #1): the production composition — cap on raw
+    # ranks (the direct operator's survivor set), exact (pfx, len)
+    # collapse, Levenshtein DP on representatives only, arithmetic
+    # per-group pair expansion. The oracle IS the direct blocked-
+    # Levenshtein SQL, so the driver's hash gate re-proves output
+    # identity every round; on duplicate-saturated corpora the DP runs
+    # once per distinct value pair, never per duplicate pair
+    "dedup_edit_distance_composed": (
+        _docs(dedup.edit_distance_pairs_composed),
         dedup.EDIT_DISTANCE_SQL,
     ),
     # split over the minhash-LSH near-dup graph (simhash drives keep_list;
@@ -761,6 +781,14 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "text_bpe_tokenize": (
         _docs(bpe.bpe_tokenize),
         bpe.bpe_tokenize_oracle_sql(),
+    ),
+    # r15 (r14 verdict ask #7): tokenizer ENCODING — the positioned
+    # token-id stream itself (what text_pack_shards consumes), not just
+    # counts. The trained word state + vocab-id table are vocabulary-
+    # bounded broadcasts; output is linear in corpus tokens
+    "text_bpe_encode": (
+        _docs(bpe.bpe_encode),
+        bpe.bpe_encode_oracle_sql(),
     ),
     # triangle census over the memoized minhash pair graph (new r7):
     # ordered 3-join triangle count + exact wedge count -> integer

@@ -51,17 +51,24 @@ def test_every_query_is_oracle_paired_or_documented_rows_only():
 
 def test_new_operators_are_inside_the_checked_prefix():
     # the r4 lesson: new operators must not ship driver-unchecked.
-    # Pins the CURRENT round's must-be-checked set (r14): the nineteen
-    # r13 first-rounders held for their SECOND consecutive green round
-    # (r13 verdict ask #6), plus the two r14 CODE-CHANGED re-promotions
-    # (duplicate-collapse plan) and every r14-new operator — minting
-    # capped at the round's demotion supply of 16 (the 15 two-round-
-    # green r12 rows + r13's one unconsumed slot).
+    # Pins the CURRENT round's must-be-checked set (r15): the twelve
+    # r14 first-rounders and the two r14 code-changed re-promotions
+    # held for their SECOND consecutive green round (r14 verdict ask
+    # #3), plus every r15-new operator — minting capped at the round's
+    # demotion supply (3 demotions fund 3 mints: dedup_edit_distance
+    # funds its own composed successor, events_stl_decompose +
+    # similarity_rrf_hybrid fund the classifier-train / bpe-encode
+    # slots; all three demoted rows are 2-round-green r13+r14).
     promoted = {
-        # r14 re-promotions (code-changed: duplicate-collapse band join)
+        # r15-new, first round
+        "dedup_edit_distance_composed",
+        "text_classifier_train",
+        "text_bpe_encode",
+        # r14 re-promotions (code-changed: duplicate-collapse band
+        # join), held for their second consecutive driver round
         "similarity_knn_graph",
         "embedding_near_dup",
-        # r14-new, first round
+        # r14-new, held for their second consecutive driver round
         "dedup_prefix_filter_composed",
         "orders_ivm_delete",
         "dq_fd_violations",
@@ -74,26 +81,6 @@ def test_new_operators_are_inside_the_checked_prefix():
         "events_holt_winters",
         "similarity_dup_groups",
         "events_survival_km",
-        # r13-new, held for their second consecutive driver round
-        "streaming_cms_incremental",
-        "streaming_kmv_incremental",
-        "parts_skyline",
-        "dq_benford",
-        "curation_weighted_sample",
-        "dedup_edit_distance",
-        "events_stl_decompose",
-        "similarity_rrf_hybrid",
-        "dedup_prefix_filter",
-        "dq_profile",
-        "curation_score_calibration",
-        "orders_ivm_join",
-        "curation_token_budget",
-        "similarity_matryoshka_recall",
-        "embedding_outlier_lof",
-        "dq_mutual_information",
-        "events_forecast_backtest",
-        "prices_snapshot_expire",
-        "events_changepoint",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)
 

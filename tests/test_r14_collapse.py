@@ -154,6 +154,86 @@ def test_composed_ppjoin_matches_direct_on_plain_corpus(spark, sf_dir):
     assert composed == direct
 
 
+def test_composed_lev_matches_direct_on_saturated_corpus(spark, sf_dir):
+    """r14 verdict ask #1: the composed edit-distance (cap -> exact
+    (pfx, len)-collapse -> rep DP join -> arithmetic expansion) must
+    produce the direct path's pair set EXACTLY — rows, distances, lens
+    — on the duplicate-saturated replica corpus, where block membership
+    saturates the cap by construction."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = spark.range(REPS).withColumnRenamed("id", "rep")
+    saturated = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10**9))
+        .drop("rep")
+    )
+
+    def rows(df):
+        return {
+            (r.doc_a, r.doc_b, r.lev_dist, r.len_a, r.len_b)
+            for r in df.collect()
+        }
+
+    direct = rows(dedup.edit_distance_pairs(saturated))
+    composed = rows(dedup.edit_distance_pairs_composed(saturated))
+    assert composed == direct
+    # the saturation actually exercised the expansion: within-group
+    # (replica) pairs carry lev 0 and equal lens
+    within = {p for p in composed if p[0] % 10**9 == p[1] % 10**9}
+    assert within and all(
+        d == 0 and la == lb for _, _, d, la, lb in within
+    )
+    # and some survivors must be CROSS-group (a real DP result)
+    assert any(p[2] > 0 for p in composed)
+
+
+def test_composed_lev_matches_direct_on_plain_corpus(spark, sf_dir):
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    direct = {
+        tuple(r) for r in dedup.edit_distance_pairs(docs).collect()
+    }
+    composed = {
+        tuple(r) for r in dedup.edit_distance_pairs_composed(docs).collect()
+    }
+    assert composed == direct
+
+
+def test_composed_lev_cap_interaction_matches_direct(spark, sf_dir):
+    """The cap must keep the SAME docs in both paths: at a small cap on
+    the saturated corpus, the rank window truncates mid-group — the
+    composed path still reproduces the direct pair set bit-for-bit."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import dedup
+    from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (
+        load_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = spark.range(REPS).withColumnRenamed("id", "rep")
+    saturated = (
+        docs.crossJoin(F.broadcast(reps))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(10**9))
+        .drop("rep")
+    )
+    direct = {
+        tuple(r) for r in dedup.edit_distance_pairs(saturated, cap=3).collect()
+    }
+    composed = {
+        tuple(r)
+        for r in dedup.edit_distance_pairs_composed(saturated, cap=3).collect()
+    }
+    assert composed == direct and direct
+
+
 def test_dup_groups_signed_zero_and_nan_pinned_cross_engine(
     spark, sf_dir, tmp_path
 ):
