@@ -1303,6 +1303,10 @@ def _lev_cap_sweep(spark, sf_dir: str) -> dict:
     big_dir = _build_scale_dir(spark, sf_dir)
     docs10 = load_table(spark, big_dir, "documents")
     out = {}
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators.dedup import (
+        edit_distance_pairs_composed,
+    )
+
     for cap in LEV_CAP_SWEEP:
         best = None
         for _ in range(2):
@@ -1311,6 +1315,17 @@ def _lev_cap_sweep(spark, sf_dir: str) -> dict:
             t = round(_time.time() - t0, 3)
             best = t if best is None else min(best, t)
         out[f"sec_10x_cap_{cap}"] = best
+        # r15: the composed path at the same cap — identical output
+        # (parity-pinned), but the DP runs once per distinct (pfx, len)
+        # pair, so its runtime should be ~cap-insensitive where the
+        # direct path grows CAP^2 per saturated block
+        best = None
+        for _ in range(2):
+            t0 = _time.time()
+            edit_distance_pairs_composed(docs10, cap=cap).count()
+            t = round(_time.time() - t0, 3)
+            best = t if best is None else min(best, t)
+        out[f"composed_sec_10x_cap_{cap}"] = best
     base_docs = load_table(spark, sf_dir, "documents")
     for label, corpus, mod in (("base", base_docs, None), ("10x", docs10, 10)):
         ranks = edit_distance_pair_ranks(corpus, doc_sample_mod=mod)
