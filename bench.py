@@ -941,12 +941,14 @@ SCALE_TREND_NOTES = {
         "against out_rows, not input"
     ),
     "text_classifier_train": (
-        "T fixed gradient iterations, each ONE map-combinable "
-        "(bucket)-keyed aggregate over the doc-feature rows plus a "
-        "|buckets|-row broadcast weight update — per-iteration cost "
-        "linear in corpus tokens, state bounded by CLF_TRAIN_BUCKETS; "
-        "replica docs scale every gradient partial by 10 but the "
-        "weight table stays fixed-size"
+        "gradient factored through the Gram matrix: XtX (<= B^2 rows, "
+        "B = CLF_TRAIN_BUCKETS = 64) and Xty are computed ONCE by "
+        "map-combinable aggregates over the doc-feature rows; all T "
+        "iterations are driver arithmetic on that fixed-size state — "
+        "integer-identical to the per-doc spec because int64 sums "
+        "commute. Only the one-scan feature build and the final "
+        "scoring pass grow with the corpus; time_ratio reads that "
+        "scan, the training state is corpus-size-free"
     ),
     "text_bpe_encode": (
         "the trained word->tokens map is VOCABULARY-bounded (replicas "
@@ -1598,6 +1600,9 @@ def _zipf_10x_point(spark, sf_dir: str, queries) -> dict:
         "sec_10x in scale_trend"
     )
     return out
+
+
+def _kmv_grader_split(spark, deep_dir: str) -> dict:
     """r13 verdict ask #7: events_kmv_distinct's 13.8s 100x point needed
     attribution — the registered row times sketch + GRADER (an exact
     per-type COUNT(DISTINCT user_id), the one legitimately user-scale
