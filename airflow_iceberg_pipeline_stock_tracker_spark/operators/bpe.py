@@ -227,13 +227,24 @@ def bpe_encode_reference(
 ):
     """Pure-Python reference (pytest ground truth): train via
     bpe_train_reference's loop, then encode each doc with the final
-    per-word symbol state and the lexicographic vocab ids."""
+    per-word symbol state and the lexicographic vocab ids.
+
+    Whitespace semantics mirror the ENGINES, not Python's defaults
+    (r15 code-review finding): the engines split trim(lower(text)) on
+    ASCII ``\\s+`` where trim strips SPACES only, so a doc starting
+    with a tab/newline keeps a leading empty token (widx 0 stays
+    unoccupied after the length filter) and Unicode whitespace
+    (e.g. NBSP) does NOT split. Python's ``.strip().split()`` would
+    disagree on both, so the reference uses the same space-trim +
+    ASCII-``\\s+`` split."""
+    import re
+
     word_counts: dict[str, int] = {}
     split_docs: dict[int, list[str]] = {}
     for doc_id, t in doc_texts.items():
         if t is None:
             continue
-        ws = t.strip().lower().split()
+        ws = re.split(r"\s+", t.lower().strip(" "), flags=re.ASCII)
         split_docs[doc_id] = ws
         for w in ws:
             if w:

@@ -560,6 +560,13 @@ def embedding_near_dup_pairs_df(
     3.33s at 1x). Both branches are bit-identical by the collapse-
     parity pins; collapse="force" keeps the collapsed plan
     unconditionally (tests exercise it on plain corpora too)."""
+    if collapse not in (True, False, "force"):
+        # r15 code-review finding: a stringly-typed tri-state must not
+        # silently misroute collapse=0/None/"Force" into a branch the
+        # caller didn't pick
+        raise ValueError(
+            f"collapse must be True, False, or 'force'; got {collapse!r}"
+        )
     if collapse is False:
         return _near_dup_pairs_direct(emb_raw, threshold)
     members, reps = _dup_groups(emb_raw)
@@ -1275,6 +1282,10 @@ def knn_graph_df(
     """
     from pyspark.sql import Window
 
+    if collapse not in (True, False, "force"):
+        raise ValueError(
+            f"collapse must be True, False, or 'force'; got {collapse!r}"
+        )
     if collapse is False:
         return _knn_graph_direct(emb_raw, k, checkpoint)
     members, reps = _dup_groups(emb_raw)

@@ -1681,6 +1681,10 @@ def classifier_train(
 
     feat, lab = _clf_train_ingredients(docs)
     feat = feat.persist()
+    # lab is read three times (Xty, n_docs, the final score join) and
+    # each uncached read re-runs the full tokenize-explode scan behind
+    # it (r15 code-review finding) — cache it alongside feat
+    lab = lab.persist()
     fa = feat.select(
         "doc_id", F.col("bucket").alias("ba"), F.col("x").alias("xa")
     )
@@ -1744,6 +1748,7 @@ def classifier_train(
     )
     out = out.localCheckpoint(eager=True)
     feat.unpersist()
+    lab.unpersist()
     return out
 
 

@@ -1512,7 +1512,7 @@ def _build_zipf_events_dir(spark, sf_dir: str, factor: int) -> str:
         f"{base}-events-zipf-x{factor}",
     )
     marker = os.path.join(out_dir, "_BUILT")
-    want = f"events-zipf-v2={factor}\n"
+    want = f"events-zipf-v3={factor}\n"
     built = os.path.exists(marker) and open(marker).read() == want
     if not built:
         if os.path.isdir(out_dir):
@@ -1531,7 +1531,7 @@ def _build_zipf_events_dir(spark, sf_dir: str, factor: int) -> str:
         for k in range(1, ZIPF_HEADS + 1):
             acc += ZIPF_W / k
             bounds.append(int(round(acc)))
-        v = (F.col("event_id") * F.lit(factor) + F.col("rep")) % F.lit(10007)
+        v = F.col("v")
         head = F.lit(None).cast("bigint")
         for k in range(ZIPF_HEADS, 0, -1):
             lo = bounds[k - 2] if k >= 2 else 0
@@ -1541,6 +1541,15 @@ def _build_zipf_events_dir(spark, sf_dir: str, factor: int) -> str:
             ).otherwise(head)
         (
             ev.crossJoin(F.broadcast(reps))
+            # bind the residue to the ORIGINAL event_id BEFORE the id
+            # shift (r15 code-review finding: an unbound col("event_id")
+            # here would resolve against the shifted id and break the
+            # documented dense-residue formula)
+            .withColumn(
+                "v",
+                (F.col("event_id") * F.lit(factor) + F.col("rep"))
+                % F.lit(10007),
+            )
             .withColumn(
                 "event_id", F.col("event_id") + F.col("rep") * F.lit(10**9)
             )
@@ -1552,7 +1561,7 @@ def _build_zipf_events_dir(spark, sf_dir: str, factor: int) -> str:
                     F.col("user_id") + (F.col("rep") + 1) * F.lit(10**7)
                 ),
             )
-            .drop("rep")
+            .drop("rep", "v")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "events.parquet"))
         )

@@ -149,6 +149,41 @@ def test_bpe_encode_matches_python_recompute(spark, sf_dir):
     assert got == want
 
 
+def test_bpe_encode_reference_matches_engine_on_whitespace_edges(
+    spark, tmp_path
+):
+    """r15 code-review finding: the engines split trim(lower(text)) on
+    ASCII \\s+ where trim strips SPACES only — a leading tab keeps an
+    empty token at widx 0 and NBSP does not split. The Python reference
+    must mirror that, not .strip().split(). Pin engine == reference on
+    a corpus built from exactly those edges."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import bpe
+
+    texts = {
+        1: "\tab cd",        # leading tab: widx 0 is an empty token
+        2: "  ab\ncd  ",     # space-trimmed, newline splits
+        3: "ab\xa0cd ef",  # NBSP must NOT split (one word 'ab\xa0cd')
+        4: "ab  cd",         # run of separators = one split
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id bigint, text string"
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = sorted(
+        (r.doc_id, r.widx, r.sidx, r.token_id, r.token)
+        for r in bpe.bpe_encode(
+            load_table(spark, str(tmp_path), "documents")
+        ).collect()
+    )
+    want = bpe.bpe_encode_reference(texts)
+    assert got == want
+    # the tab doc's first real word sits at widx 1, and the NBSP doc
+    # kept 'ab\xa0cd' as ONE word
+    assert min(w for d, w, *_ in got if d == 1) == 1
+    nbsp_words = {w for d, w, *_ in got if d == 3}
+    assert nbsp_words == {0, 1}
+
+
 def test_bpe_encode_consistent_with_tokenize_counts(spark, sf_dir):
     """Cross-op pin: the per-doc row count of the encoded stream must
     equal bpe_tokenize's n_tokens (same trained merge table), and the
