@@ -80,7 +80,16 @@ def minhash_sql(j: int, hash_expr: str = "h") -> str:
 
 
 def tokens(col: Column) -> Column:
-    """Whitespace tokenization, leading/trailing-trimmed."""
+    """Whitespace tokenization, leading/trailing-trimmed.
+
+    KNOWN cross-engine edge (r15 advice, documented not fixed): Java's
+    ``\\s`` is [ \\t\\n\\x0B\\f\\r] and Python's ``re.ASCII \\s`` is the
+    same set, but DuckDB's RE2 ``\\s`` is [ \\t\\n\\f\\r] only — a corpus
+    containing a VERTICAL TAB (\\x0B) would tokenize differently in the
+    DuckDB oracle than in Spark + the Python references (which agree;
+    pinned by the \\x0B doc in tests/test_r15_ops.py's whitespace-edge
+    test). No fixture contains \\x0B; a corpus that did would need every
+    TOKENS_SQL site rewritten to an explicit [ \\t\\n\\x0B\\f\\r]+ class."""
     return F.split(F.trim(col), r"\s+")
 
 

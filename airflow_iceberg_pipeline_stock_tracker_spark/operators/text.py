@@ -1758,8 +1758,16 @@ def classifier_train_reference(
     lr: int = CLF_TRAIN_LR,
 ):
     """Pure-Python reference (pytest ground truth): same hashing, same
-    integer op order, same truncating division."""
+    integer op order, same truncating division.
+
+    Whitespace semantics mirror the ENGINES (the bpe_encode_reference
+    discipline, r15 advice): tokens() splits trim(text) on ASCII
+    ``\\s+`` where trim strips SPACES only, so Unicode whitespace
+    (e.g. NBSP) does NOT split and non-space leading separators leave
+    an empty token the length filter drops. Python's default
+    ``.strip().split()`` disagrees on both."""
     import hashlib
+    import re
 
     def h32(s: str) -> int:
         return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
@@ -1773,7 +1781,11 @@ def classifier_train_reference(
     for doc_id, text in doc_texts.items():
         if text is None:
             continue
-        toks = [t for t in text.strip().split() if t]
+        toks = [
+            t
+            for t in re.split(r"\s+", text.strip(" "), flags=re.ASCII)
+            if t
+        ]
         if not toks:
             continue
         cnt: dict[int, int] = {}

@@ -295,3 +295,18 @@ def test_dup_groups_shape(saturated_emb):
         (F.col("gsize") != REPS) | (F.col("gid") > F.col("vec_id"))
     )
     assert bad.count() == 0
+
+
+def test_collapse_tristate_rejects_int_lookalikes(plain_emb):
+    """r15 advice: Python's == equates 0/False and 1/True, so a
+    membership check would let collapse=0 through validation and the
+    later `is False` identity checks would silently route it into the
+    adaptive branch. The guard validates by IDENTITY: 0, 1, and
+    miscased strings all raise before any plan is built."""
+    for bad in (0, 1, None, "Force", "true"):
+        with pytest.raises(ValueError, match="collapse must be"):
+            similarity.knn_graph_df(plain_emb, collapse=bad)
+        with pytest.raises(ValueError, match="collapse must be"):
+            similarity.embedding_near_dup_pairs_df(
+                plain_emb, threshold=0.4, collapse=bad
+            )

@@ -11,6 +11,7 @@ reference tokenization exactly).
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 import pytest
@@ -95,7 +96,11 @@ def test_classifier_train_learns_the_planted_direction(spark, sf_dir):
 
     feats, ys = {}, {}
     for doc_id, t in docs.items():
-        toks = [x for x in (t or "").strip().split() if x]
+        toks = [
+            x
+            for x in re.split(r"\s+", (t or "").strip(" "), flags=re.ASCII)
+            if x
+        ]
         if not toks:
             continue
         cnt = {}
@@ -164,6 +169,12 @@ def test_bpe_encode_reference_matches_engine_on_whitespace_edges(
         2: "  ab\ncd  ",     # space-trimmed, newline splits
         3: "ab\xa0cd ef",  # NBSP must NOT split (one word 'ab\xa0cd')
         4: "ab  cd",         # run of separators = one split
+        # VERTICAL TAB splits in the ENGINE (Java \s) and the Python
+        # reference (re.ASCII \s) — pinned here. DuckDB's RE2 \s does
+        # NOT include \x0B; that divergence is documented at
+        # functions/texthash.py::tokens (no fixture contains \x0B, so
+        # the oracle gate never sees it — r15 advice, option A)
+        5: "ab\x0bcd ef",
     }
     docs = spark.createDataFrame(
         list(texts.items()), "doc_id bigint, text string"
@@ -182,6 +193,8 @@ def test_bpe_encode_reference_matches_engine_on_whitespace_edges(
     assert min(w for d, w, *_ in got if d == 1) == 1
     nbsp_words = {w for d, w, *_ in got if d == 3}
     assert nbsp_words == {0, 1}
+    # \x0B DID split in both engine and reference: three words
+    assert {w for d, w, *_ in got if d == 5} == {0, 1, 2}
 
 
 def test_bpe_encode_consistent_with_tokenize_counts(spark, sf_dir):
