@@ -656,7 +656,11 @@ SWEEP_CHECKED = [
     # NEW r13 wave 8 (first round checked per policy; funded by
     # demoting parts_jaccard_similarity + embedding_power_iteration,
     # each 2-round-green r11+r12 — supply consumption: 15 of 20):
-    "similarity_matryoshka_recall",  # prefix-dim recall vs full top-k
+    # (similarity_matryoshka_recall demoted r16 after 2+ consecutive
+    # green driver rounds, r13-r15, to fund retrieval_rag_recall below
+    # — whose in-plan recall@k grading IS this row's pattern composed
+    # with the IVFPQ index; the ablation stays pytest-covered and
+    # tail-oracle-swept)
     "embedding_outlier_lof",   # density-based outliers on the kNN graph
     # NEW r13 wave 9 (first round checked per policy; funded by
     # demoting orders_basket_rules + orders_ship_sla, each
@@ -738,11 +742,23 @@ SWEEP_CHECKED = [
     #   features, exact-int gradient partials, unrolled-CTE oracle
     "text_bpe_encode",         # corpus encoding under the trained merge
     #   table: per-token ids hash-matched against the unrolled oracle
+    # NEW r16 (first round checked per policy; r15 verdict ask #1 —
+    # funded by demoting similarity_matryoshka_recall, 2+-round-green
+    # r13-r15; minting stays capped at the demotion supply):
+    "retrieval_rag_recall",    # chunk -> hash-projection embed ->
+    #   IVFADC index -> query panel -> ADC top-k + exact rerank ->
+    #   in-plan recall@k vs the brute-force twin, all exact ints
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
 # rows whose logic another checked row or a pytest already proves.
 SWEEP_TAIL = [
+    # demoted r16 to fund retrieval_rag_recall (r15 verdict ask #1).
+    # Evidence: 3 consecutive green driver rounds (r13-r15), pytest
+    # coverage (tests/test_r13_wave8_ops.py), the per-CI tail-oracle
+    # gate below — AND the capstone row exercises the same in-plan
+    # recall-grading join shape every round
+    "similarity_matryoshka_recall",
     # demoted r15 to fund dedup_edit_distance_composed (r14 verdict ask
     # #1). Evidence: 2 consecutive green driver rounds (r13+r14),
     # pytest coverage (tests/test_r13_wave2_ops.py + the r15 composed-

@@ -86,12 +86,20 @@ def _batch_mat(pdf):
     return np.array(pdf["q"].tolist(), dtype=np.int64)
 
 
-def _train_coarse(emb: DataFrame, k: int, iters: int):
-    """Full-dim int Lloyd (the embedding_kmeans loop, numpy-fused)."""
+def _train_coarse(emb: DataFrame, k: int, iters: int, seed_pred=None):
+    """Full-dim int Lloyd (the embedding_kmeans loop, numpy-fused).
+
+    ``seed_pred``: optional Column predicate selecting exactly the k
+    seed rows (default: vec_id < k, the registered row's rule). Seeds
+    are consumed in vec_id order, so any predicate whose selected ids
+    sort the same way in the SQL twin's `ORDER BY cid` tie-breaks is
+    oracle-exact (retrieval.py seeds on first-chunk ids)."""
     import pandas as pd
 
     np = _np()
-    seed = emb.where(F.col("vec_id") < k).orderBy("vec_id").collect()
+    if seed_pred is None:
+        seed_pred = F.col("vec_id") < k
+    seed = emb.where(seed_pred).orderBy("vec_id").collect()
     cmat = np.array([r["q"] for r in seed], dtype=np.int64)
     for _ in range(iters):
         cb = cmat
@@ -140,12 +148,17 @@ def _train_coarse(emb: DataFrame, k: int, iters: int):
     return cmat
 
 
-def _train_residual_pq(emb: DataFrame, cmat, codes: int, iters: int):
-    """Per-subspace int Lloyd over residuals (the pq.py loop + coarse)."""
+def _train_residual_pq(emb: DataFrame, cmat, codes: int, iters: int, seed_pred=None):
+    """Per-subspace int Lloyd over residuals (the pq.py loop + coarse).
+
+    ``seed_pred``: optional Column predicate selecting the seed rows
+    (default: vec_id < codes, the registered row's rule)."""
     import pandas as pd
 
     np = _np()
-    seed = emb.where(F.col("vec_id") < codes).orderBy("vec_id").collect()
+    if seed_pred is None:
+        seed_pred = F.col("vec_id") < codes
+    seed = emb.where(seed_pred).orderBy("vec_id").collect()
     smat = np.array([r["q"] for r in seed], dtype=np.int64)
     sres = smat - cmat[_coarse_assign(smat, cmat)]
     pqmat = np.ascontiguousarray(

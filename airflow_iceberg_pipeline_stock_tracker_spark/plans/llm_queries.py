@@ -13,7 +13,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators import bpe, curation, dedup, ivfpq, multimodal, pq, similarity, text
+from ..operators import (
+    bpe,
+    curation,
+    dedup,
+    ivfpq,
+    multimodal,
+    pq,
+    retrieval,
+    similarity,
+    text,
+)
 from ..sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -571,6 +581,12 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     "similarity_cosine_topk": (similarity.cosine_topk, similarity.COSINE_TOPK_SQL),
     "similarity_rp_lsh_topk": (similarity.rp_lsh_topk, similarity.rp_lsh_topk_sql()),
     "similarity_ivf_topk": (similarity.ivf_topk, similarity.IVF_TOPK_SQL),
+    # r16 (r15 verdict ask #1): the retrieval capstone — chunk the
+    # documents fixture, hash-projection chunk embeddings, the trained
+    # IVFADC index (ivfpq's quantizers, first-chunk seeds), fixed query
+    # panel, ADC top-k + exact rerank, recall@k graded in-plan against
+    # the brute-force twin; the oracle unrolls the ENTIRE pipeline
+    "retrieval_rag_recall": (retrieval.rag_recall, retrieval.RAG_RECALL_SQL),
     # product quantization: 32x memory compression + LUT-add scoring
     "similarity_pq_topk": (pq.pq_topk, pq.PQ_TOPK_SQL),
     # SemDeDup (Abbas et al. 2023): k-means cells + within-cluster cosine,

@@ -271,6 +271,8 @@ HEADLINE = [
     "dedup_edit_distance_composed",
     "text_classifier_train",
     "text_bpe_encode",
+    # --- r16 ---
+    "retrieval_rag_recall",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -515,6 +517,11 @@ SCALE_TREND = {
     # linear in corpus tokens by definition)
     "text_classifier_train": "documents",
     "text_bpe_encode": "documents",
+    # r16: the retrieval capstone — chunk volume (and so index size
+    # and per-query candidate volume) scales with the corpus while the
+    # query panel, cells, and codebooks stay fixed; the brute-force
+    # GRADER is panel x corpus, linear by construction
+    "retrieval_rag_recall": "documents",
     # r14 wave 1: both lineitem-driven (the 10x dir replicates orders
     # with the join-consistent orderkey stride, so the retraction term
     # and the recompute oracle both scale honestly)
@@ -550,9 +557,30 @@ SCALE_TREND = {
 }
 SCALE_FACTOR = 10
 
+# r16 (r15 verdict ask #6): trend rows whose DIRECT plan was demoted to
+# the registry tail and superseded by a registered composed successor.
+# They stay in the trend table for the side-by-side read (the plateau
+# is real and worth re-measuring), but the one-number headline must not
+# report a demoted row as the registry's production worst — the
+# summary emits scale_trend_production_worst computed over the
+# non-superseded rows alongside the raw max.
+TREND_SUPERSEDED = {
+    # direct blocked-Levenshtein (capped-pair plateau ~18x) -> the
+    # composed cap->collapse->rep-DP path (~1.3x, cap-insensitive)
+    "dedup_edit_distance": "dedup_edit_distance_composed",
+}
+
 # reading guide for trend rows whose time_ratio needs context beyond
 # input_ratio — printed into BENCH_DETAIL.json verbatim
 SCALE_TREND_NOTES = {
+    "retrieval_rag_recall": (
+        "end-to-end pipeline: chunk+embed (one scan), 2 training passes, "
+        "1 scoring pass, and the panel x corpus brute-force GRADER — all "
+        "linear in chunk volume at fixed panel/cells/codebooks. The "
+        "grader exists to certify recall; a serving deployment runs it "
+        "on a sampled panel exactly like this, so its linear cost is "
+        "the honest at-scale shape, not overhead to optimize away"
+    ),
     "similarity_ivf_topk": (
         "linear term is the ASSIGNMENT pass (nlist=16 dots/vector), which "
         "at n_queries=10 exceeds brute-force's 10 query dots/vector; IVF "
@@ -1133,6 +1161,11 @@ def _scale_trend(spark, sf_dir: str, queries, base_timings: dict) -> dict:
         trend[name] = {
             "fact_table": tbl,
             **({"note": SCALE_TREND_NOTES[name]} if name in SCALE_TREND_NOTES else {}),
+            **(
+                {"superseded_by": TREND_SUPERSEDED[name]}
+                if name in TREND_SUPERSEDED
+                else {}
+            ),
             "input_ratio": round(r_big / r_small, 2),
             "time_ratio": time_ratio,
             "out_ratio": round(n_big / n_small, 2) if n_small else None,
@@ -2186,6 +2219,20 @@ def main() -> None:
                         for e in scale_trend.values()
                         if e["time_ratio"] is not None
                     ),
+                    default=None,
+                ),
+                # r15 verdict ask #6: the raw max above can read a
+                # DEMOTED direct row (kept in the trend table for the
+                # side-by-side); this is the worst ratio over rows that
+                # ARE the production path
+                "scale_trend_production_worst": max(
+                    (
+                        {"query": n, "time_ratio": e["time_ratio"]}
+                        for n, e in scale_trend.items()
+                        if e["time_ratio"] is not None
+                        and n not in TREND_SUPERSEDED
+                    ),
+                    key=lambda d: d["time_ratio"],
                     default=None,
                 ),
                 "sf": sf,

@@ -60,20 +60,21 @@ def test_new_operators_are_inside_the_checked_prefix():
     # similarity_rrf_hybrid fund the classifier-train / bpe-encode
     # slots; all three demoted rows are 2-round-green r13+r14).
     promoted = {
-        # r15-new, first round
+        # r16-new, first round
+        "retrieval_rag_recall",
+        # r15-new, held for their second consecutive driver round
         "dedup_edit_distance_composed",
         "text_classifier_train",
         "text_bpe_encode",
         # r14 re-promotions (code-changed: duplicate-collapse band
-        # join), held for their second consecutive driver round
+        # join) — 2 green rounds done (r14+r15), still checked
         "similarity_knn_graph",
         "embedding_near_dup",
-        # r14-new, held for their second consecutive driver round
+        # r14-new — 2 green rounds done (r14+r15), still checked
         "dedup_prefix_filter_composed",
         "orders_ivm_delete",
         "dq_fd_violations",
         "similarity_semdedup",
-        "text_classifier_score",
         "events_ab_cuped",
         "curation_ppl_buckets",
         "orders_ivm_outer",

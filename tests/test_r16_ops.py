@@ -1,0 +1,240 @@
+"""r16 operators: the retrieval capstone (chunk -> embed -> IVFPQ ->
+query -> recall@k certificate).
+
+The differential ground truth is a pure-Python/numpy recompute of the
+ENTIRE pipeline — independent loops, not the engine's einsum helpers —
+so a transcription bug in either side surfaces as a mismatch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from airflow_iceberg_pipeline_stock_tracker_spark.operators import (  # noqa: E402
+    retrieval,
+)
+from airflow_iceberg_pipeline_stock_tracker_spark.sources.tables import (  # noqa: E402
+    load_table,
+)
+
+TOKEN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _chunk_vecs_reference(doc_texts: dict[int, str]):
+    """vec_id -> int64 ndarray, the hash-projection chunk embeddings."""
+    sid = retrieval.RAG_SID
+    size, stride = retrieval.RAG_CHUNK_SIZE, retrieval.RAG_CHUNK_STRIDE
+    dim = retrieval.RAG_DIM
+    a, b, c = retrieval.RAG_A, retrieval.RAG_B, retrieval.RAG_C
+    p, span = 4_294_967_311, retrieval.RAG_SPAN
+    vecs: dict[int, np.ndarray] = {}
+    for doc_id, t in doc_texts.items():
+        if t is None:
+            continue
+        toks = re.findall(TOKEN, t, flags=re.ASCII)
+        n = len(toks)
+        n_chunks = 1 if n <= size else 1 + (n - size + stride - 1) // stride
+        for i in range(n_chunks):
+            chunk = toks[i * stride : i * stride + size]
+            if not chunk:
+                continue
+            v = np.zeros(dim, dtype=np.int64)
+            for tok in chunk:
+                h = _h32(tok)
+                for j in range(dim):
+                    v[j] += ((h * a + b + j * c) % p) % span - span // 2
+            vecs[doc_id * sid + i] = v
+    return vecs
+
+
+def rag_recall_reference(
+    doc_texts: dict[int, str],
+    k: int = retrieval.RAG_K,
+    nprobe: int = retrieval.RAG_NPROBE,
+    rerank: int = retrieval.RAG_RERANK,
+):
+    """[(query_id, n_candidates, hits_adc, hits_rerank, recall_milli)]
+    sorted by query_id — the full pipeline in plain loops."""
+    sid = retrieval.RAG_SID
+    M, D = 8, 8
+    vecs = _chunk_vecs_reference(doc_texts)
+    ids = sorted(vecs)
+    X = np.array([vecs[i] for i in ids], dtype=np.int64)
+    idarr = np.array(ids, dtype=np.int64)
+
+    def assign(mat, cents):
+        d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        return d.argmin(axis=1)  # ties -> lowest index
+
+    # coarse: first-chunk seeds of docs 0..CELLS-1, one Lloyd round
+    seeds = [i for i in ids if i % sid == 0 and i < retrieval.RAG_CELLS * sid]
+    cmat = np.array([vecs[i] for i in seeds], dtype=np.int64)
+    for _ in range(1):
+        asg = assign(X, cmat)
+        cmat = np.array(
+            [
+                np.floor(
+                    X[asg == cnum].sum(axis=0) / (asg == cnum).sum()
+                ).astype(np.int64)
+                for cnum in sorted(set(asg.tolist()))
+            ]
+        )
+    cell = assign(X, cmat)
+
+    # residual PQ: first-chunk seeds of docs 0..CODES-1, one round
+    res = X - cmat[cell]
+    pseeds = [i for i in ids if i % sid == 0 and i < retrieval.RAG_CODES * sid]
+    pseed_pos = [ids.index(i) for i in pseeds]
+    pq = res[pseed_pos].reshape(len(pseeds), M, D).transpose(1, 0, 2).copy()
+    valid = np.ones((M, pq.shape[1]), dtype=bool)
+    far = 1 << 60
+
+    def encode(rblock, pqmat, vd):
+        codes = np.zeros((len(rblock), M), dtype=np.int64)
+        for m in range(M):
+            d = ((rblock[:, m, None, :] - pqmat[m][None, :, :]) ** 2).sum(
+                axis=2
+            )
+            d = np.where(vd[m][None, :], d, far)
+            codes[:, m] = d.argmin(axis=1)
+        return codes
+
+    rs = res.reshape(len(ids), M, D)
+    for _ in range(1):
+        cd = encode(rs, pq, valid)
+        new = np.zeros_like(pq)
+        nv = np.zeros_like(valid)
+        for m in range(M):
+            for code in range(pq.shape[1]):
+                sel = rs[cd[:, m] == code, m, :]
+                if len(sel):
+                    new[m, code] = np.floor(sel.sum(axis=0) / len(sel)).astype(
+                        np.int64
+                    )
+                    nv[m, code] = True
+        pq, valid = new, nv
+    codes = encode(rs, pq, valid)
+
+    qsel = [
+        i
+        for i in ids
+        if i % sid == 1 and i < retrieval.RAG_QUERY_DOCS * sid
+    ]
+    out = []
+    for qid in qsel:
+        qv = vecs[qid]
+        cd = ((cmat - qv[None, :]) ** 2).sum(axis=1)
+        probe = np.argsort(cd, kind="stable")[:nprobe]
+        luts = {}
+        for pc in probe:
+            qr = (qv - cmat[pc]).reshape(M, D)
+            lut = ((qr[:, None, :] - pq) ** 2).sum(axis=2)
+            luts[int(pc)] = np.where(valid, lut, far)
+        cands = []
+        for pos, vid in enumerate(idarr):
+            if vid // sid == qid // sid or cell[pos] not in luts:
+                continue
+            adc = sum(
+                int(luts[int(cell[pos])][m, codes[pos, m]]) for m in range(M)
+            )
+            cands.append((int(vid), adc))
+        n_candidates = len(cands)
+        adc_rank = sorted(cands, key=lambda t: (t[1], t[0]))
+        adc_topk = {v for v, _ in adc_rank[:k]}
+        pool = [v for v, _ in adc_rank[:rerank]]
+        rer_rank = sorted(
+            pool, key=lambda v: (int(((vecs[v] - qv) ** 2).sum()), v)
+        )
+        rer_topk = set(rer_rank[:k])
+        ex = sorted(
+            (
+                (int(((vecs[v] - qv) ** 2).sum()), v)
+                for v in ids
+                if v // sid != qid // sid
+            )
+        )
+        ex_topk = {v for _, v in ex[:k]}
+        hits_adc = len(adc_topk & ex_topk)
+        hits_rer = len(rer_topk & ex_topk)
+        out.append(
+            (qid, n_candidates, hits_adc, hits_rer, hits_rer * 1000 // k)
+        )
+    return sorted(out)
+
+
+@pytest.fixture(scope="module")
+def rag_rows(spark, sf_dir):
+    return [
+        tuple(r) for r in retrieval.rag_recall(spark, sf_dir).collect()
+    ]
+
+
+def test_rag_recall_matches_python_recompute(spark, sf_dir, rag_rows):
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert rag_rows == rag_recall_reference(texts)
+
+
+def test_rag_recall_certificate_nonvacuous(rag_rows):
+    """The certificate must measure something real: a populated query
+    panel, IVF actually pruning (candidates < corpus for some query),
+    and recall neither all-zero nor trivially perfect for ADC."""
+    assert len(rag_rows) >= 10
+    assert any(r[2] < r[3] for r in rag_rows)  # rerank lifted some query
+    assert any(0 < r[4] < 1000 for r in rag_rows)
+    assert sum(r[3] for r in rag_rows) > 0
+
+
+def test_rag_rerank_never_hurts_measured_recall(rag_rows):
+    """Two-stage retrieval re-orders the ADC pool by the EXACT metric,
+    so per-query reranked hits must be >= ADC hits whenever the exact
+    top-k is reachable inside the pool — and in aggregate the pool
+    (rerank=40 >> k=10) makes strict improvement the expected outcome."""
+    assert sum(r[3] for r in rag_rows) >= sum(r[2] for r in rag_rows)
+
+
+def test_chunk_key_bound_and_uniqueness(spark, sf_dir):
+    """vec_id = doc_id * RAG_SID + chunk_idx requires chunks/doc <
+    RAG_SID; pin the fixture headroom and key uniqueness."""
+    emb = retrieval.chunk_vectors(load_table(spark, sf_dir, "documents"))
+    rows = emb.select("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    assert len(ids) == len(set(ids))
+    assert max(i % retrieval.RAG_SID for i in ids) < retrieval.RAG_SID // 4
+
+
+def test_chunk_vectors_match_reference(spark, sf_dir):
+    """The embedding relation itself (not just the end-to-end summary)
+    matches the plain-Python recompute — localizes a failure to the
+    chunk/embed stage vs the index/query stages."""
+    texts = {
+        r.doc_id: r.text
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    want = _chunk_vecs_reference(texts)
+    got = {
+        r.vec_id: np.array(r.q, dtype=np.int64)
+        for r in retrieval.chunk_vectors(
+            load_table(spark, sf_dir, "documents")
+        ).collect()
+    }
+    assert set(got) == set(want)
+    assert all((got[i] == want[i]).all() for i in got)
