@@ -699,8 +699,11 @@ SWEEP_CHECKED = [
     # each 2-round-green r12+r13 — supply consumption: 7 of 16):
     "similarity_semdedup",     # in-cluster smaller-id prune rule over
     #   the exact kmeans + collapsed band join (Abbas et al. 2023)
-    "text_classifier_score",   # hashed linear classifier inference,
-    #   weight table as a pure expression, integer decision boundary
+    # (text_classifier_score demoted r16 after 2 consecutive green
+    # driver rounds, r14+r15, to fund text_classifier_holdout below —
+    # which exercises the same hashed-feature scoring projection with
+    # TRAINED weights every round; the fixed-expression inference row
+    # stays pytest-covered and tail-oracle-swept)
     # NEW r14 wave 3 (first round checked per policy; funded by
     # demoting events_hll_setops + events_quantile_sketch, each
     # 2-round-green r12+r13 — supply consumption: 9 of 16):
@@ -748,6 +751,11 @@ SWEEP_CHECKED = [
     "retrieval_rag_recall",    # chunk -> hash-projection embed ->
     #   IVFADC index -> query panel -> ADC top-k + exact rerank ->
     #   in-plan recall@k vs the brute-force twin, all exact ints
+    # NEW r16 wave 2 (first round checked per policy; r15 verdict ask
+    # #5 — funded by demoting text_classifier_score, 2-round-green
+    # r14+r15):
+    "text_classifier_holdout",  # leakage-safe split -> train-fold fit
+    #   -> per-fold accuracy; dense-vs-sparse weight parity documented
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -759,6 +767,12 @@ SWEEP_TAIL = [
     # gate below — AND the capstone row exercises the same in-plan
     # recall-grading join shape every round
     "similarity_matryoshka_recall",
+    # demoted r16 to fund text_classifier_holdout (r15 verdict ask #5).
+    # Evidence: 2 consecutive green driver rounds (r14+r15), pytest
+    # coverage (tests/test_llm_ops.py), the per-CI tail-oracle gate
+    # below — AND the holdout row exercises the same hashed-feature
+    # scoring projection every round
+    "text_classifier_score",
     # demoted r15 to fund dedup_edit_distance_composed (r14 verdict ask
     # #1). Evidence: 2 consecutive green driver rounds (r13+r14),
     # pytest coverage (tests/test_r13_wave2_ops.py + the r15 composed-

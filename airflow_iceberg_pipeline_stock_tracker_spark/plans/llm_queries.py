@@ -642,6 +642,17 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(text.classifier_train),
         text.CLASSIFIER_TRAIN_SQL,
     ),
+    # r16 (r15 verdict ask #5): the curation-grade eval — fit on the
+    # LEAKAGE-SAFE train fold (near-dup clusters co-travel via the
+    # minhash pair graph), score every doc with the trained weights,
+    # per-fold accuracy; the holdout number a curation pipeline gates on
+    "text_classifier_holdout": (
+        lambda spark, sf: text.classifier_holdout(
+            load_table(spark, sf, "documents"),
+            _mined_pairs("minhash", spark, sf),
+        ),
+        text.classifier_holdout_oracle_sql(dedup.MINHASH_LSH_SQL),
+    ),
     "text_token_stats": (_docs(text.token_stats), text.TOKEN_STATS_SQL),
     "text_fingerprints": (_docs(text.fingerprints), text.FINGERPRINTS_SQL),
     # winnowing (MOSS): rightmost-min-per-window k-gram selection with

@@ -273,6 +273,7 @@ HEADLINE = [
     "text_bpe_encode",
     # --- r16 ---
     "retrieval_rag_recall",
+    "text_classifier_holdout",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -522,6 +523,10 @@ SCALE_TREND = {
     # query panel, cells, and codebooks stay fixed; the brute-force
     # GRADER is panel x corpus, linear by construction
     "retrieval_rag_recall": "documents",
+    # r16: holdout eval rides the minhash pair graph (LSH-bounded) +
+    # classifier_train's Gram aggregates restricted to the train fold +
+    # a 3-row rollup — every stage linear or vocabulary/bucket-bounded
+    "text_classifier_holdout": "documents",
     # r14 wave 1: both lineitem-driven (the 10x dir replicates orders
     # with the join-consistent orderkey stride, so the retraction term
     # and the recompute oracle both scale honestly)

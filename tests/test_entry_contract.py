@@ -62,6 +62,7 @@ def test_new_operators_are_inside_the_checked_prefix():
     promoted = {
         # r16-new, first round
         "retrieval_rag_recall",
+        "text_classifier_holdout",
         # r15-new, held for their second consecutive driver round
         "dedup_edit_distance_composed",
         "text_classifier_train",

@@ -238,3 +238,113 @@ def test_chunk_vectors_match_reference(spark, sf_dir):
     }
     assert set(got) == set(want)
     assert all((got[i] == want[i]).all() for i in got)
+
+
+# ---------------------------------------------------------------------------
+# text_classifier_holdout
+# ---------------------------------------------------------------------------
+
+
+def test_classifier_holdout_matches_fold_restricted_reference(spark, sf_dir):
+    """Differential recompute of the COMPOSITION: take the engine's
+    leakage-safe fold assignment (its own oracle-paired row proves the
+    split), re-train the classifier in plain Python on the train-fold
+    texts only (the classifier_train_reference loop, engine-exact
+    ASCII-whitespace tokenization), score every doc with the trained
+    weights, and re-derive the per-fold accuracy table."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import (
+        curation,
+        dedup,
+        text as text_ops,
+    )
+
+    docs_df = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs_df)
+    fold = {
+        r.doc_id: r.split
+        for r in curation.leakage_safe_split(docs_df, pairs).collect()
+    }
+    texts = {
+        r.doc_id: r.text
+        for r in docs_df.select("doc_id", "text").collect()
+    }
+
+    def h32(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+    def tdiv(a, d):
+        q = abs(a) // d
+        return q if a >= 0 else -q
+
+    feats, ys = {}, {}
+    for doc_id, t in texts.items():
+        toks = [
+            x
+            for x in re.split(r"\s+", (t or "").strip(" "), flags=re.ASCII)
+            if x
+        ]
+        if not toks:
+            continue
+        cnt = {}
+        for tk in toks:
+            b = h32(tk) % text_ops.CLF_TRAIN_BUCKETS
+            cnt[b] = cnt.get(b, 0) + 1
+        feats[doc_id] = {b: (1000 * c) // len(toks) for b, c in cnt.items()}
+        ys[doc_id] = (
+            1000
+            if toks.count(text_ops.CLF_TRAIN_POS)
+            > toks.count(text_ops.CLF_TRAIN_NEG)
+            else -1000
+        )
+    train_ids = [d for d in feats if fold[d] == "train"]
+    w = {b: 0 for d in train_ids for b in feats[d]}
+    for _ in range(text_ops.CLF_TRAIN_ITERS):
+        grad = {b: 0 for b in w}
+        for d in train_ids:
+            xt = feats[d]
+            score = sum(w.get(b, 0) * x for b, x in xt.items())
+            resid = score - 10**6 * ys[d]
+            for b, x in xt.items():
+                grad[b] += resid * x
+        for b in w:
+            w[b] -= tdiv(
+                tdiv(grad[b], len(train_ids)) * text_ops.CLF_TRAIN_LR, 10**6
+            )
+    tally = {}
+    for d, xt in feats.items():
+        score = sum(w.get(b, 0) * x for b, x in xt.items())
+        ok = 1 if (score > 0) == (ys[d] > 0) else 0
+        n, c = tally.get(fold[d], (0, 0))
+        tally[fold[d]] = (n + 1, c + ok)
+    want = sorted(
+        (s, n, c, c * 1000 // n) for s, (n, c) in tally.items()
+    )
+    got = [
+        tuple(r)
+        for r in text_ops.classifier_holdout(docs_df, pairs).collect()
+    ]
+    assert got == want
+
+
+def test_classifier_holdout_is_nonvacuous_and_leakage_safe(spark, sf_dir):
+    """All three folds populated, holdout accuracy beats the majority
+    class (the classifier genuinely generalizes), and fold counts cover
+    exactly the docs classifier_train scores (same feature universe)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import (
+        dedup,
+        text as text_ops,
+    )
+
+    docs_df = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs_df)
+    rows = {
+        r.split: r
+        for r in text_ops.classifier_holdout(docs_df, pairs).collect()
+    }
+    assert set(rows) == {"train", "val", "test"}
+    trained = text_ops.classifier_train(docs_df).collect()
+    assert sum(r.n_docs for r in rows.values()) == len(trained)
+    pos = sum(r.y for r in trained) / len(trained)
+    majority = max(pos, 1 - pos) * 1000
+    for s in ("val", "test"):
+        assert rows[s].acc_milli > majority
