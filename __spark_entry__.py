@@ -666,7 +666,10 @@ SWEEP_CHECKED = [
     # demoting orders_basket_rules + orders_ship_sla, each
     # 2-round-green r11+r12 — supply consumption: 17 of 20):
     "dq_mutual_information",   # pinned-fold entropies, exact joint counts
-    "events_forecast_backtest",  # rolling-origin eval vs naive baselines
+    # (events_forecast_backtest demoted r16 after 3 consecutive green
+    # driver rounds, r13-r15, to fund text_bpe_encode_artifact below;
+    # the rolling-origin eval stays pytest-covered and tail-oracle-
+    # swept, and the events family keeps a dozen checked rows)
     # NEW r13 wave 10 (first round checked per policy; funded by
     # demoting events_cusum_incremental + prices_compaction, each
     # 2-round-green r11+r12 — supply consumption: 19 of 20):
@@ -756,6 +759,12 @@ SWEEP_CHECKED = [
     # r14+r15):
     "text_classifier_holdout",  # leakage-safe split -> train-fold fit
     #   -> per-fold accuracy; dense-vs-sparse weight parity documented
+    # NEW r16 wave 3 (first round checked per policy; r15 verdict ask
+    # #4 — funded by demoting events_forecast_backtest, 3-round-green
+    # r13-r15):
+    "text_bpe_encode_artifact",  # persisted merges+vocab round-trip
+    #   encode; oracle IS bpe_encode's, so hash-green == artifact
+    #   parity with the in-query retrain
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -773,6 +782,11 @@ SWEEP_TAIL = [
     # below — AND the holdout row exercises the same hashed-feature
     # scoring projection every round
     "text_classifier_score",
+    # demoted r16 to fund text_bpe_encode_artifact (r15 verdict ask
+    # #4). Evidence: 3 consecutive green driver rounds (r13-r15),
+    # pytest coverage (tests/test_r13_wave9_ops.py), the per-CI
+    # tail-oracle gate below
+    "events_forecast_backtest",
     # demoted r15 to fund dedup_edit_distance_composed (r14 verdict ask
     # #1). Evidence: 2 consecutive green driver rounds (r13+r14),
     # pytest coverage (tests/test_r13_wave2_ops.py + the r15 composed-

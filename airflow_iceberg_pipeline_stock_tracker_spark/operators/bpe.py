@@ -222,6 +222,128 @@ def bpe_encode(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     return out
 
 
+def bpe_write_artifact(
+    docs: DataFrame, path: str, n_merges: int = N_MERGES
+) -> None:
+    """Train the tokenizer and persist it as a versioned ARTIFACT
+    (r15 verdict ask #4): `merges` (the ordered merge table — the
+    tokenizer itself) and `vocab` (token -> id, lexicographic rank of
+    the final symbol set) as parquet under ``path``. A production
+    pipeline trains once, ships this pair, and every batch/stream
+    encoder reads it — the vocabulary is a pinned artifact, never
+    recomputed per batch."""
+    out, words = _train(docs, n_merges)
+    spark = docs.sparkSession
+    merges = spark.createDataFrame(
+        out,
+        "merge_rank int, left string, right string, merged string, "
+        "pair_count bigint",
+    )
+    merges.coalesce(1).write.mode("overwrite").parquet(f"{path}/merges")
+    from pyspark.sql import Window
+
+    vocab = (
+        words.select(F.explode("syms").alias("token"))
+        .distinct()
+        .withColumn(
+            "token_id",
+            (F.row_number().over(Window.orderBy("token")) - 1).cast("bigint"),
+        )
+    )
+    vocab.coalesce(1).write.mode("overwrite").parquet(f"{path}/vocab")
+
+
+def bpe_encode_pinned(docs: DataFrame, path: str) -> DataFrame:
+    """ENCODE a corpus under a persisted tokenizer artifact — the
+    production shape (train once, encode forever), vs bpe_encode's
+    self-contained retrain-per-query. Output is bit-identical to
+    bpe_encode on the training corpus (pinned by the registered row's
+    oracle, which IS bpe_encode's: replaying the merge table in rank
+    order on each distinct word reproduces the trained word state
+    exactly, because training itself is that same fold sequence).
+
+    Scale shape: the merge table is a bounded driver collect
+    (n_merges rows); the vocab broadcasts (vocabulary-bounded); the
+    merge replay runs on the DISTINCT-word table of the incoming batch
+    (Zipf-bounded), then attaches to the word stream as a broadcast
+    join — the corpus streams once, no text shuffle. Tokens outside
+    the artifact's vocabulary would drop at the inner vocab join (the
+    standard closed-vocab contract; cannot occur when the corpus'
+    characters are covered, as on the training corpus itself)."""
+    spark = docs.sparkSession
+    merges = sorted(
+        (
+            (int(r.merge_rank), r.left, r.right)
+            for r in spark.read.parquet(f"{path}/merges").collect()
+        )
+    )
+    vocab = spark.read.parquet(f"{path}/vocab")
+    words = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .where(F.length("w") > 0)
+        .distinct()
+        .select(
+            "w",
+            F.concat(
+                F.filter(F.split("w", ""), lambda c: c != F.lit("")),
+                F.array(F.lit(END_MARK)),
+            ).alias("syms"),
+        )
+    )
+    for _rank, a, b in merges:
+        words = words.select(
+            "w", _merge_fold(F.col("syms"), a, b).alias("syms")
+        )
+    doc_words = (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(tokens(F.lower(F.col("text")))).alias("widx", "w"),
+        )
+        .where(F.length("w") > 0)
+    )
+    return (
+        doc_words.join(F.broadcast(words), "w")
+        .select("doc_id", "widx", F.posexplode("syms").alias("sidx", "token"))
+        .join(F.broadcast(vocab), "token")
+        .select(
+            "doc_id",
+            F.col("widx").cast("bigint").alias("widx"),
+            F.col("sidx").cast("bigint").alias("sidx"),
+            "token_id",
+            "token",
+        )
+        .orderBy("doc_id", "widx", "sidx")
+    )
+
+
+def bpe_encode_artifact_roundtrip(
+    spark: SparkSession, sf_dir: str, n_merges: int = N_MERGES
+) -> DataFrame:
+    """The registered artifact round-trip row: train on the documents
+    fixture, WRITE the tokenizer artifact, READ it back, and encode the
+    corpus under the pinned vocabulary. The oracle is bpe_encode's
+    (BPE_ENCODE_SQL) — a hash-green round proves persisted-artifact
+    encoding == in-query retraining, which is exactly the contract a
+    production pipeline relies on when it pins a tokenizer version.
+
+    The artifact lands under the session's warehouse dir keyed by the
+    fixture name (deterministic, overwritten per run — the 'current
+    tokenizer version' slot)."""
+    import os
+
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(
+        wh, "bpe_tokenizer", os.path.basename(sf_dir.rstrip("/"))
+    )
+    bpe_write_artifact(docs, path, n_merges)
+    return bpe_encode_pinned(docs, path).localCheckpoint(eager=True)
+
+
 def bpe_encode_reference(
     doc_texts: dict[int, str], n_merges: int = N_MERGES
 ):

@@ -817,6 +817,14 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
         _docs(bpe.bpe_encode),
         bpe.bpe_encode_oracle_sql(),
     ),
+    # r16 (r15 verdict ask #4): the tokenizer as a PERSISTED artifact —
+    # train, write merges+vocab parquet, read back, encode under the
+    # pinned vocabulary. The oracle IS bpe_encode's, so a hash-green
+    # round proves artifact round-trip == in-query retrain
+    "text_bpe_encode_artifact": (
+        bpe.bpe_encode_artifact_roundtrip,
+        bpe.bpe_encode_oracle_sql(),
+    ),
     # triangle census over the memoized minhash pair graph (new r7):
     # ordered 3-join triangle count + exact wedge count -> integer
     # triadic-closure coefficient

@@ -274,6 +274,7 @@ HEADLINE = [
     # --- r16 ---
     "retrieval_rag_recall",
     "text_classifier_holdout",
+    "text_bpe_encode_artifact",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -527,6 +528,11 @@ SCALE_TREND = {
     # classifier_train's Gram aggregates restricted to the train fold +
     # a 3-row rollup — every stage linear or vocabulary/bucket-bounded
     "text_classifier_holdout": "documents",
+    # r16: artifact encode — training is vocab-bounded like bpe_encode;
+    # the ENCODE half under the pinned artifact is the at-scale claim
+    # (merge replay on distinct words + broadcast joins, corpus streams
+    # once)
+    "text_bpe_encode_artifact": "documents",
     # r14 wave 1: both lineitem-driven (the 10x dir replicates orders
     # with the join-consistent orderkey stride, so the retraction term
     # and the recompute oracle both scale honestly)

@@ -63,6 +63,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         # r16-new, first round
         "retrieval_rag_recall",
         "text_classifier_holdout",
+        "text_bpe_encode_artifact",
         # r15-new, held for their second consecutive driver round
         "dedup_edit_distance_composed",
         "text_classifier_train",

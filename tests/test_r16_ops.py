@@ -15,6 +15,7 @@ import sys
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -348,3 +349,91 @@ def test_classifier_holdout_is_nonvacuous_and_leakage_safe(spark, sf_dir):
     majority = max(pos, 1 - pos) * 1000
     for s in ("val", "test"):
         assert rows[s].acc_milli > majority
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_encode_artifact
+# ---------------------------------------------------------------------------
+
+
+def test_bpe_artifact_roundtrip_matches_direct_encode(spark, sf_dir, tmp_path):
+    """The ask's core contract: write merges+vocab, read them back,
+    encode under the pinned vocabulary — bit-identical to the
+    retrain-in-query bpe_encode stream, and the artifact really lives
+    on disk (a fresh read, not the in-session training state)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "tok_v1")
+    bpe.bpe_write_artifact(docs, path)
+    assert os.path.isdir(path + "/merges") and os.path.isdir(path + "/vocab")
+    got = sorted(
+        (r.doc_id, r.widx, r.sidx, r.token_id, r.token)
+        for r in bpe.bpe_encode_pinned(docs, path).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.widx, r.sidx, r.token_id, r.token)
+        for r in bpe.bpe_encode(docs).collect()
+    )
+    assert got == want
+    # the artifact is a REAL tokenizer table: n_merges merge rows in
+    # training order, dense lexicographic vocab ids
+    merges = spark.read.parquet(path + "/merges").collect()
+    assert sorted(r.merge_rank for r in merges) == list(
+        range(1, len(merges) + 1)
+    )
+    vocab = spark.read.parquet(path + "/vocab").collect()
+    ids = sorted(r.token_id for r in vocab)
+    assert ids == list(range(len(vocab)))
+    toks = sorted(r.token for r in vocab)
+    assert [r.token for r in sorted(vocab, key=lambda r: r.token_id)] == toks
+
+
+def test_bpe_pinned_encode_streams_micro_batches(spark, sf_dir, tmp_path):
+    """The foreachBatch variant (r15 ask #4): encode each micro-batch
+    under the FIXED persisted vocabulary — batches never retrain — and
+    the drained union must equal the whole-corpus batch encode. Three
+    parquet files + maxFilesPerTrigger=1 forces >= 3 separate batches
+    (the established file-source harness)."""
+    from airflow_iceberg_pipeline_stock_tracker_spark.operators import bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "tok_v1")
+    bpe.bpe_write_artifact(docs, path)
+
+    src = str(tmp_path / "doc_stream")
+    for lo, hi in ((0, 150), (150, 320), (320, 10**9)):
+        (
+            docs.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    out_dir = str(tmp_path / "enc_out")
+
+    def encode_batch(batch, batch_id):
+        bpe.bpe_encode_pinned(batch, path).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(encode_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r.doc_id, r.widx, r.sidx, r.token_id, r.token)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.widx, r.sidx, r.token_id, r.token)
+        for r in bpe.bpe_encode(docs).collect()
+    )
+    assert got == want
