@@ -1621,13 +1621,23 @@ ZIPF_W = 500     # head-k band width ~ ZIPF_W/k residues of 10007
 # the per-user/type-keyed rows whose 10x trend the uniform replicas
 # flatter (disjoint replica populations mean NO key grows): re-timed on
 # the Zipf 10x dir, where the head user's partition is ~10x the median —
-# the shape the salting machinery (functions/skew.py) exists for
+# the shape the salting machinery (functions/skew.py) exists for.
+# r16 (r15 verdict ask #2): extended from the original 5 rows to the
+# full user/type-keyed events family — decay leaderboard, retention,
+# funnel, transitions, top paths, TWAP — so every skew-sensitive events
+# trend row carries a Zipf receipt next to its uniform sec_10x
 ZIPF_10X_QUERIES = (
     "events_type_totals_salted",
     "events_heavy_hitters",
     "events_sessionize",
     "events_pattern_match",
     "events_attribution",
+    "events_decay_topk",
+    "events_retention",
+    "events_funnel",
+    "events_transitions",
+    "events_top_paths",
+    "events_twap",
 )
 
 
@@ -1650,6 +1660,133 @@ def _zipf_10x_point(spark, sf_dir: str, queries) -> dict:
         "same rows' sec_10x under the ZIPF replica assignment (head "
         "user ~10x median partition) vs the uniform 10x dir's "
         "disjoint-population flattery; read against each row's "
+        "sec_10x in scale_trend"
+    )
+    return out
+
+
+def _build_zipf_orders_dir(spark, sf_dir: str, factor: int) -> str:
+    """Zipf-skewed ORDERS/LINEITEM replica dir (r15 verdict ask #2's
+    second half): the uniform 10x dir keeps replica customers disjoint,
+    so no o_custkey group ever grows — the shape the >5x orders trend
+    rows (orders_ivm_delete 5.59x, orders_ship_sla 5.1x) were never
+    stressed on. Here a head of ZIPF_HEADS synthetic customers (ids
+    -1..-ZIPF_HEADS) claims a 1/k-weighted slice of replica ORDER
+    OWNERSHIP (same residue-band construction as the events dir, bound
+    to the pre-shift o_orderkey), while orderkeys keep the uniform
+    dir's join-consistent stride — the orders⋈lineitem join stays
+    uniform (lines-per-order is TPC-H-bounded) and ONLY the custkey
+    aggregation skews, which is exactly the claim under test: the
+    custkey rollups are map-combinable, so partial aggregation must
+    absorb a ~5%-of-all-orders head customer."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    base = os.path.basename(sf_dir.rstrip("/"))
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".scale_trend",
+        f"{base}-orders-zipf-x{factor}",
+    )
+    marker = os.path.join(out_dir, "_BUILT")
+    want = f"orders-zipf-v1={factor}\n"
+    built = os.path.exists(marker) and open(marker).read() == want
+    if not built:
+        if os.path.isdir(out_dir):
+            shutil.rmtree(out_dir)
+        os.makedirs(out_dir)
+        for pth in glob.glob(os.path.join(sf_dir, "*.parquet")):
+            name = os.path.basename(pth)
+            if name not in ("orders.parquet", "lineitem.parquet"):
+                os.symlink(pth, os.path.join(out_dir, name))
+        reps = spark.range(factor).withColumnRenamed("id", "rep")
+        li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        (
+            li.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.col("rep") * F.lit(10**9)
+            )
+            .drop("rep")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "lineitem.parquet"))
+        )
+        bounds = []
+        acc = 0.0
+        for k in range(1, ZIPF_HEADS + 1):
+            acc += ZIPF_W / k
+            bounds.append(int(round(acc)))
+        v = F.col("v")
+        head = F.lit(None).cast("bigint")
+        for k in range(ZIPF_HEADS, 0, -1):
+            lo = bounds[k - 2] if k >= 2 else 0
+            head = F.when(
+                (v >= F.lit(lo)) & (v < F.lit(bounds[k - 1])),
+                F.lit(-k).cast("bigint"),
+            ).otherwise(head)
+        od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        (
+            od.crossJoin(F.broadcast(reps))
+            # residue bound to the PRE-shift orderkey (the r15 events-dir
+            # lesson)
+            .withColumn(
+                "v",
+                (F.col("o_orderkey") * F.lit(factor) + F.col("rep"))
+                % F.lit(10007),
+            )
+            .withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.col("rep") * F.lit(10**9)
+            )
+            .withColumn(
+                "o_custkey",
+                F.when(head.isNotNull(), head).otherwise(
+                    F.col("o_custkey") + F.col("rep") * F.lit(10**7)
+                ),
+            )
+            .drop("rep", "v")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "orders.parquet"))
+        )
+        with open(marker, "w") as f:
+            f.write(want)
+    return out_dir
+
+
+# the >5x orders trend rows (skewable key: o_custkey order ownership)
+# plus the other custkey-rollup IVM siblings; orders_ship_sla rides
+# along to pin volume-equivalence — its keys (5 priorities x a bounded
+# integer lag domain) CANNOT skew by construction, so its Zipf time
+# reads as the fact-volume control
+ZIPF_10X_ORDERS_QUERIES = (
+    "orders_ivm_join",
+    "orders_ivm_delete",
+    "orders_ivm_outer",
+    "orders_ship_sla",
+)
+
+
+def _zipf_10x_orders_point(spark, sf_dir: str, queries) -> dict:
+    """min-of-2 timings of the orders rows on the Zipf 10x orders dir
+    (head customer owns ~5% of ALL orders)."""
+    import time as _time
+
+    zdir = _build_zipf_orders_dir(spark, sf_dir, SCALE_FACTOR)
+    out = {}
+    for name in ZIPF_10X_ORDERS_QUERIES:
+        best = None
+        for _ in range(2):
+            t0 = _time.time()
+            queries[name](spark, zdir).count()
+            t = round(_time.time() - t0, 3)
+            best = t if best is None else min(best, t)
+        out[name] = best
+    out["note"] = (
+        "same rows' sec_10x under ZIPF order ownership (head customer "
+        "~5% of all orders; custkey rollups are map-combinable, so "
+        "partial aggregation must absorb the head) vs the uniform 10x "
+        "dir's disjoint customers; orders_ship_sla is the volume "
+        "control (its keys cannot skew). Read against each row's "
         "sec_10x in scale_trend"
     )
     return out
@@ -2147,6 +2284,14 @@ def main() -> None:
             if e and isinstance(sec, float):
                 e["sec_10x_zipf"] = sec
         print(f"# zipf 10x events point: {zipf_10x}", file=sys.stderr)
+        # r15 verdict ask #2 (second half): the orders family under
+        # Zipf order ownership
+        zipf_orders = _zipf_10x_orders_point(spark, sf_dir, queries)
+        for name, sec in zipf_orders.items():
+            e = scale_trend.get(name)
+            if e and isinstance(sec, float):
+                e["sec_10x_zipf"] = sec
+        print(f"# zipf 10x orders point: {zipf_orders}", file=sys.stderr)
     finally:
         # the ONE-JSON-line stdout contract must survive any mid-bench
         # exception — restore stdout unconditionally
@@ -2196,6 +2341,7 @@ def main() -> None:
                 # Zipf replica assignment (also inlined per-row as
                 # sec_10x_zipf where the row has a trend entry)
                 "zipf_10x_events": zipf_10x,
+                "zipf_10x_orders": zipf_orders,
                 # 1-min loadavg at bench start/end — values > ~1 beyond
                 # this process's own 32 threads mean the run is load-
                 # inflated (r12's committed run: ~16% uniform). Note:
