@@ -726,7 +726,11 @@ SWEEP_CHECKED = [
     # 2-round-green r12+r13 — supply consumption: 13 of 16):
     "events_holt_winters",     # additive HW, dyadic recursion, weekly
     #   season indexed by calendar dow; recursive-CTE oracle
-    "similarity_dup_groups",   # duplicate-group census over _dup_groups
+    # (similarity_dup_groups demoted r16 after 2 consecutive green
+    # driver rounds, r14+r15, to fund retrieval_index_artifact below;
+    # the _dup_groups census machinery is re-proven every round inside
+    # the adaptive similarity_knn_graph / embedding_near_dup rows, and
+    # the census row stays pytest-covered and tail-oracle-swept)
     # NEW r14 wave 6 (first round checked per policy; funded by
     # demoting streaming_hll_incremental, 2-round-green r12+r13 —
     # supply consumption: 14 of 16, two slots left unconsumed):
@@ -765,6 +769,11 @@ SWEEP_CHECKED = [
     "text_bpe_encode_artifact",  # persisted merges+vocab round-trip
     #   encode; oracle IS bpe_encode's, so hash-green == artifact
     #   parity with the in-query retrain
+    # NEW r16 wave 4 (first round checked per policy; the artifact
+    # discipline applied to the retrieval index — funded by demoting
+    # similarity_dup_groups, 2-round-green r14+r15):
+    "retrieval_index_artifact",  # vectors/centroids/codebooks/codes
+    #   parquet -> pure-JVM serving query; oracle IS RAG_RECALL_SQL
 ]
 
 # Registered and oracle-paired but past the driver's hash budget: only
@@ -787,6 +796,13 @@ SWEEP_TAIL = [
     # pytest coverage (tests/test_r13_wave9_ops.py), the per-CI
     # tail-oracle gate below
     "events_forecast_backtest",
+    # demoted r16 to fund retrieval_index_artifact. Evidence: 2
+    # consecutive green driver rounds (r14+r15), pytest coverage
+    # (tests/test_r14_collapse.py::test_dup_groups_shape + the
+    # cross-engine NaN/-0.0 pins), the per-CI tail-oracle gate below —
+    # AND the census machinery runs inside the checked adaptive
+    # knn_graph/near_dup rows every round
+    "similarity_dup_groups",
     # demoted r15 to fund dedup_edit_distance_composed (r14 verdict ask
     # #1). Evidence: 2 consecutive green driver rounds (r13+r14),
     # pytest coverage (tests/test_r13_wave2_ops.py + the r15 composed-

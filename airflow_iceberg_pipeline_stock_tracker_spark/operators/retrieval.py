@@ -88,7 +88,14 @@ RAG_K = 10  # graded depth
 RAG_RERANK = 40  # ADC pool exact-reranked per query
 RAG_QUERY_DOCS = 24  # panel: chunk 1 of docs 0..23 (docs with >= 2 chunks)
 
-__all__ = ["rag_recall", "RAG_RECALL_SQL", "chunk_vectors"]
+__all__ = [
+    "rag_recall",
+    "RAG_RECALL_SQL",
+    "chunk_vectors",
+    "rag_write_index",
+    "rag_query_index",
+    "rag_index_artifact_roundtrip",
+]
 
 
 def chunk_vectors(docs: DataFrame) -> DataFrame:
@@ -601,3 +608,256 @@ ORDER BY query_id"""
 
 
 RAG_RECALL_SQL = _rag_recall_sql()
+
+
+# ---------------------------------------------------------------------------
+# The index as a PERSISTED artifact (r16, the bpe_write_artifact
+# discipline applied to retrieval): a production deployment trains the
+# IVFPQ index once, ships (vectors, centroids, codebooks, codes) as
+# versioned tables, and every serving query reads ONLY the artifact.
+# ---------------------------------------------------------------------------
+
+
+def rag_write_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Build the IVFPQ index over the chunked corpus and persist it as
+    four parquet tables under ``path``:
+
+      vectors    (vec_id, q)          — stored vectors (rerank + grading)
+      centroids  (cid, c)             — trained coarse cells
+      codebooks  (m, code, c)         — trained residual-PQ codebooks
+                                        (VALID codes only; an invalid
+                                        code is never assigned, so its
+                                        absence == the far-mask)
+      codes      (vec_id, cell, code) — per-vector cell + M PQ codes,
+                                        one row per (vector, subspace)
+
+    The encode pass is the same fused Arrow-batched scan the in-process
+    row uses; everything downstream of this write is artifact-only.
+    """
+    import pandas as pd
+
+    np = _np()
+    emb = chunk_vectors(load_table(spark, sf_dir, "documents")).persist()
+    cmat = _train_coarse(
+        emb, RAG_CELLS, IVFPQ_COARSE_ITERS, seed_pred=_seed_pred(RAG_CELLS)
+    )
+    pqmat, valid = _train_residual_pq(
+        emb, cmat, RAG_CODES, IVFPQ_PQ_ITERS, seed_pred=_seed_pred(RAG_CODES)
+    )
+    emb.write.mode("overwrite").parquet(f"{path}/vectors")
+    spark.createDataFrame(
+        [(int(i), [int(v) for v in row]) for i, row in enumerate(cmat)],
+        "cid bigint, c array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (int(m), int(code), [int(v) for v in pqmat[m, code]])
+            for m in range(IVFPQ_M)
+            for code in range(pqmat.shape[1])
+            if bool(valid[m, code])
+        ],
+        "m int, code bigint, c array<bigint>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = _batch_mat(pdf)
+            cells = _coarse_assign(x, cmat)
+            r = (x - cmat[cells]).reshape(len(x), IVFPQ_M, IVFPQ_D)
+            cd = _pq_encode(r, pqmat, valid)
+            vec_ids = pdf["vec_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.repeat(vec_ids, IVFPQ_M),
+                    "cell": np.repeat(cells.astype(np.int64), IVFPQ_M),
+                    "m": np.tile(np.arange(IVFPQ_M), len(x)),
+                    "code": cd.reshape(-1),
+                }
+            )
+
+    emb.mapInPandas(
+        encode, "vec_id bigint, cell bigint, m int, code bigint"
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    emb.unpersist()
+
+
+def rag_query_index(
+    spark: SparkSession,
+    path: str,
+    k: int = RAG_K,
+    nprobe: int = RAG_NPROBE,
+    rerank: int = RAG_RERANK,
+) -> DataFrame:
+    """Answer the fixed query panel from the PERSISTED index alone —
+    the serving path. Bit-identical to rag_recall's in-process answer
+    (the registered row's oracle IS RAG_RECALL_SQL, so a hash-green
+    round proves artifact round-trip == in-process index), but the
+    query job is PURE JVM DataFrame ops: no Python anywhere —
+
+      probes     = queries x broadcast centroids, top-nprobe by exact
+                   int L2 (ties to the lower cid — argsort parity);
+      LUT        = per-(query, probed cell) residual subvectors joined
+                   to the broadcast codebooks (nq x nprobe x M x codes
+                   rows — bounded metadata, never data);
+      candidates = codes ⋈ probed cells (the IVF prune), ADC = the
+                   M-way LUT sum per (query, vector);
+      rerank     = exact int64 L2 on the top-`rerank` pool against the
+                   stored vectors;
+      grading    = the same brute-force twin over the stored vectors.
+
+    At 100 TB the codes table is the only corpus-scale relation in the
+    query plan, and it arrives cell-pruned through an equi-join.
+    """
+    vecs = spark.read.parquet(f"{path}/vectors")
+    cents = spark.read.parquet(f"{path}/centroids")
+    books = spark.read.parquet(f"{path}/codebooks")
+    codes = spark.read.parquet(f"{path}/codes")
+
+    queries = vecs.where(_query_pred()).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    )
+    cdist = F.aggregate(
+        F.zip_with("qq", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wprobe = Window.partitionBy("query_id").orderBy("cdist", "cid")
+    probes = (
+        queries.join(F.broadcast(cents), F.lit(True))
+        .withColumn("cdist", cdist)
+        .withColumn("prank", F.row_number().over(wprobe))
+        .where(F.col("prank") <= nprobe)
+        .select(
+            "query_id",
+            F.col("cid").alias("cell"),
+            F.zip_with("qq", "c", lambda x, y: x - y).alias("qr"),
+        )
+    )
+    sub = F.slice(
+        F.col("qr"), F.col("m") * F.lit(IVFPQ_D) + 1, IVFPQ_D
+    )
+    lut = (
+        probes.select(
+            "query_id",
+            "cell",
+            F.explode(F.sequence(F.lit(0), F.lit(IVFPQ_M - 1))).alias("m"),
+            "qr",
+        )
+        .select("query_id", "cell", "m", sub.alias("s"))
+        .join(F.broadcast(books), "m")
+        .select(
+            "query_id",
+            "cell",
+            "m",
+            "code",
+            F.aggregate(
+                F.zip_with("s", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("dist"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["cell", "m", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("dist").cast("long").alias("adc_dist"))
+        .where(
+            F.expr(f"query_id div {RAG_SID}")
+            != F.expr(f"neighbor_id div {RAG_SID}")
+        )
+    )
+    wc = Window.partitionBy("query_id")
+    wr = wc.orderBy("adc_dist", "neighbor_id")
+    ranked = scored.withColumn(
+        "n_candidates", F.count(F.lit(1)).over(wc).cast("long")
+    ).withColumn("rank", F.row_number().over(wr))
+
+    nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"))
+    wrr = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
+    rer = (
+        ranked.where(F.col("rank") <= rerank)
+        .select("query_id", "neighbor_id")
+        .join(F.broadcast(queries), "query_id")
+        .join(nv, "neighbor_id")
+        .withColumn("dist", _sq_dist(F.col("qq"), F.col("nq")))
+        .withColumn("rrank", F.row_number().over(wrr))
+        .where(F.col("rrank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    exact = (
+        F.broadcast(queries)
+        .join(
+            nv,
+            F.expr(f"query_id div {RAG_SID}")
+            != F.expr(f"neighbor_id div {RAG_SID}"),
+        )
+        .withColumn("dist", _sq_dist(F.col("qq"), F.col("nq")))
+        .withColumn("rrank", F.row_number().over(wrr))
+        .where(F.col("rrank") <= k)
+        .select(
+            F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
+        )
+    )
+    base = ranked.where(F.col("rank") == 1).select("query_id", "n_candidates")
+    hadc = (
+        ranked.where(F.col("rank") <= k)
+        .join(
+            F.broadcast(exact),
+            (F.col("query_id") == F.col("eq"))
+            & (F.col("neighbor_id") == F.col("en")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("en").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits_adc")
+        )
+    )
+    hrer = (
+        rer.join(
+            F.broadcast(exact),
+            (F.col("query_id") == F.col("eq"))
+            & (F.col("neighbor_id") == F.col("en")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.when(F.col("en").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("hits_rerank")
+        )
+    )
+    return (
+        base.join(hadc, "query_id")
+        .join(hrer, "query_id")
+        .select(
+            "query_id",
+            "n_candidates",
+            "hits_adc",
+            "hits_rerank",
+            F.expr(f"(hits_rerank * 1000) div {k}")
+            .cast("long")
+            .alias("recall_milli"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def rag_index_artifact_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The registered round-trip row: build + WRITE the index artifact,
+    then answer the panel from the artifact alone. Oracle =
+    RAG_RECALL_SQL (rag_recall's), so hash-green == persisted-index
+    serving parity with the in-process build."""
+    import os
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    path = os.path.join(
+        wh, "rag_index", os.path.basename(sf_dir.rstrip("/"))
+    )
+    rag_write_index(spark, sf_dir, path)
+    return rag_query_index(spark, path).localCheckpoint(eager=True)

@@ -587,6 +587,15 @@ LLM_QUERIES: dict[str, tuple[QueryFn, str | None]] = {
     # panel, ADC top-k + exact rerank, recall@k graded in-plan against
     # the brute-force twin; the oracle unrolls the ENTIRE pipeline
     "retrieval_rag_recall": (retrieval.rag_recall, retrieval.RAG_RECALL_SQL),
+    # r16 wave 4: the INDEX as a persisted artifact (the tokenizer-
+    # artifact discipline applied to retrieval) — build + write
+    # vectors/centroids/codebooks/codes parquet, then answer the panel
+    # from the artifact alone through a PURE-JVM serving plan; oracle
+    # IS RAG_RECALL_SQL, so hash-green == persisted-index parity
+    "retrieval_index_artifact": (
+        retrieval.rag_index_artifact_roundtrip,
+        retrieval.RAG_RECALL_SQL,
+    ),
     # product quantization: 32x memory compression + LUT-add scoring
     "similarity_pq_topk": (pq.pq_topk, pq.PQ_TOPK_SQL),
     # SemDeDup (Abbas et al. 2023): k-means cells + within-cluster cosine,

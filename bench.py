@@ -275,6 +275,7 @@ HEADLINE = [
     "retrieval_rag_recall",
     "text_classifier_holdout",
     "text_bpe_encode_artifact",
+    "retrieval_index_artifact",
 ]
 
 # correctness artifacts, not throughput queries: parity proofs run two
@@ -533,6 +534,10 @@ SCALE_TREND = {
     # (merge replay on distinct words + broadcast joins, corpus streams
     # once)
     "text_bpe_encode_artifact": "documents",
+    # r16: index-artifact round-trip — build+write scales with chunk
+    # volume; the serving query's only corpus-scale relation is the
+    # codes table, cell-pruned through an equi-join (pure JVM)
+    "retrieval_index_artifact": "documents",
     # r14 wave 1: both lineitem-driven (the 10x dir replicates orders
     # with the join-consistent orderkey stride, so the retraction term
     # and the recompute oracle both scale honestly)

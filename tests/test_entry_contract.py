@@ -64,6 +64,7 @@ def test_new_operators_are_inside_the_checked_prefix():
         "retrieval_rag_recall",
         "text_classifier_holdout",
         "text_bpe_encode_artifact",
+        "retrieval_index_artifact",
         # r15-new, held for their second consecutive driver round
         "dedup_edit_distance_composed",
         "text_classifier_train",
@@ -82,7 +83,6 @@ def test_new_operators_are_inside_the_checked_prefix():
         "orders_ivm_outer",
         "prices_kalman",
         "events_holt_winters",
-        "similarity_dup_groups",
         "events_survival_km",
     }
     assert promoted <= set(entry.SWEEP_CHECKED)

@@ -437,3 +437,50 @@ def test_bpe_pinned_encode_streams_micro_batches(spark, sf_dir, tmp_path):
         for r in bpe.bpe_encode(docs).collect()
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# retrieval_index_artifact
+# ---------------------------------------------------------------------------
+
+
+def test_index_artifact_roundtrip_matches_in_process(
+    spark, sf_dir, tmp_path, rag_rows
+):
+    """Write the index artifact, answer the panel from the artifact
+    alone, and match the in-process rag_recall certificate row for row
+    — plus pin that the artifact is four real parquet tables with the
+    documented shapes."""
+    path = str(tmp_path / "idx_v1")
+    retrieval.rag_write_index(spark, sf_dir, path)
+    for t in ("vectors", "centroids", "codebooks", "codes"):
+        assert os.path.isdir(f"{path}/{t}")
+    got = [
+        tuple(r) for r in retrieval.rag_query_index(spark, path).collect()
+    ]
+    assert got == rag_rows
+    cents = spark.read.parquet(f"{path}/centroids").collect()
+    assert len(cents) <= retrieval.RAG_CELLS
+    assert all(len(r.c) == retrieval.RAG_DIM for r in cents)
+    codes = spark.read.parquet(f"{path}/codes")
+    n_vecs = spark.read.parquet(f"{path}/vectors").count()
+    assert codes.count() == n_vecs * 8  # one row per (vector, subspace)
+
+
+def test_index_artifact_serving_plan_is_pure_jvm(spark, sf_dir, tmp_path):
+    """The serving query's claim: with the index persisted, the query
+    plan contains NO Python evaluation and no cartesian product — the
+    only corpus-scale relation (codes) arrives through an equi-join.
+    (The in-process builder row legitimately uses the Arrow-batched
+    encode pass; this pins that the SERVING path does not.)"""
+    path = str(tmp_path / "idx_v1")
+    retrieval.rag_write_index(spark, sf_dir, path)
+    plan = (
+        retrieval.rag_query_index(spark, path)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for bad in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas",
+                "MapInPandas", "PythonUDF", "CartesianProduct"):
+        assert bad not in plan, bad
