@@ -61,6 +61,31 @@ def _merge_fold(syms, left: str, right: str):
     )
 
 
+def _char_syms(word_col: str):
+    """chars + end marker for a word column — the canonical initial
+    symbol sequence. ONE definition (r16 review finding): word_table
+    (training) and bpe_encode_pinned (artifact apply) must split words
+    identically or round-trip parity breaks."""
+    return F.concat(
+        F.filter(F.split(word_col, ""), lambda c: c != F.lit("")),
+        F.array(F.lit(END_MARK)),
+    )
+
+
+def _doc_words(docs: DataFrame) -> DataFrame:
+    """(doc_id, widx, w): the positioned non-empty word stream — shared
+    by bpe_encode (retrain-per-query) and bpe_encode_pinned (artifact
+    apply), whose outputs are contractually bit-identical."""
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.posexplode(tokens(F.lower(F.col("text")))).alias("widx", "w"),
+        )
+        .where(F.length("w") > 0)
+    )
+
+
 def word_table(docs: DataFrame) -> DataFrame:
     """(w, syms array<string>, wcount): per-distinct-word symbol
     sequences (chars + end marker) weighted by corpus frequency."""
@@ -69,14 +94,7 @@ def word_table(docs: DataFrame) -> DataFrame:
         .where(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("wcount"))
-        .select(
-            "w",
-            F.concat(
-                F.filter(F.split("w", ""), lambda c: c != F.lit("")),
-                F.array(F.lit(END_MARK)),
-            ).alias("syms"),
-            "wcount",
-        )
+        .select("w", _char_syms("w").alias("syms"), "wcount")
     )
 
 
@@ -196,14 +214,7 @@ def bpe_encode(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
             ),
         )
     )
-    doc_words = (
-        docs.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.posexplode(tokens(F.lower(F.col("text")))).alias("widx", "w"),
-        )
-        .where(F.length("w") > 0)
-    )
+    doc_words = _doc_words(docs)
     out = (
         doc_words.join(F.broadcast(words), "w")
         .select("doc_id", "widx", F.posexplode("syms").alias("sidx", "token"))
@@ -279,30 +290,16 @@ def bpe_encode_pinned(docs: DataFrame, path: str) -> DataFrame:
     )
     vocab = spark.read.parquet(f"{path}/vocab")
     words = (
-        docs.where(F.col("text").isNotNull())
-        .select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
-        .where(F.length("w") > 0)
+        _doc_words(docs)
+        .select("w")
         .distinct()
-        .select(
-            "w",
-            F.concat(
-                F.filter(F.split("w", ""), lambda c: c != F.lit("")),
-                F.array(F.lit(END_MARK)),
-            ).alias("syms"),
-        )
+        .select("w", _char_syms("w").alias("syms"))
     )
     for _rank, a, b in merges:
         words = words.select(
             "w", _merge_fold(F.col("syms"), a, b).alias("syms")
         )
-    doc_words = (
-        docs.where(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.posexplode(tokens(F.lower(F.col("text")))).alias("widx", "w"),
-        )
-        .where(F.length("w") > 0)
-    )
+    doc_words = _doc_words(docs)
     return (
         doc_words.join(F.broadcast(words), "w")
         .select("doc_id", "widx", F.posexplode("syms").alias("sidx", "token"))

@@ -226,6 +226,10 @@ def rag_recall(
     nq = len(qids)
     c2 = (cmat * cmat).sum(axis=1)
     qdist = c2[None, :] - 2 * (qmat @ cmat.T)
+    # a tiny corpus can train fewer cells than nprobe (the oracle's
+    # `rnk <= nprobe` and the reference's slice cap naturally; the
+    # fixed-range loops here must cap too — r16 review follow-up)
+    nprobe = min(nprobe, cmat.shape[0])
     probes = np.argsort(qdist, axis=1, kind="stable")[:, :nprobe]
     far = 1 << 60
     luts = np.zeros((nq, nprobe, IVFPQ_M, pqmat.shape[1]), dtype=np.int64)
@@ -285,7 +289,30 @@ def rag_recall(
         F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
     )
     nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"))
+    out = _grade(ranked, qv, nv, k, rerank).localCheckpoint(eager=True)
+    emb.unpersist()
+    return out
 
+
+def _grade(
+    ranked: DataFrame,
+    qv: DataFrame,
+    nv: DataFrame,
+    k: int,
+    rerank: int,
+) -> DataFrame:
+    """Shared grading tail for the in-process and artifact rows (r16
+    review finding: keep the two plans in lockstep): exact rerank of
+    the ADC pool, the brute-force exact twin, per-query hit counts,
+    and the PANEL SPINE — every panel query with an embedding reports
+    a row, so a query whose probed cells held no cross-document
+    candidate reads (0, 0, 0, 0) instead of silently vanishing from
+    the certificate (the worst-recall query is exactly the one a
+    silent omission would hide). Identical LEFT-JOIN/COALESCE spine
+    in the SQL twin.
+
+    ``ranked``: (query_id, neighbor_id, adc_dist, n_candidates, rank);
+    ``qv``: (query_id, qq) — the panel; ``nv``: (neighbor_id, nq)."""
     # two-stage: exact int64 L2 over the ADC pool only
     wrr = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
     rer = (
@@ -316,7 +343,7 @@ def rag_recall(
         )
     )
 
-    base = (
+    cand = (
         ranked.where(F.col("rank") == 1)
         .select("query_id", "n_candidates")
     )
@@ -349,23 +376,26 @@ def rag_recall(
             .alias("hits_rerank")
         )
     )
-    out = (
-        base.join(hadc, "query_id")
-        .join(hrer, "query_id")
+    return (
+        qv.select("query_id")
+        .join(cand, "query_id", "left")
+        .join(hadc, "query_id", "left")
+        .join(hrer, "query_id", "left")
         .select(
             "query_id",
-            "n_candidates",
-            "hits_adc",
-            "hits_rerank",
-            F.expr(f"(hits_rerank * 1000) div {k}")
+            F.coalesce("n_candidates", F.lit(0)).cast("long").alias(
+                "n_candidates"
+            ),
+            F.coalesce("hits_adc", F.lit(0)).cast("long").alias("hits_adc"),
+            F.coalesce("hits_rerank", F.lit(0))
+            .cast("long")
+            .alias("hits_rerank"),
+            F.expr(f"(coalesce(hits_rerank, 0) * 1000) div {k}")
             .cast("long")
             .alias("recall_milli"),
         )
         .orderBy("query_id")
-        .localCheckpoint(eager=True)
     )
-    emb.unpersist()
-    return out
 
 
 def _rag_recall_sql(
@@ -594,16 +624,24 @@ def _rag_recall_sql(
     ON e.query_id = r.query_id AND e.neighbor_id = r.neighbor_id
   GROUP BY r.query_id
 )""")
+    # panel SPINE (the _grade discipline): every panel query reports a
+    # row — a candidate-less query reads (0, 0, 0, 0), never vanishes
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"""
-SELECT b.query_id, b.n_candidates, ha.hits_adc, hr.hits_rerank,
-       CAST((hr.hits_rerank * 1000) // {k} AS BIGINT) AS recall_milli
-FROM (SELECT query_id, n_candidates FROM rankedadc WHERE rank = 1) b
-JOIN hadc ha USING (query_id)
-JOIN hrer hr USING (query_id)
-ORDER BY query_id"""
+SELECT q.query_id,
+       CAST(COALESCE(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+       CAST(COALESCE(ha.hits_adc, 0) AS BIGINT) AS hits_adc,
+       CAST(COALESCE(hr.hits_rerank, 0) AS BIGINT) AS hits_rerank,
+       CAST((COALESCE(hr.hits_rerank, 0) * 1000) // {k} AS BIGINT)
+         AS recall_milli
+FROM exq q
+LEFT JOIN (SELECT query_id, n_candidates FROM rankedadc WHERE rank = 1) b
+  USING (query_id)
+LEFT JOIN hadc ha USING (query_id)
+LEFT JOIN hrer hr USING (query_id)
+ORDER BY q.query_id"""
     )
 
 
@@ -775,75 +813,7 @@ def rag_query_index(
     ).withColumn("rank", F.row_number().over(wr))
 
     nv = vecs.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"))
-    wrr = Window.partitionBy("query_id").orderBy("dist", "neighbor_id")
-    rer = (
-        ranked.where(F.col("rank") <= rerank)
-        .select("query_id", "neighbor_id")
-        .join(F.broadcast(queries), "query_id")
-        .join(nv, "neighbor_id")
-        .withColumn("dist", _sq_dist(F.col("qq"), F.col("nq")))
-        .withColumn("rrank", F.row_number().over(wrr))
-        .where(F.col("rrank") <= k)
-        .select("query_id", "neighbor_id")
-    )
-    exact = (
-        F.broadcast(queries)
-        .join(
-            nv,
-            F.expr(f"query_id div {RAG_SID}")
-            != F.expr(f"neighbor_id div {RAG_SID}"),
-        )
-        .withColumn("dist", _sq_dist(F.col("qq"), F.col("nq")))
-        .withColumn("rrank", F.row_number().over(wrr))
-        .where(F.col("rrank") <= k)
-        .select(
-            F.col("query_id").alias("eq"), F.col("neighbor_id").alias("en")
-        )
-    )
-    base = ranked.where(F.col("rank") == 1).select("query_id", "n_candidates")
-    hadc = (
-        ranked.where(F.col("rank") <= k)
-        .join(
-            F.broadcast(exact),
-            (F.col("query_id") == F.col("eq"))
-            & (F.col("neighbor_id") == F.col("en")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.when(F.col("en").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("hits_adc")
-        )
-    )
-    hrer = (
-        rer.join(
-            F.broadcast(exact),
-            (F.col("query_id") == F.col("eq"))
-            & (F.col("neighbor_id") == F.col("en")),
-            "left",
-        )
-        .groupBy("query_id")
-        .agg(
-            F.sum(F.when(F.col("en").isNotNull(), 1).otherwise(0))
-            .cast("long")
-            .alias("hits_rerank")
-        )
-    )
-    return (
-        base.join(hadc, "query_id")
-        .join(hrer, "query_id")
-        .select(
-            "query_id",
-            "n_candidates",
-            "hits_adc",
-            "hits_rerank",
-            F.expr(f"(hits_rerank * 1000) div {k}")
-            .cast("long")
-            .alias("recall_milli"),
-        )
-        .orderBy("query_id")
-    )
+    return _grade(ranked, queries, nv, k, rerank)
 
 
 def rag_index_artifact_roundtrip(

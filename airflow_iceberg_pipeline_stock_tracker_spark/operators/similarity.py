@@ -560,13 +560,14 @@ def embedding_near_dup_pairs_df(
     3.33s at 1x). Both branches are bit-identical by the collapse-
     parity pins; collapse="force" keeps the collapsed plan
     unconditionally (tests exercise it on plain corpora too)."""
-    if not any(collapse is v for v in (True, False, "force")):
+    if not (collapse is True or collapse is False or collapse == "force"):
         # r15 code-review finding: a stringly-typed tri-state must not
         # silently misroute collapse=0/None/"Force" into a branch the
-        # caller didn't pick. Identity (not membership) because
-        # 0 == False / 1 == True under Python's ==, so `in` would let
-        # collapse=0 through and the later `is False` checks would
-        # still route it into the adaptive branch (r15 advice)
+        # caller didn't pick. IDENTITY for the bools (0 == False /
+        # 1 == True under ==, so `in` would let collapse=0 through to
+        # the later `is False` routing) but EQUALITY for the string —
+        # `is "force"` would reject any non-interned runtime-built
+        # "force" (r16 review finding)
         raise ValueError(
             f"collapse must be True, False, or 'force'; got {collapse!r}"
         )
@@ -1285,7 +1286,7 @@ def knn_graph_df(
     """
     from pyspark.sql import Window
 
-    if not any(collapse is v for v in (True, False, "force")):
+    if not (collapse is True or collapse is False or collapse == "force"):
         raise ValueError(
             f"collapse must be True, False, or 'force'; got {collapse!r}"
         )

@@ -1697,6 +1697,20 @@ def _clf_fit(
     return w
 
 
+def _clf_score(feat: DataFrame, w: list[int]) -> DataFrame:
+    """(doc_id, score_nano): the dense-weight scoring projection under
+    a trained weight vector — the literal array attaches as a pure
+    expression, one map-combinable per-doc sum. Shared by
+    classifier_train and classifier_holdout (r16 review finding: the
+    train and holdout scores must come from ONE projection)."""
+    warr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
+    return feat.groupBy("doc_id").agg(
+        F.sum(
+            F.element_at(warr, F.col("bucket").cast("int") + 1) * F.col("x")
+        ).alias("score_nano")
+    )
+
+
 def classifier_train(
     docs: DataFrame,
     iters: int = CLF_TRAIN_ITERS,
@@ -1739,12 +1753,7 @@ def classifier_train(
     # it (r15 code-review finding) — cache it alongside feat
     lab = lab.persist()
     w = _clf_fit(feat, lab, iters, lr)
-    warr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
-    score = feat.groupBy("doc_id").agg(
-        F.sum(
-            F.element_at(warr, F.col("bucket").cast("int") + 1) * F.col("x")
-        ).alias("score_nano")
-    )
+    score = _clf_score(feat, w)
     out = (
         score.join(lab, "doc_id")
         .select(
@@ -1809,12 +1818,7 @@ def classifier_holdout(
     train = split.where(F.col("split") == "train").select("doc_id")
     w = _clf_fit(feat.join(train, "doc_id"), lab.join(train, "doc_id"),
                  iters, lr)
-    warr = F.array(*[F.lit(int(v)).cast("bigint") for v in w])
-    score = feat.groupBy("doc_id").agg(
-        F.sum(
-            F.element_at(warr, F.col("bucket").cast("int") + 1) * F.col("x")
-        ).alias("score_nano")
-    )
+    score = _clf_score(feat, w)
     out = (
         score.join(lab, "doc_id")
         .join(split, "doc_id")
@@ -1855,10 +1859,7 @@ def classifier_holdout_oracle_sql(
     array for buckets the train fold never saw) and a per-fold rollup."""
     from .curation import SPLIT_SALT, TEST_PCT, VAL_PCT
     from .dedup import _components_sql
-    from ..functions.texthash import TOKENS_SQL
 
-    toks = TOKENS_SQL.format(expr="text")
-    bucket = f"({hash32_sql('tok')} % {CLF_TRAIN_BUCKETS})"
     sbucket = hash32_sql(
         "('" + SPLIT_SALT + ":' || CAST(cluster_id AS VARCHAR))"
     )
@@ -1878,26 +1879,9 @@ split AS MATERIALIZED (
   FROM (SELECT doc_id, CAST({sbucket} % 100 AS INT) AS split_bucket
         FROM assigned)
 ),
-tok2 AS MATERIALIZED (
-  SELECT doc_id, tok FROM (
-    SELECT doc_id, unnest({toks}) AS tok
-    FROM documents WHERE text IS NOT NULL
-  ) WHERE length(tok) > 0
-), ntok AS (
-  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tok2 GROUP BY 1
-), feat AS MATERIALIZED (
-  SELECT t.doc_id, {bucket} AS bucket,
-         CAST((1000 * COUNT(*)) // MIN(n.n) AS BIGINT) AS x
-  FROM tok2 t JOIN ntok n USING (doc_id)
-  GROUP BY t.doc_id, {bucket}
-), lab AS MATERIALIZED (
-  SELECT doc_id,
-         CAST(CASE WHEN
-             SUM(CASE WHEN tok = '{CLF_TRAIN_POS}' THEN 1 ELSE 0 END)
-           > SUM(CASE WHEN tok = '{CLF_TRAIN_NEG}' THEN 1 ELSE 0 END)
-           THEN 1000 ELSE -1000 END AS BIGINT) AS y
-  FROM tok2 GROUP BY doc_id
-), tfeat AS MATERIALIZED (
+"""
+        + _clf_ingredient_ctes()
+        + """, tfeat AS MATERIALIZED (
   SELECT f.* FROM feat f JOIN split s USING (doc_id)
   WHERE s.split = 'train'
 ), tlab AS MATERIALIZED (
@@ -1909,23 +1893,7 @@ tok2 AS MATERIALIZED (
   SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM tfeat
 )"""
     ]
-    for t in range(1, iters + 1):
-        ctes.append(f"""s{t} AS MATERIALIZED (
-  SELECT f.doc_id, CAST(SUM(w.w * f.x) AS BIGINT) AS score
-  FROM tfeat f JOIN w{t - 1} w USING (bucket) GROUP BY f.doc_id
-), g{t} AS MATERIALIZED (
-  SELECT f.bucket,
-         CAST(SUM((s.score - 1000000 * l.y) * f.x) AS BIGINT) AS grad
-  FROM tfeat f
-  JOIN s{t} s USING (doc_id)
-  JOIN tlab l USING (doc_id)
-  GROUP BY f.bucket
-), w{t} AS MATERIALIZED (
-  SELECT w.bucket,
-         CAST(w.w - ((g.grad // nd.n_docs) * {lr}) // 1000000 AS BIGINT)
-           AS w
-  FROM w{t - 1} w JOIN g{t} g USING (bucket), nd
-)""")
+    ctes.extend(_clf_grad_ctes(iters, lr, feat="tfeat", lab="tlab"))
     return (
         "WITH RECURSIVE "
         + ",\n".join(ctes)
@@ -2020,21 +1988,16 @@ def classifier_train_reference(
     return out
 
 
-def classifier_train_oracle_sql(
-    iters: int = CLF_TRAIN_ITERS, lr: int = CLF_TRAIN_LR
-) -> str:
-    """DuckDB twin of :func:`classifier_train`: the same T gradient
-    iterations unrolled as MATERIALIZED CTEs (each round references its
-    predecessor several times — plain CTEs would inline exponentially,
-    the bpe-oracle lesson). DuckDB's integer `//` truncates toward zero
-    exactly like Spark's `div` (verified), so the weight updates are
-    bit-identical."""
+def _clf_ingredient_ctes() -> str:
+    """tok2/ntok/feat/lab — the feature/label CTE text shared by the
+    train and holdout oracles (r16 review finding: one builder, two
+    oracles; a tokenization or feature-formula change lands in both
+    gates or neither)."""
     from ..functions.texthash import TOKENS_SQL
 
     toks = TOKENS_SQL.format(expr="text")
     bucket = f"({hash32_sql('tok')} % {CLF_TRAIN_BUCKETS})"
-    ctes = [
-        f"""tok2 AS MATERIALIZED (
+    return f"""tok2 AS MATERIALIZED (
   SELECT doc_id, tok FROM (
     SELECT doc_id, unnest({toks}) AS tok
     FROM documents WHERE text IS NOT NULL
@@ -2053,22 +2016,26 @@ def classifier_train_oracle_sql(
            > SUM(CASE WHEN tok = '{CLF_TRAIN_NEG}' THEN 1 ELSE 0 END)
            THEN 1000 ELSE -1000 END AS BIGINT) AS y
   FROM tok2 GROUP BY doc_id
-), nd AS (
-  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab
-), w0 AS MATERIALIZED (
-  SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM feat
 )"""
-    ]
+
+
+def _clf_grad_ctes(
+    iters: int, lr: int, feat: str = "feat", lab: str = "lab"
+) -> list[str]:
+    """The T unrolled gradient iterations over the given feature/label
+    relation names — shared by both oracles; the holdout gate passes
+    the train-fold-restricted tfeat/tlab."""
+    out = []
     for t in range(1, iters + 1):
-        ctes.append(f"""s{t} AS MATERIALIZED (
+        out.append(f"""s{t} AS MATERIALIZED (
   SELECT f.doc_id, CAST(SUM(w.w * f.x) AS BIGINT) AS score
-  FROM feat f JOIN w{t - 1} w USING (bucket) GROUP BY f.doc_id
+  FROM {feat} f JOIN w{t - 1} w USING (bucket) GROUP BY f.doc_id
 ), g{t} AS MATERIALIZED (
   SELECT f.bucket,
          CAST(SUM((s.score - 1000000 * l.y) * f.x) AS BIGINT) AS grad
-  FROM feat f
+  FROM {feat} f
   JOIN s{t} s USING (doc_id)
-  JOIN lab l USING (doc_id)
+  JOIN {lab} l USING (doc_id)
   GROUP BY f.bucket
 ), w{t} AS MATERIALIZED (
   SELECT w.bucket,
@@ -2076,6 +2043,27 @@ def classifier_train_oracle_sql(
            AS w
   FROM w{t - 1} w JOIN g{t} g USING (bucket), nd
 )""")
+    return out
+
+
+def classifier_train_oracle_sql(
+    iters: int = CLF_TRAIN_ITERS, lr: int = CLF_TRAIN_LR
+) -> str:
+    """DuckDB twin of :func:`classifier_train`: the same T gradient
+    iterations unrolled as MATERIALIZED CTEs (each round references its
+    predecessor several times — plain CTEs would inline exponentially,
+    the bpe-oracle lesson). DuckDB's integer `//` truncates toward zero
+    exactly like Spark's `div` (verified), so the weight updates are
+    bit-identical."""
+    ctes = [
+        _clf_ingredient_ctes()
+        + """, nd AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM lab
+), w0 AS MATERIALIZED (
+  SELECT DISTINCT bucket, CAST(0 AS BIGINT) AS w FROM feat
+)"""
+    ]
+    ctes.extend(_clf_grad_ctes(iters, lr))
     return (
         "WITH "
         + ",\n".join(ctes)

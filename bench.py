@@ -1642,7 +1642,11 @@ ZIPF_10X_QUERIES = (
     "events_funnel",
     "events_transitions",
     "events_top_paths",
-    "events_twap",
+    # events_twap is deliberately NOT here (r16 review finding): it
+    # keys on (event_type, day) and the Zipf dir reassigns only
+    # user_id, so a twap "receipt" would be a no-op measurement
+    # presented as skew evidence. Its skew stance is structural: the
+    # (type, day) grid is calendar-bounded regardless of row skew.
 )
 
 
@@ -1696,7 +1700,7 @@ def _build_zipf_orders_dir(spark, sf_dir: str, factor: int) -> str:
         f"{base}-orders-zipf-x{factor}",
     )
     marker = os.path.join(out_dir, "_BUILT")
-    want = f"orders-zipf-v1={factor}\n"
+    want = f"orders-zipf-v2-customer={factor}\n"
     built = os.path.exists(marker) and open(marker).read() == want
     if not built:
         if os.path.isdir(out_dir):
@@ -1704,7 +1708,11 @@ def _build_zipf_orders_dir(spark, sf_dir: str, factor: int) -> str:
         os.makedirs(out_dir)
         for pth in glob.glob(os.path.join(sf_dir, "*.parquet")):
             name = os.path.basename(pth)
-            if name not in ("orders.parquet", "lineitem.parquet"):
+            if name not in (
+                "orders.parquet",
+                "lineitem.parquet",
+                "customer.parquet",
+            ):
                 os.symlink(pth, os.path.join(out_dir, name))
         reps = spark.range(factor).withColumnRenamed("id", "rep")
         li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
@@ -1752,6 +1760,26 @@ def _build_zipf_orders_dir(spark, sf_dir: str, factor: int) -> str:
             .drop("rep", "v")
             .write.mode("overwrite")
             .parquet(os.path.join(out_dir, "orders.parquet"))
+        )
+        # customer must follow orders' custkey stride (the uniform-dir
+        # rule) AND gain the 20 synthetic head customers, or every
+        # replica/head order is a custkey orphan and the customer-driven
+        # rows (orders_ivm_outer) measure an anti-join instead of the
+        # skew claim (r16 review finding). Head customers clone the
+        # first 20 base rows under the negated key.
+        cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        cu_rep = (
+            cu.crossJoin(F.broadcast(reps))
+            .withColumn(
+                "c_custkey", F.col("c_custkey") + F.col("rep") * F.lit(10**7)
+            )
+            .drop("rep")
+        )
+        heads = cu.where(
+            (F.col("c_custkey") >= 1) & (F.col("c_custkey") <= ZIPF_HEADS)
+        ).withColumn("c_custkey", -F.col("c_custkey"))
+        cu_rep.unionByName(heads).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "customer.parquet")
         )
         with open(marker, "w") as f:
             f.write(want)

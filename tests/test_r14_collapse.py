@@ -310,3 +310,10 @@ def test_collapse_tristate_rejects_int_lookalikes(plain_emb):
             similarity.embedding_near_dup_pairs_df(
                 plain_emb, threshold=0.4, collapse=bad
             )
+    # ...but a runtime-built (non-interned) "force" string is VALID —
+    # the guard must compare the string by equality, not identity
+    # (r16 review finding)
+    runtime_force = "".join(["for", "ce"])
+    assert similarity.knn_graph_df(
+        plain_emb, collapse=runtime_force
+    ).columns == similarity.knn_graph_df(plain_emb, collapse="force").columns

@@ -484,3 +484,31 @@ def test_index_artifact_serving_plan_is_pure_jvm(spark, sf_dir, tmp_path):
     for bad in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas",
                 "MapInPandas", "PythonUDF", "CartesianProduct"):
         assert bad not in plan, bad
+
+
+def test_rag_recall_candidate_less_query_reports_zero_row(spark, tmp_path):
+    """r16 review finding: a panel query whose probed cells hold no
+    cross-document candidate must report (0, 0, 0, 0) — the
+    worst-recall query is exactly the one a silent omission would
+    hide. Single-doc corpus: doc 0 has two chunks, so its chunk-1
+    query exists but every candidate is same-doc-excluded. Engine,
+    SQL oracle, and the Python reference must all emit the zero row."""
+    import duckdb
+
+    text = " ".join(f"tok{i}" for i in range(60))  # 60 tokens, 2 chunks
+    docs = spark.createDataFrame([(0, text)], "doc_id bigint, text string")
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = [
+        tuple(r)
+        for r in retrieval.rag_recall(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 0, 0, 0, 0)]
+    assert rag_recall_reference({0: text}) == got
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    assert [
+        tuple(r) for r in con.execute(retrieval.RAG_RECALL_SQL).fetchall()
+    ] == got
