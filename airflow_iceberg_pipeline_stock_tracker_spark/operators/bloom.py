@@ -115,7 +115,9 @@ def bloom_semi_join(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     dense = [0] * (BLOOM_M_BITS >> 6)
     for r in words:
         dense[r.word] = r.bits
-    bf = spark.createDataFrame([(dense,)], "bf array<bigint>")
+    from ..sources.tables import local_df
+
+    bf = local_df(spark, [(dense,)], "bf array<bigint>")
 
     # self-probe: every build key must pass (no false negatives)
     self_ok = (

@@ -681,8 +681,10 @@ def _local_components(pairs: DataFrame) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
     labels = sorted((doc, find(doc)) for doc in parent)
-    return pairs.sparkSession.createDataFrame(
-        labels, "doc_id bigint, cluster_id bigint"
+    from ..sources.tables import local_df
+
+    return local_df(
+        pairs.sparkSession, labels, "doc_id bigint, cluster_id bigint"
     )
 
 

@@ -246,7 +246,10 @@ def file_stats(spark: SparkSession, path: str) -> DataFrame:
                 sum(os.path.getsize(os.path.join(dirpath, f)) for f in data),
             )
         )
-    return spark.createDataFrame(
+    from ..sources.tables import local_df
+
+    return local_df(
+        spark,
         rows or [("", 0, 0, 0)],
         "partition string, n_files int, n_rows bigint, n_bytes bigint",
     )

@@ -50,9 +50,12 @@ def language_id(docs: DataFrame) -> DataFrame:
     tokenizer into every ratio reference and codegen took minutes.
     """
     spark = docs.sparkSession
-    lexicon = spark.createDataFrame(
+    from ..sources.tables import local_df
+
+    lexicon = local_df(
+        spark,
         [(lang, w) for lang, words in STOPWORDS.items() for w in words],
-        ["lang", "t"],
+        "lang string, t string",
     )
     toks = tokens(F.lower(F.col("text")))
     parallelism = docs.sparkSession.sparkContext.defaultParallelism

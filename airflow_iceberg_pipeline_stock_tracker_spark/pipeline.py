@@ -578,8 +578,10 @@ def snapshot_mor_demo(spark: SparkSession, table_dir: str) -> DataFrame:
     )
     snapshots.commit(day(MOR_DATES[2]), table_dir, mode="append")
     snapshots.delete_where(spark, table_dir, "volume % 2 = 1")
+    from .sources.tables import local_df
+
     snapshots.delete_matching(
-        spark, table_dir, spark.createDataFrame([("AAPL",)], ["ticker"]),
+        spark, table_dir, local_df(spark, [("AAPL",)], "ticker string"),
         ["ticker"],
     )
     snapshots.commit(day(MOR_DATES[3]), table_dir, mode="append")

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.analytics import OHLC_BARS_SQL as _OHLC_BARS_SQL
 from ..sources.prices import PRICES_ORACLE_SQL
-from ..sources.tables import load_table
+from ..sources.tables import load_table, local_df
 from ..streaming import dedup as sdedup
 from ..streaming import joins as sjoins
 from ..streaming import stateful, windows
@@ -376,7 +376,8 @@ def pipeline_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = df.select("ticker", "date").distinct().limit(20).collect()
         return ",".join(sorted(f"{r['ticker']}|{r['date']}" for r in rows))
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 only["batch"].count(),
@@ -835,7 +836,8 @@ def events_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = df.select("hour", "event_type").distinct().limit(20).collect()
         return ",".join(sorted(f"{r['hour']}|{r['event_type']}" for r in rows))
 
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 only["batch"].count(),
@@ -889,7 +891,8 @@ def events_snapshot_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_read = snapshots.read(spark, table_dir)
     batch = windows.hourly_tumbling(load_table(spark, sf_dir, "events"))
     streamed = windows.hourly_tumbling(snap_read)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [
             (
                 batch.exceptAll(streamed).count(),

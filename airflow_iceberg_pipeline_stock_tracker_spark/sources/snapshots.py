@@ -1313,7 +1313,10 @@ def snapshots_metadata(
                 snap["id"] == man["current"],
             )
         )
-    return spark.createDataFrame(
+    from .tables import local_df
+
+    return local_df(
+        spark,
         rows,
         "snapshot_id bigint, operation string, branch string, "
         "n_data_dirs int, n_delete_files int, record_count bigint, "
@@ -1359,7 +1362,10 @@ def files_metadata(spark: SparkSession, table_dir: str) -> DataFrame:
             c: f"{b[0]}..{b[1]}" for c, b in dir_stats.get(d, {}).items()
         }
         rows.append((d, dir_seq.get(d, 0), stats, len(parts), size))
-    return spark.createDataFrame(
+    from .tables import local_df
+
+    return local_df(
+        spark,
         rows,
         "dir string, added_by bigint, stats map<string,string>, "
         "n_files int, size_bytes bigint",

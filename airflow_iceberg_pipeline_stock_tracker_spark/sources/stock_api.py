@@ -173,7 +173,12 @@ def bars_to_df(spark: SparkSession, bars: list[Bar]) -> DataFrame:
     decimal rounding) replaces the reference's implicit coercion at
     INSERT time (dag.py:95-100 vs 136-141).
     """
-    raw = spark.createDataFrame(
+    from .tables import local_df
+
+    # Arrow-backed local frame (guide §4/§6): the pickled-RDD variant
+    # makes every downstream insert job pay Python-worker round-trips
+    raw = local_df(
+        spark,
         [
             (
                 b.ticker,

@@ -18,6 +18,48 @@ from ..schemas import TESTDATA_TABLES
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Arrow-backed local DataFrame for small driver-side row lists.
+
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes the PICKLED
+    rows into a Python-RDD-backed plan: every job that touches the
+    relation pays a Python-worker round-trip per parent partition
+    (measured r16: a coalesce(1) parquet write of a 2-row merge table =
+    5-7s of sequential worker handshakes across 32 pickled partitions;
+    the identical write from an Arrow-backed frame = 0.3s, and a bare
+    count() drops ~2s -> ~0.1s). Routing the rows through an all-object
+    pandas frame + Arrow yields a pure-JVM ``LocalTableScan`` with
+    identical values — optimization guide §6 ("Arrow for driver
+    transfers") + §4 (eliminate the Python boundary).
+
+    All-object columns keep Python ints/Decimals/dates/None unchanged
+    (no NaN coercion, no float round-trip for int64). Falls back to the
+    classic path for anything the Arrow converter rejects, so callers
+    can use it unconditionally.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    try:
+        st = (
+            schema
+            if isinstance(schema, StructType)
+            else StructType.fromDDL(schema)
+        )
+        names = st.fieldNames()
+        data = list(rows)
+        pdf = pd.DataFrame(
+            {
+                n: pd.Series([r[i] for r in data], dtype=object)
+                for i, n in enumerate(names)
+            },
+            columns=names,
+        )
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = _read(spark, sf_dir, name)
     if name == "events":

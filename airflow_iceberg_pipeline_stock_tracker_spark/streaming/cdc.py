@@ -42,7 +42,9 @@ def _read_target(spark: SparkSession, target_dir: str) -> DataFrame:
         os.rename(old, target_dir)
     if os.path.isdir(target_dir):
         return spark.read.schema(TARGET_SCHEMA).parquet(target_dir)
-    return spark.createDataFrame([], TARGET_SCHEMA)
+    from ..sources.tables import local_df
+
+    return local_df(spark, [], TARGET_SCHEMA)
 
 
 def apply_purchases_batch(
