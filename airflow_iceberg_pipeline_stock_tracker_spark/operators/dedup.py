@@ -2080,6 +2080,14 @@ def prefix_filter_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # NOTE (r16 verdict ask #8, tried r17 and REVERTED): deriving sizes
+    # from ranked's window count (`ranked.where(rn == 1)`) does NOT
+    # reuse the doc_id window exchange — sa and sb each re-plan the
+    # whole join+window subtree (captured: Exchange 40 -> 52, zero
+    # ReusedExchange in plans/r17/dedup_prefix_filter_{before,after});
+    # measured min-of-3 was a wash. The groupBy below is one cheap
+    # partial-agg pass over the CACHED shingle table and stays the
+    # cheaper form.
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("set_size"))
     sa = sizes.select(
         F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")

@@ -86,21 +86,26 @@ def _batch_mat(pdf):
     return np.array(pdf["q"].tolist(), dtype=np.int64)
 
 
-def _train_coarse(emb: DataFrame, k: int, iters: int, seed_pred=None):
+def _train_coarse(emb: DataFrame, k: int, iters: int, seed_pred=None, seed_rows=None):
     """Full-dim int Lloyd (the embedding_kmeans loop, numpy-fused).
 
     ``seed_pred``: optional Column predicate selecting exactly the k
     seed rows (default: vec_id < k, the registered row's rule). Seeds
     are consumed in vec_id order, so any predicate whose selected ids
     sort the same way in the SQL twin's `ORDER BY cid` tie-breaks is
-    oracle-exact (retrieval.py seeds on first-chunk ids)."""
+    oracle-exact (retrieval.py seeds on first-chunk ids).
+
+    ``seed_rows``: pre-collected seed rows (vec_id-ascending), letting a
+    caller fund several trainers' seeds from ONE driver collect instead
+    of one job each (guide §1.2 job-count reduction)."""
     import pandas as pd
 
     np = _np()
-    if seed_pred is None:
-        seed_pred = F.col("vec_id") < k
-    seed = emb.where(seed_pred).orderBy("vec_id").collect()
-    cmat = np.array([r["q"] for r in seed], dtype=np.int64)
+    if seed_rows is None:
+        if seed_pred is None:
+            seed_pred = F.col("vec_id") < k
+        seed_rows = emb.where(seed_pred).orderBy("vec_id").collect()
+    cmat = np.array([r["q"] for r in seed_rows], dtype=np.int64)
     for _ in range(iters):
         cb = cmat
 
@@ -148,18 +153,22 @@ def _train_coarse(emb: DataFrame, k: int, iters: int, seed_pred=None):
     return cmat
 
 
-def _train_residual_pq(emb: DataFrame, cmat, codes: int, iters: int, seed_pred=None):
+def _train_residual_pq(
+    emb: DataFrame, cmat, codes: int, iters: int, seed_pred=None, seed_rows=None
+):
     """Per-subspace int Lloyd over residuals (the pq.py loop + coarse).
 
     ``seed_pred``: optional Column predicate selecting the seed rows
-    (default: vec_id < codes, the registered row's rule)."""
+    (default: vec_id < codes, the registered row's rule). ``seed_rows``:
+    pre-collected seed rows (vec_id-ascending) — see _train_coarse."""
     import pandas as pd
 
     np = _np()
-    if seed_pred is None:
-        seed_pred = F.col("vec_id") < codes
-    seed = emb.where(seed_pred).orderBy("vec_id").collect()
-    smat = np.array([r["q"] for r in seed], dtype=np.int64)
+    if seed_rows is None:
+        if seed_pred is None:
+            seed_pred = F.col("vec_id") < codes
+        seed_rows = emb.where(seed_pred).orderBy("vec_id").collect()
+    smat = np.array([r["q"] for r in seed_rows], dtype=np.int64)
     sres = smat - cmat[_coarse_assign(smat, cmat)]
     pqmat = np.ascontiguousarray(
         sres.reshape(len(sres), IVFPQ_M, IVFPQ_D).transpose(1, 0, 2)

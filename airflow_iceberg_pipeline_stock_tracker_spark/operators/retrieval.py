@@ -222,14 +222,31 @@ def rag_recall(
 
     np = _np()
     emb = chunk_vectors(load_table(spark, sf_dir, "documents")).persist()
-    cmat = _train_coarse(
-        emb, RAG_CELLS, IVFPQ_COARSE_ITERS, seed_pred=_seed_pred(RAG_CELLS)
+    # ONE driver collect funds the coarse seeds, the PQ seeds AND the
+    # query panel (guide §1.2: the r16 shape ran three sequential collect
+    # jobs over the same cached relation). The subsets are re-derived by
+    # the exact same predicates, in the same vec_id order.
+    pre_rows = (
+        emb.where(_seed_pred(max(RAG_CELLS, RAG_CODES)) | _query_pred())
+        .orderBy("vec_id")
+        .collect()
     )
+    cseed = [
+        r
+        for r in pre_rows
+        if r["vec_id"] % RAG_SID == 0 and r["vec_id"] < RAG_CELLS * RAG_SID
+    ]
+    pseed = [
+        r
+        for r in pre_rows
+        if r["vec_id"] % RAG_SID == 0 and r["vec_id"] < RAG_CODES * RAG_SID
+    ]
+    qrows = [r for r in pre_rows if r["vec_id"] % RAG_SID == 1]
+    cmat = _train_coarse(emb, RAG_CELLS, IVFPQ_COARSE_ITERS, seed_rows=cseed)
     pqmat, valid = _train_residual_pq(
-        emb, cmat, RAG_CODES, IVFPQ_PQ_ITERS, seed_pred=_seed_pred(RAG_CODES)
+        emb, cmat, RAG_CODES, IVFPQ_PQ_ITERS, seed_rows=pseed
     )
 
-    qrows = emb.where(_query_pred()).orderBy("vec_id").collect()
     qids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     qmat = np.array([r["q"] for r in qrows], dtype=np.int64)
     nq = len(qids)
@@ -249,6 +266,26 @@ def rag_recall(
             lut = (diff * diff).sum(axis=2)
             luts[qi, pj] = np.where(valid, lut, far)
 
+    # The brute-force grader and the rerank distances fold into the SAME
+    # numpy pass that ADC-scores the corpus (guide §4.2: hand whole
+    # batches to vectorized native code; §2.3: don't re-shuffle payloads
+    # a pass already holds). The r16 shape re-derived them in the JVM as
+    # an interpreted-fold BNLJ (broadcast panel x corpus, ~22 x 12k pairs
+    # x 64-dim zip_with/aggregate) plus a rerank double-join back onto
+    # the cached vectors. Here every batch computes the exact int64
+    # distance matrix panel x batch once (q2 - 2 q.x + x2, values < 2^40
+    # — far inside int64), emits
+    #   kind 0: ADC candidates (cross-doc, probed cells) carrying BOTH
+    #           adc_dist and their exact distance (the rerank input);
+    #   kind 1: the batch-local exact top-k per query (cross-doc) — the
+    #           union over batches contains the global top-k, which the
+    #           downstream window re-derives with identical (dist,
+    #           neighbor_id) tie order.
+    # Arithmetic is bit-identical to _sq_dist's int64 fold, so the
+    # oracle surface is unchanged (proven vs RAG_RECALL_SQL).
+    q2 = (qmat * qmat).sum(axis=1)
+    qdoc = qids // RAG_SID
+
     def score(batches):
         m_idx = np.arange(IVFPQ_M)
         for pdf in batches:
@@ -259,46 +296,81 @@ def rag_recall(
             r = (x - cmat[cells]).reshape(len(x), IVFPQ_M, IVFPQ_D)
             codes = _pq_encode(r, pqmat, valid)
             vec_ids = pdf["vec_id"].to_numpy()
-            out_q, out_n, out_d = [], [], []
+            ndoc = vec_ids // RAG_SID
+            x2 = (x * x).sum(axis=1)
+            dmat = q2[:, None] - 2 * (qmat @ x.T) + x2[None, :]
+            out_q, out_n, out_a, out_e, out_k = [], [], [], [], []
             for qi in range(nq):
+                cross = ndoc != qdoc[qi]
+                # batch-local exact top-k (kind 1)
+                d = np.where(cross, dmat[qi], far)
+                order = np.lexsort((vec_ids, d))[:k]
+                order = order[d[order] < far]
+                if len(order):
+                    out_q.append(np.full(len(order), qids[qi], dtype=np.int64))
+                    out_n.append(vec_ids[order])
+                    out_a.append(d[order])
+                    out_e.append(d[order])
+                    out_k.append(np.ones(len(order), dtype=np.int32))
                 for pj in range(nprobe):
-                    sel = cells == probes[qi, pj]
+                    sel = (cells == probes[qi, pj]) & cross
                     if not sel.any():
                         continue
                     adc = luts[qi, pj][m_idx[None, :], codes[sel]].sum(axis=1)
-                    out_q.append(
-                        np.full(int(sel.sum()), qids[qi], dtype=np.int64)
-                    )
+                    n_sel = int(sel.sum())
+                    out_q.append(np.full(n_sel, qids[qi], dtype=np.int64))
                     out_n.append(vec_ids[sel])
-                    out_d.append(adc)
+                    out_a.append(adc)
+                    out_e.append(dmat[qi, sel])
+                    out_k.append(np.zeros(n_sel, dtype=np.int32))
             if not out_q:
                 continue
             yield pd.DataFrame(
                 {
                     "query_id": np.concatenate(out_q),
                     "neighbor_id": np.concatenate(out_n),
-                    "adc_dist": np.concatenate(out_d),
+                    "adc_dist": np.concatenate(out_a),
+                    "exact_dist": np.concatenate(out_e),
+                    "kind": np.concatenate(out_k),
                 }
             )
 
-    # same-DOCUMENT exclusion (the RAG eval rule: retrieve related
-    # chunks from OTHER docs; also removes the trivial self-match)
+    # one pass over the cached vectors; materialized once because both
+    # the candidate branch and the exact-grader branch consume it
     scored = emb.mapInPandas(
-        score, "query_id bigint, neighbor_id bigint, adc_dist bigint"
-    ).where(
-        F.expr(f"query_id div {RAG_SID}") != F.expr(f"neighbor_id div {RAG_SID}")
-    )
+        score,
+        "query_id bigint, neighbor_id bigint, adc_dist bigint, "
+        "exact_dist bigint, kind int",
+    ).localCheckpoint(eager=True)
     wc = Window.partitionBy("query_id")
     wr = wc.orderBy("adc_dist", "neighbor_id")
-    ranked = scored.withColumn(
-        "n_candidates", F.count(F.lit(1)).over(wc).cast("long")
-    ).withColumn("rank", F.row_number().over(wr))
-
-    qv = emb.where(_query_pred()).select(
-        F.col("vec_id").alias("query_id"), F.col("q").alias("qq")
+    ranked = (
+        scored.where(F.col("kind") == 0)
+        .withColumn("n_candidates", F.count(F.lit(1)).over(wc).cast("long"))
+        .withColumn("rank", F.row_number().over(wr))
     )
-    nv = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("q").alias("nq"))
-    out = _grade(ranked, qv, nv, k, rerank).localCheckpoint(eager=True)
+    wex = wc.orderBy("exact_dist", "neighbor_id")
+    exact = (
+        scored.where(F.col("kind") == 1)
+        .withColumn("rrank", F.row_number().over(wex))
+        .where(F.col("rrank") <= k)
+        .select(
+            F.col("query_id").alias("eq"),
+            F.col("neighbor_id").alias("en"),
+        )
+    )
+    rer = (
+        ranked.where(F.col("rank") <= rerank)
+        .withColumn("rrank", F.row_number().over(wex))
+        .where(F.col("rrank") <= k)
+        .select("query_id", "neighbor_id")
+    )
+    spine = local_df(
+        spark, [(int(q),) for q in qids], "query_id bigint"
+    )
+    out = _grade_hits(ranked, rer, exact, spine, k).localCheckpoint(
+        eager=True
+    )
     emb.unpersist()
     return out
 
@@ -352,6 +424,21 @@ def _grade(
         )
     )
 
+    return _grade_hits(ranked, rer, exact, qv.select("query_id"), k)
+
+
+def _grade_hits(
+    ranked: DataFrame,
+    rer: DataFrame,
+    exact: DataFrame,
+    spine: DataFrame,
+    k: int,
+) -> DataFrame:
+    """The hit-counting + panel-spine tail shared by _grade (artifact
+    serving path) and rag_recall's fused in-process path. ``ranked``
+    carries (query_id, neighbor_id, n_candidates, rank); ``rer`` the
+    reranked top-k pairs; ``exact`` the brute-force top-k as (eq, en);
+    ``spine`` one query_id row per panel member."""
     cand = (
         ranked.where(F.col("rank") == 1)
         .select("query_id", "n_candidates")
@@ -386,7 +473,7 @@ def _grade(
         )
     )
     return (
-        qv.select("query_id")
+        spine
         .join(cand, "query_id", "left")
         .join(hadc, "query_id", "left")
         .join(hrer, "query_id", "left")
@@ -685,11 +772,18 @@ def rag_write_index(spark: SparkSession, sf_dir: str, path: str) -> None:
 
     np = _np()
     emb = chunk_vectors(load_table(spark, sf_dir, "documents")).persist()
-    cmat = _train_coarse(
-        emb, RAG_CELLS, IVFPQ_COARSE_ITERS, seed_pred=_seed_pred(RAG_CELLS)
+    # one collect funds both trainers' seeds (guide §1.2; same fusion as
+    # rag_recall — subsets re-derived by the trainers' own predicates in
+    # the same vec_id order)
+    seed_rows = (
+        emb.where(_seed_pred(max(RAG_CELLS, RAG_CODES)))
+        .orderBy("vec_id")
+        .collect()
     )
+    cseed = [r for r in seed_rows if r["vec_id"] < RAG_CELLS * RAG_SID]
+    cmat = _train_coarse(emb, RAG_CELLS, IVFPQ_COARSE_ITERS, seed_rows=cseed)
     pqmat, valid = _train_residual_pq(
-        emb, cmat, RAG_CODES, IVFPQ_PQ_ITERS, seed_pred=_seed_pred(RAG_CODES)
+        emb, cmat, RAG_CODES, IVFPQ_PQ_ITERS, seed_rows=seed_rows
     )
     emb.write.mode("overwrite").parquet(f"{path}/vectors")
     # local_df (Arrow-backed LocalTableScan): a coalesce(1) write of a

@@ -160,8 +160,27 @@ def create_staging_table(spark: SparkSession, ds: str, db: str = DEFAULT_DB) -> 
         spark.sql(f"CREATE OR REPLACE {ddl}")
     else:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+        _clear_stale_location(spark, name)
         spark.sql(f"CREATE {ddl}")
     return name
+
+
+def _clear_stale_location(spark: SparkSession, name: str) -> None:
+    """Remove a stale managed-table directory left by an interrupted run.
+
+    With a fresh derby catalog the DROP above is a no-op, but the on-disk
+    ``<warehouse>/<db>.db/<table>`` directory survives and the CREATE
+    fails with LOCATION_ALREADY_EXISTS. Only reached when the table is
+    already absent from the catalog (the DROP just ran), so removing the
+    orphaned directory can never delete live data.
+    """
+    import shutil
+
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    wh = wh.removeprefix("file:")
+    db, _, table = name.rpartition(".")
+    path = os.path.join(wh, f"{db.lower()}.db", table.lower()) if db else os.path.join(wh, table.lower())
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def load_to_staging(
@@ -589,9 +608,10 @@ def snapshot_mor_demo(spark: SparkSession, table_dir: str) -> DataFrame:
     pre = snapshots.read(spark, table_dir)
     snapshots.rewrite_data_files(spark, table_dir)
     post = snapshots.read(spark, table_dir)
-    compact_equal = (
-        pre.exceptAll(post).isEmpty() and post.exceptAll(pre).isEmpty()
-    )
+    # one action for both multiset-diff directions (guide §1.2): the
+    # union is empty iff both exceptAlls are — same boolean, one job
+    # instead of two
+    compact_equal = pre.exceptAll(post).unionAll(post.exceptAll(pre)).isEmpty()
     return (
         post.groupBy("ticker")
         .agg(
@@ -745,9 +765,8 @@ def snapshot_pruned_scan_demo(spark: SparkSession, table_dir: str) -> DataFrame:
         spark, table_dir, "date", lo=d2, hi=d2
     )
     full = snapshots.read(spark, table_dir).where(F.col("date") == d2)
-    parity = (
-        pruned.exceptAll(full).isEmpty() and full.exceptAll(pruned).isEmpty()
-    )
+    # one action for both multiset-diff directions (guide §1.2)
+    parity = pruned.exceptAll(full).unionAll(full.exceptAll(pruned)).isEmpty()
     return (
         pruned.groupBy("ticker")
         .agg(
@@ -1129,11 +1148,13 @@ def snapshot_partition_evolution_demo(
     feb_flat = full.where(
         (F.col("date") >= "2024-02-01") & (F.col("date") <= "2024-02-29")
     )
+    # one action for all four multiset-diff directions (guide §1.2)
     parity = (
-        jan_pruned.exceptAll(jan_flat).isEmpty()
-        and jan_flat.exceptAll(jan_pruned).isEmpty()
-        and feb_pruned.exceptAll(feb_flat).isEmpty()
-        and feb_flat.exceptAll(feb_pruned).isEmpty()
+        jan_pruned.exceptAll(jan_flat)
+        .unionAll(jan_flat.exceptAll(jan_pruned))
+        .unionAll(feb_pruned.exceptAll(feb_flat))
+        .unionAll(feb_flat.exceptAll(feb_pruned))
+        .isEmpty()
     )
     return (
         full.groupBy("ticker")

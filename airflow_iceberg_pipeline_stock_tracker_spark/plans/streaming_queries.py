@@ -372,19 +372,49 @@ def pipeline_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Self-diagnosing: on divergence, name the (ticker, date) keys unique
     # to each side so a red driver row localizes itself instead of just
     # reporting a hash mismatch. Empty string on parity (the oracle row).
-    def _keys(df: DataFrame) -> str:
-        rows = df.select("ticker", "date").distinct().limit(20).collect()
-        return ",".join(sorted(f"{r['ticker']}|{r['date']}" for r in rows))
+    #
+    # ONE tagged action funds all five output cells (guide §1.2): the
+    # r16 shape evaluated each exceptAll twice (a count job + a keys
+    # job per side) plus a count job on the batch table — five jobs over
+    # 15-row relations. The full-column exceptAll diff is unchanged;
+    # only its consumption is fused. Key naming is now deterministic
+    # (sorted distinct keys, first 20) instead of limit(20)-then-sort —
+    # diagnostic-only: the oracle row has zero diff rows either way.
+    tagged = (
+        only["batch"]
+        .select(F.lit("batch").alias("side"), "ticker", "date")
+        .unionAll(
+            only["stream"].select(F.lit("stream").alias("side"), "ticker", "date")
+        )
+        .unionAll(
+            cum["batch"].select(F.lit("rows").alias("side"), "ticker", "date")
+        )
+        .collect()
+    )
+
+    def _n(side: str) -> int:
+        return sum(1 for r in tagged if r["side"] == side)
+
+    def _keys(side: str) -> str:
+        return ",".join(
+            sorted(
+                {
+                    f"{r['ticker']}|{r['date']}"
+                    for r in tagged
+                    if r["side"] == side
+                }
+            )[:20]
+        )
 
     return local_df(
         spark,
         [
             (
-                only["batch"].count(),
-                only["stream"].count(),
-                cum["batch"].count(),
-                _keys(only["batch"]),
-                _keys(only["stream"]),
+                _n("batch"),
+                _n("stream"),
+                _n("rows"),
+                _keys("batch"),
+                _keys("stream"),
             )
         ],
         "n_only_batch bigint, n_only_stream bigint, n_rows bigint, "
@@ -832,19 +862,46 @@ def events_micro_batch_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stream": stream.exceptAll(batch),
     }
 
-    def _keys(df: DataFrame) -> str:
-        rows = df.select("hour", "event_type").distinct().limit(20).collect()
-        return ",".join(sorted(f"{r['hour']}|{r['event_type']}" for r in rows))
+    # ONE tagged action funds all five cells (same fusion as
+    # pipeline_micro_batch_parity, guide §1.2) — the r16 shape re-ran
+    # the batch-side aggregation for every one of five actions (two
+    # counts + two key collects + the row count). The exceptAll diff is
+    # unchanged; key naming is deterministic (sorted, first 20).
+    tagged = (
+        only["batch"]
+        .select(F.lit("batch").alias("side"), "hour", "event_type")
+        .unionAll(
+            only["stream"].select(F.lit("stream").alias("side"), "hour", "event_type")
+        )
+        .unionAll(
+            batch.select(F.lit("rows").alias("side"), "hour", "event_type")
+        )
+        .collect()
+    )
+
+    def _n(side: str) -> int:
+        return sum(1 for r in tagged if r["side"] == side)
+
+    def _keys(side: str) -> str:
+        return ",".join(
+            sorted(
+                {
+                    f"{r['hour']}|{r['event_type']}"
+                    for r in tagged
+                    if r["side"] == side
+                }
+            )[:20]
+        )
 
     return local_df(
         spark,
         [
             (
-                only["batch"].count(),
-                only["stream"].count(),
-                batch.count(),
-                _keys(only["batch"]),
-                _keys(only["stream"]),
+                _n("batch"),
+                _n("stream"),
+                _n("rows"),
+                _keys("batch"),
+                _keys("stream"),
             )
         ],
         "n_only_batch bigint, n_only_stream bigint, n_rows bigint, "
@@ -891,13 +948,26 @@ def events_snapshot_sink_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     snap_read = snapshots.read(spark, table_dir)
     batch = windows.hourly_tumbling(load_table(spark, sf_dir, "events"))
     streamed = windows.hourly_tumbling(snap_read)
+    # ONE tagged action funds all three counts (guide §1.2; same fusion
+    # as the two micro-batch parity rows — the r16 shape re-ran the
+    # batch aggregation for each of three actions)
+    tagged = (
+        batch.exceptAll(streamed)
+        .select(F.lit("batch").alias("side"))
+        .unionAll(streamed.exceptAll(batch).select(F.lit("stream").alias("side")))
+        .unionAll(batch.select(F.lit("rows").alias("side")))
+        .collect()
+    )
+    n_by_side = {"batch": 0, "stream": 0, "rows": 0}
+    for r in tagged:
+        n_by_side[r["side"]] += 1
     return local_df(
         spark,
         [
             (
-                batch.exceptAll(streamed).count(),
-                streamed.exceptAll(batch).count(),
-                batch.count(),
+                n_by_side["batch"],
+                n_by_side["stream"],
+                n_by_side["rows"],
                 bool(n_commits >= 1),
                 bool(replay_added),
             )

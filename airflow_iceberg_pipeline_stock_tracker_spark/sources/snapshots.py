@@ -823,16 +823,18 @@ def delete_where(
     del_path = os.path.join(table_dir, del_dir)
     matched.write.mode("errorifexists").parquet(del_path)
     back = spark.read.parquet(del_path)
-    if back.isEmpty():
-        import shutil
-
-        shutil.rmtree(del_path, ignore_errors=True)
-        return cur_id
-    # dirs the delete positions live in — the conflict-validation set
+    # dirs the delete positions live in — the conflict-validation set.
+    # ONE collect answers both "any matches?" and "which dirs?" (the
+    # r16 shape ran an isEmpty job and then a distinct-collect job).
     ref_dirs = {
         r[0]
         for r in back.select(_rel_dir_of("_del_file")).distinct().collect()
     }
+    if not ref_dirs:
+        import shutil
+
+        shutil.rmtree(del_path, ignore_errors=True)
+        return cur_id
     return _delete_commit_entry(
         table_dir, {"dir": del_dir, "kind": "pos"}, ref_dirs, max_retries
     )

@@ -37,10 +37,20 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
     classic path for anything the Arrow converter rejects, so callers
     can use it unconditionally.
     """
-    import pandas as pd
     from pyspark.sql.types import StructType
 
+    # Spark's own arrow.pyspark.fallback.enabled (default true) silently
+    # degrades createDataFrame(pdf) to the non-Arrow pandas path (a
+    # pickled-RDD plan with pandas coercion semantics) WITHOUT raising —
+    # neither the perf win nor our classic-tuple fallback would engage
+    # (r16 advice). Force Arrow failures to raise for the duration of
+    # the conversion so they fall through to the known classic path.
+    # pandas import sits inside the try too: a missing/broken pandas
+    # must degrade to the classic path, not raise ImportError.
+    conf_key = "spark.sql.execution.arrow.pyspark.fallback.enabled"
     try:
+        import pandas as pd
+
         st = (
             schema
             if isinstance(schema, StructType)
@@ -55,7 +65,15 @@ def local_df(spark: SparkSession, rows, schema) -> DataFrame:
             },
             columns=names,
         )
-        return spark.createDataFrame(pdf, schema=st)
+        prior = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "false")
+        try:
+            return spark.createDataFrame(pdf, schema=st)
+        finally:
+            if prior is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prior)
     except Exception:
         return spark.createDataFrame(rows, schema)
 

@@ -110,18 +110,30 @@ def _seq_fn(
             "", 0, 0, 0, -(2**62), -(2**62),
         )
 
+    # This function runs once per (user, micro-batch) — thousands of
+    # invocations per drain — so the per-call constant matters as much
+    # as the per-event work (guide §4.2). numpy end-to-end: no
+    # pd.concat/sort_values (lexsort on the raw arrays), no pandas .str
+    # accessor (bytes-dtype cast + reslice).
     chunks = [pdf for pdf in pdfs if len(pdf)]
     emitted = []
     if chunks:
-        pdf = pd.concat(chunks).sort_values(["ts", "event_id"])
-        ts_us = pdf["ts"].astype("int64").to_numpy() // 1000
-        eid = pdf["event_id"].astype("int64").to_numpy()
+        if len(chunks) == 1:
+            pdf = chunks[0]
+        else:
+            pdf = pd.concat(chunks)
+        ts_us = pdf["ts"].to_numpy("datetime64[us]").astype("int64")
+        eid = pdf["event_id"].to_numpy("int64")
+        order = np.lexsort((eid, ts_us))
+        ts_us, eid = ts_us[order], eid[order]
         # replay watermark: keep strictly-after (ts, event_id) rows
         fresh = (ts_us > last_ts) | ((ts_us == last_ts) & (eid > last_eid))
         if fresh.any():
             chars = (
-                pdf["event_type"].str[:1].to_numpy(dtype="U1")[fresh]
-            ).astype("S1")
+                pdf["event_type"]
+                .to_numpy("U1")[order][fresh]
+                .astype("S1")
+            )
             d_vcp, d_bursts = _count_patterns(last2, chars)
             n_vcp += d_vcp
             n_bursts += d_bursts

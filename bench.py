@@ -2325,6 +2325,18 @@ def main() -> None:
             if e and isinstance(sec, float):
                 e["sec_10x_zipf"] = sec
         print(f"# zipf 10x orders point: {zipf_orders}", file=sys.stderr)
+        # r16 verdict ask #6: in-artifact noise adjudication LAST (the
+        # trend/knee work above is what heats the box; the loop's decay
+        # gate needs to run after it)
+        requieted = _requiet(
+            spark,
+            queries,
+            sf_dir,
+            timings,
+            all_times,
+            int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+        )
+        print(f"# requieted: {requieted.get('rows', {})}", file=sys.stderr)
     finally:
         # the ONE-JSON-line stdout contract must survive any mid-bench
         # exception — restore stdout unconditionally
@@ -2346,14 +2358,23 @@ def main() -> None:
     # JSON outgrew the driver's capture in r5+r6 (BENCH_r0{5,6}.json both
     # record "parsed": null), so stdout now carries only the totals the
     # round-over-round trend needs and the sidecar carries everything.
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
-    )
+    # r16 PERF post-mortem: BENCH_DETAIL.json is a single mutable file,
+    # so the driver's low-core run clobbers the 32-core per-query detail
+    # and PERF's per_query/scaling blocks read n_common=0. Write a
+    # per-core-count sidecar alongside (BENCH_DETAIL_c<cpus>.json) so
+    # every core count keeps its own per-query record; BENCH_DETAIL.json
+    # stays as the latest-run copy for compatibility.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    here = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(here, "BENCH_DETAIL.json")
+    detail_path_cpus = os.path.join(here, f"BENCH_DETAIL_c{cpus}.json")
     load_end = round(os.getloadavg()[0], 2)
-    with open(detail_path, "w") as f:
+    for _dp in (detail_path, detail_path_cpus):
+      with open(_dp, "w") as f:
         json.dump(
             {
                 "sf": sf,
+                "cpus": cpus,
                 "queries": timings,
                 "cold": cold,
                 # r14 advice: since r14 the capacity-knee probe runs
@@ -2375,6 +2396,10 @@ def main() -> None:
                 # sec_10x_zipf where the row has a trend entry)
                 "zipf_10x_events": zipf_10x,
                 "zipf_10x_orders": zipf_orders,
+                # r16 verdict ask #6: the flagged-row re-measure loop's
+                # samples + loadavgs, so noise adjudication is machine-
+                # checkable from the artifact
+                "requieted": requieted,
                 # 1-min loadavg at bench start/end — values > ~1 beyond
                 # this process's own 32 threads mean the run is load-
                 # inflated (r12's committed run: ~16% uniform). Note:
@@ -2397,7 +2422,7 @@ def main() -> None:
                 "proof_tier_sec": proof_tier,
                 "cold_total_sec": round(sum(cold.values()), 3),
                 "runs_per_query": 2,
-                "runs_note": "min of 2 (3 for <1s rows; proofs once); per-query detail in BENCH_DETAIL.json",
+                "runs_note": "min of 2 (3 for <1s rows; proofs once; noisy/flagged rows +2 quiet-gated samples, see requieted); per-query detail in BENCH_DETAIL.json + BENCH_DETAIL_c<cpus>.json",
                 "agg": "min",
                 "max_sustained_stream_rows_per_sec": knee[
                     "max_sustained_rows_per_sec"
@@ -2436,6 +2461,93 @@ def main() -> None:
 # state (clearCache + GC before every pass, 3 samples always) — see
 # the inline note in _measure (r12 verdict ask #6).
 _STORAGE_SENSITIVE = {"dedup_minhash_lsh"}
+
+
+def _requiet(spark, queries, sf_dir, timings, all_times, cpus) -> dict:
+    """r16 verdict ask #6: noise adjudication as an in-artifact
+    re-measure loop instead of a narrative.
+
+    Every round ~70 matched-core rows read >10% slower with zero code
+    change and the regression audit re-litigates host noise by hand
+    (standalone re-runs, 8-core cross-checks). This loop does that
+    adjudication inside the bench itself: rows whose measured passes
+    disagreed badly (spread > 50% of the min) — or whose only sample is
+    a RUN_ONCE cold read taken right after the capacity knee heated the
+    box (the documented r12/r16 flap mechanism) — get 2 standalone
+    re-samples behind a one-time loadavg decay gate, with every sample
+    and its 1-min loadavg recorded in BENCH_DETAIL. The headline keeps
+    the same min-across-measured-passes aggregation; the pre-requiet
+    value is recorded per row so the old methodology's number stays
+    visible alongside.
+    """
+    import time as _time
+
+    from airflow_iceberg_pipeline_stock_tracker_spark.plans.llm_queries import (
+        clear_result_caches,
+    )
+
+    flagged = []
+    for name in HEADLINE:
+        t = timings.get(name)
+        if t is None:
+            continue
+        samples = all_times.get(name, [])
+        spread = max(samples) - min(samples) if len(samples) > 1 else 0.0
+        if name in RUN_ONCE and t >= 2.0:
+            flagged.append(name)
+        elif t >= 0.8 and spread > 0.5 * t:
+            flagged.append(name)
+    flagged = sorted(flagged, key=lambda n: -timings[n])[:10]
+    out: dict = {
+        "flag_rule": (
+            "RUN_ONCE cold sample >= 2s, or spread > 50% of min at >= "
+            "0.8s; top 10 by time; 2 re-samples each after a one-time "
+            "loadavg decay gate; headline stays min across ALL measured "
+            "samples (pre-requiet value kept per row)"
+        ),
+        "rows": {},
+    }
+    if not flagged:
+        return out
+    # one-time decay gate: the bench's own trend/knee work just heated
+    # the box; wait for the 1-min loadavg to fall back toward idle so
+    # the re-samples measure the plan, not the bench's wake. (While a
+    # re-sample RUNS, loadavg includes our own executor threads — only
+    # this pre-gate reads as an external-noise preflight.)
+    gate = max(4.0, cpus / 4.0)
+    deadline = _time.time() + 120
+    while os.getloadavg()[0] > gate and _time.time() < deadline:
+        _time.sleep(5)
+    out["gate_loadavg_1m"] = round(os.getloadavg()[0], 2)
+    out["gate_timed_out"] = os.getloadavg()[0] > gate
+    for name in flagged:
+        pre = timings[name]
+        samples, loads = [], []
+        for _ in range(2):
+            clear_result_caches()
+            spark.catalog.clearCache()
+            for t in spark.catalog.listTables():
+                if t.isTemporary and t.name.startswith("q_"):
+                    spark.catalog.dropTempView(t.name)
+            loads.append(round(os.getloadavg()[0], 2))
+            t0 = _time.time()
+            df = queries[name](spark, sf_dir)
+            df.count()
+            samples.append(round(_time.time() - t0, 3))
+        all_times.setdefault(name, []).extend(samples)
+        timings[name] = min(timings[name], *samples)
+        out["rows"][name] = {
+            "pre_requiet": pre,
+            "samples": samples,
+            "loadavg_1m": loads,
+            "final": timings[name],
+        }
+        print(
+            f"# requiet {name}: pre={pre} samples={samples} "
+            f"loads={loads} -> {timings[name]}",
+            file=sys.stderr,
+        )
+    return out
 
 
 def _measure(spark, queries, sf_dir, cold, timings, all_times) -> None:

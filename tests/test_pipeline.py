@@ -15,10 +15,15 @@ DB = "pipetest"
 
 @pytest.fixture()
 def db(spark):
+    # Clean BOTH the catalog entry and the on-disk warehouse dir in SETUP:
+    # a previously interrupted run can leave the directory behind with a
+    # fresh derby catalog (DROP is then a no-op), and the staging CREATE
+    # would fail with LOCATION_ALREADY_EXISTS.
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
+    shutil.rmtree(f"{wh}/{DB.lower()}.db", ignore_errors=True)
     yield DB
     spark.sql(f"DROP DATABASE IF EXISTS {DB} CASCADE")
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
     shutil.rmtree(f"{wh}/{DB.lower()}.db", ignore_errors=True)
 
 
