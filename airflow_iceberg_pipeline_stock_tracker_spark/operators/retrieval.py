@@ -781,11 +781,23 @@ def rag_write_index(spark: SparkSession, sf_dir: str, path: str) -> None:
         .collect()
     )
     cseed = [r for r in seed_rows if r["vec_id"] < RAG_CELLS * RAG_SID]
-    cmat = _train_coarse(emb, RAG_CELLS, IVFPQ_COARSE_ITERS, seed_rows=cseed)
-    pqmat, valid = _train_residual_pq(
-        emb, cmat, RAG_CODES, IVFPQ_PQ_ITERS, seed_rows=seed_rows
-    )
-    emb.write.mode("overwrite").parquet(f"{path}/vectors")
+    # the vectors dump depends only on the cached embeddings, not on the
+    # trainers — run it on a driver thread so its tasks back-fill the
+    # executor slots the 12-partition trainer passes leave idle (guide
+    # §2.6 "overlap independent jobs"); joined before anything reads it
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        vec_fut = pool.submit(
+            lambda: emb.write.mode("overwrite").parquet(f"{path}/vectors")
+        )
+        cmat = _train_coarse(
+            emb, RAG_CELLS, IVFPQ_COARSE_ITERS, seed_rows=cseed
+        )
+        pqmat, valid = _train_residual_pq(
+            emb, cmat, RAG_CODES, IVFPQ_PQ_ITERS, seed_rows=seed_rows
+        )
+        vec_fut.result()
     # local_df (Arrow-backed LocalTableScan): a coalesce(1) write of a
     # pickled-RDD local relation pays ~5s of per-partition Python worker
     # round-trips (guide §4) — measured on the bpe merge table; the two
